@@ -1,0 +1,371 @@
+"""Generic relational operators over the testdata star schema.
+
+The reference implements exactly one relational operator — an ungrouped MAX
+with a hand-rolled partial/final split across 50k-row chunks (reference
+main.py:228-230).  Everything else in this module is the standard operator
+surface the reference lacks (SURVEY.md section 2, ABSENT rows), expressed as
+declarative DataFrame plans so Catalyst provides pushdown, pruning, join
+selection, partial aggregation, and AQE for free.
+
+Scale notes are inline per operator: which side broadcasts, where the
+shuffles are, and why the plan survives a 100x scale-up.
+
+Column-name discipline: every computed column is aliased, and integer-ish
+derived columns are cast to long, so results hash-compare cleanly against the
+DuckDB oracles in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from simple_land_registry_data_ingestion_spark.tables import load
+
+
+# ---------------------------------------------------------------------------
+# Ingest-parity aggregations (reference A1)
+# ---------------------------------------------------------------------------
+
+def ingest_max_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's only aggregation: running max of a timestamp column,
+    truncated to date (``auto_date``, reference main.py:228-230,262-268).
+
+    Spark's partial+final aggregation IS the chunk-loop pattern the reference
+    hand-rolls: each task computes a partial max over its partition, one
+    exchange of 1 row per task feeds the final max.  At 100 TB this stays a
+    single near-free reduction; only ``l_shipdate`` is read from parquet
+    (column pruning) — verified in tests/test_plans.py.
+    """
+    lineitem = load(spark, sf_dir, "lineitem")
+    return lineitem.agg(F.to_date(F.max("l_shipdate")).alias("auto_date"))
+
+
+def ingest_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-summary row, the shape persisted to pp_complete_metadata
+    (reference main.py:274-295): row count + data-freshness bounds."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    return lineitem.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.to_date(F.max("l_shipdate")).alias("auto_date"),
+        F.to_date(F.min("l_shipdate")).alias("min_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters (SURVEY 2.2)
+# ---------------------------------------------------------------------------
+
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection.  Both reach the parquet scan: .explain shows
+    PushedFilters for the status/price predicates and a 3-column ReadSchema —
+    at 100 TB this is the difference between scanning 2 columns' pages and
+    the whole table."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.where(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 200000.0)
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expressions: price-band bucketing with CASE WHEN."""
+    orders = load(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return (
+        orders.select(band.alias("price_band"))
+        .groupBy("price_band")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY 2.4)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: filter + groupBy + sum/avg/count.
+
+    Low-cardinality grouping keys (RF x LS = 6 groups): map-side partial
+    aggregation reduces each task's output to <=6 rows before the shuffle,
+    so the exchange is O(tasks), not O(rows) — the plan that scales.
+    Aggregates rounded to 2dp so double summation order cannot flip the hash.
+    """
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q6_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight multi-predicate filter + single global sum.
+    All three predicates push to the scan; the agg is one row per task."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.where(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT ...) per group — Catalyst expands to a two-phase
+    aggregate (expand + partial distinct) rather than a naive global dedup."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over a projection (hash aggregate, map-side partials)."""
+    customer = load(spark, sf_dir, "customer")
+    return customer.select("c_mktsegment", "c_nationkey").distinct()
+
+
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets: (status, priority), (status), ()."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over two low-cardinality flags."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY 2.3)
+# ---------------------------------------------------------------------------
+
+def join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join fact->dim + re-aggregation.
+
+    ``customer`` is the small side: explicitly broadcast, so the join is a
+    shuffle-free BroadcastHashJoin over the orders scan.  At 100 TB of orders
+    and ~15M customers the broadcast still fits (<1 GiB) — were it not, AQE
+    falls back to sort-merge with the same plan text.
+    """
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+    )
+
+
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 5-way join: region -> nation -> customer -> orders ->
+    lineitem, revenue per nation.
+
+    Join order matters at scale: dims (region, nation) broadcast onto
+    customer, the enriched customer dim broadcasts onto orders, and only
+    the orders<->lineitem equi-join shuffles — one exchange on the fact
+    tables' shared key instead of five.
+    """
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    cust_dim = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_dim), orders.o_custkey == cust_dim.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with no orders (null-extended),
+    counting only matched rows (COUNT on a right-side column)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI: customers having at least one finished order.  Semi joins
+    never duplicate the left side — cheaper than inner+distinct."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    finished = orders.where(F.col("o_orderstatus") == "F")
+    return customer.join(
+        finished, customer.c_custkey == finished.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI: customers with no orders at all (NOT EXISTS)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+def join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/theta) join: match each order to the price band table
+    built from a VALUES-style literal dim.  Broadcast-nested-loop on a 3-row
+    side — the only sane physical strategy for theta joins, and fine because
+    the non-equi side is tiny by construction."""
+    orders = load(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("small", 0.0, 50000.0), ("medium", 50000.0, 200000.0), ("large", 200000.0, 1e12)],
+        "band string, lo double, hi double",
+    )
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (orders.o_totalprice >= bands.lo) & (orders.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows (SURVEY 2.5)
+# ---------------------------------------------------------------------------
+
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer by row_number().  One shuffle on the
+    partition key; deterministic because the ordering key set
+    (o_totalprice desc, o_orderkey) is a total order."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank_in_cust", F.row_number().over(w).cast("long"))
+        .where(F.col("rank_in_cust") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_cust")
+    )
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) sum per user over event time — the streaming-
+    style 'state per key' pattern in batch form.  Frame is rows-unbounded-
+    preceding; ordering includes event_id so ties are deterministic."""
+    events = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation per user ordered by event time."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.lag("value", 1).over(w), 2).alias("prev_value"),
+        F.round(F.lead("value", 1).over(w), 2).alias("next_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k (SURVEY 2.6)
+# ---------------------------------------------------------------------------
+
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10: Spark plans TakeOrderedAndProject — each task keeps a
+    10-row heap, the driver merges heaps; no global sort ever materializes.
+    Tie-broken by o_orderkey for determinism."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY 2.7)
+# ---------------------------------------------------------------------------
+
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of nation keys appearing in customer vs supplier."""
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .union(supplier.select(F.col("s_nationkey").cast("long").alias("nationkey")))
+        .distinct()
+    )
+
+
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT and EXCEPT composed: nations with customers but no
+    suppliers, tagged, unioned with nations having both."""
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    cust_nations = customer.select(F.col("c_nationkey").cast("long").alias("nationkey"))
+    supp_nations = supplier.select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    only_cust = cust_nations.subtract(supp_nations).withColumn(
+        "tag", F.lit("customer_only")
+    )
+    both = cust_nations.intersect(supp_nations).withColumn("tag", F.lit("both"))
+    return only_cust.unionByName(both)

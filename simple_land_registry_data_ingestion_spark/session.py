@@ -1,0 +1,86 @@
+"""SparkSession factory tuned for large-scale batch analytics.
+
+Replaces the reference's single-process execution model (reference
+main.py:298-372: one Python thread, 50k-row pandas chunks) with a configured
+Spark session.  The chunk loop disappears into partitions; partial/final
+aggregation, spill, and pipelining are engine-provided (SURVEY.md section 4).
+
+Scale defaults (local[32] test box, but written for a 1000-executor cluster):
+ - AQE on: runtime coalescing of shuffle partitions, skew-join splitting.
+ - Arrow on: vectorized pandas interchange for the few Pandas-UDF operators.
+ - shuffle.partitions sized by env (cluster deployments override per job).
+ - session timezone pinned UTC: the reference parses timestamps as UTC
+   (reference main.py:218-222, ``utc=True``); pinning removes machine-local
+   nondeterminism from date extraction.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+#: Configuration applied to every session this package builds.  These are all
+#: safe to set on a shared cluster session as well (idempotent, no side
+#: effects beyond this app).
+TUNING = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # 128 MiB input splits: big enough to amortize task overhead, small
+    # enough that a 100 TB scan still yields ~800k tasks of bounded memory.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # Auto-broadcast threshold: dimension tables (region/nation/supplier and
+    # the reference's would-be lookup tables) stay well under 64 MiB.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.parquet.compression.codec": "zstd",
+}
+
+
+def get_spark(
+    app_name: str = "simple-land-registry-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the package's tuning applied.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when no cluster is
+    configured; on a real cluster, leave it unset and let spark-submit decide.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        master = f"local[{DEFAULT_CPUS}]"
+    if master is not None:
+        builder = builder.master(master)
+    for key, value in TUNING.items():
+        builder = builder.config(key, value)
+    builder = builder.config(
+        "spark.sql.shuffle.partitions",
+        str(shuffle_partitions if shuffle_partitions is not None else DEFAULT_CPUS),
+    )
+    return builder.getOrCreate()
+
+
+def apply_session_defaults(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable tuning to an externally provided session.
+
+    The driver harness hands us its own SparkSession; only conf keys that are
+    runtime-mutable are applied (static ones like shuffle partitions for an
+    already-running app are left alone where Spark forbids changes).
+    """
+    for key in (
+        "spark.sql.session.timeZone",
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.execution.arrow.pyspark.enabled",
+    ):
+        try:
+            spark.conf.set(key, TUNING.get(key, "true"))
+        except Exception:  # pragma: no cover - static conf on some builds
+            pass
+    return spark

@@ -1,0 +1,54 @@
+"""Test-data table loaders (driver-generated parquet, see TESTDATA.md)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables that should always be broadcast in joins.
+DIMENSION_TABLES = frozenset({"region", "nation", "supplier"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+#: events.parquet stores ``ts`` as INT64 TIMESTAMP(NANOS), which Spark's
+#: parquet reader rejects (PARQUET_TYPE_ILLEGAL).  Read it as raw long and
+#: convert nanos -> micros with integer division (a double division would
+#: lose precision above 2^53 ns) -> timestamp_ntz, matching DuckDB's
+#: truncating ns->us cast.
+_EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table.  Parquet scan: column pruning and predicate
+    pushdown apply automatically to whatever the caller selects/filters."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
