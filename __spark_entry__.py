@@ -15,7 +15,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from simple_land_registry_data_ingestion_spark.functions import calendar, scalars
-from simple_land_registry_data_ingestion_spark.operators import relational
+from simple_land_registry_data_ingestion_spark.functions import text as text_fns
+from simple_land_registry_data_ingestion_spark.operators import dedup, relational, similarity
 from simple_land_registry_data_ingestion_spark.session import apply_session_defaults
 
 
@@ -73,7 +74,57 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- calendar functions (reference F1-F5) --
     "calendar_working_days": calendar.calendar_working_days,
     "calendar_month_bounds": calendar.calendar_month_bounds,
+    # -- text analysis (north-star X4) --
+    "text_token_count": text_fns.text_token_count,
+    "text_quality_score": text_fns.text_quality_score,
+    "text_lang_id": text_fns.text_lang_id,
+    "text_fingerprint": text_fns.text_fingerprint,
+    # -- dedup (north-star X1/X2) --
+    "dedup_exact_documents": dedup.dedup_exact_documents,
+    "cdc_latest_per_key": dedup.cdc_latest_per_key,
+    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+    "dedup_simhash": dedup.dedup_simhash,
+    "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+    # -- similarity search (north-star X3) --
+    "similarity_topk_bruteforce": similarity.similarity_topk_bruteforce,
+    "similarity_ann_lsh": similarity.similarity_ann_lsh,
+    "similarity_bucket_histogram": similarity.similarity_bucket_histogram,
 }
+
+#: Shared SQL fragments for the oracle twins below.
+_SHINGLES_CTE = r"""
+    docs AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+             FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle
+        FROM docs, UNNEST(range(1, len(ws) - 1)) AS t(i))
+"""
+
+_VEC_CTE = """
+    v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+"""
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+_SIGS_CTE = """
+    planes AS (
+        SELECT p,
+               list_transform(range(1, 65), j ->
+                   CAST(instr('0123456789abcdef',
+                              substring(md5(CAST(p AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1))
+                        - 1 AS DOUBLE) - 7.5) AS w
+        FROM UNNEST(range(0, 8)) AS t(p)),
+    sigs AS (
+        SELECT v.vec_id,
+               STRING_AGG(CASE WHEN list_dot_product(v.e, planes.w) > 0
+                               THEN '1' ELSE '0' END, '' ORDER BY planes.p) AS bucket
+        FROM v, planes GROUP BY v.vec_id)
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -296,6 +347,170 @@ _ORACLES: dict[str, str] = {
         FROM orders
     """,
 }
+
+_ORACLES.update({
+    "text_token_count": r"""
+        SELECT doc_id,
+               CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_actual
+        FROM documents
+    """,
+    "text_quality_score": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS ws,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS nonspace,
+                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha
+            FROM documents),
+        c AS (
+            SELECT doc_id, n_chars, nonspace, alpha,
+                   CAST(len(ws) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(ws, w -> w IN
+                        ('the','a','and','of','to','in','is','it','that','for'))) AS BIGINT) AS stop_hits
+            FROM t)
+        SELECT doc_id, n_tokens,
+               ROUND(nonspace / n_tokens, 4) AS mean_word_len,
+               ROUND(stop_hits / n_tokens, 4) AS stop_ratio,
+               ROUND(alpha / n_chars, 4) AS alpha_ratio,
+               ROUND(LEAST(stop_hits / n_tokens * 5.0, 1.0) * 0.3
+                     + GREATEST(0.0, 1.0 - ABS(nonspace / n_tokens - 5.0) / 5.0) * 0.3
+                     + LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.2
+                     + (alpha / n_chars) * 0.2 + 1e-9, 4) AS quality_score
+        FROM c
+    """,
+    "text_lang_id": r"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   string_split_regex(lower(trim(text)), '\s+') AS ws
+            FROM documents),
+        h AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_filter(ws, w -> w IN ('the','a','and','of','to','in','is','it','that','for'))) AS BIGINT) AS hits_en,
+                   CAST(len(list_filter(ws, w -> w IN ('le','la','et','les','des','un','une','du','est','que'))) AS BIGINT) AS hits_fr,
+                   CAST(len(list_filter(ws, w -> w IN ('der','die','und','das','ist','ein','eine','mit','von','zu'))) AS BIGINT) AS hits_de,
+                   CAST(len(list_filter(ws, w -> w IN ('el','la','y','los','las','un','una','es','que','de'))) AS BIGINT) AS hits_es
+            FROM t)
+        SELECT doc_id, lang, hits_en, hits_fr, hits_de, hits_es,
+               CASE WHEN GREATEST(hits_en, hits_fr, hits_de, hits_es) = 0 THEN 'unknown'
+                    WHEN hits_en = GREATEST(hits_en, hits_fr, hits_de, hits_es) THEN 'en'
+                    WHEN hits_fr = GREATEST(hits_en, hits_fr, hits_de, hits_es) THEN 'fr'
+                    WHEN hits_de = GREATEST(hits_en, hits_fr, hits_de, hits_es) THEN 'de'
+                    ELSE 'es' END AS pred_lang
+        FROM h
+    """,
+    "text_fingerprint": r"""
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
+               list_reduce(
+                   list_transform(regexp_split_to_array(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+                   (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_rolling
+        FROM documents
+    """,
+    "dedup_exact_documents": """
+        SELECT doc_id, lang, source, n_chars FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM documents)
+        WHERE rn = 1
+    """,
+    "cdc_latest_per_key": """
+        SELECT user_id, event_id, ts, event_type, ROUND(value, 2) AS value FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+        WHERE rn = 1
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {_SHINGLES_CTE},
+        sig AS (
+            SELECT doc_id,
+                   min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+                   min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+                   min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5
+            FROM sh GROUP BY doc_id),
+        bands AS (
+            SELECT doc_id, '0:' || h0 || h1 AS band_key FROM sig
+            UNION ALL SELECT doc_id, '1:' || h2 || h3 FROM sig
+            UNION ALL SELECT doc_id, '2:' || h4 || h5 FROM sig)
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.30
+    """,
+    "dedup_simhash": r"""
+        WITH tokens AS (
+            SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS token
+                FROM documents)),
+        pos AS (
+            SELECT doc_id, i AS pos,
+                   instr('0123456789abcdef', substring(md5(token), i, 1)) - 1 AS nib
+            FROM tokens, UNNEST(range(1, 17)) AS t(i)),
+        votes AS (
+            SELECT doc_id, pos,
+                   SUM(CASE WHEN (nib >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS v0,
+                   SUM(CASE WHEN (nib >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS v1,
+                   SUM(CASE WHEN (nib >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS v2,
+                   SUM(CASE WHEN (nib >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS v3
+            FROM pos GROUP BY doc_id, pos),
+        nibs AS (
+            SELECT doc_id, pos,
+                   substring('0123456789abcdef',
+                       (CASE WHEN v0 > 0 THEN 1 ELSE 0 END)
+                       + (CASE WHEN v1 > 0 THEN 2 ELSE 0 END)
+                       + (CASE WHEN v2 > 0 THEN 4 ELSE 0 END)
+                       + (CASE WHEN v3 > 0 THEN 8 ELSE 0 END) + 1, 1) AS c
+            FROM votes)
+        SELECT doc_id, STRING_AGG(c, '' ORDER BY pos) AS simhash
+        FROM nibs GROUP BY doc_id
+    """,
+    "dedup_embedding_cosine": f"""
+        WITH {_VEC_CTE}
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND({_COS.format(a='a.e', b='b.e')}, 6) AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE ROUND({_COS.format(a='a.e', b='b.e')}, 6) >= 0.30
+    """,
+    "similarity_topk_bruteforce": f"""
+        WITH {_VEC_CTE},
+        q AS (SELECT e AS qe FROM v WHERE vec_id = 0)
+        SELECT v.vec_id, CAST(v.label AS BIGINT) AS label,
+               ROUND({_COS.format(a='v.e', b='q.qe')}, 6) AS cosine
+        FROM v, q WHERE v.vec_id <> 0
+        ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+    "similarity_ann_lsh": f"""
+        WITH {_VEC_CTE},
+        {_SIGS_CTE},
+        q AS (SELECT v.e AS qe, sigs.bucket AS qb
+              FROM v JOIN sigs ON v.vec_id = sigs.vec_id WHERE v.vec_id = 0)
+        SELECT v.vec_id, sigs.bucket,
+               ROUND({_COS.format(a='v.e', b='q.qe')}, 6) AS cosine
+        FROM v JOIN sigs ON v.vec_id = sigs.vec_id, q
+        WHERE sigs.bucket = q.qb AND v.vec_id <> 0
+        ORDER BY cosine DESC, v.vec_id LIMIT 5
+    """,
+    "similarity_bucket_histogram": f"""
+        WITH {_VEC_CTE},
+        {_SIGS_CTE}
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM sigs GROUP BY bucket
+    """,
+})
 
 
 def oracle_sql() -> dict[str, str]:

