@@ -16,8 +16,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from simple_land_registry_data_ingestion_spark.functions import calendar, scalars
 from simple_land_registry_data_ingestion_spark.functions import text as text_fns
-from simple_land_registry_data_ingestion_spark.operators import dedup, relational, similarity
+from simple_land_registry_data_ingestion_spark.operators import (
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+)
 from simple_land_registry_data_ingestion_spark.session import apply_session_defaults
+from simple_land_registry_data_ingestion_spark.streaming import ops as stream_ops
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -90,6 +96,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_topk_bruteforce": similarity.similarity_topk_bruteforce,
     "similarity_ann_lsh": similarity.similarity_ann_lsh,
     "similarity_bucket_histogram": similarity.similarity_bucket_histogram,
+    # -- multimodal columns (north-star X5) --
+    "multimodal_binary_metadata": multimodal.multimodal_binary_metadata,
+    "multimodal_decode_features": multimodal.multimodal_decode_features,
+    "multimodal_frame_sample": multimodal.multimodal_frame_sample,
+    # -- structured streaming (SURVEY section 2.10) --
+    "stream_tumbling_window": stream_ops.stream_tumbling_window,
+    "stream_sliding_window": stream_ops.stream_sliding_window,
+    "stream_tumbling_append_watermark": stream_ops.stream_tumbling_append_watermark,
+    "stream_session_window": stream_ops.stream_session_window,
+    "stream_dedup_within_watermark": stream_ops.stream_dedup_within_watermark,
+    "stream_stateful_user_stats": stream_ops.stream_stateful_user_stats,
 }
 
 #: Shared SQL fragments for the oracle twins below.
@@ -509,6 +526,113 @@ _ORACLES.update({
         {_SIGS_CTE}
         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vectors
         FROM sigs GROUP BY bucket
+    """,
+})
+
+
+# Multimodal oracles: payloads are utf-8 bytes of documents.text, and the
+# corpus is pure ASCII (verified at both sf0.01 and sf0.1), so byte-level
+# operations are expressible over characters in SQL.
+_ORACLES.update({
+    "multimodal_binary_metadata": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS payload_md5,
+               lower(hex(encode(substring(text, 1, 4)))) AS magic_hex,
+               CASE WHEN lower(hex(encode(substring(text, 1, 4)))) LIKE '89504e47%' THEN 'png'
+                    WHEN lower(hex(encode(substring(text, 1, 4)))) LIKE 'ffd8ff%' THEN 'jpeg'
+                    WHEN lower(hex(encode(substring(text, 1, 4)))) LIKE '52494646%' THEN 'riff'
+                    ELSE 'raw' END AS format
+        FROM documents
+    """,
+    "multimodal_decode_features": """
+        WITH b AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   list_sum(list_transform(regexp_split_to_array(text, ''),
+                                           c -> ascii(c))) AS byte_sum
+            FROM documents)
+        SELECT doc_id, n_bytes,
+               CAST(1 + n_bytes % 64 AS BIGINT) AS fake_width,
+               CAST(1 + n_bytes % 48 AS BIGINT) AS fake_height,
+               CAST(byte_sum AS DOUBLE) / n_bytes AS mean_byte
+        FROM b
+    """,
+    "multimodal_frame_sample": """
+        WITH c AS (
+            SELECT doc_id, regexp_split_to_array(text, '') AS chars
+            FROM documents)
+        SELECT doc_id,
+               CAST(len(list_transform(range(1, len(chars) + 1, 997),
+                                       i -> ascii(chars[i]))) AS BIGINT) AS n_frames,
+               list_transform(range(1, len(chars) + 1, 997),
+                              i -> CAST(ascii(chars[i]) AS BIGINT)) AS frame_bytes
+        FROM c
+    """,
+})
+
+# Streaming oracles: the streaming queries run to END-OF-STREAM with
+# trigger(availableNow), so their batch equivalents are plain SQL — plus, for
+# append-mode ops, the final-watermark filter (windows/sessions the watermark
+# has not passed are withheld and their state discarded at stream end).
+_ORACLES.update({
+    "stream_tumbling_window": """
+        SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "stream_sliding_window": """
+        WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+        x AS (
+            SELECT DATE_TRUNC('hour', ts) - k * INTERVAL 1 HOUR AS window_start
+            FROM e, UNNEST(range(0, 2)) AS t(k))
+        SELECT window_start,
+               window_start + INTERVAL 2 HOUR AS window_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM x GROUP BY 1
+    """,
+    "stream_tumbling_append_watermark": """
+        WITH wm AS (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS w FROM events),
+        g AS (
+            SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+                   user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2)
+        SELECT g.window_start, g.user_id, g.n_events
+        FROM g, wm WHERE g.window_start + INTERVAL 1 HOUR <= wm.w
+    """,
+    "stream_session_window": """
+        WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM e),
+        s AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER win IS NULL
+                             OR ts - LAG(ts) OVER win >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts)),
+        g AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM s),
+        sess AS (
+            SELECT MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM g GROUP BY user_id, sid)
+        SELECT session_start, session_end, user_id, n_events
+        FROM sess, wm WHERE session_end <= wm.w
+    """,
+    "stream_dedup_within_watermark": "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_stateful_user_stats": """
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value,
+               MAX(CAST(ts AS TIMESTAMP)) AS max_ts
+        FROM events GROUP BY user_id
     """,
 })
 

@@ -1,0 +1,259 @@
+"""Streaming operators over the events stream, each verifiable in batch.
+
+Execution pattern: every query reads the events table AS A STREAM (file
+source), applies a streaming-only operator (watermark, windowed agg,
+streaming dedup, arbitrary state), runs it to completion with
+``trigger(availableNow=True)`` into a memory sink, and returns the final
+table.  That keeps the driver contract (a callable returning a batch
+DataFrame with a DuckDB oracle) while exercising the real streaming engine
+— state store, watermark bookkeeping, incremental planner.
+
+Scale notes:
+ - File source at 100 TB: the directory listing is incremental
+   (``maxFilesPerTrigger`` bounds batch size); state store is RocksDB in
+   production (``spark.sql.streaming.stateStore.providerClass``) so keyed
+   state spills to disk, not executor heap.
+ - Watermarks bound state: tumbling/sliding window state is dropped once
+   the watermark passes the window end; dedup state once it passes the key
+   timestamp + delay.  Unbounded-state ops (complete-mode agg) are only for
+   small result cardinalities (they re-emit the whole result per trigger).
+ - Memory sink is a TEST harness only — production sinks are
+   parquet/kafka/foreachBatch (see sinks.py for the idempotent-batch JDBC
+   pattern mirroring the reference's single-transaction COPY,
+   reference main.py:196-251).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: Raw parquet schema of the events table (ts is INT64 TIMESTAMP(NANOS),
+#: which Spark cannot read natively — see tables.py).
+_EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+_QUERY_COUNTER = itertools.count()
+
+
+def events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The events table as a file-source STREAM.
+
+    ``pathGlobFilter`` scopes the directory listing to the one table; the
+    declared schema replaces inference (streaming file sources require it,
+    and it matches the reference's inference-off discipline, reference
+    main.py:207).  ``ts`` becomes TIMESTAMP (session tz = UTC) because
+    watermarks reject timestamp_ntz.
+
+    ``max_files_per_trigger`` bounds each micro-batch (the knob that keeps
+    a 100 TB backlog from becoming one giant batch); with availableNow the
+    stream still drains the full backlog across several triggers.
+    """
+    reader = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(sf_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def foreach_batch_parquet_sink(df: DataFrame, path: str, checkpoint: str):
+    """Production-style sink: each micro-batch lands in its own
+    ``batch_id=N`` subdirectory with mode=overwrite, so a replayed batch
+    (failure between write and checkpoint commit) overwrites itself instead
+    of duplicating — idempotent exactly-once on top of the file source's
+    at-least-once redelivery.  This is the file-sink analog of staging-then-
+    swap in sinks.py (reference's single-transaction COPY, main.py:196-251).
+
+    Returns the started StreamingQuery (caller awaits termination).
+    """
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+    return (
+        df.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_stream_to_table(df: DataFrame, output_mode: str) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) into a memory
+    sink; return the materialized result as a batch DataFrame."""
+    name = f"stream_result_{next(_QUERY_COUNTER)}"
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def _ntz(col: str) -> F.Column:
+    """Memory-sink timestamps back to ntz so driver-side collect() cannot
+    shift them through the Python process's local timezone."""
+    return F.col(col).cast("timestamp_ntz")
+
+
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation, complete mode (emits the full
+    result at end-of-stream, so it equals the batch GROUP BY)."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    out = run_stream_to_table(agg, "complete")
+    return out.select(
+        _ntz("w.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour window, 1-hour slide: each event lands in 2 windows."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_stream_to_table(agg, "complete")
+    return out.select(
+        _ntz("w.start").alias("window_start"),
+        _ntz("w.end").alias("window_end"),
+        "n_events",
+    )
+
+
+def stream_tumbling_append_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode tumbling window behind a 1-hour watermark: only windows
+    the final watermark has passed are emitted; later windows' state is
+    discarded at end-of-stream.  This is the REAL late-data semantics
+    (complete mode above is the no-loss baseline)."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_stream_to_table(agg, "append")
+    return out.select(
+        _ntz("w.start").alias("window_start"), "user_id", "n_events"
+    )
+
+
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_stream_to_table(agg, "append")
+    return out.select(
+        _ntz("w.start").alias("session_start"),
+        _ntz("w.end").alias("session_end"),
+        "user_id",
+        "n_events",
+    )
+
+
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: first occurrence of each (user_id, event_type) key.
+
+    Keys are projected BEFORE the dedup so the surviving row is fully
+    determined by the key (dropDuplicates keeps an arbitrary first-seen row;
+    projecting first makes the operator deterministic and oracle-checkable).
+    The watermark bounds state: a key older than max(ts)-delay is evictable.
+    """
+    dedup = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "24 hours")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_stream_to_table(dedup, "append")
+
+
+def _user_stats_state_fn(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Arbitrary stateful aggregation: running (count, sum, max_ts) per user.
+
+    State persists across triggers in the state store; each trigger folds
+    its rows into the state and emits the updated row.  With availableNow
+    over a static directory there is one trigger, so the emitted rows equal
+    the batch GROUP BY — which is what makes this oracle-verifiable.
+    """
+    (user_id,) = key
+    n, total, max_us = state.get if state.exists else (0, 0.0, 0)
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        # Arrow hands ts over as datetime64 with engine-dependent resolution
+        # (ns on this build); normalize to micros explicitly before taking
+        # the integer max so the state value is resolution-independent.
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        max_us = max(max_us, int(ts_us.max()))
+    state.update((n, total, max_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "sum_value": [round(total, 2)],
+            "max_ts_us": [max_us],
+        }
+    )
+
+
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    stats.  The pattern for operators Spark lacks natively (SURVEY §2.10) —
+    Arrow-batched, keyed state store, watermark-driven eviction."""
+    stats = (
+        events_stream(spark, sf_dir)
+        .select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_stats_state_fn,
+            outputStructType="user_id long, n_events long, sum_value double, max_ts_us long",
+            stateStructType="n long, total double, max_us long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = run_stream_to_table(stats, "update")
+    return out.select(
+        "user_id",
+        "n_events",
+        "sum_value",
+        F.timestamp_micros(F.col("max_ts_us")).cast("timestamp_ntz").alias("max_ts"),
+    )

@@ -1,0 +1,165 @@
+"""Streaming behaviors the oracle-parity gate can't see: state carried
+ACROSS micro-batches, and the idempotent foreachBatch sink.
+
+The parity tests (test_oracle_parity.py) run each streaming op as one
+availableNow batch; here the events table is split into multiple files and
+drained one file per trigger, so keyed state, streaming dedup, and sink
+batching are exercised across real micro-batch boundaries.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+from simple_land_registry_data_ingestion_spark.streaming import ops
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def split_events_dir(spark, tmp_path_factory):
+    """events (sf0.001) split into 4 parquet files so maxFilesPerTrigger=1
+    yields 4 micro-batches."""
+    out = str(tmp_path_factory.mktemp("events_split"))
+    raw = spark.read.schema(ops._EVENTS_RAW_SCHEMA).parquet(
+        f"{SF_SMALL}/events.parquet"
+    )
+    raw.repartition(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _batch_events(spark, path):
+    raw = spark.read.schema(ops._EVENTS_RAW_SCHEMA).parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def test_stateful_op_accumulates_across_triggers(spark, split_events_dir, tmp_path):
+    """applyInPandasWithState must fold every micro-batch into the same keyed
+    state; the LAST update per user equals the whole-table GROUP BY."""
+    stream = ops.events_stream(
+        spark, split_events_dir, glob="*.parquet", max_files_per_trigger=1
+    )
+    stats = (
+        stream.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            ops._user_stats_state_fn,
+            outputStructType="user_id long, n_events long, sum_value double, max_ts_us long",
+            stateStructType="n long, total double, max_us long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = "multi_trigger_stats"
+    q = (
+        stats.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None
+
+    # update mode emits one row per (user, trigger that saw that user);
+    # the final state per user is the row with the max n_events.
+    result = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    expected = (
+        _batch_events(spark, split_events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got = {r["user_id"]: r["n_events"] for r in result.collect()}
+    want = {r["user_id"]: r["n_events"] for r in expected.collect()}
+    assert got == want
+
+
+def test_streaming_dedup_spans_triggers(spark, split_events_dir, tmp_path):
+    """Plain dropDuplicates keeps key state forever: keys seen in trigger 1
+    are still suppressed in trigger 4, so the emitted rows equal the batch
+    DISTINCT exactly."""
+    stream = ops.events_stream(
+        spark, split_events_dir, glob="*.parquet", max_files_per_trigger=1
+    )
+    dedup = (
+        stream.select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    name = "multi_trigger_dedup"
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    n_distinct = (
+        _batch_events(spark, split_events_dir)
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert spark.table(name).count() == n_distinct
+
+
+def test_dedup_within_watermark_bounds_state_not_exactness(
+    spark, split_events_dir, tmp_path
+):
+    """dropDuplicatesWithinWatermark trades exactness for BOUNDED state: a
+    key is evicted once the watermark passes its timestamp + delay, so a
+    duplicate arriving much later re-emits.  Across triggers the emitted
+    count sits between the exact DISTINCT and the raw row count — this is
+    the documented contract, and the reason the oracle-checked variant runs
+    single-batch."""
+    stream = ops.events_stream(
+        spark, split_events_dir, glob="*.parquet", max_files_per_trigger=1
+    )
+    dedup = (
+        stream.withWatermark("ts", "24 hours")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = "multi_trigger_dedup_wm"
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    batch = _batch_events(spark, split_events_dir)
+    n_distinct = batch.select("user_id", "event_type").distinct().count()
+    n_rows = batch.count()
+    n_emitted = spark.table(name).count()
+    assert n_distinct <= n_emitted < n_rows
+
+
+def test_foreach_batch_sink_is_partitioned_by_batch(spark, split_events_dir, tmp_path):
+    """Every input row lands exactly once; batches are isolated in their own
+    batch_id= directories (the idempotent-replay layout)."""
+    stream = ops.events_stream(
+        spark, split_events_dir, glob="*.parquet", max_files_per_trigger=1
+    )
+    out = str(tmp_path / "out")
+    q = ops.foreach_batch_parquet_sink(stream, out, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    written = spark.read.parquet(out)
+    n_in = _batch_events(spark, split_events_dir).count()
+    assert written.count() == n_in
+    # 4 input files, 1 file per trigger -> 4 batch directories
+    assert written.select("batch_id").distinct().count() == 4
+    # no duplicated events across batch dirs
+    assert written.select("event_id").distinct().count() == n_in
