@@ -1,0 +1,81 @@
+"""Physical-plan regression tests: the scale properties that make these
+operators viable at 100 TB, pinned as assertions.
+
+Row counts at sf0.01 can't catch a plan regression (everything is fast at
+60k rows); these tests fail when a filter stops reaching the scan, a
+dimension join stops broadcasting, or an operator grows an extra shuffle.
+"""
+
+from __future__ import annotations
+
+from simple_land_registry_data_ingestion_spark import plans
+from simple_land_registry_data_ingestion_spark.operators import (
+    dedup,
+    relational,
+    similarity,
+)
+from tests.conftest import SF_ORACLE
+
+
+def test_filter_reaches_parquet_scan(spark):
+    df = relational.filter_project(spark, SF_ORACLE)
+    pushed = plans.pushed_filters(df)
+    assert any("o_orderstatus" in p and "o_totalprice" in p for p in pushed), pushed
+    # scan-only plan: no shuffle at all
+    assert plans.shuffle_count(df) == 0
+
+
+def test_projection_prunes_scan_columns(spark):
+    df = relational.filter_project(spark, SF_ORACLE)
+    schemas = plans.read_schemas(df)
+    assert len(schemas) == 1
+    # 3 selected + 1 filter-only column; orders has 9 — pruning must drop the rest
+    assert schemas[0].count(":") == 4, schemas
+
+
+def test_q1_is_one_shuffle_with_pushed_date_filter(spark):
+    df = relational.q1_pricing_summary(spark, SF_ORACLE)
+    assert plans.shuffle_count(df) == 1  # partial agg -> exchange -> final agg
+    assert any("l_shipdate" in p for p in plans.pushed_filters(df))
+
+
+def test_multiway_join_broadcasts_dimensions(spark):
+    """region/nation/customer/orders all fit under the broadcast threshold at
+    test scale: the only shuffle left is the final aggregation's."""
+    df = relational.join_multiway(spark, SF_ORACLE)
+    assert plans.broadcast_join_count(df) >= 3
+    assert plans.shuffle_count(df) <= 2
+    plans.assert_no_cartesian_product(df)
+
+
+def test_topk_plans_take_ordered_not_global_sort(spark):
+    df = relational.sort_topk(spark, SF_ORACLE)
+    assert "TakeOrderedAndProject" in plans.formatted_plan(df)
+    assert plans.shuffle_count(df) == 0  # per-task heaps, no sort exchange
+
+
+def test_window_topk_is_single_shuffle(spark):
+    df = relational.window_topk_per_group(spark, SF_ORACLE)
+    assert plans.shuffle_count(df) == 1  # partitionBy hash exchange only
+
+
+def test_exact_dedup_is_single_shuffle(spark):
+    df = dedup.dedup_exact_documents(spark, SF_ORACLE)
+    assert plans.shuffle_count(df) == 1  # one hash exchange on the dedup key
+
+
+def test_minhash_lsh_avoids_all_pairs(spark):
+    """LSH candidate generation: shingle+signature shuffles and ONE
+    broadcast band-join — never a cartesian of the corpus with itself."""
+    df = dedup.dedup_minhash_lsh(spark, SF_ORACLE)
+    plans.assert_no_cartesian_product(df)
+    assert plans.shuffle_count(df) <= 3
+
+
+def test_bruteforce_topk_broadcasts_query_vector(spark):
+    """The 1-row query side must broadcast (nested-loop is fine for 1 row);
+    the candidate scan stays shuffle-free and top-k is a TakeOrdered."""
+    df = similarity.similarity_topk_bruteforce(spark, SF_ORACLE)
+    assert plans.broadcast_join_count(df) == 1
+    assert plans.shuffle_count(df) == 0
+    assert "TakeOrderedAndProject" in plans.formatted_plan(df)
