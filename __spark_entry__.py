@@ -53,9 +53,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": relational.q1_pricing_summary,
     "q6_revenue_filter": relational.q6_revenue_filter,
     "agg_distinct_counts": relational.agg_distinct_counts,
+    "agg_percentiles": relational.agg_percentiles,
     "distinct_rows": relational.distinct_rows,
     "rollup_orders": relational.rollup_orders,
     "cube_lineitem": relational.cube_lineitem,
+    "sql_grouping_sets": relational.sql_grouping_sets,
     # -- joins --
     "join_customer_orders": relational.join_customer_orders,
     "join_multiway": relational.join_multiway,
@@ -80,11 +82,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- calendar functions (reference F1-F5) --
     "calendar_working_days": calendar.calendar_working_days,
     "calendar_month_bounds": calendar.calendar_month_bounds,
+    "calendar_publish_dates": calendar.calendar_publish_dates,
     # -- text analysis (north-star X4) --
     "text_token_count": text_fns.text_token_count,
     "text_quality_score": text_fns.text_quality_score,
     "text_lang_id": text_fns.text_lang_id,
     "text_fingerprint": text_fns.text_fingerprint,
+    "text_stats_pandas_udf": text_fns.text_stats_pandas_udf,
     # -- dedup (north-star X1/X2) --
     "dedup_exact_documents": dedup.dedup_exact_documents,
     "cdc_latest_per_key": dedup.cdc_latest_per_key,
@@ -529,6 +533,57 @@ _ORACLES.update({
     """,
 })
 
+
+_ORACLES.update({
+    "agg_percentiles": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+               ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+               ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "sql_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "calendar_publish_dates": """
+        WITH months AS (
+            SELECT DISTINCT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS m
+            FROM orders),
+        samples AS (
+            SELECT m, UNNEST([m + 9, m + 27]) AS d FROM months),
+        need AS (
+            SELECT DISTINCT CAST(m + k * INTERVAL 1 MONTH AS DATE) AS ms
+            FROM months, UNNEST([-1, 0, 1]) AS t(k)),
+        days AS (
+            SELECT ms,
+                   CAST(UNNEST(RANGE(CAST(ms AS TIMESTAMP),
+                                     CAST(ms AS TIMESTAMP) + INTERVAL 1 MONTH,
+                                     INTERVAL 1 DAY)) AS DATE) AS dd
+            FROM need),
+        wd AS (
+            SELECT ms, dd, ROW_NUMBER() OVER (PARTITION BY ms ORDER BY dd) AS rn
+            FROM days WHERE DAYOFWEEK(dd) BETWEEN 1 AND 5),
+        wd20 AS (SELECT ms, MAX(CASE WHEN rn = 20 THEN dd END) AS w20 FROM wd GROUP BY ms)
+        SELECT s.d AS sample_date,
+               wn.w20 AS publish_after_threshold,
+               CASE WHEN s.d >= wt.w20 THEN wt.w20 ELSE wp.w20 END AS latest_publish,
+               LAST_DAY(CASE WHEN s.d >= wt.w20 THEN wt.w20 ELSE wp.w20 END) AS threshold_covered
+        FROM samples s
+        JOIN wd20 wt ON wt.ms = s.m
+        JOIN wd20 wn ON wn.ms = CAST(s.m + INTERVAL 1 MONTH AS DATE)
+        JOIN wd20 wp ON wp.ms = CAST(s.m - INTERVAL 1 MONTH AS DATE)
+    """,
+    "text_stats_pandas_udf": r"""
+        SELECT doc_id,
+               CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha_chars
+        FROM documents
+    """,
+})
 
 # Multimodal oracles: payloads are utf-8 bytes of documents.text, and the
 # corpus is pure ASCII (verified at both sf0.01 and sf0.1), so byte-level

@@ -76,6 +76,28 @@ def calendar_working_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def calendar_publish_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3/F5 parity (reference lib_datetime_not_used.py:43-132): for two
+    sample dates per distinct order month (day 10 and day 28, exercising the
+    before/after-publish branches of F3), the publish date following a
+    threshold, the most recent publish date, and the threshold it covers."""
+    orders = load(spark, sf_dir, "orders")
+    months = orders.select(
+        F.trunc(F.to_date("o_orderdate"), "month").alias("m")
+    ).distinct()
+    samples = months.select(
+        F.explode(
+            F.array(F.date_add(F.col("m"), 9), F.date_add(F.col("m"), 27))
+        ).alias("d")
+    )
+    return samples.select(
+        F.col("d").alias("sample_date"),
+        data_publish_datestamp_for_threshold(F.col("d")).alias("publish_after_threshold"),
+        most_recent_publish_datestamp(F.col("d")).alias("latest_publish"),
+        threshold_datestamp_for_publish(F.col("d")).alias("threshold_covered"),
+    )
+
+
 def calendar_month_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 last_day (exact built-in, reference lib_datetime_not_used.py:117-127)
     + month arithmetic per order."""

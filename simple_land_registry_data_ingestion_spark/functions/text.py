@@ -11,6 +11,8 @@ over 100 TB of documents; there is no Python in the row path.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -141,4 +143,35 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         fingerprint_md5_col("text").alias("fp_md5"),
         rolling_hash_col("text").alias("fp_rolling"),
+    )
+
+
+def text_stats_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDF surface done right (SURVEY section 2.9): when text logic
+    outgrows column expressions, a VECTORIZED pandas_udf (Arrow batches,
+    pandas string kernels) — never a row-at-a-time Python UDF, which pays
+    per-row serialization and is ~10-100x slower.
+
+    Token semantics match token_count_col exactly (trim -> lower ->
+    split on runs of whitespace), so the query stays oracle-checkable."""
+
+    @F.pandas_udf("long")
+    def n_tokens_pd(texts: pd.Series) -> pd.Series:
+        return (
+            texts.str.strip()
+            .str.lower()
+            .str.split(r"\s+", regex=True)
+            .str.len()
+            .astype("int64")
+        )
+
+    @F.pandas_udf("long")
+    def n_alpha_pd(texts: pd.Series) -> pd.Series:
+        return texts.str.count(r"[A-Za-z]").astype("int64")
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        n_tokens_pd("text").alias("n_tokens"),
+        n_alpha_pd("text").alias("n_alpha_chars"),
     )

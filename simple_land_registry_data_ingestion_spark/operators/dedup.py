@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from simple_land_registry_data_ingestion_spark.functions.vectors import dot, norm
-from simple_land_registry_data_ingestion_spark.tables import load
+from simple_land_registry_data_ingestion_spark.tables import fan_out, load
 
 # ---------------------------------------------------------------------------
 # Exact / CDC
@@ -86,9 +86,14 @@ def _word_shingles(text: Column, n: int = 3) -> Column:
 
 
 def shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) with per-doc distinct shingles."""
+    """(doc_id, shingle) with per-doc distinct shingles.
+
+    fan_out first: shingling is CPU-bound (split + n-gram assembly per
+    row), so parallelism must not be capped by the input's byte-based
+    splits (see tables.fan_out)."""
     return (
-        docs.select("doc_id", F.explode(_word_shingles(F.col("text"), n)).alias("shingle"))
+        fan_out(docs)
+        .select("doc_id", F.explode(_word_shingles(F.col("text"), n)).alias("shingle"))
         .distinct()
     )
 
@@ -127,19 +132,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CANDIDATE pairs: docs sharing at least one LSH band.
 
     Plan shape: shingle explode -> distinct -> groupBy (signature) ->
-    band explode -> self-equi-join on band_key.  Only the band join
-    shuffles doc pairs, and only within buckets."""
+    band explode -> groupBy band_key (collect doc ids) -> in-bucket pair
+    expansion -> distinct.  Grouping instead of a self-equi-join computes
+    the shingle->signature pipeline ONCE (a self-join evaluates the whole
+    subtree per side — measured 2x on this pipeline) and keeps the
+    quadratic strictly in-bucket, which is the LSH contract.  A hot bucket
+    (thousands of near-identical docs) still blows up combinatorially —
+    that is inherent; production mitigations are more bands/rows or capping
+    bucket size before expansion."""
     docs = load(spark, sf_dir, "documents")
     buckets = minhash_band_buckets(minhash_signatures(docs))
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ids = F.array_sort(F.collect_list("doc_id"))
+    grouped = buckets.groupBy("band_key").agg(ids.alias("ids"))
+    # all (i < j) pairs of the sorted bucket members
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 
@@ -198,7 +215,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two shuffles, both on doc-bounded keys — linear in corpus size.
     """
     docs = load(spark, sf_dir, "documents")
-    tokens = docs.select(
+    tokens = fan_out(docs).select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
     ).distinct()
@@ -255,7 +272,7 @@ def dedup_embedding_cosine(
     once per PAIR (n^2 folds): higher-order-function folds are interpreted,
     not codegen'd, so hoisting them out of the pair loop is a ~3x win while
     keeping the exact oracle float semantics dot/(norm_a*norm_b)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
     with_norm = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
     a = with_norm.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")

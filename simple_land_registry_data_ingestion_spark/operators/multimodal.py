@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from simple_land_registry_data_ingestion_spark.tables import load
+from simple_land_registry_data_ingestion_spark.tables import fan_out, load
 
 #: Magic prefixes -> format tag, checked JVM-side on the binary column.
 #: (Real corpora: PNG/JPEG/RIFF...; the synthetic payloads are utf-8 text,
@@ -115,10 +115,14 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract over the blob column via mapInPandas.
 
     Plan shape at scale: one narrow pass — scan (payload column only, other
-    columns pruned) -> Arrow batches -> Python workers -> feature rows.  No
-    shuffle; parallelism = input partitions; Arrow batch size bounds Python
-    memory (spark.sql.execution.arrow.maxRecordsPerBatch)."""
-    with_payload = documents_with_payload(spark, sf_dir).select("doc_id", "payload")
+    columns pruned) -> Arrow batches -> Python workers -> feature rows.
+    Arrow batch size bounds Python memory
+    (spark.sql.execution.arrow.maxRecordsPerBatch); fan_out decouples the
+    Python-worker parallelism from byte-based input splits (decode is
+    CPU-bound, see tables.fan_out)."""
+    with_payload = fan_out(
+        documents_with_payload(spark, sf_dir).select("doc_id", "payload")
+    )
     return with_payload.mapInPandas(decode_payload_batches, _DECODE_SCHEMA)
 
 
@@ -143,7 +147,9 @@ def frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sample the blob column (video keyframe stand-in)."""
-    with_payload = documents_with_payload(spark, sf_dir).select("doc_id", "payload")
+    with_payload = fan_out(
+        documents_with_payload(spark, sf_dir).select("doc_id", "payload")
+    )
     return with_payload.mapInPandas(frame_sample_batches, _FRAMES_SCHEMA)
 
 

@@ -140,6 +140,38 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group.
+
+    ``percentile`` is exact — it buffers each group's values, so group
+    cardinality must be executor-memory-bounded; for 100 TB ungrouped or
+    hot-key profiles switch to ``percentile_approx`` (t-digest, mergeable,
+    bounded memory) and accept the approximation."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99_price"),
+    )
+
+
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the engine's SQL surface (same Catalyst frontend
+    and physical plan as the DataFrame API — ``spark.sql`` is not a second
+    engine).  Also the one grouping shape the DataFrame API has no native
+    method for (rollup/cube cover the common cases)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
 def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT over a projection (hash aggregate, map-side partials)."""
     customer = load(spark, sf_dir, "customer")

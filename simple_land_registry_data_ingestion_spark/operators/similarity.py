@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from simple_land_registry_data_ingestion_spark.functions.vectors import dot, norm
-from simple_land_registry_data_ingestion_spark.tables import load
+from simple_land_registry_data_ingestion_spark.tables import fan_out, load
 
 NUM_PLANES = 8
 QUERY_VEC_ID = 0  # deterministic query vector for the verifiable queries
@@ -51,7 +51,7 @@ def similarity_topk_bruteforce(
     emb = load(spark, sf_dir, "embeddings")
     q = _query_side(emb, query_vec_id)
     scored = (
-        emb.where(F.col("vec_id") != query_vec_id)
+        fan_out(emb.where(F.col("vec_id") != query_vec_id))
         .join(F.broadcast(q))
         .select(
             "vec_id",
@@ -108,7 +108,7 @@ def similarity_ann_lsh(
     at-rest partition key, so a probe reads one partition, not the corpus.
     (Recall tuning = fewer planes or multi-probe; deterministic either way.)
     """
-    emb = load(spark, sf_dir, "embeddings").withColumn(
+    emb = fan_out(load(spark, sf_dir, "embeddings")).withColumn(
         "bucket", signature_bits(F.col("embedding"))
     )
     q = (
@@ -131,7 +131,7 @@ def similarity_ann_lsh(
 
 def similarity_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket occupancy — the skew diagnostic for the ANN path."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
     return (
         emb.select(signature_bits(F.col("embedding")).alias("bucket"))
         .groupBy("bucket")

@@ -48,6 +48,27 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition to full parallelism for CPU-BOUND operators —
+    only when the input is under-partitioned.
+
+    File-split partitioning sizes partitions by INPUT BYTES
+    (maxPartitionBytes), which is right for I/O-bound scans but starves
+    CPU-heavy per-row expansions (shingling, hashing, vector math, Python
+    decode) whenever the input is byte-small: a 5 MB documents file is one
+    split, so one core does all the work while 31 idle.  One cheap shuffle
+    of the small input buys every core downstream.
+
+    The repartition is CONDITIONAL: at 100 TB the scan already yields
+    thousands of splits, and blindly repartitioning would shuffle the whole
+    table for nothing — if the plan already has >= target partitions this
+    returns the input unchanged (a plan-time check; no job runs)."""
+    target = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql use."""
     for name in TABLES:

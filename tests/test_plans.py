@@ -65,17 +65,22 @@ def test_exact_dedup_is_single_shuffle(spark):
 
 
 def test_minhash_lsh_avoids_all_pairs(spark):
-    """LSH candidate generation: shingle+signature shuffles and ONE
-    broadcast band-join — never a cartesian of the corpus with itself."""
+    """LSH candidate generation never joins the corpus with itself: no
+    cartesian, no join at all — pairs come from in-bucket expansion.  The
+    shuffles are the pipeline's own: fan_out, shingle distinct, signature
+    groupBy, band groupBy, pair distinct."""
     df = dedup.dedup_minhash_lsh(spark, SF_ORACLE)
     plans.assert_no_cartesian_product(df)
-    assert plans.shuffle_count(df) <= 3
+    assert plans.shuffle_count(df) <= 5
 
 
 def test_bruteforce_topk_broadcasts_query_vector(spark):
     """The 1-row query side must broadcast (nested-loop is fine for 1 row);
-    the candidate scan stays shuffle-free and top-k is a TakeOrdered."""
+    top-k is a TakeOrdered (per-task heaps), and the only exchange allowed
+    is fan_out's round-robin on the byte-small candidate input — never a
+    sort or join shuffle."""
     df = similarity.similarity_topk_bruteforce(spark, SF_ORACLE)
     assert plans.broadcast_join_count(df) == 1
-    assert plans.shuffle_count(df) == 0
+    assert plans.shuffle_count(df) <= 1
+    assert "Sort" not in plans.formatted_plan(df)
     assert "TakeOrderedAndProject" in plans.formatted_plan(df)
