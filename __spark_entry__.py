@@ -21,6 +21,7 @@ from simple_land_registry_data_ingestion_spark.operators import (
     multimodal,
     relational,
     similarity,
+    skew,
 )
 from simple_land_registry_data_ingestion_spark.session import apply_session_defaults
 from simple_land_registry_data_ingestion_spark.streaming import ops as stream_ops
@@ -58,6 +59,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_orders": relational.rollup_orders,
     "cube_lineitem": relational.cube_lineitem,
     "sql_grouping_sets": relational.sql_grouping_sets,
+    "pivot_orders": relational.pivot_orders,
+    # -- skew mitigation (north-star X6) --
+    "skew_salted_agg": skew.skew_salted_agg,
+    "skew_salted_join": skew.skew_salted_join,
     # -- joins --
     "join_customer_orders": relational.join_customer_orders,
     "join_multiway": relational.join_multiway,
@@ -576,6 +581,32 @@ _ORACLES.update({
         JOIN wd20 wt ON wt.ms = s.m
         JOIN wd20 wn ON wn.ms = CAST(s.m + INTERVAL 1 MONTH AS DATE)
         JOIN wd20 wp ON wp.ms = CAST(s.m - INTERVAL 1 MONTH AS DATE)
+    """,
+    "pivot_orders": """
+        SELECT o_orderstatus,
+               CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_prio_1,
+               CAST(COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS n_prio_2,
+               CAST(COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS n_prio_3,
+               CAST(COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS n_prio_4,
+               CAST(COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS n_prio_5
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "skew_salted_agg": """
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY user_id
+    """,
+    "skew_salted_join": """
+        WITH user_dim AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS user_total
+            FROM events GROUP BY user_id)
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM events e JOIN user_dim d ON e.user_id = d.user_id
+        WHERE d.user_total > 100
+        GROUP BY e.event_type
     """,
     "text_stats_pandas_udf": r"""
         SELECT doc_id,

@@ -172,6 +172,30 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Pivot values declared up front: a dynamic pivot needs an extra job just
+#: to discover the distinct values — never pay that at 100 TB.
+_ORDER_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with declared pivot values: one wide row per order
+    status, one count column per priority.  Counts are coalesced to 0 so an
+    absent (status, priority) combination is a count, not a NULL."""
+    orders = load(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _ORDER_PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(f"n_prio_{p[0]}")
+            for p in _ORDER_PRIORITIES
+        ],
+    )
+
+
 def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT over a projection (hash aggregate, map-side partials)."""
     customer = load(spark, sf_dir, "customer")

@@ -13,6 +13,7 @@ from simple_land_registry_data_ingestion_spark.operators import (
     dedup,
     relational,
     similarity,
+    skew,
 )
 from tests.conftest import SF_ORACLE
 
@@ -72,6 +73,15 @@ def test_minhash_lsh_avoids_all_pairs(spark):
     df = dedup.dedup_minhash_lsh(spark, SF_ORACLE)
     plans.assert_no_cartesian_product(df)
     assert plans.shuffle_count(df) <= 5
+
+
+def test_salted_join_actually_shuffles(spark):
+    """The salted join exists to fix SHUFFLE-join skew; if the small side
+    silently broadcasts (everything is broadcast-eligible at test scale),
+    the salt columns are dead weight and the test proves nothing."""
+    df = skew.skew_salted_join(spark, SF_ORACLE)
+    plan = plans.formatted_plan(df)
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
 
 
 def test_bruteforce_topk_broadcasts_query_vector(spark):
