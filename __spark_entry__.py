@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from simple_land_registry_data_ingestion_spark.functions import calendar, scalars
 from simple_land_registry_data_ingestion_spark.functions import text as text_fns
 from simple_land_registry_data_ingestion_spark.operators import (
+    asof,
     dedup,
     multimodal,
     relational,
@@ -54,7 +55,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": relational.q1_pricing_summary,
     "q6_revenue_filter": relational.q6_revenue_filter,
     "agg_distinct_counts": relational.agg_distinct_counts,
+    "agg_approx_distinct": relational.agg_approx_distinct,
+    "agg_collect_sorted": relational.agg_collect_sorted,
     "agg_percentiles": relational.agg_percentiles,
+    "unpivot_measures": relational.unpivot_measures,
+    "sample_hash_deterministic": relational.sample_hash_deterministic,
     "distinct_rows": relational.distinct_rows,
     "rollup_orders": relational.rollup_orders,
     "cube_lineitem": relational.cube_lineitem,
@@ -70,10 +75,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_left_semi": relational.join_left_semi,
     "join_left_anti": relational.join_left_anti,
     "join_range_nonequi": relational.join_range_nonequi,
+    "join_asof_rates": asof.join_asof_rates,
     # -- windows --
     "window_topk_per_group": relational.window_topk_per_group,
     "window_running_sum": relational.window_running_sum,
     "window_lag_lead": relational.window_lag_lead,
+    "window_range_frame": relational.window_range_frame,
     # -- sort / limit / top-k --
     "sort_topk": relational.sort_topk,
     # -- set operations --
@@ -83,6 +90,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scalar_string_funcs": scalars.scalar_string_funcs,
     "scalar_date_funcs": scalars.scalar_date_funcs,
     "scalar_math_funcs": scalars.scalar_math_funcs,
+    "scalar_json_funcs": scalars.scalar_json_funcs,
+    "scalar_map_funcs": scalars.scalar_map_funcs,
+    "generator_explode_tokens": scalars.generator_explode_tokens,
     "array_funcs": scalars.array_funcs,
     # -- calendar functions (reference F1-F5) --
     "calendar_working_days": calendar.calendar_working_days,
@@ -540,6 +550,84 @@ _ORACLES.update({
 
 
 _ORACLES.update({
+    "agg_approx_distinct": """
+        SELECT l_linestatus,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+               TRUE AS approx_within_5pct
+        FROM lineitem GROUP BY l_linestatus
+    """,
+    "agg_collect_sorted": """
+        SELECT c_mktsegment,
+               STRING_AGG(DISTINCT CAST(c_nationkey AS BIGINT), ','
+                          ORDER BY CAST(c_nationkey AS BIGINT)) AS nations_csv,
+               CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+        FROM customer GROUP BY c_mktsegment
+    """,
+    "unpivot_measures": """
+        SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS linenumber,
+               'quantity' AS measure, ROUND(l_quantity, 2) AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+               'extendedprice', ROUND(l_extendedprice, 2) FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+               'discount', ROUND(l_discount, 2) FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+               'tax', ROUND(l_tax, 2) FROM lineitem
+    """,
+    "sample_hash_deterministic": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               ROUND(SUM(o_totalprice), 2) AS sum_sampled,
+               CAST(COUNT(*) * 16 AS BIGINT) AS est_total_orders
+        FROM orders
+        WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+    """,
+    "join_asof_rates": """
+        WITH rates AS (
+            SELECT rate_date,
+                   CAST(ROUND(1.0 + (YEAR(rate_date) % 5) * 0.01
+                             + QUARTER(rate_date) * 0.001, 6) AS DOUBLE) AS rate
+            FROM (SELECT DISTINCT CAST(DATE_TRUNC('quarter', o_orderdate) AS DATE)
+                         AS rate_date FROM orders)
+            WHERE QUARTER(rate_date) IN (1, 3))
+        SELECT o_orderkey, rate_date AS asof_date, rate,
+               o_totalprice * rate AS adj_price
+        FROM orders ASOF JOIN rates ON CAST(o_orderdate AS DATE) >= rate_date
+    """,
+    "window_range_frame": """
+        SELECT user_id, event_id,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing_1h,
+               ROUND(SUM(value) OVER w, 2) AS sum_trailing_1h
+        FROM (SELECT *, epoch(CAST(ts AS TIMESTAMP)) AS ts_sec FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    "scalar_json_funcs": """
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS k_str,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+               CAST(json_extract(props, '$.k') AS BIGINT) >= 50 AS k_high,
+               '{"t":"' || event_type || '"}' AS type_json
+        FROM events
+    """,
+    "scalar_map_funcs": """
+        SELECT p_partkey,
+               p_brand AS m_brand,
+               p_type AS m_type,
+               CAST(NULL AS VARCHAR) AS m_missing,
+               CAST(2 AS BIGINT) AS m_size,
+               'brand,type' AS m_keys_csv
+        FROM part
+    """,
+    "generator_explode_tokens": r"""
+        WITH docs AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+            FROM documents)
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ws[i] AS token
+        FROM docs, UNNEST(range(1, len(ws) + 1)) AS t(i)
+        WHERE i <= 5
+    """,
     "agg_percentiles": """
         SELECT l_returnflag,
                ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,

@@ -62,6 +62,55 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON functions over the real JSON column (events.props = {"k": int}):
+    path extraction, schema-checked parse, and re-serialization.  All JVM
+    expressions — from_json with an explicit schema is the 100 TB-safe way
+    to take semi-structured columns apart (no inference pass, no Python)."""
+    events = load(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_val"),
+        (parsed.getField("k") >= 50).alias("k_high"),
+        F.to_json(F.struct(F.col("event_type").alias("t"))).alias("type_json"),
+    )
+
+
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + lookup: create_map / element_at / map_keys /
+    missing-key null semantics.  The oracle states the expected lookups
+    directly (map internals are engine-specific; lookup results are not)."""
+    part = load(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"),
+        F.lit("type"), F.col("p_type"),
+    )
+    return part.select(
+        "p_partkey",
+        F.element_at(m, "brand").alias("m_brand"),
+        F.element_at(m, "type").alias("m_type"),
+        F.element_at(m, "absent").alias("m_missing"),
+        F.size(m).cast("long").alias("m_size"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("m_keys_csv"),
+    )
+
+
+def generator_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator / UDTF surface: posexplode the whitespace tokens of each
+    document, keep the first five positions.  Plans as Generate — a
+    pipelined row-expander, no shuffle, no UDTF process boundary."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("pos", "token"),
+    )
+    return tokens.where(F.col("pos") < 5).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "token"
+    )
+
+
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array manipulation over the embedding column: size, indexing, slice
     aggregation, element-wise transform — the building blocks the similarity

@@ -196,6 +196,84 @@ def pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count.
+
+    The sketch is mergeable, so it aggregates partially map-side with
+    bounded memory — at 100 TB it is the only sane distinct-count for
+    high-cardinality keys (exact COUNT(DISTINCT) expands + reshuffles).
+    The estimate itself is engine-specific, so the oracle-checked output is
+    the exact count plus a bounded-error assertion on the sketch (rsd=0.02
+    configured, asserted within 5% = 2.5 sigma; HLL++ is deterministic, so
+    the assertion is stable per dataset), not the raw estimate.
+    """
+    lineitem = load(spark, sf_dir, "lineitem")
+    agg = lineitem.groupBy("l_linestatus").agg(
+        F.countDistinct("l_orderkey").alias("n_exact"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("n_approx"),
+    )
+    return agg.select(
+        "l_linestatus",
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            <= F.col("n_exact") * F.lit(0.05)
+        ).alias("approx_within_5pct"),
+    )
+
+
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered set aggregation: distinct nation keys per market segment as a
+    sorted CSV string (collect_set -> array_sort -> concat_ws; the sort
+    makes the unordered collect deterministic and hash-comparable)."""
+    customer = load(spark, sf_dir, "customer")
+    nk = F.col("c_nationkey").cast("long")
+    return customer.groupBy("c_mktsegment").agg(
+        F.concat_ws(
+            ",", F.transform(F.array_sort(F.collect_set(nk)), lambda x: x.cast("string"))
+        ).alias("nations_csv"),
+        F.countDistinct(nk).alias("n_nations"),
+    )
+
+
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide->long): the four lineitem measures become
+    (measure, value) rows keyed by (orderkey, linenumber).  Spark plans this
+    as Expand — a zero-shuffle row multiplier, safe at any scale."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    wide = lineitem.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("linenumber"),
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("extendedprice"),
+        F.col("l_discount").cast("double").alias("discount"),
+        F.col("l_tax").cast("double").alias("tax"),
+    )
+    return wide.unpivot(
+        ids=["l_orderkey", "linenumber"],
+        values=["quantity", "extendedprice", "discount", "tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).withColumn("value", F.round("value", 2))
+
+
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1/16 sample by key hash (first md5 hex nibble == '0')
+    plus the scaled estimate.  Unlike TABLESAMPLE/rand(), a key-hash sample
+    is reproducible across runs, engines, and repartitioning — the property
+    a 100 TB pipeline needs for consistent sampling joins (sample the same
+    keys in every table) and for resumable jobs."""
+    orders = load(spark, sf_dir, "orders")
+    sampled = orders.where(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0"
+    )
+    return sampled.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_sampled"),
+        (F.count(F.lit(1)) * 16).alias("est_total_orders"),
+    )
+
+
 def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT over a projection (hash aggregate, map-side partials)."""
     customer = load(spark, sf_dir, "customer")
@@ -379,6 +457,27 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.lag("value", 1).over(w), 2).alias("prev_value"),
         F.round(F.lead("value", 1).over(w), 2).alias("next_value"),
+    )
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per user, count+sum of events in the trailing
+    hour (event-time sliding aggregate in batch form).  RANGE frames need a
+    numeric ordering key, so ts becomes epoch seconds; ties (same second)
+    are frame-peers, included together, which keeps the result order-
+    insensitive and engine-portable."""
+    events = load(spark, sf_dir, "events")
+    with_sec = events.withColumn("ts_sec", F.unix_timestamp("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return with_sec.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_trailing_1h"),
     )
 
 

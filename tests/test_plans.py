@@ -9,7 +9,9 @@ dimension join stops broadcasting, or an operator grows an extra shuffle.
 from __future__ import annotations
 
 from simple_land_registry_data_ingestion_spark import plans
+from simple_land_registry_data_ingestion_spark.functions import scalars
 from simple_land_registry_data_ingestion_spark.operators import (
+    asof,
     dedup,
     relational,
     similarity,
@@ -82,6 +84,36 @@ def test_salted_join_actually_shuffles(spark):
     df = skew.skew_salted_join(spark, SF_ORACLE)
     plan = plans.formatted_plan(df)
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_unpivot_is_expand_without_shuffle(spark):
+    """UNPIVOT must plan as Expand (pipelined row multiplier), never as a
+    union of re-scans or anything that exchanges."""
+    df = relational.unpivot_measures(spark, SF_ORACLE)
+    assert "Expand" in plans.formatted_plan(df)
+    assert plans.shuffle_count(df) == 0
+
+
+def test_generator_explode_pipelines_without_shuffle(spark):
+    """posexplode plans as Generate, fused into the scan stage."""
+    df = scalars.generator_explode_tokens(spark, SF_ORACLE)
+    assert "Generate" in plans.formatted_plan(df)
+    assert plans.shuffle_count(df) == 0
+
+
+def test_asof_join_broadcasts_intervals(spark):
+    """The fact side of the as-of join must stream through a broadcast
+    nested-loop join — the only exchanges allowed are the ones building the
+    tiny rate dimension (distinct + its single-partition window)."""
+    df = asof.join_asof_rates(spark, SF_ORACLE)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    plans.assert_no_cartesian_product(df)
+
+
+def test_range_frame_window_is_single_shuffle(spark):
+    df = relational.window_range_frame(spark, SF_ORACLE)
+    assert plans.shuffle_count(df) == 1  # hash exchange on user_id only
 
 
 def test_bruteforce_topk_broadcasts_query_vector(spark):
