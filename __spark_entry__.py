@@ -14,7 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from simple_land_registry_data_ingestion_spark.functions import calendar, scalars
+from simple_land_registry_data_ingestion_spark.functions import calendar, scalars, udfs
 from simple_land_registry_data_ingestion_spark.functions import text as text_fns
 from simple_land_registry_data_ingestion_spark.operators import (
     asof,
@@ -74,8 +74,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_left_outer": relational.join_left_outer,
     "join_left_semi": relational.join_left_semi,
     "join_left_anti": relational.join_left_anti,
+    "join_full_outer": relational.join_full_outer,
     "join_range_nonequi": relational.join_range_nonequi,
     "join_asof_rates": asof.join_asof_rates,
+    # -- subqueries (decorrelated by Catalyst) --
+    "sql_exists_subquery": relational.sql_exists_subquery,
+    "sql_scalar_subquery": relational.sql_scalar_subquery,
+    # -- multi-join analytics --
+    "q3_shipping_priority": relational.q3_shipping_priority,
     # -- windows --
     "window_topk_per_group": relational.window_topk_per_group,
     "window_running_sum": relational.window_running_sum,
@@ -104,6 +110,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": text_fns.text_lang_id,
     "text_fingerprint": text_fns.text_fingerprint,
     "text_stats_pandas_udf": text_fns.text_stats_pandas_udf,
+    # -- UDF surfaces: grouped-map applyInPandas + Python UDTF --
+    "grouped_zscore_pandas": udfs.grouped_zscore_pandas,
+    "udtf_chunk_documents": udfs.udtf_chunk_documents,
     # -- dedup (north-star X1/X2) --
     "dedup_exact_documents": dedup.dedup_exact_documents,
     "cdc_latest_per_key": dedup.cdc_latest_per_key,
@@ -807,6 +816,72 @@ _ORACLES.update({
                ROUND(SUM(value), 2) AS sum_value,
                MAX(CAST(ts AS TIMESTAMP)) AS max_ts
         FROM events GROUP BY user_id
+    """,
+})
+
+
+_ORACLES.update({
+    "join_full_outer": """
+        WITH cust AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                             CAST(COUNT(*) AS BIGINT) AS n_customers
+                      FROM customer GROUP BY 1),
+             supp AS (SELECT CAST(s_nationkey AS BIGINT) AS nationkey,
+                             CAST(COUNT(*) AS BIGINT) AS n_suppliers
+                      FROM supplier GROUP BY 1)
+        SELECT COALESCE(cust.nationkey, supp.nationkey) AS nationkey,
+               COALESCE(n_customers, 0) AS n_customers,
+               COALESCE(n_suppliers, 0) AS n_suppliers
+        FROM cust FULL OUTER JOIN supp ON cust.nationkey = supp.nationkey
+    """,
+    "sql_exists_subquery": """
+        SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_with_urgent
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'P')
+        GROUP BY c.c_mktsegment
+    """,
+    "sql_scalar_subquery": """
+        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS totalprice
+        FROM orders
+        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+          AND o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+    """,
+    "q3_shipping_priority": """
+        SELECT l_orderkey,
+               CAST(o_orderdate AS DATE) AS orderdate,
+               o_orderpriority,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+        LIMIT 10
+    """,
+    "grouped_zscore_pandas": """
+        SELECT c_custkey, c_mktsegment,
+               ROUND(c_acctbal, 2) AS acctbal,
+               ROUND((c_acctbal - AVG(c_acctbal) OVER w)
+                     / STDDEV_SAMP(c_acctbal) OVER w, 4) AS zscore
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment)
+    """,
+    "udtf_chunk_documents": """
+        WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+                   WHERE length(text) > 0)
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+               substring(text, CAST(i * 100 + 1 AS BIGINT), 200) AS chunk,
+               CAST(length(substring(text, CAST(i * 100 + 1 AS BIGINT), 200))
+                    AS BIGINT) AS n_chars
+        FROM d, UNNEST(range(0, CAST(ceil(n / 100.0) AS BIGINT))) t(i)
     """,
 })
 

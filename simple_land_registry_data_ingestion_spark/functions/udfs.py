@@ -1,0 +1,111 @@
+"""User-defined function surfaces beyond scalar pandas UDFs: grouped-map
+``applyInPandas`` and Python UDTFs (SURVEY section 2.9).
+
+The reference has no UDF machinery at all — its custom logic is plain
+Python over driver-side scalars (reference lib_datetime_not_used.py:14-132).
+These are the two Spark shapes that logic grows into when it must run
+distributed:
+
+ - ``applyInPandas``: per-group pandas transforms (normalization, model
+   scoring, per-entity resampling).  One shuffle on the grouping key, then
+   Arrow batches per group into Python.  The 100 TB caveat: a GROUP is the
+   unit of memory — groups must fit in a worker's RAM, so key choice (and
+   salting hot keys) matters more than row count.
+ - Python UDTF (Spark 3.5+): one row in, many typed rows out, usable in
+   FROM/LATERAL position.  Row-at-a-time Python — keep it OFF the hot path
+   (JVM ``explode`` covers the common cases; a UDTF earns its cost only
+   when the expansion logic is genuinely imperative).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import udtf
+
+from simple_land_registry_data_ingestion_spark.tables import load
+
+_ZSCORE_SCHEMA = (
+    "c_custkey long, c_mktsegment string, acctbal double, zscore double"
+)
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map kernel: z-score account balances within one segment.
+
+    Numpy float64 mean/std (ddof=1) — the whole group is in memory, so the
+    reduction is exact enough that a 4dp round hash-matches the SQL
+    window-function oracle.
+    """
+    bal = pdf["c_acctbal"].to_numpy(dtype=np.float64)
+    mu = bal.mean()
+    sd = bal.std(ddof=1)
+    return pd.DataFrame(
+        {
+            "c_custkey": pdf["c_custkey"],
+            "c_mktsegment": pdf["c_mktsegment"],
+            "acctbal": np.round(bal, 2),
+            "zscore": np.round((bal - mu) / sd, 4),
+        }
+    )
+
+
+def grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment z-score via ``applyInPandas`` (grouped-map pandas UDF).
+
+    This particular transform IS expressible as window functions (the oracle
+    proves it) — it's here to pin the grouped-map plumbing: shuffle on the
+    key, Arrow batch per group, pandas in, pandas out, schema declared.
+    Real uses are the transforms window functions can't express (per-group
+    sklearn scoring, per-entity time-series resampling).
+    """
+    customer = load(spark, sf_dir, "customer")
+    return (
+        customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+        .groupBy("c_mktsegment")
+        .applyInPandas(_zscore_group, _ZSCORE_SCHEMA)
+    )
+
+
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 100
+
+
+@udtf(returnType="chunk_idx bigint, chunk string, n_chars bigint")
+class ChunkText:
+    """UDTF: split a document into overlapping fixed-size character windows
+    (CHUNK_SIZE chars, CHUNK_STRIDE apart) — the chunking step every LLM
+    training-data pipeline runs before tokenization/embedding.  One typed
+    row per chunk; the trailing chunk may be short."""
+
+    def eval(self, text: str):  # noqa: D102 - UDTF contract
+        if not text:
+            return
+        for idx, start in enumerate(range(0, len(text), CHUNK_STRIDE)):
+            chunk = text[start : start + CHUNK_SIZE]
+            yield idx, chunk, len(chunk)
+
+
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk the documents table through a Python UDTF in LATERAL position.
+    Plan: scan -> Generate(PythonUDTF) (row expansion in the Python worker)
+    -> project; no shuffle.  The JVM twin of this shape is
+    ``posexplode(split(...))`` (scalars.generator_explode_tokens) — this one
+    exists to pin the UDTF registration/lateral-join path for expansions
+    that are genuinely imperative."""
+    spark.udtf.register("chunk_text", ChunkText)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_chars
+        FROM documents_v d, LATERAL chunk_text(d.text) c
+        """
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -93,7 +94,11 @@ def decode_payload_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
       mean_byte   = mean of the payload's bytes ("mean pixel intensity")
 
     mean_byte is an exact-integer sum divided once — bit-identical across
-    engines, so no rounding is needed for the oracle compare.
+    engines, so no rounding is needed for the oracle compare.  The byte sum
+    runs as a vectorized int64 numpy reduction over the raw buffer (a
+    Python-level ``sum(bytes)`` loop is ~50x slower and dominated the whole
+    bench); int64 keeps the sum exact, so the division result is identical
+    to the scalar loop.
     """
     for pdf in batches:
         payloads = pdf["payload"]
@@ -105,7 +110,11 @@ def decode_payload_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
                 "fake_width": 1 + (n_bytes % 64),
                 "fake_height": 1 + (n_bytes % 48),
                 "mean_byte": [
-                    sum(p) / len(p) if len(p) else 0.0 for p in payloads
+                    int(np.frombuffer(p, dtype=np.uint8).sum(dtype=np.int64))
+                    / len(p)
+                    if len(p)
+                    else 0.0
+                    for p in payloads
                 ],
             }
         )

@@ -206,10 +206,19 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact count plus a bounded-error assertion on the sketch (rsd=0.02
     configured, asserted within 5% = 2.5 sigma; HLL++ is deterministic, so
     the assertion is stable per dataset), not the raw estimate.
+
+    Plan shape: mixing a DISTINCT aggregate with a non-distinct one in a
+    single Aggregate makes Catalyst insert Expand (every row duplicated per
+    aggregate group) before the shuffle — 2x the shuffled bytes.  HLL is
+    duplicate-insensitive, so both aggregates are computed over the deduped
+    (group, key) pairs instead: the first aggregation dedups map-side
+    (partial agg), and the Expand never appears.  Measured 9s -> ~1s at
+    sf0.1 for identical results.
     """
     lineitem = load(spark, sf_dir, "lineitem")
-    agg = lineitem.groupBy("l_linestatus").agg(
-        F.countDistinct("l_orderkey").alias("n_exact"),
+    pairs = lineitem.select("l_linestatus", "l_orderkey").distinct()
+    agg = pairs.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_exact"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("n_approx"),
     )
     return agg.select(
@@ -524,3 +533,110 @@ def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     both = cust_nations.intersect(supp_nations).withColumn("tag", F.lit("both"))
     return only_cust.unionByName(both)
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two pre-aggregated per-nation rollups (customers
+    vs suppliers), null-extended on both sides and coalesced to 0 counts.
+
+    Full outer cannot broadcast (both sides must null-extend), so the plan
+    is a shuffle join on the key — but each side is aggregated FIRST, so
+    what shuffles for the join is one row per nation, not the base tables.
+    Pre-aggregating before an outer join is the standard way to keep the
+    unavoidable shuffle small at 100 TB.
+    """
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    cust = customer.groupBy(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    ).agg(F.count(F.lit(1)).alias("n_customers"))
+    supp = supplier.groupBy(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    ).agg(F.count(F.lit(1)).alias("n_suppliers"))
+    return (
+        cust.withColumnRenamed("nationkey", "c_nk")
+        .join(supp.withColumnRenamed("nationkey", "s_nk"),
+              F.col("c_nk") == F.col("s_nk"), "full")
+        .select(
+            F.coalesce("c_nk", "s_nk").alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL frontend.  Catalyst
+    decorrelates both into semi/anti joins — the subquery never executes
+    per-row (RewritePredicateSubquery), so the plan is two joins, not
+    O(rows) subqueries.  Verified in tests/test_plans.py."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_with_urgent
+        FROM customer_v c
+        WHERE EXISTS (SELECT 1 FROM orders_v o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM orders_v o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'P')
+        GROUP BY c.c_mktsegment
+        """
+    )
+
+
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar + IN subqueries: orders above 2x the global average price from
+    BUILDING-segment customers.  The scalar subquery runs ONCE and broadcasts
+    as a literal; the IN becomes a semi join (never a per-row probe)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS totalprice
+        FROM orders_v
+        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders_v)
+          AND o_custkey IN (SELECT c_custkey FROM customer_v
+                            WHERE c_mktsegment = 'BUILDING')
+        """
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (this testdata has no o_shippriority, so the order
+    priority string stands in): 3-way join with filters on every input,
+    revenue aggregation, top-10 by revenue.
+
+    Scale shape: the customer filter broadcasts into the orders join; orders
+    joins lineitem on the key both sides shuffle on (or broadcast, AQE's
+    call at small SF); the final top-10 is TakeOrderedAndProject — per-task
+    heaps, no global sort.  All three date/segment filters reach the scans.
+    The orderkey tiebreak makes the LIMIT deterministic for the oracle.
+    """
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1995-03-15").cast("timestamp_ntz")
+    revenue = F.sum(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    )
+    return (
+        customer.where(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < cutoff)
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("rev_raw"))
+        .orderBy(F.col("rev_raw").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("orderdate"),
+            "o_orderpriority",
+            F.round("rev_raw", 2).alias("revenue"),
+        )
+    )

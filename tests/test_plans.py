@@ -126,3 +126,56 @@ def test_bruteforce_topk_broadcasts_query_vector(spark):
     assert plans.shuffle_count(df) <= 1
     assert "Sort" not in plans.formatted_plan(df)
     assert "TakeOrderedAndProject" in plans.formatted_plan(df)
+
+
+def test_full_outer_join_joins_aggregates_not_base_tables(spark):
+    """The outer join's inputs must be the per-nation aggregates (rows =
+    nations), never the raw tables — the pattern that keeps the unavoidable
+    full-outer shuffle small."""
+    df = relational.join_full_outer(spark, SF_ORACLE)
+    plan = plans.formatted_plan(df)
+    assert "FullOuter" in plan, plan
+    # both sides aggregate below the join: 2 partial+final HashAggregate
+    # pairs (4 ops) between the scans and the join
+    tree = plan.split("\n\n")[0]
+    assert tree.count("HashAggregate") >= 4, tree
+    # the join sits ABOVE the aggregates in the top-down tree print
+    assert tree.index("Join") < tree.index("HashAggregate"), tree
+    plans.assert_no_cartesian_product(df)
+
+
+def test_exists_subqueries_decorrelate_to_semi_anti_joins(spark):
+    """EXISTS/NOT EXISTS must rewrite to semi/anti joins at plan time —
+    a correlated per-row subquery would be O(rows) jobs."""
+    df = relational.sql_exists_subquery(spark, SF_ORACLE)
+    plan = plans.formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    plans.assert_no_cartesian_product(df)
+
+
+def test_q3_is_take_ordered_with_all_filters_pushed(spark):
+    df = relational.q3_shipping_priority(spark, SF_ORACLE)
+    plan = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    pushed = " ".join(plans.pushed_filters(df))
+    for col in ("c_mktsegment", "o_orderdate", "l_shipdate"):
+        assert col in pushed, (col, pushed)
+
+
+def test_grouped_map_pandas_is_single_shuffle(spark):
+    from simple_land_registry_data_ingestion_spark.functions import udfs
+
+    df = udfs.grouped_zscore_pandas(spark, SF_ORACLE)
+    plan = plans.formatted_plan(df)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert plans.shuffle_count(df) == 1  # exchange on the grouping key only
+
+
+def test_udtf_expands_without_shuffle(spark):
+    from simple_land_registry_data_ingestion_spark.functions import udfs
+
+    df = udfs.udtf_chunk_documents(spark, SF_ORACLE)
+    plan = plans.formatted_plan(df)
+    assert "UDTF" in plan, plan
+    assert plans.shuffle_count(df) == 0

@@ -1,0 +1,78 @@
+"""At-rest layout tests: partition pruning and bucketed (shuffle-free) joins.
+
+These are the two storage-layout levers that matter most at 100 TB: date
+partitioning turns time-range scans into directory pruning, and bucketing
+pre-shuffles fact tables ONCE at write time so every later key join skips
+its exchange.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from simple_land_registry_data_ingestion_spark import plans, sinks
+from simple_land_registry_data_ingestion_spark.tables import load
+from tests.conftest import SF_ORACLE
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """Writing orders partitioned by year and filtering one year back must
+    plan a partition-pruned scan (PartitionFilters), reading only that
+    year's directory."""
+    path = str(tmp_path / "orders_by_year")
+    orders = load(spark, SF_ORACLE, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    sinks.write_parquet_atomic(orders, path, partition_by=["o_year"])
+
+    back = spark.read.parquet(path).where(F.col("o_year") == 1995)
+    plan = plans.formatted_plan(back)
+    assert "PartitionFilters: [isnotnull(o_year" in plan, plan
+    # the partition predicate must NOT degrade into a post-scan filter
+    n_total = load(spark, SF_ORACLE, "orders").where(
+        F.year("o_orderdate") == 1995
+    ).count()
+    assert back.count() == n_total
+
+
+def test_bucketed_join_skips_both_exchanges(spark, tmp_path):
+    """Two tables bucketed+sorted on the join key must sort-merge join with
+    ZERO Exchange operators — the write-time shuffle is reused by every
+    subsequent join on that key."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS layout_test")
+    # At test scale customer fits the broadcast threshold and Spark would
+    # (correctly) broadcast; disable it so the plan shows what a 100 TB
+    # fact-to-fact join does: SMJ over bucket partitioning, zero exchanges.
+    prev_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+            (
+                load(spark, SF_ORACLE, name)
+                .write.mode("overwrite")
+                .option("path", str(tmp_path / f"bucketed_{name}"))
+                .bucketBy(8, key)
+                .sortBy(key)
+                .saveAsTable(f"layout_test.{name}_bucketed")
+            )
+        joined = (
+            spark.table("layout_test.customer_bucketed")
+            .join(
+                spark.table("layout_test.orders_bucketed"),
+                F.col("c_custkey") == F.col("o_custkey"),
+            )
+            .groupBy("c_custkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = plans.formatted_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        # no exchange below the join; the agg reuses the bucket partitioning
+        # too (grouping key == bucket key), so the whole plan is shuffle-free
+        assert plans.shuffle_count(joined) == 0, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
+        spark.sql("DROP TABLE IF EXISTS layout_test.orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS layout_test.customer_bucketed")
+        spark.sql("DROP DATABASE IF EXISTS layout_test")
