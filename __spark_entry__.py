@@ -123,6 +123,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- similarity search (north-star X3) --
     "similarity_topk_bruteforce": similarity.similarity_topk_bruteforce,
     "similarity_ann_lsh": similarity.similarity_ann_lsh,
+    "similarity_ann_ivf": similarity.similarity_ann_ivf,
     "similarity_bucket_histogram": similarity.similarity_bucket_histogram,
     # -- multimodal columns (north-star X5) --
     "multimodal_binary_metadata": multimodal.multimodal_binary_metadata,
@@ -554,6 +555,25 @@ _ORACLES.update({
         {_SIGS_CTE}
         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vectors
         FROM sigs GROUP BY bucket
+    """,
+    "similarity_ann_ivf": f"""
+        WITH {_VEC_CTE},
+        c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 16),
+        scored AS (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_COS.format(a='v.e', b='c.ce')} DESC,
+                                c.centroid_id) AS rn
+            FROM v, c),
+        a AS (SELECT vec_id, centroid_id FROM scored WHERE rn = 1),
+        q AS (SELECT v.e AS qe, a.centroid_id AS qc
+              FROM v JOIN a ON v.vec_id = a.vec_id WHERE v.vec_id = 0)
+        SELECT v.vec_id, CAST(a.centroid_id AS BIGINT) AS centroid_id,
+               ROUND({_COS.format(a='v.e', b='q.qe')}, 6) AS cosine
+        FROM v JOIN a ON v.vec_id = a.vec_id, q
+        WHERE a.centroid_id = q.qc AND v.vec_id <> 0
+        ORDER BY cosine DESC, v.vec_id LIMIT 5
     """,
 })
 

@@ -10,7 +10,7 @@ deterministic: hyperplanes derive from md5, ties break on vec_id.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from simple_land_registry_data_ingestion_spark.functions.vectors import dot, norm
@@ -137,3 +137,82 @@ def similarity_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index — the second ANN scale path next to sign-LSH
+# ---------------------------------------------------------------------------
+
+NUM_CENTROIDS = 16
+
+
+def _centroids(emb: DataFrame, k: int = NUM_CENTROIDS) -> DataFrame:
+    """Deterministic one-pass IVF "training": the first ``k`` vectors by
+    vec_id are the centroids (random-seed init without Lloyd iterations —
+    assignment quality is data-dependent, determinism is what the oracle
+    needs; production swaps in k-means|| centroids, the index layout and
+    probe plan are IDENTICAL)."""
+    return emb.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("c_vec"),
+        norm(F.col("embedding")).alias("c_norm"),
+    )
+
+
+def ivf_assignments(emb: DataFrame, k: int = NUM_CENTROIDS) -> DataFrame:
+    """(vec_id, centroid_id) for every vector: nearest centroid by cosine.
+
+    The centroid table broadcasts (K rows); each vector scores K cosines in
+    one pass and keeps the argmax via a row_number window partitioned by
+    vec_id — K*n scored pairs but only the vector's own K rows pass the
+    window, so nothing big ever shuffles: the exchange moves n rows keyed by
+    vec_id.  Ties break on centroid_id, making assignment deterministic.
+    At 100 TB the assignment is the IVF index-build; it is written once as
+    the at-rest partition key (PARTITIONED BY centroid_id), so a probe
+    reads one partition, exactly like the LSH bucket layout."""
+    scored = emb.crossJoin(F.broadcast(_centroids(emb, k))).select(
+        "vec_id",
+        "centroid_id",
+        (
+            dot(F.col("embedding"), F.col("c_vec"))
+            / (norm(F.col("embedding")) * F.col("c_norm"))
+        ).alias("c_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def similarity_ann_ivf(
+    spark: SparkSession, sf_dir: str, k: int = 5, query_vec_id: int = QUERY_VEC_ID
+) -> DataFrame:
+    """Approximate NN via IVF probe: assign all vectors to centroids, find
+    the query's centroid, rank only that cluster by exact cosine, top-k.
+
+    nprobe=1 (one cluster) — the recall/latency knob at scale is probing
+    the p nearest centroids instead; the plan shape does not change."""
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    assign = ivf_assignments(emb)
+    with_cluster = emb.join(assign, "vec_id")
+    q = (
+        with_cluster.where(F.col("vec_id") == query_vec_id)
+        .select(
+            F.col("embedding").alias("q_vec"),
+            norm(F.col("embedding")).alias("q_norm"),
+            F.col("centroid_id").alias("q_centroid"),
+        )
+    )
+    candidates = with_cluster.where(F.col("vec_id") != query_vec_id).join(
+        F.broadcast(q), F.col("centroid_id") == F.col("q_centroid")
+    )
+    scored = candidates.select(
+        "vec_id",
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        F.round(_cosine_vs_query(F.col("embedding")), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)

@@ -179,3 +179,14 @@ def test_udtf_expands_without_shuffle(spark):
     plan = plans.formatted_plan(df)
     assert "UDTF" in plan, plan
     assert plans.shuffle_count(df) == 0
+
+
+def test_ivf_probe_broadcasts_centroids_and_query(spark):
+    """IVF: the K-row centroid table and the 1-row query side must both
+    broadcast; nothing big shuffles except the vec_id-keyed window/join
+    exchanges.  Cartesian products are banned (the K-way scoring is a
+    broadcast nested loop, not a cartesian)."""
+    df = similarity.similarity_ann_ivf(spark, SF_ORACLE)
+    assert plans.broadcast_join_count(df) >= 2, plans.formatted_plan(df)
+    plans.assert_no_cartesian_product(df)
+    assert "TakeOrderedAndProject" in plans.formatted_plan(df)
