@@ -1,8 +1,11 @@
 #!/usr/bin/env python3
 """Benchmark harness: run every queries() entry at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+The FINAL stdout line is one SHORT JSON record
+{"metric", "value", "unit", "sf", "n_queries"} (well under 1 KB, so a
+tail-buffered consumer never truncates it mid-line); the full per-query
+timing map is written to BENCH_DETAIL.json next to this script.
 
 Execution is forced through the noop sink (df.write.format("noop")) so the
 timing covers scan -> compute -> (would-be) write without driver-side
@@ -54,18 +57,21 @@ def main() -> None:
         timings[name] = round(time.monotonic() - start, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_label(SF_DIR),
-            }
-        )
+    summary = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": _sf_label(SF_DIR),
+        "n_queries": len(timings),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as fh:
+        json.dump({**summary, "queries": timings}, fh, indent=1, sort_keys=True)
     spark.stop()
+    # Short line LAST so tail-truncating log buffers keep it intact.
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

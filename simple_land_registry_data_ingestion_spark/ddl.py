@@ -32,9 +32,15 @@ DATABASE = "land_registry_simple"
 
 #: table name -> (StructType, partition columns).  The partition column must
 #: exist in the schema; pp_complete_data gains a derived ``transaction_year``.
+#: Built as a NEW StructType — ``StructType.add`` mutates (and returns) self,
+#: so calling it on the shared schemas.PP_COMPLETE_SCHEMA constant would
+#: permanently grow the 16-column schema for every other importer.
 _TABLES: dict[str, tuple[T.StructType, list[str]]] = {
     "pp_complete_data": (
-        PP_COMPLETE_SCHEMA.add(T.StructField("transaction_year", T.IntegerType(), True)),
+        T.StructType(
+            [*PP_COMPLETE_SCHEMA.fields,
+             T.StructField("transaction_year", T.IntegerType(), True)]
+        ),
         ["transaction_year"],
     ),
     "pp_complete_metadata": (PP_COMPLETE_METADATA_SCHEMA, []),

@@ -43,12 +43,21 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     bal = pdf["c_acctbal"].to_numpy(dtype=np.float64)
     mu = bal.mean()
     sd = bal.std(ddof=1)
+    # SQL STDDEV_SAMP is NULL for a 1-row group; numpy std(ddof=1) is NaN
+    # (and 0.0 for a constant group, which would divide to inf).  Guard so
+    # those rows null out exactly like the window-function oracle — NaN in
+    # the returned float column crosses Arrow as null.
+    if np.isfinite(sd) and sd > 0:
+        zscore = np.round((bal - mu) / sd, 4)
+        zscore = np.where(np.isfinite(zscore), zscore, np.nan)
+    else:
+        zscore = np.full(bal.shape, np.nan)
     return pd.DataFrame(
         {
             "c_custkey": pdf["c_custkey"],
             "c_mktsegment": pdf["c_mktsegment"],
             "acctbal": np.round(bal, 2),
-            "zscore": np.round((bal - mu) / sd, 4),
+            "zscore": zscore,
         }
     )
 

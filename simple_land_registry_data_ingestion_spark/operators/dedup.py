@@ -128,7 +128,42 @@ def minhash_band_buckets(sig: DataFrame, band_rows: int = BAND_ROWS) -> DataFram
     return sig.select("doc_id", F.explode(F.array(*bands)).alias("band_key"))
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bucket_pairs(
+    grouped: DataFrame,
+    id_col: str = "ids",
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Expand each bucket's sorted id array into all (i < j) member pairs.
+
+    ``max_bucket_size`` is the hot-bucket guard: a pathological bucket
+    (thousands of near-identical docs — boilerplate, scraped mirrors) makes
+    the in-bucket quadratic the job's runtime.  When set, oversized buckets
+    are truncated to their first N members (ids are sorted, so the cut is
+    deterministic) BEFORE expansion, bounding pair output at
+    N*(N-1)/2 per bucket.  Production alternatives with the same hook:
+    drop oversized buckets outright, or re-band them with more rows."""
+    ids = F.col(id_col)
+    if max_bucket_size is not None:
+        ids = F.slice(ids, 1, max_bucket_size)
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias(out_a), y.alias(out_b)),
+            ),
+        )
+    )
+    return grouped.select(F.explode(pairs).alias("p")).select(
+        F.col(f"p.{out_a}").alias(out_a), F.col(f"p.{out_b}").alias(out_b)
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
     """Near-duplicate CANDIDATE pairs: docs sharing at least one LSH band.
 
     Plan shape: shingle explode -> distinct -> groupBy (signature) ->
@@ -136,28 +171,62 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion -> distinct.  Grouping instead of a self-equi-join computes
     the shingle->signature pipeline ONCE (a self-join evaluates the whole
     subtree per side — measured 2x on this pipeline) and keeps the
-    quadratic strictly in-bucket, which is the LSH contract.  A hot bucket
-    (thousands of near-identical docs) still blows up combinatorially —
-    that is inherent; production mitigations are more bands/rows or capping
-    bucket size before expansion."""
-    docs = load(spark, sf_dir, "documents")
+    quadratic strictly in-bucket, which is the LSH contract.
+    ``max_bucket_size`` bounds the in-bucket blowup (see bucket_pairs)."""
     buckets = minhash_band_buckets(minhash_signatures(docs))
-    ids = F.array_sort(F.collect_list("doc_id"))
-    grouped = buckets.groupBy("band_key").agg(ids.alias("ids"))
-    # all (i < j) pairs of the sorted bucket members
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
+    grouped = buckets.groupBy("band_key").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
     )
-    return (
-        grouped.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
+    return bucket_pairs(grouped, max_bucket_size=max_bucket_size).distinct()
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs over documents (uncapped:
+    the oracle contract is exact; at scale pass max_bucket_size to
+    minhash_candidate_pairs)."""
+    return minhash_candidate_pairs(load(spark, sf_dir, "documents"))
+
+
+def dedup_jaccard_lsh(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.30
+) -> DataFrame:
+    """Exact word-3-gram Jaccard scored ONLY on MinHash-LSH candidate pairs
+    — the composition that scales: candidate generation is O(n) bucketed
+    (never all-pairs, never a shingle self-join whose stop-shingle hot keys
+    go near-quadratic), and the exact scorer touches only candidate pairs.
+    This is the registered PRIMARY near-dup-with-scores query;
+    dedup_ngram_jaccard remains the standalone exact baseline.
+
+    Plan: candidates (doc_a, doc_b) join the per-doc shingle SET (one
+    doc-keyed shuffle to build, reused for both sides); the intersection is
+    computed per pair with array_intersect on the two sets — exact integer
+    set sizes, so jac = |A∩B| / (|A|+|B|-|A∩B|) is deterministic.  A
+    candidate pair always shares >= 1 shingle (equal min-hash components
+    imply the same argmin shingle), so the inner joins drop nothing."""
+    docs = load(spark, sf_dir, "documents")
+    cand = minhash_candidate_pairs(docs)
+    sets = shingle_table(docs).groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sh_set"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh_set").alias("set_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh_set").alias("set_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b"))).cast("long")
+    scored = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(inter / (F.col("n_a") + F.col("n_b") - inter), 6))
+    )
+    return scored.where(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
     )
 
 
@@ -256,6 +325,57 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
+def dedup_embedding_lsh(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.30,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup, bucketed: sign-LSH bucket -> exact in-bucket
+    cosine -> threshold.  The registered PRIMARY embedding near-dup query;
+    dedup_embedding_cosine is the brute-force verification baseline.
+
+    Scale shape: every vector lands in exactly ONE 8-plane sign bucket
+    (similarity.signature_bits — deterministic md5 hyperplanes), so the
+    layout is O(n) and the quadratic is strictly in-bucket; at 100 TB the
+    bucket is the at-rest partition key and this whole job is
+    partition-local.  Recall knob: fewer planes or multi-band bucketing
+    (more candidates); ``max_bucket_size`` bounds adversarial hot buckets
+    (see bucket_pairs).  Norms are computed once per vector, joined back by
+    id — never re-folded per pair."""
+    from simple_land_registry_data_ingestion_spark.operators.similarity import (
+        signature_bits,
+    )
+
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    with_bucket = emb.select(
+        "vec_id",
+        "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+        signature_bits(F.col("embedding")).alias("bucket"),
+    )
+    grouped = with_bucket.groupBy("bucket").agg(
+        F.array_sort(F.collect_list("vec_id")).alias("ids")
+    )
+    # Buckets partition the vectors, so pairs are already unique.
+    cand = bucket_pairs(
+        grouped, out_a="vec_a", out_b="vec_b", max_bucket_size=max_bucket_size
+    )
+    va = with_bucket.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    vb = with_bucket.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def dedup_embedding_cosine(
     spark: SparkSession, sf_dir: str, threshold: float = 0.30
 ) -> DataFrame:
@@ -264,9 +384,9 @@ def dedup_embedding_cosine(
     Default threshold is calibrated to the synthetic testdata (near-orthogonal
     random embeddings, max pair cosine ~0.5): real corpora would use ~0.95.
 
-    Brute-force all-pairs via theta self-join — correct but O(n^2): the
-    verification baseline.  At scale, bucket candidates first with
-    operators/similarity.py's sign-LSH and score only within buckets.
+    Brute-force all-pairs via theta self-join — correct but O(n^2): kept as
+    the VERIFICATION BASELINE only; the registered primary near-dup path is
+    dedup_embedding_lsh (sign-LSH buckets, exact cosine in-bucket).
 
     Norms are materialized once per VECTOR before the join (n folds), not
     once per PAIR (n^2 folds): higher-order-function folds are interpreted,

@@ -472,15 +472,21 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window: per user, count+sum of events in the trailing
     hour (event-time sliding aggregate in batch form).  RANGE frames need a
-    numeric ordering key, so ts becomes epoch seconds; ties (same second)
-    are frame-peers, included together, which keeps the result order-
-    insensitive and engine-portable."""
+    numeric ordering key; ts becomes epoch MICROSECONDS (unix_micros, exact
+    for timestamps stored at micro precision — whole-second keys would make
+    frame membership diverge from the oracle if the generator ever emits
+    sub-second timestamps).  Ties (same microsecond) are frame-peers,
+    included together, which keeps the result order-insensitive and
+    engine-portable.  Session tz is pinned UTC (session.py), so the
+    ntz->tz cast is identity on the underlying micros."""
     events = load(spark, sf_dir, "events")
-    with_sec = events.withColumn("ts_sec", F.unix_timestamp("ts"))
+    with_sec = events.withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts_sec")
-        .rangeBetween(-3600, Window.currentRow)
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
     )
     return with_sec.select(
         "user_id",

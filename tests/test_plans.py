@@ -77,6 +77,41 @@ def test_minhash_lsh_avoids_all_pairs(spark):
     assert plans.shuffle_count(df) <= 5
 
 
+def test_embedding_lsh_avoids_all_pairs(spark):
+    """The bucketed embedding near-dup must never plan the O(n^2) theta
+    self-join of the brute-force baseline: pairs come from in-bucket
+    expansion, and the embedding lookups for the two pair sides are plain
+    equi-joins on vec_id (hash or broadcast-hash, never nested-loop)."""
+    df = dedup.dedup_embedding_lsh(spark, SF_ORACLE)
+    plan = plans.formatted_plan(df)
+    plans.assert_no_cartesian_product(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_jaccard_lsh_avoids_shingle_self_join(spark):
+    """The LSH-composed Jaccard scorer joins candidate PAIRS to per-doc
+    shingle sets (equi-joins on doc id) — never the shingle-table self-join
+    whose stop-shingle hot keys go near-quadratic at scale."""
+    df = dedup.dedup_jaccard_lsh(spark, SF_ORACLE)
+    plan = plans.formatted_plan(df)
+    plans.assert_no_cartesian_product(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_minhash_hot_bucket_cap_bounds_pairs(spark):
+    """Adversarial corpus: many near-identical docs collapse into one LSH
+    bucket per band.  Uncapped, pair output is C(n,2); with
+    max_bucket_size=k it is bounded by C(k,2) per band."""
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(40)], "doc_id long, text string"
+    )
+    uncapped = dedup.minhash_candidate_pairs(docs).count()
+    capped = dedup.minhash_candidate_pairs(docs, max_bucket_size=5).count()
+    assert uncapped == 40 * 39 // 2
+    assert capped == 5 * 4 // 2  # identical docs -> same pairs in every band
+
+
 def test_salted_join_actually_shuffles(spark):
     """The salted join exists to fix SHUFFLE-join skew; if the small side
     silently broadcasts (everything is broadcast-eligible at test scale),
