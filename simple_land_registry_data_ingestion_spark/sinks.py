@@ -93,45 +93,160 @@ def write_jdbc_full_refresh(
     )
 
 
+def staging_swap_statements(
+    table: str, dialect: str = "postgres", target_exists: bool = True
+) -> list[str]:
+    """The SQL sequence that publishes ``{table}__staging`` atomically —
+    the DB-side analog of the reference's single-transaction
+    TRUNCATE+COPY+COMMIT (reference main.py:196-251).  Run ALL statements in
+    ONE transaction (both Postgres and Derby have transactional DDL): a
+    reader sees the old table until commit, the new table after — never an
+    empty or half-loaded one.
+
+    ``target_exists=False`` is the first-ever load (nothing to rename away).
+    """
+    staging, old = f"{table}__staging", f"{table}__old"
+    if dialect == "postgres":
+        stmts = [f"DROP TABLE IF EXISTS {old}"]
+        if target_exists:
+            stmts.append(f"ALTER TABLE {table} RENAME TO {old}")
+        stmts.append(f"ALTER TABLE {staging} RENAME TO {table}")
+        if target_exists:
+            stmts.append(f"DROP TABLE {old}")
+        return stmts
+    if dialect == "derby":  # no IF EXISTS / ALTER RENAME in Derby
+        stmts = []
+        if target_exists:
+            stmts.append(f"RENAME TABLE {table} TO {table}__old")
+        stmts.append(f"RENAME TABLE {staging} TO {table}")
+        if target_exists:
+            stmts.append(f"DROP TABLE {old}")
+        return stmts
+    raise ValueError(f"unknown dialect: {dialect}")
+
+
+def jdbc_table_exists(spark, url: str, table: str) -> bool:
+    """Check table existence through JDBC metadata (case-folded both ways:
+    Derby stores identifiers upper-case, Postgres lower-case)."""
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        meta = conn.getMetaData()
+        for name in {table, table.upper(), table.lower()}:
+            rs = meta.getTables(None, None, name, None)
+            found = rs.next()
+            rs.close()
+            if found:
+                return True
+        return False
+    finally:
+        conn.close()
+
+
+def run_statements_jvm_jdbc(spark, url: str, statements: list[str]) -> None:
+    """Execute SQL statements in ONE transaction through the JVM's
+    java.sql.DriverManager — no Python DB driver needed, works for any JDBC
+    URL whose driver is on the Spark classpath (Derby ships with Spark;
+    Postgres needs its JDBC jar, the same one spark JDBC writes require).
+    Rolls back on failure, so a crashed swap leaves the old table live."""
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        conn.setAutoCommit(False)
+        st = conn.createStatement()
+        for sql in statements:
+            st.execute(sql)
+        st.close()
+        conn.commit()
+    except Exception:
+        conn.rollback()
+        raise
+    finally:
+        conn.close()
+
+
+def write_jdbc_full_refresh_atomic(
+    df: DataFrame,
+    table: str,
+    jdbc_options: dict[str, str],
+    dialect: str = "postgres",
+    target_exists: bool = True,
+    batchsize: int = 10_000,
+) -> None:
+    """Strict-E6 full refresh: load ``{table}__staging`` with parallel JDBC
+    inserts, then swap names in one DB transaction (staging_swap_statements).
+    Readers never observe the mid-load state — unlike plain
+    write_jdbc_full_refresh, whose truncate is visible during the load."""
+    (
+        df.write.format("jdbc")
+        .options(**jdbc_options)
+        .option("dbtable", f"{table}__staging")
+        .option("batchsize", str(batchsize))
+        .mode("overwrite")
+        .save()
+    )
+    run_statements_jvm_jdbc(
+        df.sparkSession,
+        jdbc_options["url"],
+        staging_swap_statements(table, dialect, target_exists),
+    )
+
+
+def _default_psycopg_factory(conninfo: str):
+    """Per-partition psycopg connection factory (import deferred to the
+    executor so driver-only environments never need the package)."""
+
+    def _connect():  # pragma: no cover - needs live DB
+        import psycopg
+
+        return psycopg.connect(conninfo)
+
+    return _connect
+
+
 def copy_into_postgres(df: DataFrame, table: str, columns: list[str],
-                       conninfo: str) -> None:
+                       conninfo: str, connection_factory=None) -> None:
     """COPY fast-path sink (reference E5, main.py:200,243): each partition
     opens one connection and streams CSV text through the COPY protocol —
     order-of-magnitude faster than row-wise INSERT, and parallel across
     partitions (the reference is single-connection).
 
-    Requires psycopg on the executors; gated import so environments without
-    a database never pay for it.
+    ``connection_factory`` is a zero-arg callable (cloudpickled to
+    executors) returning a DBAPI connection whose cursor supports
+    ``cursor.copy(sql)``; it defaults to psycopg.connect(conninfo), and is
+    the injection point tests use to execute this path without a live
+    Postgres.  Nulls are encoded as the reference's ``\\N`` sentinel
+    (reference main.py:200), matching its CSV null discipline (E4).
     """
-    try:
-        import psycopg  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - not installed here
-        raise NotImplementedError(
-            "copy_into_postgres needs the 'psycopg' package on executors"
-        ) from exc
+    if connection_factory is None:
+        try:
+            import psycopg  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "copy_into_postgres needs the 'psycopg' package on executors "
+                "(or an explicit connection_factory)"
+            ) from exc
+        connection_factory = _default_psycopg_factory(conninfo)
 
     col_list = ", ".join(columns)
+    copy_sql = (
+        f"COPY {table} ({col_list}) FROM STDIN WITH (FORMAT csv, NULL '\\N')"
+    )
 
-    def _copy_partition(rows) -> None:  # pragma: no cover - needs live DB
+    def _copy_partition(rows) -> None:
         import csv
         import io
-
-        import psycopg
 
         buf = io.StringIO()
         writer = csv.writer(buf)
         n = 0
         for row in rows:
-            writer.writerow(row)
+            writer.writerow(["\\N" if v is None else v for v in row])
             n += 1
         if n == 0:
             return
         buf.seek(0)
-        with psycopg.connect(conninfo) as conn:
+        with connection_factory() as conn:
             with conn.cursor() as cur:
-                with cur.copy(
-                    f"COPY {table} ({col_list}) FROM STDIN WITH (FORMAT csv, NULL '\\N')"
-                ) as copy:
+                with cur.copy(copy_sql) as copy:
                     copy.write(buf.getvalue())
             conn.commit()
 

@@ -93,6 +93,54 @@ def foreach_batch_parquet_sink(df: DataFrame, path: str, checkpoint: str):
     )
 
 
+def jdbc_idempotent_batch_writer(table: str, jdbc_options: dict[str, str]):
+    """foreachBatch body for a DATABASE sink with effectively-once delivery:
+    every batch carries its ``batch_id``, and the writer DELETEs that
+    batch_id before appending, so a replayed batch (failure between write
+    and checkpoint commit) overwrites itself instead of duplicating.  This
+    is the DB analog of foreach_batch_parquet_sink's batch_id=N overwrite,
+    and closes the loop on the reference's transactional-load discipline
+    (reference main.py:196-251) for the streaming path.
+
+    Exposed as a factory (not a closure inside the sink) so the replay
+    semantics are directly unit-testable by invoking the writer twice with
+    the same batch_id."""
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from simple_land_registry_data_ingestion_spark import sinks
+
+        spark = batch_df.sparkSession
+        url = jdbc_options["url"]
+        if sinks.jdbc_table_exists(spark, url, table):
+            # Spark's JDBC createTable quotes COLUMN identifiers (case
+            # preserved) but writes the table name as given — so the column
+            # must be double-quoted to resolve on case-folding databases.
+            sinks.run_statements_jvm_jdbc(
+                spark, url,
+                [f'DELETE FROM {table} WHERE "batch_id" = {int(batch_id)}'],
+            )
+        sinks.write_jdbc_append(
+            batch_df.withColumn("batch_id", F.lit(int(batch_id))),
+            table,
+            jdbc_options,
+        )
+
+    return _write_batch
+
+
+def foreach_batch_jdbc_sink(
+    df: DataFrame, table: str, jdbc_options: dict[str, str], checkpoint: str
+):
+    """Stream into a relational table through the idempotent batch writer.
+    Returns the started StreamingQuery (caller awaits termination)."""
+    return (
+        df.writeStream.foreachBatch(jdbc_idempotent_batch_writer(table, jdbc_options))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream_to_table(df: DataFrame, output_mode: str) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a memory
     sink; return the materialized result as a batch DataFrame."""

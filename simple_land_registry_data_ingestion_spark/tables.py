@@ -61,10 +61,21 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
 
     The repartition is CONDITIONAL: at 100 TB the scan already yields
     thousands of splits, and blindly repartitioning would shuffle the whole
-    table for nothing — if the plan already has >= target partitions this
-    returns the input unchanged (a plan-time check; no job runs)."""
-    target = partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    table for nothing.  The check uses Catalyst's LOGICAL-plan size estimate
+    (bytes / maxPartitionBytes ~ scan splits) — pure plan-time metadata.
+    The previous ``df.rdd.getNumPartitions()`` probe forced a full physical
+    planning pass per call, doubling plan work for every query using it."""
+    spark = df.sparkSession
+    target = partitions or spark.sparkContext.defaultParallelism
+    try:
+        size_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+        max_split = int(str(spark.conf.get("spark.sql.files.maxPartitionBytes")))
+        est_splits = max(1, size_bytes // max_split)
+    except Exception:  # stats unavailable (e.g. Connect) -> physical probe
+        est_splits = df.rdd.getNumPartitions()
+    if est_splits >= target:
         return df
     return df.repartition(target)
 
