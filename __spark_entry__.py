@@ -81,6 +81,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_session_window": stream_ops.stream_session_window,
     "stream_dedup_within_watermark": stream_ops.stream_dedup_within_watermark,
     "stream_stateful_user_stats": stream_ops.stream_stateful_user_stats,
+    # -- round-2 additions: clustering, salience, vocab, stratified sample --
+    "dedup_cluster_assignments": dedup.dedup_cluster_assignments,
+    "text_tfidf_topk": text_fns.text_tfidf_topk,
+    "text_vocab_topk": text_fns.text_vocab_topk,
+    "sample_stratified_fixed": relational.sample_stratified_fixed,
     # ---- driver-verified round 1 (re-checked locally every round) ----
     # -- ingest parity (reference A1 / S8 shapes) --
     "ingest_max_date": relational.ingest_max_date,
@@ -576,6 +581,79 @@ _ORACLES.update({
         JOIN v va ON vec_a = va.vec_id
         JOIN v vb ON vec_b = vb.vec_id
         WHERE ROUND({_COS.format(a='va.e', b='vb.e')}, 6) >= 0.30
+    """,
+    "dedup_cluster_assignments": f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        sig AS (
+            SELECT doc_id,
+                   min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+                   min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+                   min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5
+            FROM sh GROUP BY doc_id),
+        bands AS (
+            SELECT doc_id, '0:' || h0 || h1 AS band_key FROM sig
+            UNION ALL SELECT doc_id, '1:' || h2 || h3 FROM sig
+            UNION ALL SELECT doc_id, '2:' || h4 || h5 FROM sig),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM cand
+            UNION ALL SELECT doc_b, doc_a FROM cand),
+        reach(node, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, r.label
+            FROM reach r JOIN edges e ON r.node = e.src
+            WHERE r.label < e.dst)
+        SELECT node AS doc_id,
+               MIN(label) AS cluster_id,
+               node = MIN(label) AS is_canonical
+        FROM reach GROUP BY node
+    """,
+    "text_tfidf_topk": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS token
+            FROM documents),
+        tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                  FROM toks GROUP BY 1),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+                   ROUND(tf.tf * (LN((n.n_docs + 1) / (dfreq.df + 1)) + 1), 6) AS tfidf
+            FROM tf JOIN dfreq ON tf.token = dfreq.token, n),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+            FROM scored)
+        SELECT doc_id, token, tf, df, tfidf, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= 3
+    """,
+    "text_vocab_topk": r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS token
+            FROM documents)
+        SELECT token,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM toks GROUP BY token
+        ORDER BY n_total DESC, token LIMIT 100
+    """,
+    "sample_stratified_fixed": """
+        SELECT c_custkey, c_mktsegment, CAST(sample_rank AS BIGINT) AS sample_rank
+        FROM (
+            SELECT c_custkey, c_mktsegment,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey
+                   ) AS sample_rank
+            FROM customer)
+        WHERE sample_rank <= 50
     """,
     "dedup_embedding_cosine": f"""
         WITH {_VEC_CTE}

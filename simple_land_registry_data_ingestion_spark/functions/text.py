@@ -146,6 +146,58 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_tfidf_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document — the keyword/salience step of a
+    training-data pipeline (topic tagging, dedup feature weighting,
+    retrieval indexing).
+
+    tf = in-doc occurrences; df = docs containing the token;
+    idf = ln((N+1)/(df+1)) + 1 (smoothed, sklearn-style, never negative);
+    rank by ROUNDED tfidf desc then token asc, so ordering is a total order
+    on values both engines agree on bit-for-bit.
+
+    Scale shape: explode -> (doc,token) count [one shuffle] -> token-keyed
+    df counts joined back (token dimension is vocabulary-sized, orders of
+    magnitude smaller than the corpus — Spark broadcasts it under AQE) ->
+    per-doc window for top-k.  The corpus-size scalar N rides a broadcast
+    1-row join, not a driver collect."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select("doc_id", F.explode(words_col("text")).alias("token"))
+    tf = tokens.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tokens.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
+    scored = (
+        tf.join(dfreq, "token")
+        .join(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * idf, 6))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rnk")
+    )
+
+
+def text_vocab_topk(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """Corpus vocabulary head: the k most frequent tokens with total and
+    document frequencies — the vocab-building pass before tokenizer
+    training.  Global top-k plans as TakeOrderedAndProject over the token
+    aggregate (per-task heaps), never a full sort."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select("doc_id", F.explode(words_col("text")).alias("token"))
+    counts = tokens.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return counts.orderBy(F.col("n_total").desc(), F.col("token")).limit(k)
+
+
 def text_stats_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The UDF surface done right (SURVEY section 2.9): when text logic
     outgrows column expressions, a VECTORIZED pandas_udf (Arrow batches,

@@ -143,7 +143,13 @@ def foreach_batch_jdbc_sink(
 
 def run_stream_to_table(df: DataFrame, output_mode: str) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a memory
-    sink; return the materialized result as a batch DataFrame."""
+    sink; return the materialized result as a batch DataFrame.
+
+    The temp view is dropped immediately: the returned DataFrame's resolved
+    plan keeps the sink's rows alive until the caller releases it, but the
+    catalog entry (and with it a permanent driver-side reference to the
+    result) must not leak once per invocation — a bench loop or long
+    session would otherwise accumulate every result ever produced."""
     name = f"stream_result_{next(_QUERY_COUNTER)}"
     query = (
         df.writeStream.format("memory")
@@ -153,7 +159,9 @@ def run_stream_to_table(df: DataFrame, output_mode: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
-    return df.sparkSession.table(name)
+    out = df.sparkSession.table(name)
+    df.sparkSession.catalog.dropTempView(name)
+    return out
 
 
 def _ntz(col: str) -> F.Column:

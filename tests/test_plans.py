@@ -98,6 +98,22 @@ def test_jaccard_lsh_avoids_shingle_self_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_connected_components_merges_transitively(spark):
+    """A-B and B-C were never compared to each other, yet all three must
+    land in one cluster; isolated nodes are their own singleton clusters.
+    A 4-hop chain also proves the propagation loop iterates to a fixpoint
+    rather than stopping after one pass."""
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (6, 7), (7, 8), (8, 9)], "src long, dst long"
+    )
+    out = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(nodes, edges).collect()
+    }
+    assert out == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 5, 8: 5, 9: 5}
+
+
 def test_minhash_hot_bucket_cap_bounds_pairs(spark):
     """Adversarial corpus: many near-identical docs collapse into one LSH
     bucket per band.  Uncapped, pair output is C(n,2); with
