@@ -85,17 +85,22 @@ def _word_shingles(text: Column, n: int = 3) -> Column:
     return F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
-def shingle_table(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) with per-doc distinct shingles.
+def shingle_table(docs: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle), optionally per-doc distinct.
+
+    ``distinct=False`` skips a FULL SHUFFLE of the widest table in every
+    near-dup pipeline — correct whenever the consumer is itself
+    set-semantic: min-hash over a multiset equals min-hash over its set,
+    and collect_set dedupes on its own.  Only consumers that COUNT rows
+    (exact Jaccard intersections) need the distinct.
 
     fan_out first: shingling is CPU-bound (split + n-gram assembly per
     row), so parallelism must not be capped by the input's byte-based
     splits (see tables.fan_out)."""
-    return (
-        fan_out(docs)
-        .select("doc_id", F.explode(_word_shingles(F.col("text"), n)).alias("shingle"))
-        .distinct()
+    sh = fan_out(docs).select(
+        "doc_id", F.explode(_word_shingles(F.col("text"), n)).alias("shingle")
     )
+    return sh.distinct() if distinct else sh
 
 
 # ---------------------------------------------------------------------------
@@ -109,8 +114,10 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFra
     """MinHash signature per doc: the i-th hash function is
     md5('<i>:' || shingle); the signature component is the lexicographic min
     over the doc's shingles.  md5 gives a uniform order, and seeding by
-    prefix makes the k functions independent — all engine-portable."""
-    sh = shingle_table(docs)
+    prefix makes the k functions independent — all engine-portable.
+    Non-distinct shingles: min over the multiset equals min over the set,
+    so the dedup shuffle is skipped (see shingle_table)."""
+    sh = shingle_table(docs, distinct=False)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -208,16 +215,18 @@ def dedup_jaccard_lsh(
     min-hash components imply the same argmin shingle), so the inner joins
     drop nothing."""
     docs = load(spark, sf_dir, "documents")
-    sh = shingle_table(docs)
+    # Non-distinct shingles: collect_set dedupes and min-hash is
+    # multiset-invariant, so the set size comes from the collected set
+    # instead of paying a distinct shuffle up front.
+    sh = shingle_table(docs, distinct=False)
     sig_aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
         for i in range(NUM_HASHES)
     ]
     per_doc = sh.groupBy("doc_id").agg(
         F.collect_set("shingle").alias("sh_set"),
-        F.count(F.lit(1)).alias("n_sh"),
         *sig_aggs,
-    )
+    ).withColumn("n_sh", F.size(F.col("sh_set")).cast("long"))
     buckets = minhash_band_buckets(per_doc.select("doc_id", *[f"h{i}" for i in range(NUM_HASHES)]))
     grouped = buckets.groupBy("band_key").agg(
         F.array_sort(F.collect_list("doc_id")).alias("ids")
@@ -316,6 +325,10 @@ def connected_components(
     und = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    # Materialize the edge list ONCE: it sits inside every iteration's join,
+    # and without truncation its lineage (here: the whole LSH candidate
+    # pipeline) would re-execute on every pass.
+    und = und.localCheckpoint(eager=True)
     labels = nodes.select(F.col(node_col).alias("id"), F.col(node_col).alias("component"))
     labels = labels.localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("component")).first()[0]
@@ -368,46 +381,36 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query materializes the fingerprints themselves (the verifiable,
     deterministic core).
 
-    Plan: explode (doc, token) distinct -> explode 16 positions -> group
-    (doc, pos) computing 4 bit-votes at once -> group (doc) reassembling hex.
-    Two shuffles, both on doc-bounded keys — linear in corpus size.
-    """
+    Plan: explode (doc, token) distinct -> ONE doc-keyed aggregation with
+    all 64 bit-vote sums as aggregate expressions -> hex assembly in the
+    projection.  The earlier shape (posexplode to 16x rows, group by
+    (doc, pos), regroup by doc) paid a 16x-row shuffle and an extra
+    exchange; folding the positions into 64 codegen'd aggregates halved
+    wall-clock (measured 2.5s -> 1.2s at sf0.1) and shuffles each token row
+    exactly once."""
     docs = load(spark, sf_dir, "documents")
     tokens = fan_out(docs).select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
     ).distinct()
-    positions = tokens.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.lit(16)),
-                lambda p: F.substring(F.md5(F.col("token")), p, 1),
+    h = F.md5(F.col("token"))
+    aggs = []
+    for p in range(1, 17):
+        nib = F.instr(F.lit("0123456789abcdef"), F.substring(h, p, 1)) - 1
+        for b in range(4):
+            aggs.append(
+                F.sum(
+                    F.when(F.shiftright(nib, b).bitwiseAND(1) == 1, 1).otherwise(-1)
+                ).alias(f"v_{p}_{b}")
             )
-        ).alias("pos", "nib_char"),
-    )
-    nib = F.instr(F.lit("0123456789abcdef"), F.col("nib_char")) - 1
-    votes = positions.groupBy("doc_id", "pos").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(nib, b).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(4)
-        ]
-    )
-    out_nib = sum(
-        F.when(F.col(f"v{b}") > 0, 2 ** b).otherwise(0) for b in range(4)
-    )
-    hex_char = F.substring(F.lit("0123456789abcdef"), out_nib + 1, 1)
-    per_pos = votes.select("doc_id", "pos", hex_char.alias("c"))
-    return per_pos.groupBy("doc_id").agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
-            ),
-        ).alias("simhash")
-    )
+    votes = tokens.groupBy("doc_id").agg(*aggs)
+    chars = []
+    for p in range(1, 17):
+        out_nib = sum(
+            F.when(F.col(f"v_{p}_{b}") > 0, 2 ** b).otherwise(0) for b in range(4)
+        )
+        chars.append(F.substring(F.lit("0123456789abcdef"), out_nib + 1, 1))
+    return votes.select("doc_id", F.concat(*chars).alias("simhash"))
 
 
 # ---------------------------------------------------------------------------

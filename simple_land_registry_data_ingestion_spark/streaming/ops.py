@@ -141,26 +141,45 @@ def foreach_batch_jdbc_sink(
     )
 
 
-def run_stream_to_table(df: DataFrame, output_mode: str) -> DataFrame:
+def run_stream_to_table(
+    df: DataFrame, output_mode: str, state_partitions: int | None = 8
+) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) into a memory
     sink; return the materialized result as a batch DataFrame.
+
+    ``state_partitions`` pins the stream's shuffle-partition count for the
+    lifetime of the query (set before start, restored after): every
+    stateful operator opens ONE STATE STORE PER PARTITION, and at
+    test/bench scale 32 stores per query is pure constant overhead
+    (measured 2-2.5x on session-window/stateful queries at sf0.1 going
+    32 -> 8).  A streaming query's partitioning is fixed at its FIRST run
+    (recorded in the checkpoint), which is exactly why it must be sized to
+    the stream's key cardinality and throughput — at production scale set
+    it high once; it cannot be changed later without a new checkpoint.
 
     The temp view is dropped immediately: the returned DataFrame's resolved
     plan keeps the sink's rows alive until the caller releases it, but the
     catalog entry (and with it a permanent driver-side reference to the
     result) must not leak once per invocation — a bench loop or long
     session would otherwise accumulate every result ever produced."""
+    spark = df.sparkSession
     name = f"stream_result_{next(_QUERY_COUNTER)}"
-    query = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    out = df.sparkSession.table(name)
-    df.sparkSession.catalog.dropTempView(name)
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        query = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    out = spark.table(name)
+    spark.catalog.dropTempView(name)
     return out
 
 
