@@ -86,6 +86,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tfidf_topk": text_fns.text_tfidf_topk,
     "text_vocab_topk": text_fns.text_vocab_topk,
     "sample_stratified_fixed": relational.sample_stratified_fixed,
+    # rows-only check (iterative float recentering has no cross-engine
+    # deterministic SQL twin; convergence is pinned in tests/test_plans.py)
+    "similarity_ivf_kmeans": similarity.similarity_ivf_kmeans,
     # ---- driver-verified round 1 (re-checked locally every round) ----
     # -- ingest parity (reference A1 / S8 shapes) --
     "ingest_max_date": relational.ingest_max_date,

@@ -188,6 +188,106 @@ def ivf_assignments(emb: DataFrame, k: int = NUM_CENTROIDS) -> DataFrame:
     )
 
 
+def kmeans_refine_centroids(
+    emb: DataFrame, k: int = NUM_CENTROIDS, iterations: int = 2
+) -> DataFrame:
+    """Lloyd refinement of the IVF centroids — the k-means step the
+    first-K-vectors init (_centroids) stands in for.  Returns the refined
+    centroid table ``(centroid_id, c_vec, c_norm)``.
+
+    Each iteration is two distributed passes, no driver-side vectors:
+      1. assign: every vector scores K broadcast centroids, keeps argmax
+         cosine (same plan as ivf_assignments);
+      2. recenter: elementwise mean per cluster via posexplode ->
+         (centroid, dim) average -> array reassembly.  The exchange moves
+         n*dim (centroid, pos, value) rows keyed by (centroid, pos) —
+         linear in data, never quadratic.
+    Centroids are localCheckpoint'd per iteration (lineage would otherwise
+    double per pass).  At 100 TB this IS k-means — Spark MLlib's own
+    KMeans runs the same assign/recenter dataflow; k-means|| only improves
+    the INIT, and plugs in by replacing _centroids."""
+    cent = _centroids(emb, k).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        scored = emb.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "embedding",
+            "centroid_id",
+            (
+                dot(F.col("embedding"), F.col("c_vec"))
+                / (norm(F.col("embedding")) * F.col("c_norm"))
+            ).alias("c_cos"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("c_cos").desc(), F.col("centroid_id")
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "embedding", "centroid_id")
+        )
+        by_dim = assigned.select(
+            "centroid_id", F.posexplode("embedding").alias("pos", "v")
+        )
+        dim_means = by_dim.groupBy("centroid_id", "pos").agg(
+            F.avg(F.col("v").cast("double")).alias("m")
+        )
+        cent = (
+            dim_means.groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda x: x["m"],
+                ).alias("c_vec")
+            )
+            .select("centroid_id", "c_vec", norm(F.col("c_vec")).alias("c_norm"))
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
+def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index statistics after 2 Lloyd iterations: per refined centroid,
+    its member count and mean member-to-centroid cosine (the compactness
+    measure k-means optimizes; it rises vs the unrefined init).
+
+    No SQL oracle: iterative float recentering is not expressible as one
+    deterministic cross-engine query (per-cluster mean summation order
+    differs by engine/partitioning), so this registers under the driver's
+    rows-only check; tests/test_plans.py pins the convergence property
+    (refined compactness >= init compactness) instead."""
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    return ivf_cluster_stats(emb, kmeans_refine_centroids(emb))
+
+
+def ivf_cluster_stats(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Per-centroid member count and mean assigned cosine for a given
+    centroid table (broadcast-K scoring, argmax window, one group)."""
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "centroid_id",
+        (
+            dot(F.col("embedding"), F.col("c_vec"))
+            / (norm(F.col("embedding")) * F.col("c_norm"))
+        ).alias("c_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("centroid_id")
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "c_cos")
+    )
+    return (
+        assigned.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("c_cos"), 4).alias("mean_cosine"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
 def similarity_ann_ivf(
     spark: SparkSession, sf_dir: str, k: int = 5, query_vec_id: int = QUERY_VEC_ID
 ) -> DataFrame:

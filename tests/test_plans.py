@@ -98,6 +98,33 @@ def test_jaccard_lsh_avoids_shingle_self_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_kmeans_refinement_improves_compactness(spark):
+    """Lloyd iterations must not worsen the clustering: the member-weighted
+    mean cosine to the assigned centroid after 2 iterations >= the
+    first-K-vectors init's.  (k-means monotonically improves its objective;
+    cosine-compactness is the spherical analog.)"""
+    from simple_land_registry_data_ingestion_spark.tables import load
+
+    emb = load(spark, SF_ORACLE, "embeddings")
+
+    def weighted_mean(stats):
+        rows = stats.collect()
+        total = sum(r["n_members"] for r in rows)
+        return sum(r["mean_cosine"] * r["n_members"] for r in rows) / total
+
+    init = weighted_mean(
+        similarity.ivf_cluster_stats(
+            emb, similarity.kmeans_refine_centroids(emb, iterations=0)
+        )
+    )
+    refined = weighted_mean(
+        similarity.ivf_cluster_stats(
+            emb, similarity.kmeans_refine_centroids(emb, iterations=2)
+        )
+    )
+    assert refined >= init
+
+
 def test_connected_components_merges_transitively(spark):
     """A-B and B-C were never compared to each other, yet all three must
     land in one cluster; isolated nodes are their own singleton clusters.

@@ -1,0 +1,112 @@
+"""Property-based determinism tests (hypothesis): the invariants that make
+operators safe to re-run and re-partition at 100 TB, checked against plain
+Python reference implementations on randomized small inputs.
+
+Physical layout must never leak into results: a distributed pipeline
+reshuffles between runs (AQE, speculative tasks, different cluster sizes),
+so any operator whose output depends on partitioning is silently broken at
+scale even if every fixed-fixture test passes.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from simple_land_registry_data_ingestion_spark.operators import dedup
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _union_find_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference: textbook union-find, component labeled by its min node."""
+    parent = list(range(n_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n_nodes)}
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)), max_size=20
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    n = 16
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges_df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b] or [(0, 0)], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(nodes, edges_df).collect()
+    }
+    assert got == _union_find_components(n, edges)
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 99), st.integers(0, 99)),
+        min_size=1,
+        max_size=40,
+    ),
+    partitions=st.sampled_from([1, 3, 7]),
+)
+def test_keep_first_per_key_is_partition_invariant(spark, rows, partitions):
+    """The dedup survivor is defined by the TOTAL order, not by which
+    partition a row landed in — so any repartitioning yields byte-identical
+    output, and it equals the Python min-by-order reference."""
+    df = spark.createDataFrame(rows, "k long, seq long, payload long").repartition(
+        partitions
+    )
+    got = sorted(
+        tuple(r)
+        for r in dedup.keep_first_per_key(
+            df, ["k"], [F.col("seq"), F.col("payload")]
+        ).collect()
+    )
+    expected = sorted(
+        {k: min((s, p) for kk, s, p in rows if kk == k) for k, _, _ in rows}.items()
+    )
+    assert got == [(k, s, p) for k, (s, p) in expected]
+
+
+@settings(**_SETTINGS)
+@given(partitions=st.sampled_from([1, 2, 5, 11]))
+def test_stratified_sample_is_partition_invariant(spark, partitions):
+    """Key-hash sampling must select the SAME rows regardless of physical
+    layout (the reproducibility contract sample_stratified_fixed documents)."""
+    from pyspark.sql import Window
+
+    data = [(i, f"seg{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(data, "c_custkey long, c_mktsegment string").repartition(
+        partitions
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), F.col("c_custkey")
+    )
+    picked = frozenset(
+        r["c_custkey"]
+        for r in df.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .collect()
+    )
+    if not hasattr(test_stratified_sample_is_partition_invariant, "_seen"):
+        test_stratified_sample_is_partition_invariant._seen = picked
+    assert picked == test_stratified_sample_is_partition_invariant._seen
