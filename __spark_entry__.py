@@ -89,6 +89,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows-only check (iterative float recentering has no cross-engine
     # deterministic SQL twin; convergence is pinned in tests/test_plans.py)
     "similarity_ivf_kmeans": similarity.similarity_ivf_kmeans,
+    "window_rank_family": relational.window_rank_family,
+    "cdc_snapshot_diff": relational.cdc_snapshot_diff,
     # ---- driver-verified round 1 (re-checked locally every round) ----
     # -- ingest parity (reference A1 / S8 shapes) --
     "ingest_max_date": relational.ingest_max_date,
@@ -1004,6 +1006,37 @@ _ORACLES.update({
         WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
           AND o_custkey IN (SELECT c_custkey FROM customer
                             WHERE c_mktsegment = 'BUILDING')
+    """,
+    "window_rank_family": """
+        SELECT o_orderkey, o_orderstatus,
+               CAST(RANK() OVER w AS BIGINT) AS rnk,
+               CAST(DENSE_RANK() OVER w AS BIGINT) AS dense_rnk,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+               ROUND(CUME_DIST() OVER w, 6) AS cum_dist
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    "cdc_snapshot_diff": """
+        WITH old AS (
+            SELECT o_orderkey AS key, o_totalprice AS old_price
+            FROM orders
+            WHERE substring(md5('old:' || CAST(o_orderkey AS VARCHAR)), 1, 1) <> '0'),
+        new AS (
+            SELECT o_orderkey AS key,
+                   ROUND(CASE WHEN substring(md5('mod:' || CAST(o_orderkey AS VARCHAR)), 1, 1)
+                                   IN ('0', '1')
+                              THEN o_totalprice * 1.1 ELSE o_totalprice END, 2) AS new_price
+            FROM orders
+            WHERE substring(md5('new:' || CAST(o_orderkey AS VARCHAR)), 1, 1) <> '0')
+        SELECT COALESCE(old.key, new.key) AS o_orderkey,
+               CASE WHEN old.key IS NULL THEN 'added'
+                    WHEN new.key IS NULL THEN 'deleted'
+                    WHEN old_price <> new_price THEN 'changed'
+                    ELSE 'unchanged' END AS change_type,
+               old_price, new_price
+        FROM old FULL OUTER JOIN new ON old.key = new.key
     """,
     "q3_shipping_priority": """
         SELECT l_orderkey,

@@ -527,6 +527,70 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over one deterministic total order:
+    rank / dense_rank / percent_rank / ntile(4) / cume_dist per order
+    status.  One shuffle on the partition key; every function reads the
+    same sorted run."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("dense_rnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
+
+
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — classify every key as added / deleted / changed /
+    unchanged between two table versions.  This is the change-detection
+    step behind the reference's record_op A(dd)/C(hange)/D(elete) markers
+    (reference lib_db.py:39): the reference STORES the markers; this
+    operator is how an incremental pipeline DERIVES them, turning full
+    refreshes (reference E6) into delta publishes.
+
+    The two versions are carved deterministically out of the orders table
+    by key hash (so the query is self-contained and oracle-checkable):
+    'old' drops one hash slice, 'new' drops another and re-prices a third.
+    Plan: one scan feeds both sides (Spark reuses the exchange), FULL OUTER
+    join on the key, null-pattern CASE classification — the at-scale shape
+    is a key-partitioned sort-merge join, linear in both snapshots."""
+    orders = load(spark, sf_dir, "orders")
+    nib = lambda salt: F.substring(  # noqa: E731 - local shorthand
+        F.md5(F.concat(F.lit(salt), F.col("o_orderkey").cast("string"))), 1, 1
+    )
+    old = orders.where(nib("old:") != "0").select(
+        F.col("o_orderkey").alias("key"), F.col("o_totalprice").alias("old_price")
+    )
+    new = orders.where(nib("new:") != "0").select(
+        F.col("o_orderkey").alias("key"),
+        F.round(
+            F.when(nib("mod:").isin("0", "1"), F.col("o_totalprice") * 1.1)
+            .otherwise(F.col("o_totalprice")),
+            2,
+        ).alias("new_price"),
+    )
+    joined = old.join(new, "key", "full_outer")
+    change_type = (
+        F.when(F.col("old_price").isNull(), "added")
+        .when(F.col("new_price").isNull(), "deleted")
+        .when(F.col("old_price") != F.col("new_price"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.select(
+        F.col("key").alias("o_orderkey"),
+        change_type.alias("change_type"),
+        "old_price",
+        "new_price",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts / limits / top-k (SURVEY 2.6)
 # ---------------------------------------------------------------------------

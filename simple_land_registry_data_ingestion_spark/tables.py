@@ -68,8 +68,10 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     spark = df.sparkSession
     target = partitions or spark.sparkContext.defaultParallelism
     try:
+        # py4j auto-converts the scala BigInt to int; str() also covers the
+        # JavaObject form on builds where it does not.
         size_bytes = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         )
         max_split = int(str(spark.conf.get("spark.sql.files.maxPartitionBytes")))
         est_splits = max(1, size_bytes // max_split)

@@ -98,6 +98,25 @@ def test_jaccard_lsh_avoids_shingle_self_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_fan_out_decides_from_plan_stats(spark):
+    """fan_out must (a) repartition a byte-small input up to full
+    parallelism and (b) leave an input alone when the scan already yields
+    enough splits — decided from LOGICAL-plan stats, never by materializing
+    the physical plan (no job, no df.rdd)."""
+    from simple_land_registry_data_ingestion_spark.tables import fan_out, load
+
+    docs = load(spark, SF_ORACLE, "documents")
+    small = fan_out(docs)
+    assert "Repartition" in small._jdf.queryExecution().logical().toString()
+    saved = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try:
+        big_est = fan_out(docs)
+        assert "Repartition" not in big_est._jdf.queryExecution().logical().toString()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
+
+
 def test_kmeans_refinement_improves_compactness(spark):
     """Lloyd iterations must not worsen the clustering: the member-weighted
     mean cosine to the assigned centroid after 2 iterations >= the
