@@ -91,6 +91,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ivf_kmeans": similarity.similarity_ivf_kmeans,
     "window_rank_family": relational.window_rank_family,
     "cdc_snapshot_diff": relational.cdc_snapshot_diff,
+    "profile_columns": relational.profile_columns,
     # ---- driver-verified round 1 (re-checked locally every round) ----
     # -- ingest parity (reference A1 / S8 shapes) --
     "ingest_max_date": relational.ingest_max_date,
@@ -1006,6 +1007,19 @@ _ORACLES.update({
         WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
           AND o_custkey IN (SELECT c_custkey FROM customer
                             WHERE c_mktsegment = 'BUILDING')
+    """,
+    "profile_columns": """
+        SELECT 'o_orderkey' AS column_name,
+               CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders
+        UNION ALL SELECT 'o_custkey', CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+        UNION ALL SELECT 'o_orderstatus', CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+        UNION ALL SELECT 'o_orderpriority', CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+        UNION ALL SELECT 'o_totalprice', CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+               CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) FROM orders
     """,
     "window_rank_family": """
         SELECT o_orderkey, o_orderstatus,

@@ -57,12 +57,15 @@ def main() -> None:
         timings[name] = round(time.monotonic() - start, 3)
 
     total = round(sum(timings.values()), 3)
+    ordered = sorted(timings.values())
+    median = round(ordered[len(ordered) // 2], 3) if ordered else 0.0
     summary = {
         "metric": "total_query_wall_clock",
         "value": total,
         "unit": "sec",
         "sf": _sf_label(SF_DIR),
         "n_queries": len(timings),
+        "median_query_sec": median,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

@@ -527,6 +527,40 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — per column, null count and exact distinct count —
+    the data-quality pass an ingest pipeline runs before publishing (the
+    reference eyeballs this by hand; at 100 TB it must be a query).
+
+    ONE scan computes all 12 aggregates, then ``stack`` pivots them into
+    (column_name, n_nulls, n_distinct) rows — vs the naive per-column scan
+    loop.  Multiple exact COUNT(DISTINCT) in one aggregate makes Catalyst
+    plan an Expand (one duplicate of each row per distinct column): exact
+    profiling of k columns costs a k-fold row expansion, which is the
+    documented price of exactness — the at-scale variant swaps
+    approx_count_distinct (HLL, no Expand) and keeps this plan only for
+    audits."""
+    orders = load(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_totalprice",
+    ]
+    aggs = []
+    for c in cols:
+        aggs.append(
+            (F.count(F.lit(1)) - F.count(F.col(c))).cast("long").alias(f"nn_{c}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).cast("long").alias(f"nd_{c}"))
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (column_name, n_nulls, n_distinct)"
+    )
+
+
 def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full ranking-function family over one deterministic total order:
     rank / dense_rank / percent_rank / ntile(4) / cume_dist per order

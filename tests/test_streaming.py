@@ -163,3 +163,25 @@ def test_foreach_batch_sink_is_partitioned_by_batch(spark, split_events_dir, tmp
     assert written.select("batch_id").distinct().count() == 4
     # no duplicated events across batch dirs
     assert written.select("event_id").distinct().count() == n_in
+
+
+def test_session_window_runs_on_rocksdb_state_store(spark):
+    """The PRODUCTION state-store backend: the session-window query (the
+    heaviest keyed-state operator here) must produce identical results on
+    RocksDBStateStoreProvider (state spills to disk, not executor heap —
+    the 100 TB configuration) as on the default HDFS-backed store."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    baseline = sorted(map(tuple, ops.stream_session_window(spark, SF_SMALL).collect()))
+    saved = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = sorted(map(tuple, ops.stream_session_window(spark, SF_SMALL).collect()))
+    finally:
+        if saved is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, saved)
+    assert rocks == baseline and len(rocks) > 0
