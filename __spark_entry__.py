@@ -92,6 +92,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_rank_family": relational.window_rank_family,
     "cdc_snapshot_diff": relational.cdc_snapshot_diff,
     "profile_columns": relational.profile_columns,
+    "stream_stream_interval_join": stream_ops.stream_stream_interval_join,
     # ---- driver-verified round 1 (re-checked locally every round) ----
     # -- ingest parity (reference A1 / S8 shapes) --
     "ingest_max_date": relational.ingest_max_date,
@@ -967,6 +968,21 @@ _ORACLES.update({
         FROM sess, wm WHERE session_end <= wm.w
     """,
     "stream_dedup_within_watermark": "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_stream_interval_join": """
+        WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+                   FROM events),
+        c AS (SELECT user_id AS c_user, ts AS c_ts FROM e WHERE event_type = 'click'),
+        p AS (SELECT user_id AS p_user, ts AS p_ts, event_id AS p_event
+              FROM e WHERE event_type = 'purchase'),
+        j AS (SELECT p_user, p_event FROM p JOIN c
+               ON p_user = c_user
+              AND c_ts < p_ts
+              AND c_ts >= p_ts - INTERVAL 30 MINUTE)
+        SELECT p_user AS user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_attributed_pairs,
+               CAST(COUNT(DISTINCT p_event) AS BIGINT) AS n_purchases_with_prior_click
+        FROM j GROUP BY 1
+    """,
     "stream_stateful_user_stats": """
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS n_events,

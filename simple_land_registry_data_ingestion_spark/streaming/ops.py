@@ -258,6 +258,59 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_stream_interval_join(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream INTERVAL join: each purchase event joins the same
+    user's click events from the preceding 30 minutes — the
+    attribution/sessionization join pattern, as a real two-stream stateful
+    join (both sides buffer keyed state; the watermark + interval bound is
+    what lets the engine EVICT state, so memory is bounded by the interval,
+    not the stream length).
+
+    Inner interval joins in append mode emit every match once both sides
+    have arrived, so running to end-of-stream (availableNow) equals the
+    batch self-join — which is the DuckDB oracle.  The joined rows stream
+    out; the per-user rollup happens in batch on the materialized result
+    (aggregation-after-join would need multi-stateful-operator watermark
+    propagation and buys nothing for a verifiable query)."""
+    clicks = (
+        events_stream(spark, sf_dir, glob, max_files_per_trigger)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_event"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events_stream(spark, sf_dir, glob, max_files_per_trigger)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_event"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+    )
+    out = run_stream_to_table(joined, "append")
+    return out.groupBy(F.col("p_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_attributed_pairs"),
+        F.countDistinct("p_event").alias("n_purchases_with_prior_click"),
+    )
+
+
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup: first occurrence of each (user_id, event_type) key.
 

@@ -185,3 +185,45 @@ def test_session_window_runs_on_rocksdb_state_store(spark):
         else:
             spark.conf.set(provider_key, saved)
     assert rocks == baseline and len(rocks) > 0
+
+
+def test_interval_join_state_spans_triggers(spark, split_events_dir, tmp_path):
+    """With one file per trigger, a purchase and its matching click often
+    arrive in DIFFERENT micro-batches — the join must buffer both sides'
+    keyed state across triggers and still emit exactly the batch-join
+    result.  The wide watermark isolates cross-batch BUFFERING from
+    late-data EVICTION: the split files are not time-ordered, so a tight
+    watermark would (correctly) drop stragglers — that semantics is covered
+    by the append-mode window tests."""
+    streamed = ops.stream_stream_interval_join(
+        spark, split_events_dir, glob="*.parquet", max_files_per_trigger=1,
+        watermark="3650 days",
+    )
+    got = sorted(map(tuple, streamed.collect()))
+
+    e = _batch_events(spark, split_events_dir)
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event"),
+    )
+    j = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+    )
+    expected = sorted(
+        map(
+            tuple,
+            j.groupBy(F.col("p_user").alias("user_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_attributed_pairs"),
+                F.countDistinct("p_event").alias("n_purchases_with_prior_click"),
+            )
+            .collect(),
+        )
+    )
+    assert got == expected and len(got) > 0
