@@ -102,6 +102,10 @@ def run_ingest(
     url_retries: int = 3,
     retry_sleep_seconds: float = 10.0,
     partition_by_year: bool = True,
+    jdbc_options: dict[str, str] | None = None,
+    jdbc_table: str = "pp_complete_data",
+    jdbc_dialect: str = "postgres",
+    jdbc_target_exists: bool = True,
 ) -> ProcessMetadata:
     """End-to-end ingest (reference main():298-372).
 
@@ -111,6 +115,14 @@ def run_ingest(
     the year partitioning makes freshness/date-range queries prune instead of
     scan.  The metadata row is appended at ``metadata_path`` (or
     ``output_path + '_metadata'``).
+
+    ``jdbc_options`` switches the publish to the DATABASE path — the
+    reference's actual sink (single-transaction TRUNCATE+COPY+COMMIT,
+    main.py:194-251): the typed table loads into ``{jdbc_table}__staging``
+    and swaps in atomically (sinks.write_jdbc_full_refresh_atomic), and the
+    metadata row appends to ``{jdbc_table}_metadata`` over the same
+    connection options (reference S8, main.py:274-295).  The parquet
+    publish still runs — it is the lake copy the analytics queries scan.
     """
     meta = ProcessMetadata()
     meta.process_start_timestamp = datetime.now(timezone.utc)
@@ -162,13 +174,28 @@ def run_ingest(
             partition_cols = ["transaction_year"]
         sinks.write_parquet_atomic(out, output_path, partition_by=partition_cols or None)
     meta.write_duration_s = t.elapsed
-    meta.database_upload_duration_s = t.elapsed
+
+    # Optional DB publish (reference E5/E6): staging load + atomic swap.
+    if jdbc_options is not None:
+        with StageTimer() as t:
+            sinks.write_jdbc_full_refresh_atomic(
+                typed,
+                jdbc_table,
+                jdbc_options,
+                dialect=jdbc_dialect,
+                target_exists=jdbc_target_exists,
+            )
+        meta.database_upload_duration_s = t.elapsed
+    else:
+        meta.database_upload_duration_s = meta.write_duration_s
 
     meta.process_complete_timestamp = datetime.now(timezone.utc)
     meta.process_duration_s = time.monotonic() - t_process
 
     # Metadata sink (reference S8, main.py:274-295): single-row append.
     meta_df = spark.createDataFrame([meta.to_row()], PP_COMPLETE_METADATA_SCHEMA)
+    if jdbc_options is not None:
+        sinks.write_jdbc_append(meta_df, f"{jdbc_table}_metadata", jdbc_options)
     target = metadata_path or f"{output_path.rstrip('/')}_metadata"
     meta_df.write.mode("append").parquet(target)
     logger.info(

@@ -224,3 +224,54 @@ def test_foreach_batch_jdbc_sink_streams_to_table(spark, derby_url, tmp_path):
 
     expected = load(spark, SF_SMALL, "events").count()
     assert _read(spark, derby_url, "events_sink").count() == expected
+
+
+def test_pipeline_end_to_end_into_database(spark, derby_url, tmp_path):
+    """The reference's ACTUAL end-to-end run, executed against a real
+    database: CSV -> typed table -> staging load -> atomic swap ->
+    metadata row (reference main():298-372).  Both the fact table and the
+    metadata table land via JDBC; a second run replaces the fact table
+    content atomically."""
+    from simple_land_registry_data_ingestion_spark.pipeline import run_ingest
+
+    def _pp_row(uid, price, ts):
+        return ",".join(
+            [uid, str(price), ts, "AB1 2CD", "D", "N", "F", "12", "",
+             "HIGH STREET", "Someville", "TOWNVILLE", "DISTRICT",
+             "COUNTYSHIRE", "A", "A"]
+        )
+
+    csv1 = tmp_path / "run1.csv"
+    csv1.write_text(
+        "\n".join([_pp_row("{P-1}", 100, "2024-01-15 00:00"),
+                   _pp_row("{P-2}", 200, "2024-03-28 00:00")]) + "\n"
+    )
+    csv2 = tmp_path / "run2.csv"
+    csv2.write_text(_pp_row("{P-9}", 999, "2024-06-01 00:00") + "\n")
+
+    opts = _opts(derby_url)
+    meta1 = run_ingest(
+        spark, str(csv1), str(tmp_path / "out1"),
+        jdbc_options=opts, jdbc_table="pp_e2e",
+        jdbc_dialect="derby", jdbc_target_exists=False,
+    )
+    assert meta1.row_count == 2
+    assert meta1.database_upload_duration_s > 0
+    fact = _read(spark, derby_url, "pp_e2e")
+    assert sorted(r["transaction_unique_id"] for r in fact.collect()) == [
+        "{P-1}", "{P-2}"
+    ]
+    meta_tbl = _read(spark, derby_url, "pp_e2e_metadata")
+    assert meta_tbl.count() == 1
+    assert meta_tbl.first()["row_count"] == 2
+
+    # Second run: atomic full refresh replaces content; metadata appends.
+    run_ingest(
+        spark, str(csv2), str(tmp_path / "out2"),
+        jdbc_options=opts, jdbc_table="pp_e2e",
+        jdbc_dialect="derby", jdbc_target_exists=True,
+    )
+    fact2 = _read(spark, derby_url, "pp_e2e")
+    assert [r["transaction_unique_id"] for r in fact2.collect()] == ["{P-9}"]
+    assert _read(spark, derby_url, "pp_e2e_metadata").count() == 2
+    assert not sinks.jdbc_table_exists(spark, derby_url, "pp_e2e__staging")
