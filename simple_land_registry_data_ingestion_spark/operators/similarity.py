@@ -169,13 +169,19 @@ def ivf_assignments(emb: DataFrame, k: int = NUM_CENTROIDS) -> DataFrame:
     vec_id.  Ties break on centroid_id, making assignment deterministic.
     At 100 TB the assignment is the IVF index-build; it is written once as
     the at-rest partition key (PARTITIONED BY centroid_id), so a probe
-    reads one partition, exactly like the LSH bucket layout."""
-    scored = emb.crossJoin(F.broadcast(_centroids(emb, k))).select(
+    reads one partition, exactly like the LSH bucket layout.
+
+    The vector's own norm is hoisted BEFORE the K-way cross join — the HOF
+    fold is interpreted, so computing it once instead of K times is a
+    direct K-fold saving on half the cosine cost (float semantics
+    unchanged: same fold, same order, evaluated earlier)."""
+    with_norm = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    scored = with_norm.crossJoin(F.broadcast(_centroids(emb, k))).select(
         "vec_id",
         "centroid_id",
         (
             dot(F.col("embedding"), F.col("c_vec"))
-            / (norm(F.col("embedding")) * F.col("c_norm"))
+            / (F.col("nrm") * F.col("c_norm"))
         ).alias("c_cos"),
     )
     w = Window.partitionBy("vec_id").orderBy(
@@ -207,14 +213,17 @@ def kmeans_refine_centroids(
     KMeans runs the same assign/recenter dataflow; k-means|| only improves
     the INIT, and plugs in by replacing _centroids."""
     cent = _centroids(emb, k).localCheckpoint(eager=True)
+    with_norm = emb.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
     for _ in range(iterations):
-        scored = emb.crossJoin(F.broadcast(cent)).select(
+        scored = with_norm.crossJoin(F.broadcast(cent)).select(
             "vec_id",
             "embedding",
             "centroid_id",
             (
                 dot(F.col("embedding"), F.col("c_vec"))
-                / (norm(F.col("embedding")) * F.col("c_norm"))
+                / (F.col("nrm") * F.col("c_norm"))
             ).alias("c_cos"),
         )
         w = Window.partitionBy("vec_id").orderBy(
@@ -261,13 +270,15 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ivf_cluster_stats(emb: DataFrame, cent: DataFrame) -> DataFrame:
     """Per-centroid member count and mean assigned cosine for a given
-    centroid table (broadcast-K scoring, argmax window, one group)."""
-    scored = emb.crossJoin(F.broadcast(cent)).select(
+    centroid table (broadcast-K scoring, argmax window, one group;
+    vector norms hoisted out of the K-way loop)."""
+    with_norm = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    scored = with_norm.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "centroid_id",
         (
             dot(F.col("embedding"), F.col("c_vec"))
-            / (norm(F.col("embedding")) * F.col("c_norm"))
+            / (F.col("nrm") * F.col("c_norm"))
         ).alias("c_cos"),
     )
     w = Window.partitionBy("vec_id").orderBy(
