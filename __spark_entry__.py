@@ -93,6 +93,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_snapshot_diff": relational.cdc_snapshot_diff,
     "profile_columns": relational.profile_columns,
     "stream_stream_interval_join": stream_ops.stream_stream_interval_join,
+    "sessionize_events": relational.sessionize_events,
     # ---- driver-verified round 1 (re-checked locally every round) ----
     # -- ingest parity (reference A1 / S8 shapes) --
     "ingest_max_date": relational.ingest_max_date,
@@ -1023,6 +1024,22 @@ _ORACLES.update({
         WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
           AND o_custkey IN (SELECT c_custkey FROM customer
                             WHERE c_mktsegment = 'BUILDING')
+    """,
+    "sessionize_events": """
+        WITH e AS (
+            SELECT event_id, user_id, ts,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+            FROM events),
+        f AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN LAG(ts_us) OVER w IS NULL
+                             OR ts_us - LAG(ts_us) OVER w >= 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        SELECT event_id, user_id, ts,
+               CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM f
     """,
     "profile_columns": """
         SELECT 'o_orderkey' AS column_name,

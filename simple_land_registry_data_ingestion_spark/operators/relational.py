@@ -527,6 +527,35 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sessionize_events(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Batch sessionization: assign each event a per-user session id — a new
+    session starts when the gap to the previous event reaches
+    ``gap_minutes``.  The batch twin of the streaming session window
+    (streaming/ops.stream_session_window): same lag -> new-session flag ->
+    running-sum pattern, one shuffle on user_id, both window frames reuse
+    the same sorted run.  session_id is (user_id, seq) — deterministic and
+    stable under reprocessing, which is what downstream joins key on."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(ts_us).over(w)
+    new_session = F.when(
+        prev_us.isNull() | (ts_us - prev_us >= gap_us), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(new_session).over(run).cast("long").alias("session_seq"),
+    )
+
+
 def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling — per column, null count and exact distinct count —
     the data-quality pass an ingest pipeline runs before publishing (the
