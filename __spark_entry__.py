@@ -94,6 +94,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_columns": relational.profile_columns,
     "stream_stream_interval_join": stream_ops.stream_stream_interval_join,
     "sessionize_events": relational.sessionize_events,
+    "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
+    "similarity_ann_lsh_multiprobe": similarity.similarity_ann_lsh_multiprobe,
     # ---- driver-verified round 1 (re-checked locally every round) ----
     # -- ingest parity (reference A1 / S8 shapes) --
     "ingest_max_date": relational.ingest_max_date,
@@ -178,6 +180,40 @@ _COS = (
     "list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
 )
+
+#: SimHash fingerprint as a CTE chain ending in fp(doc_id, simhash) — shared
+#: by the fingerprint oracle and the hamming-band pair oracle.
+_SIMHASH_CTE = r"""
+    tokens AS (
+        SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS token
+            FROM documents)),
+    pos AS (
+        SELECT doc_id, i AS pos,
+               instr('0123456789abcdef', substring(md5(token), i, 1)) - 1 AS nib
+        FROM tokens, UNNEST(range(1, 17)) AS t(i)),
+    votes AS (
+        SELECT doc_id, pos,
+               SUM(CASE WHEN (nib >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS v0,
+               SUM(CASE WHEN (nib >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS v1,
+               SUM(CASE WHEN (nib >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS v2,
+               SUM(CASE WHEN (nib >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS v3
+        FROM pos GROUP BY doc_id, pos),
+    nibs AS (
+        SELECT doc_id, pos,
+               substring('0123456789abcdef',
+                   (CASE WHEN v0 > 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN v1 > 0 THEN 2 ELSE 0 END)
+                   + (CASE WHEN v2 > 0 THEN 4 ELSE 0 END)
+                   + (CASE WHEN v3 > 0 THEN 8 ELSE 0 END) + 1, 1) AS c
+        FROM votes),
+    fp AS (
+        SELECT doc_id, STRING_AGG(c, '' ORDER BY pos) AS simhash
+        FROM nibs GROUP BY doc_id)
+"""
+
+#: 16-term nibble-mismatch count between fp aliases fa/fb.
+_SIMHASH_DIST = "((CASE WHEN substring(fa.simhash, 1, 1) <> substring(fb.simhash, 1, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(fa.simhash, 2, 1) <> substring(fb.simhash, 2, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(fa.simhash, 3, 1) <> substring(fb.simhash, 3, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(fa.simhash, 4, 1) <> substring(fb.simhash, 4, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(fa.simhash, 5, 1) <> substring(fb.simhash, 5, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(fa.simhash, 6, 1) <> substring(fb.simhash, 6, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(fa.simhash, 7, 1) <> substring(fb.simhash, 7, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(fa.simhash, 8, 1) <> substring(fb.simhash, 8, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(fa.simhash, 9, 1) <> substring(fb.simhash, 9, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(fa.simhash, 10, 1) <> substring(fb.simhash, 10, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(fa.simhash, 11, 1) <> substring(fb.simhash, 11, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(fa.simhash, 12, 1) <> substring(fb.simhash, 12, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(fa.simhash, 13, 1) <> substring(fb.simhash, 13, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(fa.simhash, 14, 1) <> substring(fb.simhash, 14, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(fa.simhash, 15, 1) <> substring(fb.simhash, 15, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(fa.simhash, 16, 1) <> substring(fb.simhash, 16, 1) THEN 1 ELSE 0 END))"
 
 _SIGS_CTE = """
     planes AS (
@@ -519,32 +555,26 @@ _ORACLES.update({
         JOIN sizes sb ON doc_b = sb.doc_id
         WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.30
     """,
-    "dedup_simhash": r"""
-        WITH tokens AS (
-            SELECT DISTINCT doc_id, token FROM (
-                SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS token
-                FROM documents)),
-        pos AS (
-            SELECT doc_id, i AS pos,
-                   instr('0123456789abcdef', substring(md5(token), i, 1)) - 1 AS nib
-            FROM tokens, UNNEST(range(1, 17)) AS t(i)),
-        votes AS (
-            SELECT doc_id, pos,
-                   SUM(CASE WHEN (nib >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS v0,
-                   SUM(CASE WHEN (nib >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS v1,
-                   SUM(CASE WHEN (nib >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS v2,
-                   SUM(CASE WHEN (nib >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS v3
-            FROM pos GROUP BY doc_id, pos),
-        nibs AS (
-            SELECT doc_id, pos,
-                   substring('0123456789abcdef',
-                       (CASE WHEN v0 > 0 THEN 1 ELSE 0 END)
-                       + (CASE WHEN v1 > 0 THEN 2 ELSE 0 END)
-                       + (CASE WHEN v2 > 0 THEN 4 ELSE 0 END)
-                       + (CASE WHEN v3 > 0 THEN 8 ELSE 0 END) + 1, 1) AS c
-            FROM votes)
-        SELECT doc_id, STRING_AGG(c, '' ORDER BY pos) AS simhash
-        FROM nibs GROUP BY doc_id
+    "dedup_simhash": f"""
+        WITH {_SIMHASH_CTE}
+        SELECT doc_id, simhash FROM fp
+    """,
+    "dedup_simhash_pairs": f"""
+        WITH {_SIMHASH_CTE},
+        bands AS (
+            SELECT doc_id,
+                   CAST(b AS VARCHAR) || ':' || substring(simhash, b * 4 + 1, 4) AS band_key
+            FROM fp, UNNEST(range(0, 4)) AS t(b)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               CAST({_SIMHASH_DIST} AS BIGINT) AS nibble_distance
+        FROM cand
+        JOIN fp fa ON doc_a = fa.doc_id
+        JOIN fp fb ON doc_b = fb.doc_id
+        WHERE {_SIMHASH_DIST} <= 3
     """,
     "dedup_jaccard_lsh": f"""
         WITH {_SHINGLES_CTE},
@@ -688,6 +718,24 @@ _ORACLES.update({
         FROM v JOIN sigs ON v.vec_id = sigs.vec_id, q
         WHERE sigs.bucket = q.qb AND v.vec_id <> 0
         ORDER BY cosine DESC, v.vec_id LIMIT 5
+    """,
+    "similarity_ann_lsh_multiprobe": f"""
+        WITH {_VEC_CTE},
+        {_SIGS_CTE},
+        q AS (SELECT v.e AS qe, sigs.bucket AS qb
+              FROM v JOIN sigs ON v.vec_id = sigs.vec_id WHERE v.vec_id = 0),
+        cand AS (
+            SELECT v.vec_id, sigs.bucket, v.e, q.qe
+            FROM v JOIN sigs ON v.vec_id = sigs.vec_id, q
+            WHERE v.vec_id <> 0
+              AND ({" + ".join(
+                  f"(CASE WHEN substring(sigs.bucket, {i}, 1) <> substring(q.qb, {i}, 1) THEN 1 ELSE 0 END)"
+                  for i in range(1, 9)
+              )}) <= 1)
+        SELECT vec_id, bucket,
+               ROUND({_COS.format(a='cand.e', b='cand.qe')}, 6) AS cosine
+        FROM cand
+        ORDER BY cosine DESC, vec_id LIMIT 5
     """,
     "similarity_bucket_histogram": f"""
         WITH {_VEC_CTE},

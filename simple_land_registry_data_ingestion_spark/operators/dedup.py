@@ -413,6 +413,55 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", F.concat(*chars).alias("simhash"))
 
 
+def dedup_simhash_pairs(
+    spark: SparkSession, sf_dir: str, max_nibble_distance: int = 3
+) -> DataFrame:
+    """SimHash near-duplicate pairs: hamming-band candidates, then exact
+    nibble-distance verify — the full SimHash dedup pipeline.
+
+    Banding: the 64-bit fingerprint splits into 4 bands of 16 bits (4 hex
+    chars); docs sharing ANY band are candidates.  Pigeonhole guarantee:
+    any pair differing in <= 3 NIBBLE positions leaves at least one band
+    untouched, so it always collides there — banding has perfect recall at
+    the verify threshold.  Verify: candidates join their fingerprints back
+    (doc-keyed equi-joins) and keep pairs within ``max_nibble_distance``
+    mismatched nibbles.  Same O(n) bucketed layout as MinHash-LSH
+    (bucket_pairs); never an all-pairs hamming scan.  Same-language corpora
+    collide heavily in bands (shared stopwords bias the bits), which is
+    exactly why the cheap verify stage exists."""
+    fp = dedup_simhash(spark, sf_dir)
+    bands = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(f"{b}:"), F.substring("simhash", b * 4 + 1, 4))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    grouped = bands.groupBy("band_key").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+    cand = bucket_pairs(grouped).distinct()
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    distance = sum(
+        F.when(
+            F.substring(F.col("sh_a"), i, 1) != F.substring(F.col("sh_b"), i, 1), 1
+        ).otherwise(0)
+        for i in range(1, 17)
+    ).cast("long")
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("nibble_distance", distance)
+        .where(F.col("nibble_distance") <= max_nibble_distance)
+        .select("doc_a", "doc_b", "nibble_distance")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------

@@ -129,6 +129,44 @@ def similarity_ann_lsh(
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
 
 
+def similarity_ann_lsh_multiprobe(
+    spark: SparkSession, sf_dir: str, k: int = 5,
+    query_vec_id: int = QUERY_VEC_ID, max_hamming: int = 1,
+) -> DataFrame:
+    """Multi-probe sign-LSH ANN: candidates come from the query's bucket
+    AND every bucket within hamming distance ``max_hamming`` of it — the
+    standard recall knob for sign-LSH (a near neighbor that lands just
+    across one hyperplane is recovered from the adjacent bucket).  Probing
+    b+1 of the 2^b buckets reads ~(1+b)/2^b of the corpus instead of
+    1/2^b; at rest the probe is still partition-pruned, one partition per
+    probed bucket."""
+    emb = fan_out(load(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", signature_bits(F.col("embedding"))
+    )
+    q = (
+        emb.where(F.col("vec_id") == query_vec_id)
+        .select(F.col("embedding").alias("q_vec"),
+                norm(F.col("embedding")).alias("q_norm"),
+                F.col("bucket").alias("q_bucket"))
+    )
+    hamming = sum(
+        F.when(
+            F.substring(F.col("bucket"), i, 1) != F.substring(F.col("q_bucket"), i, 1),
+            1,
+        ).otherwise(0)
+        for i in range(1, NUM_PLANES + 1)
+    )
+    candidates = emb.where(F.col("vec_id") != query_vec_id).join(
+        F.broadcast(q), hamming <= max_hamming
+    )
+    scored = candidates.select(
+        "vec_id",
+        "bucket",
+        F.round(_cosine_vs_query(F.col("embedding")), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
+
+
 def similarity_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket occupancy — the skew diagnostic for the ANN path."""
     emb = fan_out(load(spark, sf_dir, "embeddings"))
