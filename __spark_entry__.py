@@ -955,8 +955,9 @@ _ORACLES.update({
         SELECT doc_id,
                CAST(len(list_transform(range(1, len(chars) + 1, 997),
                                        i -> ascii(chars[i]))) AS BIGINT) AS n_frames,
-               list_transform(range(1, len(chars) + 1, 997),
-                              i -> CAST(ascii(chars[i]) AS BIGINT)) AS frame_bytes
+               array_to_string(list_transform(range(1, len(chars) + 1, 997),
+                                              i -> CAST(ascii(chars[i]) AS VARCHAR)),
+                               ',') AS frame_bytes
         FROM c
     """,
 })

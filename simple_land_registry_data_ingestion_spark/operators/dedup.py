@@ -141,6 +141,7 @@ def bucket_pairs(
     out_a: str = "doc_a",
     out_b: str = "doc_b",
     max_bucket_size: int | None = None,
+    distribute_threshold: int | None = None,
 ) -> DataFrame:
     """Expand each bucket's sorted id array into all (i < j) member pairs.
 
@@ -150,22 +151,52 @@ def bucket_pairs(
     are truncated to their first N members (ids are sorted, so the cut is
     deterministic) BEFORE expansion, bounding pair output at
     N*(N-1)/2 per bucket.  Production alternatives with the same hook:
-    drop oversized buckets outright, or re-band them with more rows."""
+    drop oversized buckets outright, or re-band them with more rows.
+
+    ``distribute_threshold`` is the lossless alternative to capping: buckets
+    larger than the threshold keep ALL their pairs, but the O(n^2) expansion
+    is spread across the cluster instead of running inside the single task
+    that owns the bucket row (bucket rows are tiny post-aggregation, so AQE
+    happily coalesces them into one partition and the explode blowup lands
+    on one core).  Each oversized bucket posexplodes to per-member rows
+    carrying the member's pair *tail* (the ids after it), a round-robin
+    repartition spreads those rows, and the tails explode in parallel.  The
+    shuffled payload is the sum of tail lengths (n^2/2 ids per hot bucket)
+    — the same rows the flat path would emit, just redistributed before the
+    quadratic work instead of after."""
     ids = F.col(id_col)
     if max_bucket_size is not None:
         ids = F.slice(ids, 1, max_bucket_size)
-    pairs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias(out_a), y.alias(out_b)),
-            ),
+
+    def _flat(df: DataFrame) -> DataFrame:
+        pairs = F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + 2, F.size(ids)),
+                    lambda y: F.struct(x.alias(out_a), y.alias(out_b)),
+                ),
+            )
         )
+        return df.select(F.explode(pairs).alias("p")).select(
+            F.col(f"p.{out_a}").alias(out_a), F.col(f"p.{out_b}").alias(out_b)
+        )
+
+    if distribute_threshold is None:
+        return _flat(grouped)
+
+    small = _flat(grouped.where(F.size(ids) <= distribute_threshold))
+    shuffle_n = int(
+        grouped.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    return grouped.select(F.explode(pairs).alias("p")).select(
-        F.col(f"p.{out_a}").alias(out_a), F.col(f"p.{out_b}").alias(out_b)
+    big = (
+        grouped.where(F.size(ids) > distribute_threshold)
+        .select(F.posexplode(ids).alias("_i", "_a"), ids.alias("_ids"))
+        .select("_a", F.expr("slice(_ids, _i + 2, size(_ids))").alias("_tail"))
+        .repartition(shuffle_n)
+        .select(F.col("_a").alias(out_a), F.explode("_tail").alias(out_b))
     )
+    return small.unionByName(big)
 
 
 def minhash_candidate_pairs(
@@ -428,10 +459,26 @@ def dedup_simhash_pairs(
     mismatched nibbles.  Same O(n) bucketed layout as MinHash-LSH
     (bucket_pairs); never an all-pairs hamming scan.  Same-language corpora
     collide heavily in bands (shared stopwords bias the bits), which is
-    exactly why the cheap verify stage exists."""
-    fp = dedup_simhash(spark, sf_dir)
+    exactly why the cheap verify stage exists.
+
+    Plan shape (one aggregation, zero joins): the 64-aggregate fingerprint
+    subtree is ``localCheckpoint(eager=True)``-materialized once (it used to
+    feed three consumers and partially recompute; same pattern as
+    connected_components).  Each doc's fingerprint is packed into two 32-bit
+    longs (a full 64-bit signed cast would overflow under ANSI when the top
+    bit is set), the band buckets collect ``(doc_id, hi, lo)`` structs, and
+    the verify runs INLINE on the emitted pairs — xor per half + nibble-OR
+    fold + bit_count, O(1) bit ops per candidate — so no fingerprint join
+    is needed and the pair ``distinct`` shuffles only verified survivors
+    (~10x fewer rows than pre-verify candidates on band-colliding
+    corpora)."""
+    fp = dedup_simhash(spark, sf_dir).localCheckpoint(eager=True)
     bands = fp.select(
-        "doc_id",
+        F.struct(
+            "doc_id",
+            F.conv(F.substring("simhash", 1, 8), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring("simhash", 9, 8), 16, 10).cast("long").alias("lo"),
+        ).alias("m"),
         F.explode(
             F.array(
                 *[
@@ -441,24 +488,35 @@ def dedup_simhash_pairs(
             )
         ).alias("band_key"),
     )
+    # array_sort on structs orders by the leading field (doc_id), keeping
+    # the i<j pair expansion deterministic exactly as with plain id arrays.
     grouped = bands.groupBy("band_key").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("ids")
+        F.array_sort(F.collect_list("m")).alias("ids")
     )
-    cand = bucket_pairs(grouped).distinct()
-    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    distance = sum(
-        F.when(
-            F.substring(F.col("sh_a"), i, 1) != F.substring(F.col("sh_b"), i, 1), 1
-        ).otherwise(0)
-        for i in range(1, 17)
+    cand = bucket_pairs(grouped, out_a="a", out_b="b", distribute_threshold=256)
+
+    def _nibble_count(x):
+        # Count non-zero nibbles of a 32-bit value: OR each nibble's 4 bits
+        # down onto its lowest bit, mask those bits, popcount.
+        folded = (
+            x.bitwiseOR(F.shiftright(x, 1))
+            .bitwiseOR(F.shiftright(x, 2))
+            .bitwiseOR(F.shiftright(x, 3))
+        )
+        return F.bit_count(folded.bitwiseAND(F.lit(0x11111111)))
+
+    distance = (
+        _nibble_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
+        + _nibble_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
     ).cast("long")
     return (
-        cand.join(fa, "doc_a")
-        .join(fb, "doc_b")
-        .withColumn("nibble_distance", distance)
+        cand.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            distance.alias("nibble_distance"),
+        )
         .where(F.col("nibble_distance") <= max_nibble_distance)
-        .select("doc_a", "doc_b", "nibble_distance")
+        .distinct()
     )
 
 

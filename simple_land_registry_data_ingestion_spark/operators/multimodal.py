@@ -135,21 +135,28 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_payload.mapInPandas(decode_payload_batches, _DECODE_SCHEMA)
 
 
-_FRAMES_SCHEMA = "doc_id long, n_frames long, frame_bytes array<long>"
+_FRAMES_SCHEMA = "doc_id long, n_frames long, frame_bytes string"
 
 FRAME_STRIDE = 997  # prime stride so frames don't alias document structure
 
 
 def frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Frame sampling for "video" payloads: every FRAME_STRIDE-th byte is a
-    frame marker (stand-in for ffmpeg keyframe extraction)."""
+    frame marker (stand-in for ffmpeg keyframe extraction).
+
+    ``frame_bytes`` is emitted as a comma-joined string rather than
+    ``array<long>``: the sampled frame list is a *result* column (not an
+    input to further relational ops), and a flat string keeps the row
+    hashable/sortable for any pandas/Arrow consumer downstream."""
     for pdf in batches:
         frames = pdf["payload"].map(lambda p: [int(b) for b in p[:: FRAME_STRIDE]])
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "n_frames": frames.map(len),
-                "frame_bytes": frames,
+                "frame_bytes": frames.map(
+                    lambda fs: ",".join(str(b) for b in fs)
+                ),
             }
         )
 

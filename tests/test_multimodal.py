@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, BinaryType, LongType
+from pyspark.sql.types import BinaryType, StringType
 
 from simple_land_registry_data_ingestion_spark.operators import multimodal
 from tests.conftest import SF_SMALL
@@ -37,8 +37,7 @@ def test_decode_survives_small_arrow_batches(spark):
 
 def test_frame_sample_schema_and_stride(spark):
     out = multimodal.multimodal_frame_sample(spark, SF_SMALL)
-    field = out.schema["frame_bytes"].dataType
-    assert isinstance(field, ArrayType) and isinstance(field.elementType, LongType)
+    assert isinstance(out.schema["frame_bytes"].dataType, StringType)
     # docs at sf0.001 may all be shorter than one stride; the ceil invariant
     # below holds for any size, so just take the largest doc.
     row = out.orderBy(F.col("n_frames").desc(), "doc_id").first()
@@ -47,9 +46,11 @@ def test_frame_sample_schema_and_stride(spark):
         .where(F.col("doc_id") == row["doc_id"])
         .first()
     )
+    frames = [int(x) for x in row["frame_bytes"].split(",")]
     # ceil(n_bytes / stride) frames
     expected = (meta["n_bytes"] + multimodal.FRAME_STRIDE - 1) // multimodal.FRAME_STRIDE
-    assert row["n_frames"] == expected == len(row["frame_bytes"])
+    assert row["n_frames"] == expected == len(frames)
+    assert all(0 <= b <= 255 for b in frames)
 
 
 def test_real_codec_is_gated_not_silently_fake():

@@ -88,6 +88,44 @@ def test_embedding_lsh_avoids_all_pairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_simhash_pairs_materializes_fingerprints_once(spark):
+    """The 64-aggregate SimHash fingerprint subtree must be computed exactly
+    once (localCheckpoint) — not re-derived per consumer — and the verify
+    stage must be inline bit-ops on the emitted pairs, not fingerprint
+    joins."""
+    df = dedup.dedup_simhash_pairs(spark, SF_ORACLE)
+    plan = plans.formatted_plan(df)
+    # fingerprints come from the checkpointed RDD, so the token pipeline
+    # (md5 hashing, vote aggregation) must be absent from this plan
+    assert "md5" not in plan, plan
+    assert "ExistingRDD" in plan, plan
+    # inline verify: no join anywhere (pairs carry both fingerprint halves)
+    assert "Join" not in plan, plan
+    plans.assert_no_cartesian_product(df)
+
+
+def test_bucket_pairs_distributed_path_matches_flat(spark):
+    """The distributed hot-bucket expansion is lossless: same pair set as
+    the flat path, just generated after a spreading repartition."""
+    from pyspark.sql import functions as F
+
+    docs = spark.range(40).select(
+        (F.col("id") % 3).cast("string").alias("band_key"),
+        F.col("id").alias("doc_id"),
+    )
+    grouped = docs.groupBy("band_key").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+    flat = dedup.bucket_pairs(grouped)
+    dist = dedup.bucket_pairs(grouped, distribute_threshold=5)
+    assert sorted(map(tuple, flat.collect())) == sorted(map(tuple, dist.collect()))
+    # threshold above every bucket size -> pure flat path, still identical
+    dist_hi = dedup.bucket_pairs(grouped, distribute_threshold=1000)
+    assert sorted(map(tuple, flat.collect())) == sorted(
+        map(tuple, dist_hi.collect())
+    )
+
+
 def test_jaccard_lsh_avoids_shingle_self_join(spark):
     """The LSH-composed Jaccard scorer joins candidate PAIRS to per-doc
     shingle sets (equi-joins on doc id) — never the shingle-table self-join
