@@ -86,8 +86,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tfidf_topk": text_fns.text_tfidf_topk,
     "text_vocab_topk": text_fns.text_vocab_topk,
     "sample_stratified_fixed": relational.sample_stratified_fixed,
-    # rows-only check (iterative float recentering has no cross-engine
-    # deterministic SQL twin; convergence is pinned in tests/test_plans.py)
+    # full oracle: the Lloyd loop quantizes means/cosines to 6 dp, making
+    # the recurrence engine-independent (unrolled DuckDB twin below)
     "similarity_ivf_kmeans": similarity.similarity_ivf_kmeans,
     "window_rank_family": relational.window_rank_family,
     "cdc_snapshot_diff": relational.cdc_snapshot_diff,
@@ -761,6 +761,57 @@ _ORACLES.update({
         FROM v JOIN a ON v.vec_id = a.vec_id, q
         WHERE a.centroid_id = q.qc AND v.vec_id <> 0
         ORDER BY cosine DESC, v.vec_id LIMIT 5
+    """,
+})
+
+
+def _kmeans_iter(i: int, prev: str) -> str:
+    """One unrolled Lloyd iteration as CTE text: assign every vector to its
+    argmax-cosine centroid (cosine rounded to 6 dp, ties on centroid id),
+    then recenter as the 6-dp-rounded per-dimension mean — the exact
+    quantization the Spark loop applies, which is what makes the float
+    recurrence engine-independent."""
+    cos = _COS.format(a="n.e", b=f"{prev}.ce")
+    return f"""
+        s{i} AS (SELECT n.vec_id, n.e, {prev}.cid,
+                        ROW_NUMBER() OVER (
+                            PARTITION BY n.vec_id
+                            ORDER BY ROUND({cos}, 6) DESC, {prev}.cid) AS rn
+                 FROM n, {prev}),
+        a{i} AS (SELECT vec_id, e, cid FROM s{i} WHERE rn = 1),
+        d{i} AS (SELECT cid, t.i AS pos, ROUND(AVG(e[t.i]), 6) AS m
+                 FROM a{i}, range(1, 65) t(i) GROUP BY cid, t.i),
+        c{i} AS (SELECT cid, list(m ORDER BY pos) AS ce,
+                        sqrt(list_dot_product(list(m ORDER BY pos),
+                                              list(m ORDER BY pos))) AS cn
+                 FROM d{i} GROUP BY cid)"""
+
+
+_ORACLES.update({
+    # Unrolled 2-iteration Lloyd refinement + cluster stats.  Cosine here
+    # divides by (nrm * cn) explicitly since the _COS macro recomputes norms;
+    # build the normalized form inline instead.
+    "similarity_ivf_kmeans": f"""
+        WITH {_VEC_CTE},
+        n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        c0 AS (SELECT vec_id AS cid, e AS ce, sqrt(list_dot_product(e, e)) AS cn
+               FROM v WHERE vec_id < 16),
+        {_kmeans_iter(1, "c0")},
+        {_kmeans_iter(2, "c1")},
+        sf AS (SELECT n.vec_id, c2.cid,
+                      ROUND(list_dot_product(n.e, c2.ce) / (n.nrm * c2.cn), 6)
+                          AS c_cos,
+                      ROW_NUMBER() OVER (
+                          PARTITION BY n.vec_id
+                          ORDER BY ROUND(list_dot_product(n.e, c2.ce)
+                                         / (n.nrm * c2.cn), 6) DESC,
+                                   c2.cid) AS rn
+               FROM n, c2)
+        SELECT CAST(cid AS BIGINT) AS centroid_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               ROUND(AVG(c_cos), 4) AS mean_cosine
+        FROM sf WHERE rn = 1
+        GROUP BY cid ORDER BY centroid_id
     """,
 })
 
