@@ -352,7 +352,13 @@ def connected_components(
     path-compresses to O(log n) passes — the per-pass dataflow is the same
     join+min as here.  Passes needed = max component diameter; near-dup
     clusters are shallow (most duplicates share one hub), so small
-    constants in practice."""
+    constants in practice.
+
+    If the loop exhausts ``max_iterations`` before the fixpoint (a chain
+    longer than the iteration budget), the labels are PARTIAL — some
+    components would still split — so this raises rather than silently
+    returning wrong cluster ids; callers with genuinely deep graphs pass a
+    bigger budget (or switch to the small-star variant above)."""
     und = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
@@ -363,6 +369,7 @@ def connected_components(
     labels = nodes.select(F.col(node_col).alias("id"), F.col(node_col).alias("component"))
     labels = labels.localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("component")).first()[0]
+    converged = False
     for _ in range(max_iterations):
         propagated = und.join(
             labels, und["src"] == labels["id"], "inner"
@@ -375,8 +382,15 @@ def connected_components(
         labels = labels.localCheckpoint(eager=True)
         new_sum = labels.agg(F.sum("component")).first()[0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not reach its fixpoint within "
+            f"{max_iterations} iterations — labels would be partial (some "
+            f"clusters still split); raise max_iterations"
+        )
     return labels
 
 

@@ -167,6 +167,54 @@ def similarity_ann_lsh_multiprobe(
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
 
 
+def write_ann_bucket_layout(emb: DataFrame, path: str) -> None:
+    """Write the embedding corpus PARTITIONED BY its sign-LSH bucket — the
+    at-rest layout the ANN probe path assumes at 100 TB (probe reads one
+    directory, not the corpus).
+
+    The ``repartition("bucket")`` before the write is the small-files
+    guard: without it every write task holds an open file per bucket it
+    sees (tasks x 2^b files of a few KB each); with it each bucket's rows
+    converge on one task and each partition directory gets one
+    well-sized file.  At larger corpora repartition(N, "bucket") with
+    N > 2^b splits hot buckets across several files while keeping the
+    directory layout identical."""
+    (
+        emb.withColumn("bucket", signature_bits(F.col("embedding")))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def probe_ann_bucket_layout(
+    spark: SparkSession, path: str, bucket: str, query_vec_id: int, k: int = 5
+) -> DataFrame:
+    """Top-k cosine probe against a bucket-partitioned ANN layout.
+
+    ``bucket`` arrives as a literal (the caller knows the query vector, so
+    its signature is computable client-side), which makes the bucket
+    predicate a STATIC partition filter: the scan plans PartitionFilters
+    on ``bucket`` and reads exactly one directory of the layout.  The
+    query row itself is read from the same pruned partition and
+    broadcast."""
+    part = spark.read.parquet(path).where(F.col("bucket") == bucket)
+    q = part.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_vec"),
+        norm(F.col("embedding")).alias("q_norm"),
+    )
+    scored = (
+        part.where(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(_cosine_vs_query(F.col("embedding")), 6).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
+
+
 def similarity_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket occupancy — the skew diagnostic for the ANN path."""
     emb = fan_out(load(spark, sf_dir, "embeddings"))

@@ -125,30 +125,67 @@ def staging_swap_statements(
     raise ValueError(f"unknown dialect: {dialect}")
 
 
-def jdbc_table_exists(spark, url: str, table: str) -> bool:
+def _jvm_jdbc_connection(spark, url: str, jdbc_options: dict[str, str] | None):
+    """Driver-side JVM JDBC connection honoring the SAME options Spark's
+    JDBC writer uses: ``user``/``password`` are forwarded as connection
+    Properties (credentials embedded in the URL are not required), and
+    ``driver`` is Class.forName-registered first — Derby autoloads with the
+    JVM's service discovery, but the Postgres driver does not reliably
+    register with the driver-side DriverManager until loaded."""
+    jvm = spark._jvm
+    opts = jdbc_options or {}
+    if opts.get("driver"):
+        jvm.java.lang.Class.forName(opts["driver"])
+    props = jvm.java.util.Properties()
+    for key in ("user", "password"):
+        if key in opts:
+            props.setProperty(key, opts[key])
+    return jvm.java.sql.DriverManager.getConnection(url, props)
+
+
+def jdbc_table_exists(
+    spark, url: str, table: str, jdbc_options: dict[str, str] | None = None
+) -> bool:
     """Check table existence through JDBC metadata (case-folded both ways:
-    Derby stores identifiers upper-case, Postgres lower-case)."""
-    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    Derby stores identifiers upper-case, Postgres lower-case).
+
+    ``DatabaseMetaData.getTables`` treats its table pattern as a LIKE
+    pattern where ``_`` matches any character — raw names like
+    ``pp_complete_data`` would false-positive against similarly named
+    tables.  Escaping is NOT portable (Derby declares an empty
+    getSearchStringEscape, i.e. no escape support at all), so the rows the
+    wildcarded lookup returns are re-checked for EXACT name equality
+    instead — correct on every driver."""
+    conn = _jvm_jdbc_connection(spark, url, jdbc_options)
     try:
         meta = conn.getMetaData()
         for name in {table, table.upper(), table.lower()}:
             rs = meta.getTables(None, None, name, None)
-            found = rs.next()
-            rs.close()
-            if found:
-                return True
+            try:
+                while rs.next():
+                    if rs.getString("TABLE_NAME") == name:
+                        return True
+            finally:
+                rs.close()
         return False
     finally:
         conn.close()
 
 
-def run_statements_jvm_jdbc(spark, url: str, statements: list[str]) -> None:
+def run_statements_jvm_jdbc(
+    spark,
+    url: str,
+    statements: list[str],
+    jdbc_options: dict[str, str] | None = None,
+) -> None:
     """Execute SQL statements in ONE transaction through the JVM's
     java.sql.DriverManager — no Python DB driver needed, works for any JDBC
     URL whose driver is on the Spark classpath (Derby ships with Spark;
     Postgres needs its JDBC jar, the same one spark JDBC writes require).
-    Rolls back on failure, so a crashed swap leaves the old table live."""
-    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    Credentials/driver come from ``jdbc_options`` exactly like the Spark
+    writer's. Rolls back on failure, so a crashed swap leaves the old
+    table live."""
+    conn = _jvm_jdbc_connection(spark, url, jdbc_options)
     try:
         conn.setAutoCommit(False)
         st = conn.createStatement()
@@ -187,6 +224,7 @@ def write_jdbc_full_refresh_atomic(
         df.sparkSession,
         jdbc_options["url"],
         staging_swap_statements(table, dialect, target_exists),
+        jdbc_options,
     )
 
 

@@ -94,13 +94,17 @@ def foreach_batch_parquet_sink(df: DataFrame, path: str, checkpoint: str):
 
 
 def jdbc_idempotent_batch_writer(table: str, jdbc_options: dict[str, str]):
-    """foreachBatch body for a DATABASE sink with effectively-once delivery:
-    every batch carries its ``batch_id``, and the writer DELETEs that
-    batch_id before appending, so a replayed batch (failure between write
-    and checkpoint commit) overwrites itself instead of duplicating.  This
-    is the DB analog of foreach_batch_parquet_sink's batch_id=N overwrite,
-    and closes the loop on the reference's transactional-load discipline
-    (reference main.py:196-251) for the streaming path.
+    """foreachBatch body for a DATABASE sink with effectively-once delivery
+    AND single-transaction visibility: every batch carries its ``batch_id``,
+    lands in a STAGING table first (parallel Spark JDBC write — its
+    per-partition transactions touch only the staging table), and is then
+    published with DELETE-old-replay + INSERT-SELECT + DROP-staging in ONE
+    JVM-JDBC transaction.  A replayed batch (failure between write and
+    checkpoint commit) overwrites itself instead of duplicating, and — the
+    part a bare DELETE-then-append cannot give — a concurrent reader never
+    observes the batch's rows missing or half-appended: it sees the target
+    before the publish commit or after, exactly the reference sink's
+    transactional-load discipline (reference main.py:196-251).
 
     Exposed as a factory (not a closure inside the sink) so the replay
     semantics are directly unit-testable by invoking the writer twice with
@@ -111,17 +115,33 @@ def jdbc_idempotent_batch_writer(table: str, jdbc_options: dict[str, str]):
 
         spark = batch_df.sparkSession
         url = jdbc_options["url"]
-        if sinks.jdbc_table_exists(spark, url, table):
-            # Spark's JDBC createTable quotes COLUMN identifiers (case
-            # preserved) but writes the table name as given — so the column
-            # must be double-quoted to resolve on case-folding databases.
-            sinks.run_statements_jvm_jdbc(
-                spark, url,
-                [f'DELETE FROM {table} WHERE "batch_id" = {int(batch_id)}'],
-            )
-        sinks.write_jdbc_append(
-            batch_df.withColumn("batch_id", F.lit(int(batch_id))),
-            table,
+        stage = f"{table}__batch_stage"
+        with_id = batch_df.withColumn("batch_id", F.lit(int(batch_id)))
+        # overwrite handles replay after a crash-between-stage-and-publish:
+        # the orphaned staging table is simply rewritten
+        (
+            with_id.write.format("jdbc")
+            .options(**jdbc_options)
+            .option("dbtable", stage)
+            .mode("overwrite")
+            .save()
+        )
+        if not sinks.jdbc_table_exists(spark, url, table, jdbc_options):
+            # first batch ever: create the (empty) target with the same
+            # Spark-derived DDL as the staging table, then publish into it
+            sinks.write_jdbc_append(with_id.limit(0), table, jdbc_options)
+        # Spark's JDBC createTable quotes COLUMN identifiers (case
+        # preserved) but writes the table name as given — so columns must
+        # be double-quoted to resolve on case-folding databases.
+        cols = ", ".join(f'"{c}"' for c in with_id.columns)
+        sinks.run_statements_jvm_jdbc(
+            spark,
+            url,
+            [
+                f'DELETE FROM {table} WHERE "batch_id" = {int(batch_id)}',
+                f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {stage}",
+                f"DROP TABLE {stage}",
+            ],
             jdbc_options,
         )
 

@@ -234,6 +234,22 @@ def test_connected_components_merges_transitively(spark):
     assert out == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 5, 8: 5, 9: 5}
 
 
+def test_connected_components_raises_on_iteration_exhaustion(spark):
+    """Hitting max_iterations before the fixpoint must be an explicit
+    failure, never silently-partial cluster labels."""
+    import pytest
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        dedup.connected_components(nodes, chain, max_iterations=1)
+    # ample budget: same graph converges to one component
+    out = dedup.connected_components(nodes, chain, max_iterations=10)
+    assert {r["component"] for r in out.collect()} == {0}
+
+
 def test_minhash_hot_bucket_cap_bounds_pairs(spark):
     """Adversarial corpus: many near-identical docs collapse into one LSH
     bucket per band.  Uncapped, pair output is C(n,2); with

