@@ -331,6 +331,69 @@ def stream_stream_interval_join(
     )
 
 
+def stream_stream_left_outer_interval_join(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join — the production attribution
+    shape: EVERY purchase emits, either matched to the same user's clicks
+    from the preceding 30 minutes, or with NULL click columns once the
+    watermark proves no such click can still arrive.
+
+    This is the query that exercises state EVICTION, not just state
+    matching: an unmatched purchase sits in the join state until the
+    global watermark (min over both sides of max-event-time - delay)
+    passes its interval's upper bound, at which point the engine emits the
+    null row and drops the state — the memory bound at 100 TB is the
+    interval + watermark delay, never the stream length.
+
+    End-of-stream semantics (availableNow): matched rows equal the batch
+    left-join's matched rows; null rows appear ONLY for purchases whose
+    interval the FINAL watermark passed — purchases younger than the
+    final watermark are withheld and their state discarded.  The DuckDB
+    twin applies the same final-watermark filter to the null side."""
+    clicks = (
+        events_stream(spark, sf_dir, glob, max_files_per_trigger)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_event"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events_stream(spark, sf_dir, glob, max_files_per_trigger)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_event"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    )
+    out = run_stream_to_table(joined, "append")
+    return out.groupBy(F.col("p_user").alias("user_id")).agg(
+        F.count_distinct("p_event").alias("n_purchases_emitted"),
+        F.sum(F.when(F.col("c_event").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_attributed_pairs"),
+        F.sum(F.when(F.col("c_event").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unmatched_purchases"),
+    )
+
+
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup: first occurrence of each (user_id, event_type) key.
 

@@ -35,6 +35,78 @@ def _batch_events(spark, path):
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def _write_events_file(path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(cols[0], pa.int64()),
+                "ts": pa.array(cols[1], pa.int64()),
+                "user_id": pa.array(cols[2], pa.int64()),
+                "event_type": pa.array(cols[3], pa.string()),
+                "value": pa.array(cols[4], pa.float64()),
+                "props": pa.array(cols[5], pa.string()),
+            }
+        ),
+        path,
+    )
+
+
+def test_left_outer_join_emits_nulls_only_after_watermark(spark, tmp_path):
+    """State-eviction proof for the left-outer interval join: an unmatched
+    purchase is WITHHELD while the watermark has not passed it (run over
+    the early file alone emits nothing for it), then emitted with null
+    click columns once later events advance the watermark past its
+    interval — while a late unmatched purchase the final watermark never
+    passes stays withheld."""
+    import datetime as dt
+
+    def ns(h, m):
+        t = dt.datetime(2024, 1, 1, h, m, tzinfo=dt.timezone.utc)
+        return int(t.timestamp() * 1_000_000_000)
+
+    early = [
+        (1, ns(10, 0), 1, "purchase", 5.0, "{}"),   # u1: no prior click
+        (2, ns(9, 50), 2, "click", 0.0, "{}"),
+        (3, ns(10, 0), 2, "purchase", 7.0, "{}"),   # u2: matched pair
+    ]
+    late = [
+        (4, ns(20, 0), 3, "click", 0.0, "{}"),      # advances the watermark
+        (5, ns(19, 59), 3, "purchase", 1.0, "{}"),  # unmatched AND too young
+    ]
+
+    d_early = tmp_path / "early_only"
+    d_early.mkdir()
+    _write_events_file(str(d_early / "0.parquet"), early)
+    d_both = tmp_path / "both"
+    d_both.mkdir()
+    _write_events_file(str(d_both / "0.parquet"), early)
+    _write_events_file(str(d_both / "1.parquet"), late)
+
+    def run(path):
+        out = ops.stream_stream_left_outer_interval_join(
+            spark, path, glob="*.parquet", max_files_per_trigger=1
+        )
+        return {
+            r["user_id"]: (
+                r["n_purchases_emitted"],
+                r["n_attributed_pairs"],
+                r["n_unmatched_purchases"],
+            )
+            for r in out.collect()
+        }
+
+    # early file alone: final watermark = 8:50 < u1's 10:00 purchase, so
+    # u1 emits NOTHING; only u2's matched pair appears
+    assert run(str(d_early)) == {2: (1, 1, 0)}
+    # with the late file the watermark passes 10:00: u1's purchase emits
+    # as an unmatched null row; u3's 19:59 purchase stays withheld
+    assert run(str(d_both)) == {1: (1, 0, 1), 2: (1, 1, 0)}
+
+
 def test_stateful_op_accumulates_across_triggers(spark, split_events_dir, tmp_path):
     """applyInPandasWithState must fold every micro-batch into the same keyed
     state; the LAST update per user equals the whole-table GROUP BY."""
