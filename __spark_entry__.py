@@ -61,6 +61,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ivf_kmeans": similarity.similarity_ivf_kmeans,
     "stream_left_outer_interval_join": stream_ops.stream_stream_left_outer_interval_join,
     "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
+    "text_repetition_ratio": text_fns.text_repetition_ratio,
+    "dedup_containment_lsh": dedup.dedup_containment_lsh,
+    "events_funnel_conversion": relational.events_funnel_conversion,
+    "sample_weighted_aes": relational.sample_weighted_aes,
+    "agg_histogram_bins": relational.agg_histogram_bins,
     # ---- block B: newest driver row is round 1 ----
     "rollup_orders": relational.rollup_orders,
     "cube_lineitem": relational.cube_lineitem,
@@ -611,6 +616,38 @@ _ORACLES.update({
         JOIN sizes sb ON doc_b = sb.doc_id
         WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.30
     """,
+    "dedup_containment_lsh": f"""
+        WITH {_SHINGLES_CTE},
+        sig AS (
+            SELECT doc_id,
+                   min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+                   min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+                   min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5
+            FROM sh GROUP BY doc_id),
+        bands AS (
+            SELECT doc_id, '0:' || h0 || h1 AS band_key FROM sig
+            UNION ALL SELECT doc_id, '1:' || h2 || h3 FROM sig
+            UNION ALL SELECT doc_id, '2:' || h4 || h5 FROM sig),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               ROUND(n_inter / sa.n_sh, 6) AS containment_a_in_b,
+               ROUND(n_inter / sb.n_sh, 6) AS containment_b_in_a
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE ROUND(n_inter / sa.n_sh, 6) >= 0.50
+           OR ROUND(n_inter / sb.n_sh, 6) >= 0.50
+    """,
     "dedup_embedding_lsh": f"""
         WITH {_VEC_CTE},
         {_SIGS_CTE},
@@ -766,6 +803,67 @@ _ORACLES.update({
         FROM v JOIN a ON v.vec_id = a.vec_id, q
         WHERE a.centroid_id = q.qc AND v.vec_id <> 0
         ORDER BY cosine DESC, v.vec_id LIMIT 5
+    """,
+})
+
+
+_AES_UINT = " + ".join(
+    f"(instr('0123456789abcdef', substring(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}.0"
+    for i in range(8)
+)
+
+_ORACLES.update({
+    "text_repetition_ratio": r"""
+        WITH docs AS (SELECT doc_id,
+                             string_split_regex(lower(trim(text)), '\s+') AS ws
+                      FROM documents),
+        tri AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g
+                FROM docs, UNNEST(range(1, len(ws) - 1)) t(i)),
+        agg AS (SELECT doc_id, COUNT(*) AS t, COUNT(DISTINCT g) AS d
+                FROM tri GROUP BY doc_id)
+        SELECT docs.doc_id,
+               CAST(COALESCE(agg.t, 0) AS BIGINT) AS n_trigrams,
+               CAST(COALESCE(agg.d, 0) AS BIGINT) AS n_distinct_trigrams,
+               CASE WHEN COALESCE(agg.t, 0) > 0
+                    THEN ROUND(1.0 - agg.d * 1.0 / agg.t + 1e-9, 4)
+                    ELSE 0.0 END AS repetition_ratio
+        FROM docs LEFT JOIN agg ON docs.doc_id = agg.doc_id
+    """,
+    "events_funnel_conversion": """
+        WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events),
+        v AS (SELECT user_id, MIN(ts) AS first_view FROM ev
+              WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, MIN(e.ts) AS first_click
+              FROM ev e JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.first_view GROUP BY 1),
+        p AS (SELECT e.user_id, MIN(e.ts) AS first_purchase
+              FROM ev e JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.first_click GROUP BY 1)
+        SELECT v.user_id, v.first_view, c.first_click, p.first_purchase,
+               CASE WHEN p.first_purchase IS NOT NULL THEN 'purchase'
+                    WHEN c.first_click IS NOT NULL THEN 'click'
+                    ELSE 'view' END AS deepest_stage
+        FROM v LEFT JOIN c ON v.user_id = c.user_id
+               LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    "sample_weighted_aes": rf"""
+        WITH d AS (SELECT doc_id,
+                          len(string_split_regex(lower(trim(text)), '\s+')) AS w,
+                          md5(CAST(doc_id AS VARCHAR)) AS h
+                   FROM documents)
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS weight_tokens,
+               ROUND(ln(({_AES_UINT} + 1.0) / 4294967296.0) / w, 6) AS sample_key
+        FROM d
+        ORDER BY sample_key DESC, doc_id LIMIT 50
+    """,
+    "agg_histogram_bins": """
+        SELECT CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(MIN(l_extendedprice), 2) AS min_price,
+               ROUND(MAX(l_extendedprice), 2) AS max_price
+        FROM lineitem GROUP BY 1 ORDER BY bin
     """,
 })
 

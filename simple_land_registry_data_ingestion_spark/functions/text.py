@@ -198,6 +198,52 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame
     return counts.orderBy(F.col("n_total").desc(), F.col("token")).limit(k)
 
 
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition: the fraction of word trigrams that are
+    duplicates of an earlier trigram in the same document — the
+    Gopher-style "repetition" quality signal that catches boilerplate,
+    keyword stuffing, and decoding loops in training corpora.
+
+    Pure column expressions: the trigram array is built with transform over
+    an index sequence and reduced with array_distinct — no explode, no
+    shuffle; the whole query is a single scan projection.  The word array
+    is materialized in its OWN projection first: referencing the split
+    expression directly from inside the transform lambda re-evaluates the
+    split per element_at (3 re-splits per trigram, O(n^2) per document —
+    measured 26 s vs 0.5 s at sf0.1).  The 1e-9 nudge before rounding
+    keeps x.xxxx5 halfway cases off the boundary where Spark (half-up) and
+    DuckDB (half-even) disagree."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", words_col("text").alias("ws")
+    )
+    ws = F.col("ws")
+    n = F.size(ws)
+    tri = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(ws, i),
+                F.element_at(ws, i + 1),
+                F.element_at(ws, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(tri).cast("long")
+    distinct = F.size(F.array_distinct(tri)).cast("long")
+    ratio = F.when(
+        total > 0,
+        F.round(1.0 - distinct.cast("double") / total.cast("double") + 1e-9, 4),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        total.alias("n_trigrams"),
+        distinct.alias("n_distinct_trigrams"),
+        ratio.alias("repetition_ratio"),
+    )
+
+
 def text_stats_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The UDF surface done right (SURVEY section 2.9): when text logic
     outgrows column expressions, a VECTORIZED pandas_udf (Arrow batches,

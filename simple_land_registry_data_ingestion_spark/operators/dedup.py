@@ -245,7 +245,20 @@ def dedup_jaccard_lsh(
     deterministic.  A candidate pair always shares >= 1 shingle (equal
     min-hash components imply the same argmin shingle), so the inner joins
     drop nothing."""
-    docs = load(spark, sf_dir, "documents")
+    scored = _minhash_candidate_sets(load(spark, sf_dir, "documents"))
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b"))).cast("long")
+    scored = scored.withColumn(
+        "jaccard", F.round(inter / (F.col("n_a") + F.col("n_b") - inter), 6)
+    )
+    return scored.where(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def _minhash_candidate_sets(docs: DataFrame) -> DataFrame:
+    """MinHash-LSH candidate pairs carrying both docs' shingle sets:
+    ``(doc_a, doc_b, set_a, n_a, set_b, n_b)`` — the shared front half of
+    every set-similarity scorer (Jaccard, containment, overlap)."""
     # Non-distinct shingles: collect_set dedupes and min-hash is
     # multiset-invariant, so the set size comes from the collected set
     # instead of paying a distinct shuffle up front.
@@ -274,14 +287,34 @@ def dedup_jaccard_lsh(
         F.col("sh_set").alias("set_b"),
         F.col("n_sh").alias("n_b"),
     )
+    return cand.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def dedup_containment_lsh(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.50
+) -> DataFrame:
+    """ASYMMETRIC near-dup scoring on MinHash-LSH candidates: containment
+    c(A in B) = |A∩B| / |A| (and the reverse) — the measure that catches
+    SUBSET duplication Jaccard misses: a paragraph quoted whole inside a
+    larger document scores containment ~1 while its Jaccard stays low.
+    Training-data pipelines use it to drop near-supersets and quote farms.
+
+    Same scaled shape as dedup_jaccard_lsh (shared front half): O(n)
+    bucketed candidate generation, exact set intersection only on
+    candidate pairs.  Emitted when EITHER direction crosses the threshold;
+    both directions are reported so the caller can tell subset from
+    superset."""
+    scored = _minhash_candidate_sets(load(spark, sf_dir, "documents"))
     inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b"))).cast("long")
-    scored = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", F.round(inter / (F.col("n_a") + F.col("n_b") - inter), 6))
+    out = scored.select(
+        "doc_a",
+        "doc_b",
+        F.round(inter / F.col("n_a"), 6).alias("containment_a_in_b"),
+        F.round(inter / F.col("n_b"), 6).alias("containment_b_in_a"),
     )
-    return scored.where(F.col("jaccard") >= threshold).select(
-        "doc_a", "doc_b", "jaccard"
+    return out.where(
+        (F.col("containment_a_in_b") >= threshold)
+        | (F.col("containment_b_in_a") >= threshold)
     )
 
 

@@ -556,6 +556,111 @@ def sessionize_events(
     )
 
 
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel per user: first 'view', first 'click' AFTER that
+    view, first 'purchase' AFTER that click — the conversion-attribution
+    query of an event pipeline, with strict stage ordering (a click before
+    the first view does not count).
+
+    Shape at scale: three conditional min-aggregations, each one shuffle on
+    user_id, chained by broadcast-friendly equi-joins (the per-user
+    aggregates are tiny next to the event stream).  Left joins keep every
+    user who entered the funnel; deepest_stage makes drop-off directly
+    aggregable."""
+    events = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    views = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .where(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .where(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    funnel = (
+        views.join(clicks, "user_id", "left").join(purchases, "user_id", "left")
+    )
+    deepest = (
+        F.when(F.col("first_purchase").isNotNull(), "purchase")
+        .when(F.col("first_click").isNotNull(), "click")
+        .otherwise("view")
+    )
+    return funnel.select(
+        "user_id",
+        "first_view",
+        "first_click",
+        "first_purchase",
+        deepest.alias("deepest_stage"),
+    )
+
+
+def sample_weighted_aes(
+    spark: SparkSession, sf_dir: str, k: int = 50
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    each doc draws a deterministic uniform u from md5(doc_id) and ranks by
+    ln(u)/weight — the top-k by that key is an exact weighted sample, here
+    weighted by token count (the quality-weighted subsampling step of a
+    training-data pipeline: longer/heavier docs proportionally likelier,
+    yet the draw is reproducible across runs, engines, partitionings).
+
+    Distributed shape: one scan projection + TakeOrderedAndProject (per-
+    task heaps) — no shuffle, no RNG state; the sample is a pure function
+    of the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    u_int = sum(
+        (F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1)
+        .cast("long")  # int32 would overflow at nibble * 16^7 under ANSI
+        * F.lit(16 ** (7 - i)).cast("long")
+        for i in range(8)
+    )
+    # (u_int + 1) / 2^32 in (0, 1]: never 0, so ln(u) is finite
+    u = (u_int.cast("double") + 1.0) / F.lit(4294967296.0)
+    weight = F.size(F.split(F.lower(F.trim("text")), r"\s+")).cast("double")
+    key = F.round(F.log(u) / weight, 6)
+    return (
+        docs.select(
+            "doc_id",
+            weight.cast("long").alias("weight_tokens"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def agg_histogram_bins(
+    spark: SparkSession, sf_dir: str, bin_width: float = 5000.0
+) -> DataFrame:
+    """Fixed-width histogram of lineitem extended prices: bin index, row
+    count, bin min/max — the numeric-distribution profiling pass.  One
+    scan + one hash aggregate on the bin key; partial aggregation does the
+    heavy lifting map-side, so the exchange carries only n_bins rows per
+    task."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    bin_idx = F.floor(F.col("l_extendedprice") / bin_width).cast("long")
+    return (
+        lineitem.groupBy(bin_idx.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+        .orderBy("bin")
+    )
+
+
 def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling — per column, null count and exact distinct count —
     the data-quality pass an ingest pipeline runs before publishing (the

@@ -136,6 +136,49 @@ def test_jaccard_lsh_avoids_shingle_self_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_containment_lsh_avoids_shingle_self_join(spark):
+    """Containment scoring shares the Jaccard scorer's scaled shape: LSH
+    candidates + per-doc set joins, never a shingle self-join or
+    cartesian."""
+    df = dedup.dedup_containment_lsh(spark, SF_ORACLE)
+    plan = plans.formatted_plan(df)
+    plans.assert_no_cartesian_product(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_repetition_ratio_is_scan_only(spark):
+    """Within-doc trigram stats are a pure projection: zero shuffles."""
+    from simple_land_registry_data_ingestion_spark.functions import text as text_fns
+
+    df = text_fns.text_repetition_ratio(spark, SF_ORACLE)
+    assert plans.shuffle_count(df) == 0
+
+
+def test_weighted_sample_plans_takeordered_no_shuffle(spark):
+    """A-ES weighted sampling is scan + per-task heaps: the global top-k
+    never sorts or shuffles the corpus."""
+    df = relational.sample_weighted_aes(spark, SF_ORACLE)
+    assert "TakeOrderedAndProject" in plans.formatted_plan(df)
+    assert plans.shuffle_count(df) == 0
+
+
+def test_histogram_is_single_aggregation(spark):
+    """Fixed-bin histogram: one hash-partial + exchange + final (plus the
+    output sort's exchange at most)."""
+    df = relational.agg_histogram_bins(spark, SF_ORACLE)
+    assert plans.shuffle_count(df) <= 2
+    plans.assert_no_cartesian_product(df)
+
+
+def test_funnel_has_no_cartesian_and_bounded_shuffles(spark):
+    """Three conditional min-aggs + joins of per-user aggregates: every
+    join is keyed on user_id (no cartesian); shuffle count stays bounded
+    by the three aggregations + join exchanges."""
+    df = relational.events_funnel_conversion(spark, SF_ORACLE)
+    plans.assert_no_cartesian_product(df)
+    assert "BroadcastNestedLoopJoin" not in plans.formatted_plan(df)
+
+
 def test_fan_out_decides_from_plan_stats(spark):
     """fan_out must (a) repartition a byte-small input up to full
     parallelism and (b) leave an input alone when the scan already yields
