@@ -66,6 +66,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel_conversion": relational.events_funnel_conversion,
     "sample_weighted_aes": relational.sample_weighted_aes,
     "agg_histogram_bins": relational.agg_histogram_bins,
+    "similarity_ann_batch": similarity.similarity_ann_batch,
+    "text_bigram_perplexity": text_fns.text_bigram_perplexity,
     # ---- block B: newest driver row is round 1 ----
     "rollup_orders": relational.rollup_orders,
     "cube_lineitem": relational.cube_lineitem,
@@ -785,6 +787,24 @@ _ORACLES.update({
         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vectors
         FROM sigs GROUP BY bucket
     """,
+    "similarity_ann_batch": f"""
+        WITH {_VEC_CTE},
+        {_SIGS_CTE},
+        q AS (SELECT v.vec_id AS q_id, v.e AS qe, sigs.bucket AS qb
+              FROM v JOIN sigs ON v.vec_id = sigs.vec_id WHERE v.vec_id < 8),
+        scored AS (
+            SELECT q.q_id, v.vec_id,
+                   ROUND({_COS.format(a='v.e', b='q.qe')}, 6) AS cosine
+            FROM v JOIN sigs ON v.vec_id = sigs.vec_id
+            JOIN q ON sigs.bucket = q.qb AND v.vec_id <> q.q_id),
+        ranked AS (
+            SELECT q_id, vec_id, cosine,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY q_id
+                        ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+            FROM scored)
+        SELECT q_id, vec_id, cosine, rnk FROM ranked WHERE rnk <= 3
+    """,
     "similarity_ann_ivf": f"""
         WITH {_VEC_CTE},
         c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 16),
@@ -864,6 +884,23 @@ _ORACLES.update({
                ROUND(MIN(l_extendedprice), 2) AS min_price,
                ROUND(MAX(l_extendedprice), 2) AS max_price
         FROM lineitem GROUP BY 1 ORDER BY bin
+    """,
+    "text_bigram_perplexity": r"""
+        WITH docs AS (SELECT doc_id,
+                             string_split_regex(lower(trim(text)), '\s+') AS ws
+                      FROM documents),
+        big AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+                FROM docs, UNNEST(range(1, len(ws))) t(i)),
+        c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM big GROUP BY 1, 2),
+        c1 AS (SELECT w1, COUNT(*) AS n1 FROM big GROUP BY 1)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(exp(-AVG(ln(c12.n12 * 1.0 / c1.n1))) + 1e-9, 4)
+                   AS perplexity
+        FROM big
+        JOIN c12 ON big.w1 = c12.w1 AND big.w2 = c12.w2
+        JOIN c1 ON big.w1 = c1.w1
+        GROUP BY doc_id
     """,
 })
 

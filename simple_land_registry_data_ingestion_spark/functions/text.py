@@ -244,6 +244,52 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under a corpus-level bigram MLE language
+    model — the KenLM-style quality signal: low perplexity = the document
+    looks like the corpus; high = outlier/noise/generated junk.
+
+    Model: p(w2|w1) = C(w1 w2) / C(w1 ·), both counted over ALL documents'
+    bigram positions.  Per doc, perplexity = exp(-mean ln p) over its
+    bigram occurrences.  MLE without smoothing is exact here because every
+    scored bigram is by construction in the corpus (p > 0 always).
+
+    Shape at scale: one bigram explode (shuffle on (w1,w2) and on w1 for
+    the two count tables — both vocabulary-sized, far smaller than the
+    corpus, so AQE broadcasts them back), then a doc-keyed mean.  The
+    1e-9 nudge keeps the 4-dp rounding off engine-divergent halfway
+    points; ln/exp and summation-order effects live ~10 digits below it."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", words_col("text").alias("ws")
+    )
+    ws = F.col("ws")
+    n = F.size(ws)
+    bi = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(ws, i).alias("w1"),
+                F.element_at(ws, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = docs.select("doc_id", F.explode(bi).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = big.join(c12, ["w1", "w2"]).join(c1, "w1")
+    ln_p = F.log(F.col("c12").cast("double") / F.col("c1").cast("double"))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.exp(-F.avg(ln_p)) + 1e-9, 4).alias("perplexity"),
+        )
+    )
+
+
 def text_stats_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The UDF surface done right (SURVEY section 2.9): when text logic
     outgrows column expressions, a VECTORIZED pandas_udf (Arrow batches,

@@ -215,6 +215,50 @@ def probe_ann_bucket_layout(
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
 
 
+def similarity_ann_batch(
+    spark: SparkSession, sf_dir: str, k: int = 3, n_queries: int = 8
+) -> DataFrame:
+    """BATCHED ANN: top-k neighbors for a whole batch of query vectors in
+    ONE bucketed pass — the production serving shape (queries arrive in
+    batches; running the single-query plan per query re-scans the corpus
+    batch-size times).
+
+    Plan: the query batch (vec_id < n_queries) broadcasts with its
+    buckets; candidates equi-join on bucket equality — every query only
+    meets its own bucket's candidates, so the scored pair count is
+    sum-over-queries of bucket sizes, never |batch| x |corpus|.  One
+    window partitioned by query keeps each query's top-k.  At rest the
+    same probe partition-prunes per bucket (write_ann_bucket_layout)."""
+    emb = fan_out(load(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", signature_bits(F.col("embedding"))
+    )
+    q = (
+        emb.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+            norm(F.col("embedding")).alias("q_norm"),
+            F.col("bucket").alias("q_bucket"),
+        )
+    )
+    candidates = emb.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket"))
+        & (F.col("vec_id") != F.col("q_id")),
+    )
+    scored = candidates.select(
+        "q_id",
+        "vec_id",
+        F.round(_cosine_vs_query(F.col("embedding")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "cosine", "rnk")
+    )
+
+
 def similarity_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH bucket occupancy — the skew diagnostic for the ANN path."""
     emb = fan_out(load(spark, sf_dir, "embeddings"))

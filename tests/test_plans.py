@@ -179,6 +179,28 @@ def test_funnel_has_no_cartesian_and_bounded_shuffles(spark):
     assert "BroadcastNestedLoopJoin" not in plans.formatted_plan(df)
 
 
+def test_batch_ann_is_bucket_equijoin_not_cross(spark):
+    """A query BATCH must meet only its own buckets' candidates: the
+    query-side join is a broadcast hash equi-join on the bucket key, never
+    a nested-loop over |batch| x |corpus|."""
+    df = similarity.similarity_ann_batch(spark, SF_ORACLE)
+    plan = plans.formatted_plan(df)
+    plans.assert_no_cartesian_product(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plans.broadcast_join_count(df) >= 1
+
+
+def test_bigram_perplexity_joins_vocab_no_cartesian(spark):
+    """LM scoring joins the bigram stream to vocabulary-sized count tables
+    on their keys — no cartesian, no nested loop."""
+    from simple_land_registry_data_ingestion_spark.functions import text as text_fns
+
+    df = text_fns.text_bigram_perplexity(spark, SF_ORACLE)
+    plan = plans.formatted_plan(df)
+    plans.assert_no_cartesian_product(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_fan_out_decides_from_plan_stats(spark):
     """fan_out must (a) repartition a byte-small input up to full
     parallelism and (b) leave an input alone when the scan already yields
