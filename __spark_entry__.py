@@ -68,6 +68,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_histogram_bins": relational.agg_histogram_bins,
     "similarity_ann_batch": similarity.similarity_ann_batch,
     "text_bigram_perplexity": text_fns.text_bigram_perplexity,
+    "cdc_merge_upsert": relational.cdc_merge_upsert,
     # ---- block B: newest driver row is round 1 ----
     "rollup_orders": relational.rollup_orders,
     "cube_lineitem": relational.cube_lineitem,
@@ -884,6 +885,17 @@ _ORACLES.update({
                ROUND(MIN(l_extendedprice), 2) AS min_price,
                ROUND(MAX(l_extendedprice), 2) AS max_price
         FROM lineitem GROUP BY 1 ORDER BY bin
+    """,
+    # The merge's correctness contract IS the oracle: applying the derived
+    # I/U/D batch to the 'old' snapshot must reproduce the 'new' snapshot
+    # exactly, so the twin computes 'new' directly.
+    "cdc_merge_upsert": """
+        SELECT o_orderkey,
+               ROUND(CASE WHEN substring(md5('mod:' || CAST(o_orderkey AS VARCHAR)), 1, 1)
+                               IN ('0', '1')
+                          THEN o_totalprice * 1.1 ELSE o_totalprice END, 2) AS price
+        FROM orders
+        WHERE substring(md5('new:' || CAST(o_orderkey AS VARCHAR)), 1, 1) <> '0'
     """,
     "text_bigram_perplexity": r"""
         WITH docs AS (SELECT doc_id,

@@ -759,6 +759,90 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def merge_upsert(
+    target: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """MERGE INTO semantics (the Delta/Iceberg upsert) as plain DataFrame
+    ops: the change batch carries an op per key — I(nsert)/U(pdate) rows
+    win over the target's version, D(elete) rows drop the key, absent keys
+    pass through.
+
+    One FULL OUTER join on the key is the whole dataflow — at scale a
+    key-partitioned sort-merge join, linear in target + batch; a table
+    format would add transactionality/file rewrite on top, the merge
+    RESOLUTION is exactly this.  Value resolution is by coalesce: every
+    non-key, non-op column present in both sides takes the change side
+    when the key is in the batch."""
+    value_cols = [c for c in target.columns if c != key]
+    chg = changes
+    for c in value_cols:
+        if c not in changes.columns:
+            chg = chg.withColumn(c, F.lit(None))
+    chg = chg.select(key, op_col, *[F.col(c).alias(f"__chg_{c}") for c in value_cols])
+    joined = target.join(chg, key, "full_outer")
+    merged = joined.where(
+        F.col(op_col).isNull() | (F.col(op_col) != "D")
+    )
+    out_vals = [
+        F.when(F.col(op_col).isNotNull(), F.col(f"__chg_{c}"))
+        .otherwise(F.col(c))
+        .alias(c)
+        for c in value_cols
+    ]
+    return merged.select(key, *out_vals)
+
+
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a derived change batch to a snapshot with MERGE semantics and
+    publish the result — the incremental-load counterpart of the
+    reference's full refresh (E6): instead of truncate-and-reload, ship
+    I/U/D deltas and merge.
+
+    Self-verifying construction: the change batch is the diff between the
+    deterministic 'old' and 'new' snapshots (same md5 carving as
+    cdc_snapshot_diff), so a CORRECT merge of old + batch must reproduce
+    the 'new' snapshot bit-for-bit — which is exactly what the oracle
+    asserts.  Any dropped delete, doubled insert, or missed update breaks
+    the equality."""
+    orders = load(spark, sf_dir, "orders")
+    nib = lambda salt: F.substring(  # noqa: E731 - local shorthand
+        F.md5(F.concat(F.lit(salt), F.col("o_orderkey").cast("string"))), 1, 1
+    )
+    old = orders.where(nib("old:") != "0").select(
+        F.col("o_orderkey").alias("key"), F.col("o_totalprice").alias("price")
+    )
+    new = orders.where(nib("new:") != "0").select(
+        F.col("o_orderkey").alias("key"),
+        F.round(
+            F.when(nib("mod:").isin("0", "1"), F.col("o_totalprice") * 1.1)
+            .otherwise(F.col("o_totalprice")),
+            2,
+        ).alias("price"),
+    )
+    diff = old.select("key", F.col("price").alias("old_price")).join(
+        new.select("key", F.col("price").alias("new_price")), "key", "full_outer"
+    )
+    batch = diff.where(
+        F.col("old_price").isNull()
+        | F.col("new_price").isNull()
+        | (F.col("old_price") != F.col("new_price"))
+    ).select(
+        "key",
+        F.when(F.col("old_price").isNull(), "I")
+        .when(F.col("new_price").isNull(), "D")
+        .otherwise("U")
+        .alias("op"),
+        F.col("new_price").alias("price"),
+    )
+    merged = merge_upsert(old, batch, "key")
+    return merged.select(
+        F.col("key").alias("o_orderkey"), F.col("price").alias("price")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts / limits / top-k (SURVEY 2.6)
 # ---------------------------------------------------------------------------

@@ -179,6 +179,29 @@ def test_funnel_has_no_cartesian_and_bounded_shuffles(spark):
     assert "BroadcastNestedLoopJoin" not in plans.formatted_plan(df)
 
 
+def test_merge_upsert_semantics(spark):
+    """MERGE resolution: I inserts, U wins over target, D drops the key,
+    untouched keys pass through; an empty batch is the identity."""
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "key long, v string"
+    )
+    batch = spark.createDataFrame(
+        [(2, "U", "b2"), (3, "D", None), (4, "I", "d")],
+        "key long, op string, v string",
+    )
+    out = {
+        r["key"]: r["v"]
+        for r in relational.merge_upsert(target, batch, "key").collect()
+    }
+    assert out == {1: "a", 2: "b2", 4: "d"}
+    empty = batch.limit(0)
+    same = {
+        r["key"]: r["v"]
+        for r in relational.merge_upsert(target, empty, "key").collect()
+    }
+    assert same == {1: "a", 2: "b", 3: "c"}
+
+
 def test_batch_ann_is_bucket_equijoin_not_cross(spark):
     """A query BATCH must meet only its own buckets' candidates: the
     query-side join is a broadcast hash equi-join on the bucket key, never
