@@ -60,7 +60,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the recurrence engine-independent (unrolled DuckDB twin below)
     "similarity_ivf_kmeans": similarity.similarity_ivf_kmeans,
     "stream_left_outer_interval_join": stream_ops.stream_stream_left_outer_interval_join,
-    "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
+    # (dedup_simhash_pairs moved to block D: its r02 correctness row is
+    # still valid — round 3 changed only the physical plan, and
+    # tests/test_oracle_parity.py re-proves the values locally)
     "text_repetition_ratio": text_fns.text_repetition_ratio,
     "dedup_containment_lsh": dedup.dedup_containment_lsh,
     "events_funnel_conversion": relational.events_funnel_conversion,
@@ -69,6 +71,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ann_batch": similarity.similarity_ann_batch,
     "text_bigram_perplexity": text_fns.text_bigram_perplexity,
     "cdc_merge_upsert": relational.cdc_merge_upsert,
+    "stream_inactivity_sessions": stream_ops.stream_inactivity_sessions,
     # ---- block B: newest driver row is round 1 ----
     "rollup_orders": relational.rollup_orders,
     "cube_lineitem": relational.cube_lineitem,
@@ -128,6 +131,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
     "similarity_topk_bruteforce": similarity.similarity_topk_bruteforce,
     # ---- block D: freshest driver evidence ----
+    "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
     "similarity_ann_lsh": similarity.similarity_ann_lsh,
     "similarity_ann_ivf": similarity.similarity_ann_ivf,
     "similarity_bucket_histogram": similarity.similarity_bucket_histogram,
@@ -1235,6 +1239,40 @@ _ORACLES.update({
                CAST(COUNT(*) AS BIGINT) AS n_attributed_pairs,
                CAST(COUNT(DISTINCT p_event) AS BIGINT) AS n_purchases_with_prior_click
         FROM j GROUP BY 1
+    """,
+    # EventTimeTimeout sessionizer: closed sessions = batch 30-min-gap
+    # sessionization, where every non-final session per user emits (in-data
+    # close) and each user's FINAL session emits only if the final
+    # watermark (max ts - 10 min) passed its end + gap (timeout close).
+    "stream_inactivity_sessions": """
+        WITH ev AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events),
+        lagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
+                             >= INTERVAL 30 MINUTE
+                         OR LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_s
+            FROM ev),
+        seqs AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id
+                                    ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS seq
+            FROM lagged),
+        sessions AS (
+            SELECT user_id, seq, MIN(ts) AS session_start,
+                   MAX(ts) AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM seqs GROUP BY 1, 2),
+        wm AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS w FROM ev)
+        SELECT user_id, session_start, session_end, n_events
+        FROM sessions, wm
+        WHERE seq < (SELECT MAX(s2.seq) FROM sessions s2
+                     WHERE s2.user_id = sessions.user_id)
+           OR session_end + INTERVAL 30 MINUTE <= wm.w
     """,
     # Left-outer variant: matched rows equal the batch left join's; NULL
     # rows only for purchases the FINAL watermark (min over both sides of

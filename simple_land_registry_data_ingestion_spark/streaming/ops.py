@@ -445,6 +445,98 @@ def _user_stats_state_fn(
     )
 
 
+INACTIVITY_GAP_MINUTES = 30
+
+
+def _inactivity_session_fn(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """EventTimeTimeout sessionizer: per user, an open activity window
+    (start, last, n) lives in state; a CLOSED session row is emitted when
+    either (a) the watermark passes last_event + gap — the TIMEOUT path,
+    state removed, which is how idle users' state leaves the store — or
+    (b) a same-user event arrives more than gap after the previous one —
+    the in-data path, closing the old window and opening a new one.
+
+    This is the custom stateful operator the built-in session_window cannot
+    express when the per-session output needs arbitrary Python logic; the
+    timeout discipline is what bounds the state store to ACTIVE users."""
+    (user_id,) = key
+    gap_us = INACTIVITY_GAP_MINUTES * 60 * 1_000_000
+    closed: list[tuple[int, int, int]] = []
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        closed.append((start_us, last_us, n))
+        state.remove()
+    else:
+        start_us, last_us, n = state.get if state.exists else (None, None, 0)
+        ts_all: list[int] = []
+        for pdf in batches:
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            ts_all.extend(int(t) for t in ts_us)
+        for t in sorted(ts_all):
+            if start_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us >= gap_us:
+                closed.append((start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = t, n + 1
+        state.update((start_us, last_us, n))
+        # event-time timeouts are set in MILLISECONDS
+        state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(closed),
+            "session_start_us": [c[0] for c in closed],
+            "session_end_us": [c[1] for c in closed],
+            "n_events": [c[2] for c in closed],
+        }
+    )
+
+
+def stream_inactivity_sessions(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Closed user sessions via the EventTimeTimeout stateful operator.
+    Only sessions the watermark has proven over (last event + gap passed)
+    emit; a still-open session's state is simply dropped at end-of-stream
+    — the same withholding discipline as append-mode windows."""
+    sessions = (
+        events_stream(spark, sf_dir, glob, max_files_per_trigger)
+        .withWatermark("ts", watermark)
+        .select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _inactivity_session_fn,
+            outputStructType=(
+                "user_id long, session_start_us long, session_end_us long, "
+                "n_events long"
+            ),
+            stateStructType="start_us long, last_us long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    out = run_stream_to_table(sessions, "append")
+    return out.select(
+        "user_id",
+        F.timestamp_micros(F.col("session_start_us")).cast("timestamp_ntz").alias(
+            "session_start"
+        ),
+        F.timestamp_micros(F.col("session_end_us")).cast("timestamp_ntz").alias(
+            "session_end"
+        ),
+        "n_events",
+    )
+
+
 def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user running
     stats.  The pattern for operators Spark lacks natively (SURVEY §2.10) —

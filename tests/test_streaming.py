@@ -107,6 +107,48 @@ def test_left_outer_join_emits_nulls_only_after_watermark(spark, tmp_path):
     assert run(str(d_both)) == {1: (1, 0, 1), 2: (1, 1, 0)}
 
 
+def test_inactivity_sessions_close_by_timeout_and_gap(spark, tmp_path):
+    """EventTimeTimeout state discipline, across real micro-batches:
+    (a) a session closes IN-DATA when the same user's next event arrives
+        past the gap;
+    (b) an idle user's session closes by TIMEOUT once later events advance
+        the watermark past last_event + gap (state evicted);
+    (c) a session the final watermark never proves over is withheld."""
+    import datetime as dt
+
+    def ns(h, m):
+        t = dt.datetime(2024, 1, 1, h, m, tzinfo=dt.timezone.utc)
+        return int(t.timestamp() * 1_000_000_000)
+
+    early = [
+        (1, ns(10, 0), 1, "view", 0.0, "{}"),
+        (2, ns(10, 10), 1, "click", 0.0, "{}"),   # same session (10 min gap)
+        (3, ns(10, 0), 2, "view", 0.0, "{}"),     # u2 then goes idle
+    ]
+    late = [
+        (4, ns(13, 0), 1, "view", 0.0, "{}"),     # >30 min after 10:10 -> in-data close
+        (5, ns(23, 0), 9, "view", 0.0, "{}"),     # clock: watermark -> 22:50
+    ]
+    d = tmp_path / "events"
+    d.mkdir()
+    _write_events_file(str(d / "0.parquet"), early)
+    _write_events_file(str(d / "1.parquet"), late)
+
+    out = ops.stream_inactivity_sessions(
+        spark, str(d), glob="*.parquet", max_files_per_trigger=1
+    )
+    rows = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2),  # in-data close
+        (1, "2024-01-01 13:00:00", "2024-01-01 13:00:00", 1),  # timeout close
+        (2, "2024-01-01 10:00:00", "2024-01-01 10:00:00", 1),  # timeout close
+        # u9 (23:00) withheld: watermark 22:50 never passes 23:30
+    }
+
+
 def test_stateful_op_accumulates_across_triggers(spark, split_events_dir, tmp_path):
     """applyInPandasWithState must fold every micro-batch into the same keyed
     state; the LAST update per user equals the whole-table GROUP BY."""
