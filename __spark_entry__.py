@@ -20,6 +20,7 @@ from simple_land_registry_data_ingestion_spark.operators import (
     asof,
     dedup,
     multimodal,
+    packing,
     relational,
     similarity,
     skew,
@@ -55,6 +56,9 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessio
 #: Rotate each round so no query's newest driver row ages past 2 rounds.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- block A: changed or added this round ----
+    "pack_sequences_documents": packing.pack_sequences_documents,
+    "text_gopher_filter": text_fns.text_gopher_filter,
+    "dedup_decontaminate": dedup.dedup_decontaminate,
     "multimodal_frame_sample": multimodal.multimodal_frame_sample,
     # full oracle: the Lloyd loop quantizes means/cosines to 6 dp, making
     # the recurrence engine-independent (unrolled DuckDB twin below)
@@ -118,6 +122,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "calendar_publish_dates": calendar.calendar_publish_dates,
     # -- text analysis (north-star X4) --
     "text_token_count": text_fns.text_token_count,
+    # (text_quality_score / text_lang_id sit just past the 50-entry window
+    # this round — their newest driver row is r01, exactly 2 rounds old;
+    # they lead the r04 rotation.)
     "text_quality_score": text_fns.text_quality_score,
     "text_lang_id": text_fns.text_lang_id,
     # ---- block C: oldest round-2 rows, padding the prefix to 50 ----
@@ -1434,6 +1441,93 @@ _ORACLES.update({
                CAST(length(substring(text, CAST(i * 100 + 1 AS BIGINT), 200))
                     AS BIGINT) AS n_chars
         FROM d, UNNEST(range(0, CAST(ceil(n / 100.0) AS BIGINT))) t(i)
+    """,
+})
+
+# Training-data export / corpus-hygiene operators (round 3).
+_ORACLES.update({
+    # Concat-and-chunk sequence packing: the oracle's single global window
+    # IS the semantic spec; the engine computes the same exclusive prefix
+    # sum with a two-level scan (per-shard windows + broadcast shard
+    # offsets) so no single task ever sees the whole corpus.
+    "pack_sequences_documents": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens
+            FROM documents),
+        o AS (
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                       AS token_offset
+            FROM t)
+        SELECT doc_id, n_tokens, token_offset,
+               CAST(token_offset // 64 AS BIGINT) AS seq_start,
+               CAST((token_offset + n_tokens - 1) // 64 AS BIGINT) AS seq_end,
+               CAST((token_offset + n_tokens - 1) // 64 - token_offset // 64 + 1 AS BIGINT) AS n_seqs
+        FROM o ORDER BY doc_id
+    """,
+    "text_gopher_filter": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS ws,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS nonspace,
+                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha
+            FROM documents),
+        s AS (
+            SELECT doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_tokens,
+                   nonspace / len(ws) AS mean_word_len,
+                   alpha / n_chars AS alpha_ratio,
+                   CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS distinct_ratio,
+                   CAST(len(list_filter(ws, w -> w IN
+                       ('the','a','and','of','to','in','is','it','that','for'))) AS BIGINT) AS stop_hits
+            FROM t),
+        f AS (
+            SELECT *,
+                   (n_tokens BETWEEN 8 AND 2048) AS ok_tokens,
+                   (mean_word_len BETWEEN 2.0 AND 12.0) AS ok_word_len,
+                   (alpha_ratio >= 0.6) AS ok_alpha,
+                   (distinct_ratio >= 0.3) AS ok_distinct,
+                   (stop_hits >= 1) AS ok_stop
+            FROM s)
+        SELECT doc_id, n_tokens,
+               round(mean_word_len + 1e-9, 4) AS mean_word_len,
+               round(alpha_ratio + 1e-9, 4) AS alpha_ratio,
+               round(distinct_ratio + 1e-9, 4) AS distinct_ratio,
+               stop_hits,
+               (ok_tokens AND ok_word_len AND ok_alpha AND ok_distinct AND ok_stop) AS keep,
+               concat_ws(',',
+                   CASE WHEN NOT ok_tokens THEN 'n_tokens' END,
+                   CASE WHEN NOT ok_word_len THEN 'mean_word_len' END,
+                   CASE WHEN NOT ok_alpha THEN 'alpha_ratio' END,
+                   CASE WHEN NOT ok_distinct THEN 'distinct_ratio' END,
+                   CASE WHEN NOT ok_stop THEN 'stop_hits' END) AS fail_reasons
+        FROM f
+    """,
+    # Benchmark decontamination: eval set = doc_id % 97 == 0; a train doc is
+    # contaminated when >= 2 of its distinct 3-gram shingles collide with
+    # the eval shingle set.
+    "dedup_decontaminate": r"""
+        WITH docs AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+                      FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle
+            FROM docs, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+        ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+        tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id),
+        hit AS (SELECT t.doc_id, COUNT(*) AS n_overlap
+                FROM tr t JOIN ev USING (shingle) GROUP BY t.doc_id
+                HAVING COUNT(*) >= 2)
+        SELECT h.doc_id,
+               CAST(n_shingles AS BIGINT) AS n_shingles,
+               CAST(n_overlap AS BIGINT) AS n_overlap,
+               round(n_overlap * 1.0 / n_shingles + 1e-9, 4) AS containment
+        FROM hit h JOIN tot USING (doc_id)
+        ORDER BY doc_id
     """,
 })
 

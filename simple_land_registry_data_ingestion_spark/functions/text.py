@@ -319,3 +319,75 @@ def text_stats_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens_pd("text").alias("n_tokens"),
         n_alpha_pd("text").alias("n_alpha_chars"),
     )
+
+
+#: Gopher-style document filter rules: (name, min, max) over the signals
+#: computed in text_gopher_filter.  A document is kept iff every rule holds.
+GOPHER_RULES = {
+    "n_tokens": (8.0, 2048.0),
+    "mean_word_len": (2.0, 12.0),
+    "alpha_ratio": (0.6, 1.0),
+    "distinct_ratio": (0.3, 1.0),
+    "stop_hits": (1.0, float("inf")),
+}
+
+
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality filter in the style of Gopher/MassiveText rules:
+    token-count bounds, mean word length, alphabetic ratio, distinct-token
+    ratio, and an English-stopword floor, combined into a keep/drop verdict
+    plus a comma-joined list of the rules that failed.
+
+    One scan, all signals as column expressions over a single materialized
+    word array — at 100 TB this runs at parquet-scan speed and the verdict
+    column partitions the corpus for the keep/drop split writer.  The
+    fail-reason string makes rejection auditable (per-rule drop counts are
+    one groupBy away) — the operational shape every production corpus
+    filter converges on.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", words_col("text").alias("ws")
+    )
+    n_tokens = F.size("ws").cast("long")
+    nonspace = F.length(F.regexp_replace("text", r"\s+", "")).cast("double")
+    alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", "")).cast("double")
+    n_chars = F.length("text").cast("double")
+    stop = STOPWORDS["en"]
+    stop_hits = F.size(F.filter(F.col("ws"), lambda w: w.isin(*stop))).cast("long")
+    mean_word_len = nonspace / n_tokens
+    alpha_ratio = alpha / n_chars
+    distinct_ratio = F.size(F.array_distinct("ws")).cast("double") / n_tokens
+
+    lo, hi = GOPHER_RULES["n_tokens"]
+    ok_tokens = (n_tokens >= lo) & (n_tokens <= hi)
+    lo, hi = GOPHER_RULES["mean_word_len"]
+    ok_word_len = (mean_word_len >= lo) & (mean_word_len <= hi)
+    lo, _ = GOPHER_RULES["alpha_ratio"]
+    ok_alpha = alpha_ratio >= lo
+    lo, _ = GOPHER_RULES["distinct_ratio"]
+    ok_distinct = distinct_ratio >= lo
+    lo, _ = GOPHER_RULES["stop_hits"]
+    ok_stop = stop_hits >= lo
+
+    flags = [
+        ("n_tokens", ok_tokens),
+        ("mean_word_len", ok_word_len),
+        ("alpha_ratio", ok_alpha),
+        ("distinct_ratio", ok_distinct),
+        ("stop_hits", ok_stop),
+    ]
+    # concat_ws drops nulls, so failed-rule names join cleanly.
+    fail_reasons = F.concat_ws(
+        ",", *[F.when(~flag, F.lit(name)) for name, flag in flags]
+    )
+    keep = ok_tokens & ok_word_len & ok_alpha & ok_distinct & ok_stop
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(mean_word_len + 1e-9, 4).alias("mean_word_len"),
+        F.round(alpha_ratio + 1e-9, 4).alias("alpha_ratio"),
+        F.round(distinct_ratio + 1e-9, 4).alias("distinct_ratio"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("keep"),
+        fail_reasons.alias("fail_reasons"),
+    )

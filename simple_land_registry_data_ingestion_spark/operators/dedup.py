@@ -652,3 +652,59 @@ def dedup_embedding_cosine(
         pairs.select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/eval decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing >=
+    ``min_overlap`` distinct word n-gram shingles with an evaluation set.
+
+    The industry-standard contamination check (n-gram collision against
+    held-out benchmarks) expressed Spark-first:
+
+    - the eval side collapses to a DISTINCT shingle set and is BROADCAST —
+      benchmark suites are MBs against a 100 TB corpus, so the probe is a
+      map-side hash join on every train partition, no shuffle of the corpus;
+      for an eval side too big to broadcast, drop the hint and the same plan
+      degrades gracefully to a shuffled hash join on the shingle key;
+    - the train side shingles once (distinct within doc) and aggregates hit
+      counts per doc — one map-side-combined groupBy on doc_id.
+
+    Output: one row per CONTAMINATED train doc with its shingle count,
+    overlap count, and containment = n_overlap / n_shingles (the fraction
+    of the doc's shingles that collide with the eval set).  Documents with
+    fewer than ``n`` words have no shingles and are trivially clean.
+    """
+    tr_sh = shingle_table(train, n=n)  # distinct: overlap COUNTS rows
+    ev_sh = shingle_table(eval_docs, n=n).select("shingle").distinct()
+    totals = tr_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        tr_sh.join(F.broadcast(ev_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+        .where(F.col("n_overlap") >= min_overlap)
+    )
+    containment = F.col("n_overlap").cast("double") / F.col("n_shingles")
+    return hits.join(totals, "doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        F.round(containment + 1e-9, 4).alias("containment"),
+    )
+
+
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: docs with doc_id % 97 == 0 stand in for the
+    held-out benchmark; every other doc is the training corpus."""
+    docs = load(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 97 == 0
+    return decontaminate(docs.where(~is_eval), docs.where(is_eval)).orderBy("doc_id")
