@@ -26,6 +26,7 @@ Scale notes:
 from __future__ import annotations
 
 import itertools
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -34,11 +35,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-#: Raw parquet schema of the events table (ts is INT64 TIMESTAMP(NANOS),
-#: which Spark cannot read natively — see tables.py).
+#: Raw parquet schema of the events table when the generator wrote ``ts``
+#: as INT64 TIMESTAMP(NANOS), which Spark cannot read natively — see
+#: tables.py.  Newer generators write TIMESTAMP(MICROS); that variant is
+#: read with _EVENTS_TS_SCHEMA directly (no conversion).
 _EVENTS_RAW_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"
 )
+
+_EVENTS_TS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+)
+
+
+def _sniff_ts_unit(sf_dir: str, glob: str) -> str | None:
+    """Time unit ('ns'/'us'/'ms'/None) of events.ts under sf_dir/glob —
+    a driver-side footer read of the first matching file."""
+    import glob as globmod
+
+    from simple_land_registry_data_ingestion_spark.tables import _events_ts_unit
+
+    matches = sorted(globmod.glob(os.path.join(sf_dir, glob)))
+    return _events_ts_unit(matches[0]) if matches else None
 
 _QUERY_COUNTER = itertools.count()
 
@@ -61,14 +79,15 @@ def events_stream(
     a 100 TB backlog from becoming one giant batch); with availableNow the
     stream still drains the full backlog across several triggers.
     """
-    reader = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", glob)
-    )
+    nanos = _sniff_ts_unit(sf_dir, glob) == "ns"
+    schema = _EVENTS_RAW_SCHEMA if nanos else _EVENTS_TS_SCHEMA
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.parquet(sf_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def foreach_batch_parquet_sink(df: DataFrame, path: str, checkpoint: str):

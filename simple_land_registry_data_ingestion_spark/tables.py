@@ -26,14 +26,27 @@ DIMENSION_TABLES = frozenset({"region", "nation", "supplier"})
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-#: events.parquet stores ``ts`` as INT64 TIMESTAMP(NANOS), which Spark's
-#: parquet reader rejects (PARQUET_TYPE_ILLEGAL).  Read it as raw long and
-#: convert nanos -> micros with integer division (a double division would
-#: lose precision above 2^53 ns) -> timestamp_ntz, matching DuckDB's
-#: truncating ns->us cast.
+#: Some generator versions write events.parquet ``ts`` as INT64
+#: TIMESTAMP(NANOS), which Spark's parquet reader rejects
+#: (PARQUET_TYPE_ILLEGAL); newer ones write TIMESTAMP(MICROS), which reads
+#: natively.  ``load`` sniffs the footer (driver-side metadata read, one
+#: file) and only applies the raw-long nanos->micros workaround when the
+#: unit really is 'ns'.  Integer division (not double) keeps precision
+#: above 2^53 ns, matching DuckDB's truncating ns->us cast.
 _EVENTS_RAW_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"
 )
+
+
+def _events_ts_unit(path: str) -> str | None:
+    """Return the parquet time unit ('ns'/'us'/'ms') of events.ts, or None."""
+    try:
+        import pyarrow.parquet as pq
+
+        field = pq.ParquetFile(path).schema_arrow.field("ts")
+        return getattr(field.type, "unit", None)
+    except Exception:
+        return None
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -41,10 +54,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushdown apply automatically to whatever the caller selects/filters."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
-        return raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        if _events_ts_unit(path) == "ns":
+            raw = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(path)
+            return raw.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(path)
 
 

@@ -14,6 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
+from simple_land_registry_data_ingestion_spark import tables
 from simple_land_registry_data_ingestion_spark.streaming import ops
 from tests.conftest import SF_SMALL
 
@@ -23,19 +24,18 @@ def split_events_dir(spark, tmp_path_factory):
     """events (sf0.001) split into 4 parquet files so maxFilesPerTrigger=1
     yields 4 micro-batches."""
     out = str(tmp_path_factory.mktemp("events_split"))
-    raw = spark.read.schema(ops._EVENTS_RAW_SCHEMA).parquet(
-        f"{SF_SMALL}/events.parquet"
-    )
+    raw = tables.load(spark, SF_SMALL, "events")
     raw.repartition(4).write.mode("overwrite").parquet(out)
     return out
 
 
 def _batch_events(spark, path):
-    raw = spark.read.schema(ops._EVENTS_RAW_SCHEMA).parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _write_events_file(path, rows):
+    """rows carry ts in epoch NANOS; written as TIMESTAMP(MICROS) parquet
+    (the same shape the current testdata generator produces)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -44,7 +44,7 @@ def _write_events_file(path, rows):
         pa.table(
             {
                 "event_id": pa.array(cols[0], pa.int64()),
-                "ts": pa.array(cols[1], pa.int64()),
+                "ts": pa.array([v // 1000 for v in cols[1]], pa.timestamp("us")),
                 "user_id": pa.array(cols[2], pa.int64()),
                 "event_type": pa.array(cols[3], pa.string()),
                 "value": pa.array(cols[4], pa.float64()),
