@@ -23,6 +23,7 @@ from simple_land_registry_data_ingestion_spark.operators import (
     packing,
     relational,
     similarity,
+    sketches,
     skew,
 )
 from simple_land_registry_data_ingestion_spark.session import apply_session_defaults
@@ -56,6 +57,15 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessio
 #: Rotate each round so no query's newest driver row ages past 2 rounds.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- block A: changed or added this round ----
+    "events_heavy_hitters": sketches.events_heavy_hitters,
+    "sample_token_budget_mix": relational.sample_token_budget_mix,
+    "events_anomaly_mad": relational.events_anomaly_mad,
+    "text_zipf_slope": text_fns.text_zipf_slope,
+    "split_leakage_free": dedup.split_leakage_free,
+    "similarity_pq_adc": similarity.similarity_pq_adc,
+    "dedup_incremental_minhash": dedup.dedup_incremental_minhash,
+    "dedup_canonical_by_quality": dedup.dedup_canonical_by_quality,
+    "events_retention_cohorts": relational.events_retention_cohorts,
     "pack_sequences_documents": packing.pack_sequences_documents,
     "text_gopher_filter": text_fns.text_gopher_filter,
     "dedup_decontaminate": dedup.dedup_decontaminate,
@@ -238,6 +248,36 @@ _SIMHASH_CTE = r"""
 
 #: 16-term nibble-mismatch count between fp aliases fa/fb.
 _SIMHASH_DIST = "((CASE WHEN substring(fa.simhash, 1, 1) <> substring(fb.simhash, 1, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(fa.simhash, 2, 1) <> substring(fb.simhash, 2, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(fa.simhash, 3, 1) <> substring(fb.simhash, 3, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(fa.simhash, 4, 1) <> substring(fb.simhash, 4, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(fa.simhash, 5, 1) <> substring(fb.simhash, 5, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(fa.simhash, 6, 1) <> substring(fb.simhash, 6, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(fa.simhash, 7, 1) <> substring(fb.simhash, 7, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(fa.simhash, 8, 1) <> substring(fb.simhash, 8, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(fa.simhash, 9, 1) <> substring(fb.simhash, 9, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(fa.simhash, 10, 1) <> substring(fb.simhash, 10, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(fa.simhash, 11, 1) <> substring(fb.simhash, 11, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(fa.simhash, 12, 1) <> substring(fb.simhash, 12, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(fa.simhash, 13, 1) <> substring(fb.simhash, 13, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(fa.simhash, 14, 1) <> substring(fb.simhash, 14, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(fa.simhash, 15, 1) <> substring(fb.simhash, 15, 1) THEN 1 ELSE 0 END) + (CASE WHEN substring(fa.simhash, 16, 1) <> substring(fb.simhash, 16, 1) THEN 1 ELSE 0 END))"
+
+#: MinHash-LSH candidate pairs closed into connected components via a
+#: recursive min-label reachability CTE.  Requires WITH RECURSIVE and the
+#: _SHINGLES_CTE prefix; ends in reach(node, label).  Shared by the cluster
+#: assignment oracle and the leakage-free split oracle.
+_CLUSTER_CTE = """
+        sig AS (
+            SELECT doc_id,
+                   min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+                   min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+                   min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5
+            FROM sh GROUP BY doc_id),
+        bands AS (
+            SELECT doc_id, '0:' || h0 || h1 AS band_key FROM sig
+            UNION ALL SELECT doc_id, '1:' || h2 || h3 FROM sig
+            UNION ALL SELECT doc_id, '2:' || h4 || h5 FROM sig),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM cand
+            UNION ALL SELECT doc_b, doc_a FROM cand),
+        reach(node, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, r.label
+            FROM reach r JOIN edges e ON r.node = e.src
+            WHERE r.label < e.dst)
+"""
 
 _SIGS_CTE = """
     planes AS (
@@ -678,29 +718,7 @@ _ORACLES.update({
     """,
     "dedup_cluster_assignments": f"""
         WITH RECURSIVE {_SHINGLES_CTE},
-        sig AS (
-            SELECT doc_id,
-                   min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
-                   min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
-                   min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5
-            FROM sh GROUP BY doc_id),
-        bands AS (
-            SELECT doc_id, '0:' || h0 || h1 AS band_key FROM sig
-            UNION ALL SELECT doc_id, '1:' || h2 || h3 FROM sig
-            UNION ALL SELECT doc_id, '2:' || h4 || h5 FROM sig),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
-              ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
-        edges AS (
-            SELECT doc_a AS src, doc_b AS dst FROM cand
-            UNION ALL SELECT doc_b, doc_a FROM cand),
-        reach(node, label) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT e.dst, r.label
-            FROM reach r JOIN edges e ON r.node = e.src
-            WHERE r.label < e.dst)
+        {_CLUSTER_CTE}
         SELECT node AS doc_id,
                MIN(label) AS cluster_id,
                node = MIN(label) AS is_canonical
@@ -1528,6 +1546,194 @@ _ORACLES.update({
                round(n_overlap * 1.0 / n_shingles + 1e-9, 4) AS containment
         FROM hit h JOIN tot USING (doc_id)
         ORDER BY doc_id
+    """,
+})
+
+
+def _pq_l2sq(a: str, b: str, off: str) -> str:
+    """Squared L2 between 8-dim sub-vectors of DOUBLE[] columns ``a``/``b``
+    at subspace offset ``off``, as an explicit LEFT-ASSOCIATED 8-term sum —
+    the same float addition order as the Spark fold in similarity._l2sq."""
+    terms = " + ".join(
+        f"({a}[{off}*8+{i}] - {b}[{off}*8+{i}]) * ({a}[{off}*8+{i}] - {b}[{off}*8+{i}])"
+        for i in range(1, 9)
+    )
+    return f"({terms})"
+
+
+_ORACLES.update({
+    "events_heavy_hitters": """
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id
+        HAVING COUNT(*) >= (SELECT COUNT(*) FROM events) / 256.0
+    """,
+    "sample_token_budget_mix": r"""
+        WITH d AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+                       AS n_tokens
+            FROM documents),
+        t AS (
+            SELECT doc_id, lang, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS tokens_before
+            FROM d)
+        SELECT doc_id, lang, n_tokens, tokens_before
+        FROM t WHERE tokens_before < 2000
+    """,
+    "events_anomaly_mad": """
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY 1),
+        dev AS (
+            SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS abs_dev
+            FROM events e JOIN med m USING (event_type)),
+        mad AS (
+            SELECT event_type, quantile_cont(abs_dev, 0.5) AS mad
+            FROM dev GROUP BY 1)
+        SELECT d.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(ANY_VALUE(d.med), 4) AS median_value,
+               ROUND(ANY_VALUE(m.mad), 4) AS mad_value,
+               CAST(SUM(CASE WHEN ABS(d.value - d.med) > 3 * 1.4826 * m.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY d.event_type
+    """,
+    "text_zipf_slope": r"""
+        WITH toks AS (
+            SELECT UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS token
+            FROM documents),
+        counts AS (
+            SELECT token, COUNT(*) AS cnt FROM toks
+            WHERE token <> '' GROUP BY 1),
+        ranked AS (
+            SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rnk
+            FROM counts)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+               ROUND(regr_slope(ln(cnt), ln(rnk)), 6) AS zipf_slope,
+               ROUND(regr_intercept(ln(cnt), ln(rnk)), 6) AS zipf_intercept
+        FROM ranked
+    """,
+    "split_leakage_free": f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        {_CLUSTER_CTE},
+        labels AS (
+            SELECT node AS doc_id, MIN(label) AS cluster_id
+            FROM reach GROUP BY node),
+        sp AS (
+            SELECT doc_id, cluster_id,
+                   CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1)
+                             IN ('0','1','2','3','4','5','6','7','8','9','a','b','c')
+                        THEN 'train' ELSE 'holdout' END AS split
+            FROM labels)
+        SELECT split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+        FROM sp GROUP BY split
+    """,
+    "similarity_pq_adc": f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        tr AS (
+            SELECT e, CAST(ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                   AS INTEGER) AS code_id
+            FROM v QUALIFY code_id < 16),
+        ss AS (SELECT CAST(UNNEST(range(0, 8)) AS INTEGER) AS s),
+        enc0 AS (
+            SELECT v.vec_id, ss.s, tr.code_id,
+                   ROUND({_pq_l2sq('v.e', 'tr.e', 'ss.s')}, 6) AS d
+            FROM v, ss, tr),
+        enc AS (
+            SELECT vec_id, s, code_id FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id, s ORDER BY d, code_id) AS rn
+                FROM enc0)
+            WHERE rn = 1),
+        q AS (SELECT e FROM v WHERE vec_id = 0),
+        qtab AS (
+            SELECT ss.s, tr.code_id,
+                   ROUND({_pq_l2sq('q.e', 'tr.e', 'ss.s')}, 6) AS qd
+            FROM q, ss, tr),
+        adc AS (
+            SELECT e2.vec_id,
+                   STRING_AGG(lower(hex(e2.code_id)), '' ORDER BY e2.s) AS pq_code,
+                   ROUND(SUM(qt.qd), 6) AS adc_dist
+            FROM enc e2 JOIN qtab qt ON e2.s = qt.s AND e2.code_id = qt.code_id
+            WHERE e2.vec_id <> 0
+            GROUP BY e2.vec_id)
+        SELECT vec_id, pq_code, adc_dist FROM adc
+        ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+})
+
+_ORACLES.update({
+    "dedup_incremental_minhash": f"""
+        WITH {_SHINGLES_CTE},
+        sig AS (
+            SELECT doc_id,
+                   min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+                   min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+                   min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5
+            FROM sh GROUP BY doc_id),
+        bands AS (
+            SELECT doc_id, '0:' || h0 || h1 AS band_key FROM sig
+            UNION ALL SELECT doc_id, '1:' || h2 || h3 FROM sig
+            UNION ALL SELECT doc_id, '2:' || h4 || h5 FROM sig),
+        cand AS (
+            SELECT DISTINCT c.doc_id AS corpus_doc, i.doc_id AS inc_doc
+            FROM bands c JOIN bands i ON c.band_key = i.band_key
+            WHERE c.doc_id % 10 <> 0 AND i.doc_id % 10 = 0),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+                  FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT ca.corpus_doc, ca.inc_doc, CAST(COUNT(*) AS BIGINT) AS n_inter
+            FROM cand ca
+            JOIN sh a ON a.doc_id = ca.corpus_doc
+            JOIN sh b ON b.doc_id = ca.inc_doc AND b.shingle = a.shingle
+            GROUP BY 1, 2)
+        SELECT inc_doc, corpus_doc,
+               ROUND(n_inter / (sc.n_sh + si.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sc ON corpus_doc = sc.doc_id
+        JOIN sizes si ON inc_doc = si.doc_id
+        WHERE ROUND(n_inter / (sc.n_sh + si.n_sh - n_inter), 6) >= 0.30
+    """,
+    "dedup_canonical_by_quality": f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        {_CLUSTER_CTE},
+        labels AS (
+            SELECT node AS doc_id, MIN(label) AS cluster_id
+            FROM reach GROUP BY node),
+        q AS (SELECT doc_id, quality_score
+              FROM ({_ORACLES['text_quality_score']})),
+        j AS (SELECT l.cluster_id, l.doc_id, q.quality_score
+              FROM labels l JOIN q USING (doc_id)),
+        r AS (SELECT *,
+                     ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                        ORDER BY quality_score DESC, doc_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+              FROM j)
+        SELECT cluster_id, doc_id AS canonical_doc,
+               quality_score AS best_quality,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM r WHERE rn = 1
+    """,
+    "events_retention_cohorts": """
+        WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        f AS (SELECT user_id, MIN(ts) AS first_ts FROM e GROUP BY 1),
+        a AS (SELECT e.user_id,
+                     CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+                     CAST(date_trunc('week', e.ts) AS DATE) AS active_week
+              FROM e JOIN f USING (user_id))
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, active_week) / 7 AS BIGINT)
+                   AS week_offset,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users
+        FROM a GROUP BY 1, 2
     """,
 })
 

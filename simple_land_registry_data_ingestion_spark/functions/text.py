@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from simple_land_registry_data_ingestion_spark.tables import load
@@ -390,4 +390,33 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         stop_hits.alias("stop_hits"),
         keep.alias("keep"),
         fail_reasons.alias("fail_reasons"),
+    )
+
+
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level Zipf fit: regress ln(token frequency) on ln(frequency
+    rank).  Natural corpora sit near slope -1; a far-off slope is the
+    cheapest single-number tripwire for TEMPLATED or machine-generated text
+    flooding a crawl (repeated boilerplate flattens the head, random noise
+    steepens the tail).
+
+    One token-count aggregation (map-side partial over the scan), then the
+    regression runs over the VOCABULARY — thousands of rows however big the
+    corpus — so the rank window and regr_slope aggregate are a rounding
+    error next to the scan.  Ranks are made deterministic by breaking count
+    ties on the token itself.
+    """
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(words_col("text")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    ranked = counts.withColumn("rnk", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.round(F.expr("regr_slope(ln(cnt), ln(rnk))"), 6).alias("zipf_slope"),
+        F.round(F.expr("regr_intercept(ln(cnt), ln(rnk))"), 6).alias("zipf_intercept"),
     )

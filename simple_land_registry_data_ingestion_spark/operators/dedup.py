@@ -708,3 +708,141 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     is_eval = F.col("doc_id") % 97 == 0
     return decontaminate(docs.where(~is_eval), docs.where(is_eval)).orderBy("doc_id")
+
+
+def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/holdout split: assign WHOLE duplicate clusters
+    to a side, never individual documents.
+
+    Splitting by document hash leaks training text into the holdout set
+    whenever a near-duplicate pair straddles the split — the contamination
+    that inflates eval scores.  Hashing the CLUSTER id (connected components
+    over MinHash-LSH candidate pairs, dedup_cluster_assignments) instead
+    guarantees every near-dup lands on one side; the first md5 nibble of the
+    cluster id in 0..c (13/16) selects ~81% for train.
+
+    Scale: cluster assignment is the iterative label propagation already
+    bounded by checkpointed lineage; the split itself is a narrow map plus
+    one aggregation over the low-cardinality split column.
+    """
+    assignments = dedup_cluster_assignments(spark, sf_dir)
+    nib = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 1)
+    split = F.when(nib.isin(*"0123456789abc"), "train").otherwise("holdout")
+    return (
+        assignments.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        )
+    )
+
+
+def dedup_incremental_minhash(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.30
+) -> DataFrame:
+    """INCREMENTAL near-dup: score a new batch against the existing corpus
+    without ever comparing corpus x corpus.
+
+    The production shape: the corpus's band buckets are a precomputed
+    at-rest index; each arriving batch (here: doc_id % 10 == 0 stands in
+    for the daily delta) computes its own bands, BROADCASTS them (a daily
+    delta is small by construction), and only (corpus, increment) pairs
+    sharing a band are scored with exact Jaccard.  Corpus pairs never form:
+    candidate generation is a one-sided semi-probe of the index, so the
+    cost per day is O(corpus bands probed + delta), not O(n^2) and not
+    even O(corpus-pairs-in-buckets).
+
+    One doc-keyed aggregation computes signature + shingle set for ALL
+    docs (shared scan; the side split is a cheap filter on the result), so
+    the expensive shingle subtree exists once in the plan.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = shingle_table(docs, distinct=False)
+    sig_aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(NUM_HASHES)
+    ]
+    per_doc = (
+        sh.groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh_set"), *sig_aggs)
+        .withColumn("n_sh", F.size(F.col("sh_set")).cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    is_inc = F.col("doc_id") % 10 == 0
+    buckets = minhash_band_buckets(
+        per_doc.select("doc_id", *[f"h{i}" for i in range(NUM_HASHES)])
+    )
+    inc_b = buckets.where(is_inc).select(
+        F.col("doc_id").alias("inc_doc"), "band_key"
+    )
+    cor_b = buckets.where(~is_inc).select(
+        F.col("doc_id").alias("corpus_doc"), "band_key"
+    )
+    cand = (
+        cor_b.join(F.broadcast(inc_b), "band_key")
+        .select("corpus_doc", "inc_doc")
+        .distinct()
+    )
+    sets = per_doc.select("doc_id", "sh_set", "n_sh")
+    scored = (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("corpus_doc"),
+                F.col("sh_set").alias("set_c"),
+                F.col("n_sh").alias("n_c"),
+            ),
+            "corpus_doc",
+        )
+        .join(
+            F.broadcast(
+                sets.where(is_inc).select(
+                    F.col("doc_id").alias("inc_doc"),
+                    F.col("sh_set").alias("set_i"),
+                    F.col("n_sh").alias("n_i"),
+                )
+            ),
+            "inc_doc",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("set_c"), F.col("set_i"))).cast("long")
+    scored = scored.withColumn(
+        "jaccard", F.round(inter / (F.col("n_c") + F.col("n_i") - inter), 6)
+    )
+    return scored.where(F.col("jaccard") >= threshold).select(
+        "inc_doc", "corpus_doc", "jaccard"
+    )
+
+
+def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-duplicate-cluster survivor selection by QUALITY, not id: a real
+    dedup pipeline keeps the best-written copy, not the lowest key.
+
+    Composes cluster assignment (connected components over MinHash-LSH
+    candidates) with the quality scorer; the survivor is the member with the
+    highest quality score (ties broken on doc_id, so selection is total).
+    The per-cluster argmax is one window over cluster_id — the same
+    partitioned-window shape as CDC compaction, linear-shuffle at any scale.
+    """
+    from simple_land_registry_data_ingestion_spark.functions.text import (
+        text_quality_score,
+    )
+
+    labels = dedup_cluster_assignments(spark, sf_dir).select("doc_id", "cluster_id")
+    quality = text_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    joined = labels.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc).cast("long"))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("quality_score").alias("best_quality"),
+            "n_members",
+        )
+    )

@@ -993,3 +993,132 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rev_raw", 2).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data mixing and robust statistics (round 3)
+# ---------------------------------------------------------------------------
+
+def sample_token_budget_mix(
+    spark: SparkSession, sf_dir: str, tokens_per_lang: int = 2000
+) -> DataFrame:
+    """Data-mixing sampler: fill a fixed TOKEN budget per language.
+
+    Pretraining mixes are specified in tokens, not documents ("2B tokens of
+    French"), so the sampler must order each language's documents
+    pseudorandomly and take documents until the running token total reaches
+    the budget.  The draw order is md5(doc_id) — reproducible across runs,
+    engines, and partitioning — and a document is taken while the tokens
+    BEFORE it are under budget, so the crossing document is included and
+    every language lands within one document of its budget.
+
+    Scale: ONE window partitioned by language (each language's running sum
+    is an independent partition — parallel across the cluster, no global
+    single-task window); everything else is a scan.  At 100 TB the window
+    shuffle is the only wide op, keyed by the low-cardinality language
+    column; per-language skew is bounded because only the prefix that can
+    reach the budget matters (a rank pre-filter on doc count could cap the
+    tail, omitted here for exactness).
+    """
+    from simple_land_registry_data_ingestion_spark.functions.text import token_count_col
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count_col("text").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.withColumn(
+            "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+        )
+        .where(F.col("tokens_before") < tokens_per_lang)
+        .select("doc_id", "lang", "n_tokens", "tokens_before")
+    )
+
+
+def _group_median(df: DataFrame, group: str, valcol: str, out: str) -> DataFrame:
+    """Exact per-group median (linear-interpolated, = quantile_cont 0.5)
+    via windowed ranks: the middle one/two ranked values are averaged.
+
+    Why not the ``percentile`` aggregate: Spark's exact percentile buffers
+    EVERY group value in the aggregation state — O(group size) executor
+    memory, an OOM at 100 TB group sizes.  A window sort spills to disk
+    instead, so this shape survives arbitrarily large groups; parallelism
+    is bounded by group count either way (inherent to exact per-group
+    order statistics — use approx_percentile when that bound bites)."""
+    w = Window.partitionBy(group).orderBy(valcol)
+    ranked = df.select(group, valcol).withColumn(
+        "_rn", F.row_number().over(w)
+    ).withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(group)))
+    mid = ranked.where(
+        (F.col("_rn") == F.expr("(_n + 1) div 2"))
+        | (F.col("_rn") == F.expr("(_n + 2) div 2"))
+    )
+    return mid.groupBy(group).agg(F.avg(valcol).alias(out))
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: median / MAD (median absolute
+    deviation), the estimator that survives the heavy-tailed value
+    distributions mean/stddev z-scores break on.
+
+    Two exact spill-safe medians (_group_median: windowed ranks, not the
+    memory-unbounded ``percentile`` aggregate) with broadcast joins of the
+    tiny per-group statistics between passes; the outlier rule is
+    |value - median| > 3 * 1.4826 * MAD (1.4826 scales MAD to sigma under
+    normality).  The event scan itself never shuffles: both wide ops are
+    keyed by the low-cardinality group column only.
+    """
+    events = load(spark, sf_dir, "events").select("event_type", "value")
+    med = _group_median(events, "event_type", "value", "med")
+    dev = events.join(F.broadcast(med), "event_type").withColumn(
+        "abs_dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = _group_median(dev, "event_type", "abs_dev", "mad")
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.first("med"), 4).alias("median_value"),
+            F.round(F.first("mad"), 4).alias("mad_value"),
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med"))
+                    > F.lit(3 * 1.4826) * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week, and
+    for each later week the count still active — the engagement matrix
+    every product-analytics stack derives from an event stream.
+
+    Plan: one per-user MIN aggregation (map-side partial), a user-keyed
+    join back onto the stream (the one unavoidable wide op — both sides
+    are user-keyed, so at 100 TB this is a co-partitioned shuffle join,
+    never broadcast), then a low-cardinality (cohort, offset) aggregation
+    with countDistinct.  Week arithmetic stays integer (day difference of
+    Monday-truncated dates / 7), so offsets are exact cross-engine.
+    """
+    events = load(spark, sf_dir, "events").select("user_id", "ts")
+    first = events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    act = events.join(first, "user_id").select(
+        "user_id",
+        F.to_date(F.date_trunc("week", "first_ts")).alias("cohort_week"),
+        F.to_date(F.date_trunc("week", "ts")).alias("active_week"),
+    )
+    return (
+        act.withColumn(
+            "week_offset",
+            (F.datediff("active_week", "cohort_week") / 7).cast("long"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active_users"))
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from simple_land_registry_data_ingestion_spark.functions.vectors import dot, norm
+from simple_land_registry_data_ingestion_spark.functions.vectors import dot, infer_dim, norm
 from simple_land_registry_data_ingestion_spark.tables import fan_out, load
 
 NUM_PLANES = 8
@@ -643,3 +643,155 @@ def similarity_ann_ivf(
         F.round(_cosine_vs_query(F.col("embedding")), 6).alias("cosine"),
     )
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8          # subspaces
+PQ_K = 16         # codewords per subspace -> one hex nibble per subspace
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 as a sequential left fold (deterministic float order,
+    mirrored term-by-term by the oracle's explicit left-associated sum)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebook(emb: DataFrame, sub_dim: int, m: int = PQ_M, k: int = PQ_K) -> DataFrame:
+    """Deterministic PQ codebook: the k vectors with the smallest
+    (md5(vec_id), vec_id) act as codewords, split into m sub-vectors.
+
+    The draw is a TakeOrderedAndProject (distributed per-task heaps over
+    the full corpus, k rows out) — no global sort, no collect.  Production
+    codebooks come from k-means per subspace (kmeans_parallel_init /
+    kmeans_refine_centroids are the building blocks in this module); the
+    hash-sample codebook keeps the operator exactly reproducible
+    cross-engine, which is what the oracle gate needs.  Output: one row per
+    (s, code_id) with the codeword sub-vector — m*k tiny rows, always
+    broadcast by consumers.
+    """
+    train = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.md5(F.col("vec_id").cast("string")).alias("draw"),
+        )
+        .orderBy("draw", "vec_id")
+        .limit(k)
+    )
+    w = Window.orderBy("draw", "vec_id")
+    coded = train.withColumn("code_id", (F.row_number().over(w) - 1).cast("int"))
+    return coded.select(
+        "code_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        F.slice(
+            "embedding", F.col("s") * sub_dim + 1, F.lit(sub_dim)
+        ).alias("cvec"),
+    )
+
+
+def pq_encode(emb: DataFrame, codebook: DataFrame, sub_dim: int, m: int = PQ_M) -> DataFrame:
+    """Encode every vector to m code ids (nearest codeword per subspace).
+
+    The codebook is pre-grouped to one row per subspace (an array of
+    codewords) and broadcast, so encoding is a NARROW map: each vector
+    explodes to m subspace rows, and the argmin over codewords happens
+    inside an array expression (array_min over (distance, code_id)
+    structs) — no shuffle, no per-codeword join fan-out.  This is the pass
+    that turns 100 TB of float vectors into m bytes per vector at rest.
+    Distances are rounded to 6 dp before the argmin so engines with
+    different (but equally valid) float summation cannot flip a
+    near-tie differently.
+    """
+    cb_arr = codebook.groupBy("s").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("code_id"), F.col("cvec")))
+        ).alias("codes")
+    )
+    sub = emb.select(
+        "vec_id", "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+    ).select(
+        "vec_id", "s",
+        F.slice(
+            F.col("embedding"), F.col("s") * sub_dim + 1, F.lit(sub_dim)
+        ).alias("sub"),
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("codes"),
+            lambda c: F.struct(
+                F.round(_l2sq(F.col("sub"), c["cvec"]), 6).alias("d"),
+                c["code_id"].alias("code_id"),
+            ),
+        )
+    )
+    return (
+        sub.join(F.broadcast(cb_arr), "s")
+        .select("vec_id", "s", best["code_id"].alias("code_id"))
+    )
+
+
+def similarity_pq_adc(
+    spark: SparkSession, sf_dir: str, k: int = 10, query_vec_id: int = QUERY_VEC_ID
+) -> DataFrame:
+    """PQ-compressed ANN: top-k by asymmetric distance computation.
+
+    The corpus is PQ-encoded (PQ_M nibbles per vector — a 512x compression
+    of a 64-dim float vector); the query stays exact.  ADC precomputes the
+    query's distance to every codeword (an m*k lookup table, broadcast) and
+    scores each encoded vector as the SUM of m table lookups — no float
+    vector is touched at query time, which is why PQ is the at-rest format
+    for billion-scale ANN.  Scale: one narrow encode pass + one broadcast
+    lookup join + one groupBy(vec_id) over m rows per vector; the final
+    top-k is TakeOrderedAndProject.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    sub_dim = max(1, infer_dim(emb, "embedding") // PQ_M)
+    cb = pq_codebook(emb, sub_dim)
+    enc = pq_encode(fan_out(emb), cb, sub_dim)
+    q = emb.where(F.col("vec_id") == query_vec_id).select(
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s"),
+        F.col("embedding").alias("q_vec"),
+    ).select(
+        "s",
+        F.slice(
+            F.col("q_vec"), F.col("s") * sub_dim + 1, F.lit(sub_dim)
+        ).alias("q_sub"),
+    )
+    qtab = (
+        q.join(cb, "s")
+        .select(
+            "s", "code_id",
+            F.round(_l2sq(F.col("q_sub"), F.col("cvec")), 6).alias("qd"),
+        )
+    )
+    nib = F.lower(F.conv(F.col("code_id").cast("string"), 10, 16))
+    return (
+        enc.where(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(qtab), ["s", "code_id"])
+        .withColumn("nib", nib)
+        .groupBy("vec_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "nib"))),
+                    lambda x: x["nib"],
+                ),
+            ).alias("pq_code"),
+            F.round(F.sum("qd"), 6).alias("adc_dist"),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )

@@ -1,0 +1,98 @@
+"""Streaming-sketch operators: bounded-memory heavy hitters.
+
+The pattern that matters at 100 TB is CANDIDATES-THEN-VERIFY: a
+bounded-memory sketch pass proposes a small candidate set, and an exact
+second pass counts only the candidates.  The sketch's one-sided error
+(a superset, never a miss) makes the final answer EXACT while phase 1
+holds k counters per partition regardless of key cardinality — the plain
+``groupBy(key).count()`` alternative shuffles every distinct key, which
+for a high-cardinality key at 100 TB is the whole table.
+
+Reference scope: the reference pipeline (/root/reference/main.py) has no
+aggregation beyond one MAX; sketches are part of the training-pipeline
+surface this repo adds (SURVEY.md section 2 X-rows).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simple_land_registry_data_ingestion_spark.tables import load
+
+#: Counters per partition for the Misra-Gries pass.  Guarantee: any key
+#: with partition frequency > N_p/(k+1) survives the partition's sketch,
+#: so any key with GLOBAL frequency >= N/d (d <= k) survives in at least
+#: one partition (pigeonhole: it must hold >= N_p/d somewhere).
+MG_COUNTERS = 512
+
+#: Heavy-hitter support threshold denominator: report keys with
+#: count >= N/DENOM.  Must be <= MG_COUNTERS for the superset guarantee.
+HH_DENOM = 256
+
+
+def _misra_gries_partition(
+    batches: Iterator[pd.DataFrame], k: int
+) -> Iterator[pd.DataFrame]:
+    """Weighted Misra-Gries over one partition's batches: k counters, each
+    batch pre-aggregated with value_counts (so the per-batch cost is
+    O(distinct-in-batch + k), not O(rows))."""
+    counters: dict[int, int] = {}
+    for batch in batches:
+        for key, cnt in batch["key"].value_counts().items():
+            key = int(key)
+            counters[key] = counters.get(key, 0) + int(cnt)
+        if len(counters) > k:
+            # decrement all by the smallest excess counter value; keys
+            # hitting zero drop out (the classic MG eviction, batched)
+            drop = sorted(counters.values())[len(counters) - k - 1]
+            counters = {
+                key: cnt - drop for key, cnt in counters.items() if cnt > drop
+            }
+    yield pd.DataFrame({"key": pd.Series(list(counters), dtype="int64")})
+
+
+def heavy_hitters_exact(
+    df: DataFrame, key: str, denom: int = HH_DENOM, k: int = MG_COUNTERS
+) -> DataFrame:
+    """Keys occurring at least count(*)/denom times, with EXACT counts.
+
+    Phase 1 (bounded memory, no shuffle): per-partition Misra-Gries with k
+    counters proposes candidates — a guaranteed superset of every key with
+    global frequency >= N/denom for denom <= k.
+    Phase 2 (exact): the candidate set (at most k * n_partitions keys,
+    thousands at any scale) broadcast-semi-joins the table and only those
+    keys are counted exactly; the N/denom threshold is applied to the
+    exact counts, so the output is identical to the full GROUP BY's.
+    """
+    if denom > k:
+        raise ValueError(f"denom={denom} must be <= k={k} for the superset guarantee")
+    keyed = df.select(F.col(key).cast("long").alias("key"))
+    candidates = (
+        keyed.mapInPandas(
+            lambda it: _misra_gries_partition(it, k), "key long"
+        )
+        .distinct()
+    )
+    total = keyed.agg(F.count(F.lit(1)).alias("n_total"))
+    exact = (
+        keyed.join(F.broadcast(candidates), "key")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("n_events") >= F.col("n_total") / F.lit(float(denom)))
+        .select(F.col("key").alias("user_id"), "n_events")
+    )
+
+
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users generating >= 1/256 of all events — the hot-key detector a
+    skew-aware pipeline runs before choosing salting factors."""
+    events = load(spark, sf_dir, "events")
+    return heavy_hitters_exact(events, "user_id")

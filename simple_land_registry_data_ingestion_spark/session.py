@@ -38,6 +38,12 @@ TUNING = {
     # the reference's would-be lookup tables) stay well under 64 MiB.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.parquet.compression.codec": "zstd",
+    "spark.sql.orc.compression.codec": "zstd",
+    # Runtime bloom-filter join pruning: when a selective filter sits on one
+    # side of a shuffle join, Spark injects a bloom filter on the other
+    # side's scan — at 100 TB this skips whole row groups of the fact table
+    # that cannot match.  Free when it doesn't apply; decisive when it does.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 

@@ -117,3 +117,23 @@ def test_bucketed_join_skips_both_exchanges(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS layout_test.orders_bucketed")
         spark.sql("DROP TABLE IF EXISTS layout_test.customer_bucketed")
         spark.sql("DROP DATABASE IF EXISTS layout_test")
+
+
+def test_orc_roundtrip_preserves_rows_and_pushes_filters(spark, tmp_path):
+    """ORC as an alternate at-rest format (SURVEY S9): a write+read
+    roundtrip is lossless and predicate pushdown reaches the ORC scan just
+    like parquet — the property that makes format choice a storage-layer
+    decision, not a query-layer one."""
+    src = load(spark, SF_ORACLE, "orders")
+    out = str(tmp_path / "orders_orc")
+    src.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.count() == src.count()
+    assert dict(back.dtypes) == dict(src.dtypes)
+
+    q = back.where(F.col("o_totalprice") > 400000.0).select("o_orderkey")
+    pushed = plans.pushed_filters(q)
+    assert any("o_totalprice" in p for p in pushed), pushed
+    n_orc = q.count()
+    n_parquet = src.where(F.col("o_totalprice") > 400000.0).count()
+    assert n_orc == n_parquet
