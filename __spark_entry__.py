@@ -66,6 +66,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental_minhash": dedup.dedup_incremental_minhash,
     "dedup_canonical_by_quality": dedup.dedup_canonical_by_quality,
     "events_retention_cohorts": relational.events_retention_cohorts,
+    "scalar_variant_funcs": scalars.scalar_variant_funcs,
+    "pandas_grouped_agg_gini": udfs.pandas_grouped_agg_gini,
+    "cogroup_activity_orders": udfs.cogroup_activity_orders,
+    "profile_numeric_corr": relational.profile_numeric_corr,
+    "text_sentence_stats": text_fns.text_sentence_stats,
     "pack_sequences_documents": packing.pack_sequences_documents,
     "text_gopher_filter": text_fns.text_gopher_filter,
     "dedup_decontaminate": dedup.dedup_decontaminate,
@@ -131,10 +136,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "calendar_month_bounds": calendar.calendar_month_bounds,
     "calendar_publish_dates": calendar.calendar_publish_dates,
     # -- text analysis (north-star X4) --
+    # (the scalar/calendar/text tail of block B sits past the 50-entry
+    # window this round — 11 queries whose newest driver row is r01; they
+    # LEAD the r04 rotation: scalar_math/json/map_funcs,
+    # generator_explode_tokens, array_funcs, calendar x3, text_token_count,
+    # text_quality_score, text_lang_id.  All re-proven locally every round
+    # by tests/test_oracle_parity.py.)
     "text_token_count": text_fns.text_token_count,
-    # (text_quality_score / text_lang_id sit just past the 50-entry window
-    # this round — their newest driver row is r01, exactly 2 rounds old;
-    # they lead the r04 rotation.)
     "text_quality_score": text_fns.text_quality_score,
     "text_lang_id": text_fns.text_lang_id,
     # ---- block C: oldest round-2 rows, padding the prefix to 50 ----
@@ -1721,6 +1729,76 @@ _ORACLES.update({
                quality_score AS best_quality,
                CAST(n_members AS BIGINT) AS n_members
         FROM r WHERE rn = 1
+    """,
+    # v_schema/missing_path_null are constants BECAUSE the generator emits a
+    # uniform {"k": int} object for every row (asserted by the count parity:
+    # any shape drift would break the hash) — the oracle states the expected
+    # extraction results, not DuckDB's opinion of Spark's variant encoding.
+    "scalar_variant_funcs": """
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+               'OBJECT<k: BIGINT>' AS v_schema,
+               TRUE AS missing_path_null,
+               '{"k":' || CAST(CAST(json_extract(props, '$.k') AS BIGINT)
+                               AS VARCHAR) || '}' AS roundtrip_json
+        FROM events
+    """,
+    # Gini: ties in o_totalprice make the rank assignment among equal values
+    # arbitrary, but sum(i * x) is invariant when the tied x are equal, so
+    # the statistic is deterministic.
+    "pandas_grouped_agg_gini": """
+        WITH r AS (
+            SELECT o_orderstatus, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                      ORDER BY o_totalprice) AS i,
+                   COUNT(*) OVER (PARTITION BY o_orderstatus) AS n,
+                   SUM(o_totalprice) OVER (PARTITION BY o_orderstatus) AS total
+            FROM orders)
+        SELECT o_orderstatus,
+               ROUND(2.0 * SUM(i * o_totalprice) / (ANY_VALUE(n) * ANY_VALUE(total))
+                     - (ANY_VALUE(n) + 1.0) / ANY_VALUE(n), 6) AS gini_totalprice,
+               CAST(ANY_VALUE(n) AS BIGINT) AS n_orders
+        FROM r GROUP BY o_orderstatus
+    """,
+    "cogroup_activity_orders": """
+        WITH e AS (SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n_events
+                   FROM events GROUP BY 1),
+        o AS (SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n_orders
+              FROM orders GROUP BY 1)
+        SELECT COALESCE(e.key, o.key) AS key,
+               COALESCE(e.n_events, 0) AS n_events,
+               COALESCE(o.n_orders, 0) AS n_orders,
+               CASE WHEN o.n_orders IS NULL THEN NULL
+                    ELSE COALESCE(e.n_events, 0) * 1.0 / o.n_orders
+               END AS events_per_order
+        FROM e FULL OUTER JOIN o ON e.key = o.key
+    """,
+    # +0.0 on both engines: ROUND can yield IEEE -0.0 for tiny negative
+    # correlations, and -0.0 + 0.0 = +0.0 normalizes the sign bit so the
+    # string/hash compare cannot split on it.
+    "profile_numeric_corr": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(corr(l_quantity, l_extendedprice), 2) + 0.0 AS corr_qty_price,
+               ROUND(corr(l_extendedprice, l_discount), 2) + 0.0 AS corr_price_disc,
+               ROUND(corr(l_quantity, l_tax), 2) + 0.0 AS corr_qty_tax,
+               ROUND(covar_samp(l_quantity, l_discount), 2) + 0.0 AS covar_qty_disc
+        FROM lineitem
+    """,
+    "text_sentence_stats": r"""
+        WITH s AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(
+                       list_transform(string_split_regex(text, '[.!?]+'),
+                                      x -> trim(x)),
+                       x -> x <> '')) AS BIGINT) AS n_sentences,
+                   CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                        AS BIGINT) AS n_tokens
+            FROM documents)
+        SELECT doc_id, n_sentences,
+               CASE WHEN n_sentences > 0
+                    THEN ROUND(CAST(n_tokens AS DOUBLE) / n_sentences, 4)
+               END AS mean_sentence_tokens
+        FROM s
     """,
     "events_retention_cohorts": """
         WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

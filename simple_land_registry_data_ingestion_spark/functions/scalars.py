@@ -135,3 +135,23 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("norm_sq"),
         F.col("label").cast("long").alias("label"),
     )
+
+
+def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT (Spark 4 semi-structured type) over events.props: parse once
+    into the binary variant encoding, then typed path extraction —
+    schema-on-read without a fixed from_json schema and without string
+    re-parsing per access.  This is the modern at-rest shape for
+    heterogeneous JSON at 100 TB: parse at ingest, store VARIANT, extract
+    with variant_get in queries (column pruning and predicate pushdown
+    still apply to the surrounding columns)."""
+    events = load(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return events.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k_val"),
+        F.expr("schema_of_variant(parse_json(props))").alias("v_schema"),
+        F.expr("try_variant_get(parse_json(props), '$.missing') IS NULL")
+            .alias("missing_path_null"),
+        F.to_json(v).alias("roundtrip_json"),
+    )

@@ -420,3 +420,27 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("regr_slope(ln(cnt), ln(rnk))"), 6).alias("zipf_slope"),
         F.round(F.expr("regr_intercept(ln(cnt), ln(rnk))"), 6).alias("zipf_intercept"),
     )
+
+
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats per document: sentence count and mean
+    sentence length in tokens (regex segmentation on .!? runs — the cheap
+    JVM-side proxy; a model-based splitter would be a mapInPandas stage).
+    One scan, all column expressions."""
+    docs = load(spark, sf_dir, "documents")
+    sentences = F.filter(
+        F.transform(
+            F.split(F.col("text"), r"[.!?]+"),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+    n_sent = F.size(sentences).cast("long")
+    n_tokens = token_count_col("text")
+    return docs.select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        F.when(n_sent > 0, F.round(n_tokens.cast("double") / n_sent, 4))
+        .otherwise(None)
+        .alias("mean_sentence_tokens"),
+    )

@@ -118,3 +118,79 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk",
         F.col("n_chars").cast("long").alias("n_chars"),
     )
+
+
+def _gini_np(v: pd.Series) -> float:
+    """Gini coefficient via the sorted-index identity
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n  (x ascending, i 1-based)."""
+    x = np.sort(v.to_numpy(dtype="float64"))
+    n = len(x)
+    total = x.sum()
+    if n == 0 or total == 0.0:
+        return 0.0
+    idx = np.arange(1, n + 1, dtype="float64")
+    return float((2.0 * (idx * x).sum()) / (n * total) - (n + 1.0) / n)
+
+
+def pandas_grouped_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom AGGREGATE in Python: per-status Gini concentration of order
+    values, as a GROUPED_AGG pandas UDF — the Spark shape for aggregates
+    the built-in library lacks (a true UDAF: Arrow-batches each group's
+    column into one vectorized numpy reduction).
+
+    The 100 TB caveat mirrors exact percentiles: a GROUPED_AGG buffers the
+    whole group, so the grouping key must bound group size (here: 3 status
+    groups is the DEMO of the API, not the production key choice; salt or
+    pre-aggregate hot keys).  Rounded to 6 dp so numpy's pairwise summation
+    and the oracle's sequential SUM agree."""
+    gini = F.pandas_udf(_gini_np, "double", F.PandasUDFType.GROUPED_AGG)
+    # Spark forbids mixing GROUPED_AGG pandas UDFs with JVM aggregates in
+    # one agg (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a second
+    # pandas aggregate over the same Arrow batch.
+    n = F.pandas_udf(lambda v: len(v), "long", F.PandasUDFType.GROUPED_AGG)
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(gini("o_totalprice"), 6).alias("gini_totalprice"),
+            n("o_totalprice").alias("n_orders"),
+        )
+    )
+
+
+_COGROUP_SCHEMA = "key long, n_events long, n_orders long, events_per_order double"
+
+
+def _activity_vs_orders(key: tuple, events_pdf: pd.DataFrame, orders_pdf: pd.DataFrame) -> pd.DataFrame:
+    n_e, n_o = len(events_pdf), len(orders_pdf)
+    return pd.DataFrame(
+        {
+            "key": [int(key[0])],
+            "n_events": [n_e],
+            "n_orders": [n_o],
+            "events_per_order": [float(n_e) / n_o if n_o else None],
+        }
+    )
+
+
+def cogroup_activity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas over a COGROUP: events keyed by user_id and orders
+    keyed by o_custkey meet per key in one Python call receiving BOTH
+    groups — the shape for per-entity logic over two tables that a join
+    would force into one wide row-set first (e.g. per-user sessionized
+    activity reconciled against transactions).
+
+    Each side shuffles once on its key; keys present in either side appear
+    (full-outer semantics), with empty frames for the absent side.  Group =
+    unit of memory, same caveat as applyInPandas."""
+    events = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"), "event_id"
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"), "o_orderkey"
+    )
+    return (
+        events.groupby("key")
+        .cogroup(orders.groupby("key"))
+        .applyInPandas(_activity_vs_orders, _COGROUP_SCHEMA)
+    )

@@ -1122,3 +1122,42 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").cast("long").alias("n_active_users"))
     )
+
+
+def export_range_sorted(
+    df: DataFrame, path: str, sort_col: str, partitions: int = 8
+) -> None:
+    """Globally range-sorted export: repartitionByRange (sampled range
+    bounds, so output files hold disjoint, ordered key ranges) +
+    sortWithinPartitions (each file internally sorted).
+
+    This is the layout that makes downstream merge-reads, binary-search
+    point lookups, and min/max-pruned range scans work at 100 TB — a true
+    global ORDER BY .write would funnel everything through the sort, while
+    range partitioning keeps the sort distributed: one sampling pass, one
+    range shuffle, per-partition sorts.  Parquet min/max page stats on the
+    sort column then prune range predicates at read time.
+    """
+    (
+        df.repartitionByRange(partitions, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def profile_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations + covariance of lineitem measures in
+    ONE aggregation pass (all pairs as independent aggregates over the same
+    scan — no per-pair jobs, no driver loop).  The 2-dp rounding absorbs
+    partial-aggregation float-order differences across engines."""
+    li = load(spark, sf_dir, "lineitem")
+    # + 0.0 normalizes IEEE -0.0 (tiny negative stats round to -0.0, whose
+    # sign bit would split an engine-vs-oracle string/hash compare)
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 2) + 0.0).alias("corr_qty_price"),
+        (F.round(F.corr("l_extendedprice", "l_discount"), 2) + 0.0).alias("corr_price_disc"),
+        (F.round(F.corr("l_quantity", "l_tax"), 2) + 0.0).alias("corr_qty_tax"),
+        (F.round(F.covar_samp("l_quantity", "l_discount"), 2) + 0.0).alias("covar_qty_disc"),
+    )

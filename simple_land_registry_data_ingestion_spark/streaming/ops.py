@@ -579,3 +579,103 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value",
         F.timestamp_micros(F.col("max_ts_us")).cast("timestamp_ntz").alias("max_ts"),
     )
+
+
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs protobuf in the Python env (its
+    driver worker speaks a protobuf protocol to validate state schemas);
+    absent/broken protobuf is an ENVIRONMENT limitation, not a code path
+    difference — gate, don't fail mid-query."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class _TopKValuesProcessor(StatefulProcessor):
+    """transformWithStateInPandas processor: per-user running top-K events
+    by value.  ListState holds at most K (value, event_id) pairs — bounded
+    state however long the stream runs, the property applyInPandasWithState
+    users had to hand-roll inside one opaque state tuple.
+
+    The merge logic is pure (state iterable + batches -> new state + rows),
+    so tests exercise it directly against a fake handle when the TWS
+    runtime is unavailable (tests/test_streaming.py)."""
+
+    K = 3
+
+    def init(self, handle) -> None:
+        self._top = handle.getListState("top", "value double, event_id long")
+
+    def handleInputRows(self, key, rows, timer_values):
+        cur = [(float(v), int(e)) for v, e in self._top.get()]
+        for pdf in rows:
+            cur.extend(
+                zip(pdf["value"].astype(float), pdf["event_id"].astype(int))
+            )
+        cur.sort(key=lambda t: (-t[0], t[1]))
+        cur = cur[: self.K]
+        self._top.put(cur)
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])] * len(cur),
+                "rank": list(range(1, len(cur) + 1)),
+                "value": [t[0] for t in cur],
+                "event_id": [t[1] for t in cur],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stream_tws_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user top-3 event values via transformWithStateInPandas — the
+    Spark 4 arbitrary-state API (typed composable state variables, timers,
+    RocksDB-only) that supersedes applyInPandasWithState for new operators.
+
+    State is a ListState capped at K entries per user, so state size is
+    O(users * K) regardless of stream length; the output after draining the
+    backlog equals the batch window top-3 (the oracle).  RocksDB state
+    store is REQUIRED by the API — conf is set for the query and restored
+    (the 100 TB configuration runs RocksDB everywhere anyway; see
+    tests/test_streaming.py::test_session_window_runs_on_rocksdb_state_store).
+
+    Raises NotImplementedError when the env lacks protobuf (TWS driver
+    worker dependency); the processor's merge semantics remain covered by
+    the fake-handle test either way.
+    """
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas requires google.protobuf, "
+            "unavailable in this environment"
+        )
+    proc = _TopKValuesProcessor()
+    stream = events_stream(spark, sf_dir).select("user_id", "value", "event_id")
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType="user_id long, rank long, value double, event_id long",
+        outputMode="Update",
+        timeMode="None",
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        res = run_stream_to_table(out, "update")
+    finally:
+        if saved is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, saved)
+    return res.select(
+        "user_id", "rank", F.round("value", 2).alias("value"), "event_id"
+    )

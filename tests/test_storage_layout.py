@@ -137,3 +137,39 @@ def test_orc_roundtrip_preserves_rows_and_pushes_filters(spark, tmp_path):
     n_orc = q.count()
     n_parquet = src.where(F.col("o_totalprice") > 400000.0).count()
     assert n_orc == n_parquet
+
+
+def test_range_sorted_export_files_are_disjoint_and_sorted(spark, tmp_path):
+    """export_range_sorted must produce files whose key ranges are DISJOINT
+    (range partitioning) and internally sorted — the layout that gives
+    min/max-pruned range scans and merge-reads at 100 TB."""
+    from simple_land_registry_data_ingestion_spark.operators.relational import (
+        export_range_sorted,
+    )
+
+    out = str(tmp_path / "orders_sorted")
+    src = load(spark, SF_ORACLE, "orders")
+    export_range_sorted(src, out, "o_totalprice", partitions=6)
+
+    back = spark.read.parquet(out)
+    assert back.count() == src.count()
+    per_file = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert len(per_file) >= 4  # range partitioning really spread the data
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    for (lo_a, hi_a), (lo_b, _) in zip(spans, spans[1:]):
+        assert hi_a <= lo_b, spans  # disjoint ranges across files
+
+    # a range predicate prunes to a subset of files via min/max stats:
+    # correctness check (stats pruning itself is a parquet-reader detail)
+    mid = spans[len(spans) // 2][0]
+    n_above = back.where(F.col("o_totalprice") >= mid).count()
+    assert n_above == src.where(F.col("o_totalprice") >= mid).count()

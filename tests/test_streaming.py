@@ -341,3 +341,68 @@ def test_interval_join_state_spans_triggers(spark, split_events_dir, tmp_path):
         )
     )
     assert got == expected and len(got) > 0
+
+
+class _FakeListState:
+    def __init__(self):
+        self.rows = []
+
+    def get(self):
+        return iter(self.rows)
+
+    def put(self, rows):
+        self.rows = list(rows)
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getListState(self, name, schema):
+        return self.states.setdefault(name, _FakeListState())
+
+
+def test_tws_topk_processor_semantics():
+    """The transformWithStateInPandas processor's merge logic, driven
+    directly (executed-stub twin — the TWS runtime needs protobuf, absent
+    here): across three batches the retained state and emitted rows equal
+    the overall top-3 by (value desc, event_id), and state never exceeds K."""
+    import pandas as pd
+
+    proc = ops._TopKValuesProcessor()
+    handle = _FakeHandle()
+    proc.init(handle)
+    batches = [
+        pd.DataFrame({"value": [5.0, 9.0], "event_id": [1, 2]}),
+        pd.DataFrame({"value": [9.0, 1.0, 7.0], "event_id": [0, 3, 4]}),
+        pd.DataFrame({"value": [8.5], "event_id": [5]}),
+    ]
+    last = None
+    for b in batches:
+        (last,) = list(proc.handleInputRows((77,), iter([b]), None))
+        assert len(handle.states["top"].rows) <= proc.K
+    assert list(map(tuple, last.itertuples(index=False))) == [
+        (77, 1, 9.0, 0),   # value tie 9.0: event_id 0 beats 2
+        (77, 2, 9.0, 2),
+        (77, 3, 8.5, 5),
+    ]
+
+
+@pytest.mark.skipif(not ops.tws_available(), reason="TWS needs protobuf")
+def test_tws_topk_matches_batch(spark):
+    got = sorted(map(tuple, ops.stream_tws_user_topk(spark, SF_SMALL).collect()))
+    e = tables.load(spark, SF_SMALL, "events")
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    want = sorted(
+        map(
+            tuple,
+            e.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= 3)
+            .select("user_id", "rank", F.round("value", 2).alias("value"), "event_id")
+            .collect(),
+        )
+    )
+    assert got == want
