@@ -71,6 +71,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cogroup_activity_orders": udfs.cogroup_activity_orders,
     "profile_numeric_corr": relational.profile_numeric_corr,
     "text_sentence_stats": text_fns.text_sentence_stats,
+    "stream_static_enrich_join": stream_ops.stream_static_enrich_join,
     "pack_sequences_documents": packing.pack_sequences_documents,
     "text_gopher_filter": text_fns.text_gopher_filter,
     "dedup_decontaminate": dedup.dedup_decontaminate,
@@ -1772,6 +1773,13 @@ _ORACLES.update({
                     ELSE COALESCE(e.n_events, 0) * 1.0 / o.n_orders
                END AS events_per_order
         FROM e FULL OUTER JOIN o ON e.key = o.key
+    """,
+    "stream_static_enrich_join": """
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(e.value), 2) AS sum_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1
     """,
     # +0.0 on both engines: ROUND can yield IEEE -0.0 for tiny negative
     # correlations, and -0.0 + 0.0 = +0.0 normalizes the sign bit so the

@@ -679,3 +679,37 @@ def stream_tws_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "user_id", "rank", F.round("value", 2).alias("value"), "event_id"
     )
+
+
+def stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join: each streaming event is enriched with a static
+    dimension row (customer, keyed by user_id = c_custkey) and aggregated
+    per market segment.
+
+    The static side is planned as a BATCH relation inside the incremental
+    plan — re-resolved per micro-batch (picking up dimension updates
+    between triggers), broadcast under the size threshold, and requiring
+    NO watermark or state: only stream-stream joins buffer.  That is why
+    enrichment dims should stay static-side at 100 TB instead of being fed
+    through the stream.  Inner join drops events without a dimension row
+    (user ids beyond the customer table), matching the batch oracle.
+    """
+    from simple_land_registry_data_ingestion_spark.tables import load as load_batch
+
+    customers = load_batch(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = (
+        events_stream(spark, sf_dir)
+        .select("user_id", "value")
+        .join(customers, "user_id")  # stream-static: static side broadcast
+        .groupBy("c_mktsegment")
+        .agg(
+            # no countDistinct: distinct aggregates are unsupported on
+            # streams (state would be per-distinct-value); approx_count_
+            # distinct is the streaming answer when cardinality is needed
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    return run_stream_to_table(enriched, "complete")

@@ -406,3 +406,94 @@ def test_tws_topk_matches_batch(spark):
         )
     )
     assert got == want
+
+
+def test_dedup_state_survives_query_restart(spark, tmp_path):
+    """DURABILITY: a NEW streaming query resuming from the same checkpoint
+    must restore the dedup state store — keys emitted before the restart
+    stay suppressed after it.  This is the crash-recovery contract the
+    checkpoint exists for; without state restore the second run would
+    re-emit every key."""
+    import datetime as dt
+
+    def us(h, m):
+        t = dt.datetime(2024, 1, 1, h, m, tzinfo=dt.timezone.utc)
+        return int(t.timestamp() * 1_000_000_000)
+
+    d = tmp_path / "events"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        # memory sink cannot recover from a checkpoint; the parquet
+        # foreachBatch sink is the durable path and CAN
+        stream = ops.events_stream(spark, str(d), glob="*.parquet")
+        dedup = stream.select("user_id", "event_type").dropDuplicates(
+            ["user_id", "event_type"]
+        )
+        q = ops.foreach_batch_parquet_sink(dedup, out, ckpt)
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    _write_events_file(str(d / "0.parquet"), [
+        (1, us(10, 0), 1, "view", 0.0, "{}"),
+        (2, us(10, 1), 1, "click", 0.0, "{}"),
+        (3, us(10, 2), 2, "view", 0.0, "{}"),
+    ])
+    first = run_once()
+    assert first.count() == 3
+    max_batch = first.agg(F.max("batch_id")).first()[0]
+
+    # "crash" over; new files arrive, ALL duplicating already-seen keys
+    # plus one genuinely new key
+    _write_events_file(str(d / "1.parquet"), [
+        (4, us(11, 0), 1, "view", 0.0, "{}"),    # dup of (1, view)
+        (5, us(11, 1), 2, "view", 0.0, "{}"),    # dup of (2, view)
+        (6, us(11, 2), 3, "signup", 0.0, "{}"),  # new key
+    ])
+    second = run_once()  # brand-new query object, same checkpoint
+    resumed = second.where(F.col("batch_id") > max_batch)
+    # the resumed run emits ONLY the genuinely new key — the duplicate
+    # keys were suppressed by the RESTORED state store
+    assert {
+        (r["user_id"], r["event_type"]) for r in resumed.collect()
+    } == {(3, "signup")}
+    assert second.count() == 4  # nothing from run 1 was lost or re-emitted
+
+
+def test_observe_metrics_ride_the_stream_batch(spark, tmp_path):
+    """Dataset.observe(): pipeline data-quality counters computed inside
+    the job (no second scan), surfaced per micro-batch via lastProgress —
+    the streaming analog of the reference's per-stage instrumentation
+    (reference main.py:85-94 timing fields)."""
+    stream = ops.events_stream(spark, SF_SMALL).observe(
+        "quality",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+    )
+    out = ops.run_stream_to_table(
+        stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")),
+        "complete",
+    )
+    assert out.count() > 0
+    # the observation is recorded on the query's progress; run_stream_to_table
+    # returns only the table, so re-run with a handle to inspect progress
+    obs_stream = ops.events_stream(spark, SF_SMALL).observe(
+        "quality2",
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    q = (
+        obs_stream.groupBy().count()
+        .writeStream.format("memory")
+        .queryName("obs_check")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "obs_ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [p for p in q.recentProgress if p.observedMetrics.get("quality2")]
+    assert progresses, "observed metrics missing from progress"
+    n = progresses[-1].observedMetrics["quality2"]["n_rows"]
+    assert n == 1000  # sf0.001 events row count
