@@ -110,3 +110,33 @@ def test_stratified_sample_is_partition_invariant(spark, partitions):
     if not hasattr(test_stratified_sample_is_partition_invariant, "_seen"):
         test_stratified_sample_is_partition_invariant._seen = picked
     assert picked == test_stratified_sample_is_partition_invariant._seen
+
+
+@settings(**_SETTINGS)
+@given(
+    keys=st.lists(st.integers(0, 30), min_size=1, max_size=200),
+    partitions=st.integers(1, 6),
+)
+def test_heavy_hitters_matches_bruteforce(spark, keys, partitions):
+    """heavy_hitters_exact == the plain counting definition for EVERY input
+    and EVERY partitioning — the Misra-Gries candidate pass may propose
+    extra candidates but the recount must reduce to exactly the truth.
+    Small k forces real MG evictions (the stressful regime)."""
+    from collections import Counter
+
+    from simple_land_registry_data_ingestion_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [(k,) for k in keys], "user_id long"
+    ).repartition(partitions)
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in sketches.heavy_hitters_exact(
+            df, "user_id", denom=8, k=8
+        ).collect()
+    }
+    counts = Counter(keys)
+    want = {
+        (k, c) for k, c in counts.items() if c >= len(keys) / 8.0
+    }
+    assert got == want
