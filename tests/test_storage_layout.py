@@ -173,3 +173,22 @@ def test_range_sorted_export_files_are_disjoint_and_sorted(spark, tmp_path):
     mid = spans[len(spans) // 2][0]
     n_above = back.where(F.col("o_totalprice") >= mid).count()
     assert n_above == src.where(F.col("o_totalprice") >= mid).count()
+
+
+def test_xml_source_roundtrip(spark, tmp_path):
+    """XML as a source/sink format (built-in since Spark 4, SURVEY S9
+    family): write a table as XML, read it back with an explicit rowTag,
+    and get identical rows — schema declared on read, no inference
+    surprises (Avro needs an external jar absent in this env, noted)."""
+    src = load(spark, SF_ORACLE, "nation")
+    out = str(tmp_path / "nation_xml")
+    src.write.mode("overwrite").option("rootTag", "nations").option(
+        "rowTag", "nation"
+    ).format("xml").save(out)
+    back = (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("rowTag", "nation")
+        .format("xml")
+        .load(out)
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
