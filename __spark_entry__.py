@@ -72,6 +72,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_numeric_corr": relational.profile_numeric_corr,
     "text_sentence_stats": text_fns.text_sentence_stats,
     "stream_static_enrich_join": stream_ops.stream_static_enrich_join,
+    "dedup_pagerank_hubs": dedup.dedup_pagerank_hubs,
     "pack_sequences_documents": packing.pack_sequences_documents,
     "text_gopher_filter": text_fns.text_gopher_filter,
     "dedup_decontaminate": dedup.dedup_decontaminate,
@@ -1558,6 +1559,22 @@ _ORACLES.update({
 })
 
 
+def _pr_iter(i: int, prev: str) -> str:
+    """One unrolled PageRank iteration as CTE text (contributions and the
+    new rank both quantized to 8 dp — the same cross-engine float-order
+    armor as the Lloyd loop).  (1.0 - 0.85) is written as the SUBTRACTION
+    so both engines produce the identical IEEE double 0.15000...02."""
+    return f"""
+        c{i} AS (SELECT u.dst AS node, ROUND(r.rank / d.outdeg, 8) AS c
+                 FROM und u JOIN {prev} r ON u.src = r.node
+                 JOIN deg d ON u.src = d.src),
+        i{i} AS (SELECT node, ROUND(SUM(c), 8) AS inflow FROM c{i} GROUP BY 1),
+        r{i} AS (SELECT d.doc_id AS node,
+                        ROUND((1.0 - 0.85) / n.n
+                              + 0.85 * COALESCE(i.inflow, 0.0), 8) AS rank
+                 FROM documents d LEFT JOIN i{i} i ON d.doc_id = i.node, n)"""
+
+
 def _pq_l2sq(a: str, b: str, off: str) -> str:
     """Squared L2 between 8-dim sub-vectors of DOUBLE[] columns ``a``/``b``
     at subspace offset ``off``, as an explicit LEFT-ASSOCIATED 8-term sum —
@@ -1679,6 +1696,34 @@ _ORACLES.update({
 })
 
 _ORACLES.update({
+    "dedup_pagerank_hubs": f"""
+        WITH {_SHINGLES_CTE},
+        sig AS (
+            SELECT doc_id,
+                   min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+                   min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+                   min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5
+            FROM sh GROUP BY doc_id),
+        bands AS (
+            SELECT doc_id, '0:' || h0 || h1 AS band_key FROM sig
+            UNION ALL SELECT doc_id, '1:' || h2 || h3 FROM sig
+            UNION ALL SELECT doc_id, '2:' || h4 || h5 FROM sig),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        und AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+                UNION
+                SELECT doc_b, doc_a FROM cand),
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM und GROUP BY 1),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        r0 AS (SELECT doc_id AS node, ROUND(1.0 / n.n, 8) AS rank
+               FROM documents, n),
+        {_pr_iter(1, 'r0')},
+        {_pr_iter(2, 'r1')},
+        {_pr_iter(3, 'r2')}
+        SELECT node AS doc_id, rank AS pagerank FROM r3
+    """,
     "dedup_incremental_minhash": f"""
         WITH {_SHINGLES_CTE},
         sig AS (

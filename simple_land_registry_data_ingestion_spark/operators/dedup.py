@@ -846,3 +846,90 @@ def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+def pagerank_centrality(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    damping: float = 0.85,
+    iterations: int = 3,
+) -> DataFrame:
+    """Distributed PageRank by unrolled power iteration over an undirected
+    graph (each edge contributes both directions).
+
+    In a dedup pipeline, high-centrality documents in the NEAR-DUP graph
+    are the boilerplate/template hubs — the ones whose text recurs across
+    many sources — so centrality is a curation signal beyond pairwise
+    similarity.  Dangling nodes (no edges) keep the teleport mass only,
+    the standard simplification (no dangling-mass redistribution).
+
+    Determinism across engines: every per-edge contribution and every
+    per-iteration rank is quantized to 8 dp (same trick as the Lloyd loop
+    in operators/similarity.py) so float summation ORDER — which differs
+    between Spark's partial aggregation and any oracle — cannot leak into
+    the result; with <=10^3-term sums the true error sits ~1e-13, far
+    inside the quantum.
+
+    Scale shape per iteration: one edge-keyed broadcast-or-shuffle join
+    (rank onto edges) + one dst-keyed aggregation — the same linear-shuffle
+    loop as connected_components, and like it the rank frame is
+    localCheckpoint'ed each pass so the plan does not double per iteration.
+    """
+    n_nodes = nodes.select(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    und = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionByName(
+        edges.select(
+            F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+        )
+    ).distinct().localCheckpoint(eager=True)
+    outdeg = und.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    rank = (
+        nodes.select(F.col(node_col).alias("node"))
+        .crossJoin(F.broadcast(n_nodes))
+        .select("node", F.round(F.lit(1.0) / F.col("_n"), 8).alias("rank"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        contrib = (
+            und.join(rank.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("rank") / F.col("outdeg"), 8).alias("c"),
+            )
+        )
+        inflow = contrib.groupBy("node").agg(
+            F.round(F.sum("c"), 8).alias("inflow")
+        )
+        rank = (
+            nodes.select(F.col(node_col).alias("node"))
+            .join(inflow, "node", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                F.round(
+                    (1.0 - damping) / F.col("_n")
+                    + damping * F.coalesce(F.col("inflow"), F.lit(0.0)),
+                    8,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return rank
+
+
+def dedup_pagerank_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: PageRank over the MinHash-LSH candidate graph;
+    emits every document's centrality (8 dp) — the boilerplate-hub signal.
+    Ties broken by doc_id in consumers; full table out so the oracle hash
+    covers every rank, not just the head."""
+    docs = load(spark, sf_dir, "documents")
+    edges = minhash_candidate_pairs(docs)
+    pr = pagerank_centrality(docs.select("doc_id"), edges)
+    return pr.select(F.col("node").alias("doc_id"), F.col("rank").alias("pagerank"))

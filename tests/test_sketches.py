@@ -146,3 +146,24 @@ def test_token_budget_mix_fills_but_never_overshoots_by_more_than_one_doc(spark)
         assert r["max_before"] < budget
         # the crossing doc is included, so the total reaches the budget
         assert r["total"] >= budget or r["n_docs"] >= 60  # exhausted language
+
+
+def test_pagerank_star_center_dominates(spark):
+    """Planted star graph: the hub must out-rank every leaf, leaves tie,
+    and total mass stays in (0, 1] (dangling simplification leaks mass,
+    never creates it)."""
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "doc_a long, doc_b long"
+    )  # 0 is the hub; 6,7 are isolated (dangling)
+    pr = {
+        r["node"]: r["rank"]
+        for r in dedup.pagerank_centrality(nodes, edges).collect()
+    }
+    assert len(pr) == 8
+    leaves = [pr[i] for i in range(1, 6)]
+    assert all(pr[0] > v for v in leaves)
+    assert len(set(leaves)) == 1  # symmetric leaves tie exactly
+    assert pr[6] == pr[7] < min(leaves)  # isolated nodes: teleport mass only
+    total = sum(pr.values())
+    assert 0.0 < total <= 1.0 + 1e-6
