@@ -465,3 +465,36 @@ def test_ivf_probe_broadcasts_centroids_and_query(spark):
     assert plans.broadcast_join_count(df) >= 2, plans.formatted_plan(df)
     plans.assert_no_cartesian_product(df)
     assert "TakeOrderedAndProject" in plans.formatted_plan(df)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """With a selective filter on the dimension side of a SHUFFLE join,
+    Spark injects a runtime bloom filter onto the fact scan (session
+    default spark.sql.optimizer.runtime.bloomFilter.enabled=true).  At
+    100 TB the thresholds pass naturally (fact scan >> 10 GB); at test
+    scale they are overridden to force the same plan shape."""
+    import pyspark.sql.functions as F
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = relational.load(spark, SF_ORACLE, "lineitem")
+        orders = relational.load(spark, SF_ORACLE, "orders").where(
+            F.col("o_totalprice") > 450000.0
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = plans.formatted_plan(j)
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan  # filter applied on the fact scan side
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
