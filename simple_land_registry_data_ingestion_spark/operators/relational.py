@@ -1025,6 +1025,12 @@ def sample_token_budget_mix(
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "lang", token_count_col("text").alias("n_tokens")
     )
+    return token_budget_mix(docs, tokens_per_lang)
+
+
+def token_budget_mix(docs: DataFrame, tokens_per_lang: int) -> DataFrame:
+    """df-level core of sample_token_budget_mix: ``docs`` must carry
+    (doc_id, lang, n_tokens); see the wrapper for semantics and scale."""
     w = (
         Window.partitionBy("lang")
         .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
