@@ -73,6 +73,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_sentence_stats": text_fns.text_sentence_stats,
     "stream_static_enrich_join": stream_ops.stream_static_enrich_join,
     "dedup_pagerank_hubs": dedup.dedup_pagerank_hubs,
+    "arrow_md5_digest": udfs.arrow_md5_digest,
     "pack_sequences_documents": packing.pack_sequences_documents,
     "text_gopher_filter": text_fns.text_gopher_filter,
     "dedup_decontaminate": dedup.dedup_decontaminate,
@@ -1696,6 +1697,11 @@ _ORACLES.update({
 })
 
 _ORACLES.update({
+    "arrow_md5_digest": """
+        SELECT doc_id, md5(text) AS md5_hex,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    """,
     "dedup_pagerank_hubs": f"""
         WITH {_SHINGLES_CTE},
         sig AS (

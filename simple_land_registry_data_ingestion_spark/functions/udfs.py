@@ -205,3 +205,38 @@ def cogroup_activity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(orders.groupby("key"))
         .applyInPandas(_activity_vs_orders, _COGROUP_SCHEMA)
     )
+
+
+def _arrow_digest_batches(batches):
+    """mapInArrow body: md5 + utf8 byte length per document, computed from
+    the Arrow buffers directly (no pandas conversion layer)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    for batch in batches:
+        texts = [t.as_py() for t in batch.column("text")]
+        encoded = [t.encode("utf-8") for t in texts]
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.array([hashlib.md5(b).hexdigest() for b in encoded], pa.string()),
+                pa.array([len(b) for b in encoded], pa.int64()),
+            ],
+            ["doc_id", "md5_hex", "n_bytes"],
+        )
+
+
+def arrow_md5_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the lowest-overhead Python execution surface — batches
+    cross as raw Arrow RecordBatches with NO pandas conversion, the right
+    shape for byte-level work (digests, codecs, compression probes) where
+    a pandas frame adds copies without adding vectorization.  The digest
+    itself is per-row by nature; what Arrow removes is the serialization
+    tax around it.  Completes the Python-execution matrix alongside
+    pandas_udf / applyInPandas / GROUPED_AGG / cogroup / UDTF (SURVEY 2.9).
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        _arrow_digest_batches, "doc_id long, md5_hex string, n_bytes long"
+    )
