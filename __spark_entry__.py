@@ -74,6 +74,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_static_enrich_join": stream_ops.stream_static_enrich_join,
     "dedup_pagerank_hubs": dedup.dedup_pagerank_hubs,
     "arrow_md5_digest": udfs.arrow_md5_digest,
+    "events_resample_ffill": relational.events_resample_ffill,
     "pack_sequences_documents": packing.pack_sequences_documents,
     "text_gopher_filter": text_fns.text_gopher_filter,
     "dedup_decontaminate": dedup.dedup_decontaminate,
@@ -1701,6 +1702,32 @@ _ORACLES.update({
         SELECT doc_id, md5(text) AS md5_hex,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         FROM documents
+    """,
+    "events_resample_ffill": """
+        WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+                   FROM events WHERE user_id < 50),
+        h AS (SELECT user_id, date_trunc('hour', ts) AS hour_ts, ts, event_id,
+                     value
+              FROM e),
+        obs AS (SELECT user_id, hour_ts,
+                       arg_max(value, (epoch_us(ts) - epoch_us(hour_ts))
+                                      * 1000000 + event_id) AS obs_value
+                FROM h GROUP BY 1, 2),
+        span AS (SELECT user_id, MIN(hour_ts) AS t0, MAX(hour_ts) AS t1
+                 FROM h GROUP BY 1),
+        grid AS (SELECT user_id,
+                        UNNEST(generate_series(t0, t1, INTERVAL 1 HOUR))
+                            AS hour_ts
+                 FROM span),
+        j AS (SELECT g.user_id, g.hour_ts, o.obs_value
+              FROM grid g LEFT JOIN obs o USING (user_id, hour_ts))
+        SELECT user_id, hour_ts,
+               ROUND(last_value(obs_value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY hour_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS value_ffill,
+               obs_value IS NULL AS is_gap
+        FROM j
     """,
     "dedup_pagerank_hubs": f"""
         WITH {_SHINGLES_CTE},

@@ -1167,3 +1167,69 @@ def profile_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.corr("l_quantity", "l_tax"), 2) + 0.0).alias("corr_qty_tax"),
         (F.round(F.covar_samp("l_quantity", "l_discount"), 2) + 0.0).alias("covar_qty_disc"),
     )
+
+
+def events_resample_ffill(
+    spark: SparkSession, sf_dir: str, max_user_id: int = 50
+) -> DataFrame:
+    """Time-series regularization: per-user hourly grid with forward-fill —
+    the gap-filling step that turns an irregular event stream into the
+    fixed-step series sequence models and feature stores consume.
+
+    Three stages, all per-user parallel:
+    1. hourly observation: last value in each (user, hour), chosen by
+       max_by over (ts, event_id) — a total order, so deterministic;
+    2. dense grid: sequence() from the user's first to last hour, exploded
+       — generation is per-user bounded (span/step rows), never a global
+       calendar cross join;
+    3. forward fill: last non-null value over an ordered per-user window
+       (ignorenulls) — one window, linear shuffle on user_id.
+
+    ``max_user_id`` scopes the demo corpus (grid rows = users x span);
+    at scale the same plan runs per entity with the window as the only
+    wide op."""
+    events = load(spark, sf_dir, "events").where(F.col("user_id") < max_user_id)
+    hours = events.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hour_ts"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    # tie-break key: micros-within-the-hour (< 3.6e9) * 1e6 + event_id — a
+    # total order that stays far inside int64 (a raw epoch_us * shift
+    # overflows); assumes event_id < 1e6 per the testdata generator
+    obs = hours.groupBy("user_id", "hour_ts").agg(
+        F.expr(
+            "max_by(value, (unix_micros(CAST(ts AS TIMESTAMP))"
+            " - unix_micros(CAST(hour_ts AS TIMESTAMP))) * 1000000 + event_id)"
+        ).alias("obs_value")
+    )
+    span = hours.groupBy("user_id").agg(
+        F.min("hour_ts").alias("t0"), F.max("hour_ts").alias("t1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(obs, ["user_id", "hour_ts"], "left")
+        .withColumn(
+            "value_ffill",
+            F.round(F.last("obs_value", ignorenulls=True).over(w), 2),
+        )
+        .withColumn("is_gap", F.col("obs_value").isNull())
+        .select(
+            "user_id",
+            F.col("hour_ts").cast("timestamp_ntz").alias("hour_ts"),
+            "value_ffill",
+            "is_gap",
+        )
+    )
