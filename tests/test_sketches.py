@@ -167,3 +167,18 @@ def test_pagerank_star_center_dominates(spark):
     assert pr[6] == pr[7] < min(leaves)  # isolated nodes: teleport mass only
     total = sum(pr.values())
     assert 0.0 < total <= 1.0 + 1e-6
+
+
+def test_hll_sketch_estimate_is_partition_invariant(spark):
+    """Spark's datasketches HLL aggregate must give the IDENTICAL estimate
+    under any partitioning (register-max merge is commutative/associative)
+    and land near the exact distinct count — the mergeable-sketch property
+    that lets 100 TB cardinality estimates run as one map-side pass."""
+    events = spark.read.parquet(f"{SF_ORACLE}/events.parquet").select("user_id")
+    est = F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))")
+    one = events.coalesce(1).agg(est.alias("e")).first()["e"]
+    wide = events.repartition(32).agg(est.alias("e")).first()["e"]
+    clustered = events.repartition(8, "user_id").agg(est.alias("e")).first()["e"]
+    assert one == wide == clustered
+    exact = events.distinct().count()
+    assert abs(one - exact) / exact < 0.05
