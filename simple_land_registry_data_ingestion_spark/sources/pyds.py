@@ -27,7 +27,12 @@ from __future__ import annotations
 import os
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StringType, StructField, StructType
 
 #: Default split size.  The reference's 50k rows x ~130 B/row ~ 6.5 MB;
@@ -107,3 +112,56 @@ class ChunkedCsvDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return ChunkedCsvReader(schema, dict(self.options))
+
+    def simpleStreamReader(self, schema: StructType):
+        return ChunkedCsvStreamReader(schema, dict(self.options))
+
+
+class ChunkedCsvStreamReader(SimpleDataSourceStreamReader):
+    """Streaming flavor: TAIL the CSV as it grows.  Offsets are byte
+    positions; each micro-batch emits the COMPLETE lines appended since the
+    last committed offset (a trailing partial line waits for its newline).
+
+    ``readBetweenOffsets`` re-reads a committed range verbatim, which is
+    what makes recovery exactly-once: after a crash the engine replays the
+    range from the checkpoint and gets identical rows.
+
+    Scale note: the Simple reader API executes on the DRIVER — right for
+    control-plane-sized feeds (the reference's single download stream,
+    reference main.py:119-166, is exactly that); a partition-parallel
+    variant implements DataSourceStreamReader with partitions() instead.
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.path = options["path"]
+        self.n_cols = len(schema.fields)
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _parse(self, chunk: bytes) -> list[tuple]:
+        rows = []
+        for raw in chunk.splitlines():
+            text = raw.decode("utf-8").rstrip("\r")
+            if not text:
+                continue
+            fields = text.split(",")
+            fields = (fields + [None] * self.n_cols)[: self.n_cols]
+            rows.append(
+                tuple(None if f in (None, "", NULL_SENTINEL) else f for f in fields)
+            )
+        return rows
+
+    def read(self, start: dict):
+        pos = int(start["pos"])
+        with open(self.path, "rb") as fh:
+            fh.seek(pos)
+            data = fh.read()
+        cut = data.rfind(b"\n") + 1  # only complete lines advance the offset
+        return iter(self._parse(data[:cut])), {"pos": pos + cut}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        with open(self.path, "rb") as fh:
+            fh.seek(int(start["pos"]))
+            data = fh.read(int(end["pos"]) - int(start["pos"]))
+        return iter(self._parse(data))

@@ -77,3 +77,48 @@ def test_matches_builtin_csv_reader(registered, spark, csv_file):
     assert sorted(map(tuple, ours.collect())) == sorted(
         map(tuple, theirs.collect())
     )
+
+
+def test_streaming_tail_reads_appends_exactly_once(registered, tmp_path):
+    """The streaming flavor tails the file: a first run drains the initial
+    lines; after APPENDING more (plus one incomplete line), a NEW query on
+    the same checkpoint emits only the completed appended rows — offsets
+    restore from the checkpoint, nothing re-emits, the partial line waits."""
+    from simple_land_registry_data_ingestion_spark.streaming import ops
+
+    spark = registered
+    path = tmp_path / "tail.csv"
+    path.write_text("1,a,x\n2,b,y\n")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    seen_batches = [-1]
+
+    def drain():
+        # memory sink can't recover from a checkpoint; the foreachBatch
+        # parquet sink can — new rows are the batches beyond the last run's
+        stream = (
+            spark.readStream.format("chunked_csv")
+            .option("path", str(path))
+            .option("columns", "id,val,cat")
+            .load()
+        )
+        q = ops.foreach_batch_parquet_sink(stream, out, ckpt)
+        q.awaitTermination()
+        df = spark.read.parquet(out)
+        import pyspark.sql.functions as F
+
+        fresh = df.where(F.col("batch_id") > seen_batches[0])
+        seen_batches[0] = df.agg(F.max("batch_id")).first()[0]
+        return sorted(
+            map(tuple, fresh.select("id", "val", "cat").collect())
+        )
+
+    assert drain() == [("1", "a", "x"), ("2", "b", "y")]
+
+    with open(path, "a") as fh:
+        fh.write("3,\\N,z\n4,partial")  # 4 has no newline yet -> withheld
+    assert drain() == [("3", None, "z")]
+
+    with open(path, "a") as fh:
+        fh.write(",w\n")  # completes row 4
+    assert drain() == [("4", "partial", "w")]
