@@ -75,6 +75,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_pagerank_hubs": dedup.dedup_pagerank_hubs,
     "arrow_md5_digest": udfs.arrow_md5_digest,
     "events_resample_ffill": relational.events_resample_ffill,
+    "sql_recursive_cte": relational.sql_recursive_cte,
+    "sql_udf_banding": relational.sql_udf_banding,
     "pack_sequences_documents": packing.pack_sequences_documents,
     "text_gopher_filter": text_fns.text_gopher_filter,
     "dedup_decontaminate": dedup.dedup_decontaminate,
@@ -1702,6 +1704,32 @@ _ORACLES.update({
         SELECT doc_id, md5(text) AS md5_hex,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         FROM documents
+    """,
+    "sql_recursive_cte": """
+        WITH RECURSIVE months(m) AS (
+            SELECT CAST('1995-01-01' AS DATE)
+            UNION ALL
+            SELECT CAST(m + INTERVAL 1 MONTH AS DATE)
+            FROM months WHERE m < CAST('1995-12-01' AS DATE)
+        )
+        SELECT m AS month_start,
+               CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders
+        FROM months
+        LEFT JOIN (
+            SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mo,
+                   COUNT(*) AS n
+            FROM orders
+            WHERE YEAR(CAST(o_orderdate AS TIMESTAMP)) = 1995
+            GROUP BY 1
+        ) o ON o.mo = m
+    """,
+    "sql_udf_banding": """
+        SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                    WHEN o_totalprice < 200000 THEN 'medium'
+                    ELSE 'large' END AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders GROUP BY 1
     """,
     "events_resample_ffill": """
         WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value

@@ -1233,3 +1233,59 @@ def events_resample_ffill(
             "is_gap",
         )
     )
+
+
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 SQL surface): generate a 1995 month spine
+    recursively and left-join monthly order counts onto it — the calendar-
+    dimension construction that otherwise needs a driver-side range or an
+    external table, now a pure SQL fixpoint.  The recursion is 12 rows;
+    the join against it broadcasts, so the fact scan stays the only real
+    work at any scale."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT CAST('1995-01-01' AS DATE)
+            UNION ALL
+            SELECT CAST(m + INTERVAL '1' MONTH AS DATE)
+            FROM months WHERE m < CAST('1995-12-01' AS DATE)
+        )
+        SELECT m AS month_start,
+               CAST(COALESCE(o.n, 0) AS BIGINT) AS n_orders
+        FROM months
+        LEFT JOIN (
+            SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mo,
+                   COUNT(*) AS n
+            FROM orders_v
+            WHERE YEAR(o_orderdate) = 1995
+            GROUP BY 1
+        ) o ON o.mo = m
+        """
+    )
+
+
+def sql_udf_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar function (CREATE FUNCTION ... RETURN expr,
+    Spark 4): the declarative UDF path — the body is a Catalyst expression,
+    so unlike Python UDFs it inlines into codegen with ZERO language-
+    boundary cost; the function is catalog metadata, shareable across
+    queries and engines that speak the same SQL."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p < 50000 THEN 'small'
+                    WHEN p < 200000 THEN 'medium'
+                    ELSE 'large' END
+        """
+    )
+    return spark.sql(
+        """
+        SELECT price_band(o_totalprice) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders_v GROUP BY 1
+        """
+    )
