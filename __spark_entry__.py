@@ -77,6 +77,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_resample_ffill": relational.events_resample_ffill,
     "sql_recursive_cte": relational.sql_recursive_cte,
     "sql_udf_banding": relational.sql_udf_banding,
+    "text_lang_id_ngram": text_fns.text_lang_id_ngram,
+    "embedding_random_projection": similarity.embedding_random_projection,
     "pack_sequences_documents": packing.pack_sequences_documents,
     "text_gopher_filter": text_fns.text_gopher_filter,
     "dedup_decontaminate": dedup.dedup_decontaminate,
@@ -1704,6 +1706,54 @@ _ORACLES.update({
         SELECT doc_id, md5(text) AS md5_hex,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         FROM documents
+    """,
+    "text_lang_id_ngram": r"""
+        WITH d AS (
+            SELECT doc_id, lang,
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+            FROM documents),
+        tri AS (
+            SELECT doc_id, lang, substring(t, i, 3) AS tri
+            FROM d, UNNEST(range(1, greatest(length(t) - 2, 1) + 1)) AS u(i)
+            WHERE length(substring(t, i, 3)) = 3),
+        held_in AS (SELECT * FROM tri WHERE doc_id % 7 <> 0),
+        counts AS (SELECT lang, tri, COUNT(*) AS cnt
+                   FROM held_in GROUP BY 1, 2),
+        profiles AS (
+            SELECT lang AS profile_lang, tri FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY lang ORDER BY cnt DESC, tri) AS rnk
+                FROM counts)
+            WHERE rnk <= 20),
+        held_out AS (SELECT DISTINCT doc_id, lang, tri
+                     FROM tri WHERE doc_id % 7 = 0),
+        hits AS (
+            SELECT h.doc_id, h.lang, p.profile_lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM held_out h JOIN profiles p ON h.tri = p.tri
+            GROUP BY 1, 2, 3)
+        SELECT doc_id, lang, profile_lang AS pred_lang,
+               n_hits AS n_profile_hits
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id
+                  ORDER BY n_hits DESC, profile_lang) AS rn
+              FROM hits)
+        WHERE rn = 1
+    """,
+    "embedding_random_projection": """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        w AS (SELECT CAST(j AS BIGINT) AS out_dim,
+                     list_transform(range(1, 65), i ->
+                         CASE WHEN instr('0123456789abcdef',
+                                   substring(md5('jl' || CAST(j AS VARCHAR)
+                                             || ':' || CAST(i AS VARCHAR)),
+                                             1, 1)) - 1 >= 8
+                              THEN 0.25 ELSE -0.25 END) AS wv
+              FROM UNNEST(range(0, 16)) t(j))
+        SELECT v.vec_id, w.out_dim,
+               ROUND(list_dot_product(v.e, w.wv), 6) AS value
+        FROM v, w
     """,
     "sql_recursive_cte": """
         WITH RECURSIVE months(m) AS (

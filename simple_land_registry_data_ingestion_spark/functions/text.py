@@ -444,3 +444,64 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(None)
         .alias("mean_sentence_tokens"),
     )
+
+
+def text_lang_id_ngram(spark: SparkSession, sf_dir: str, top_k: int = 20) -> DataFrame:
+    """Character-trigram language ID — the n-gram profile method (Cavnar &
+    Trenkle shape): each language's PROFILE is its top-k most frequent
+    char trigrams, learned from a held-in split of the corpus itself
+    (doc_id % 7 != 0); every held-out document is scored by how many of
+    its distinct trigrams hit each profile, argmax wins (ties resolve by
+    language code).  Complements the stopword-hit classifier
+    (text_lang_id): n-gram profiles need no curated word lists and survive
+    tokenization-hostile scripts.
+
+    Scale shape: profile building is one trigram explode + count + per-lang
+    top-k window over lang-keyed partitions; the profiles are tiny
+    (langs x k rows) and BROADCAST to score the corpus — the classify pass
+    is explode + broadcast join + argmax aggregation, no corpus self-join.
+    """
+    docs = load(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    n = F.length(normalized)
+    # greatest(..., 1): F.sequence(1, 0) would generate a DESCENDING
+    # [1, 0] sequence; clamping to 1 keeps degenerate short texts harmless
+    # (their <3-char grams are filtered below)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+        lambda i: normalized.substr(i, F.lit(3)),
+    )
+    tri = docs.select(
+        "doc_id", "lang", F.explode(grams).alias("tri")
+    ).where(F.length("tri") == 3)
+
+    held_in = tri.where(F.col("doc_id") % 7 != 0)
+    counts = held_in.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("tri"))
+    profiles = (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_k)
+        .select(F.col("lang").alias("profile_lang"), "tri")
+    )
+
+    held_out = tri.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id", "lang", "tri"
+    ).distinct()
+    hits = (
+        held_out.join(F.broadcast(profiles), "tri")
+        .groupBy("doc_id", "lang", "profile_lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    pick = Window.partitionBy("doc_id").orderBy(
+        F.col("n_hits").desc(), F.col("profile_lang")
+    )
+    return (
+        hits.withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("profile_lang").alias("pred_lang"),
+            F.col("n_hits").cast("long").alias("n_profile_hits"),
+        )
+    )

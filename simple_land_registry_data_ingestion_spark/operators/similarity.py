@@ -795,3 +795,62 @@ def similarity_pq_adc(
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (dimensionality reduction)
+# ---------------------------------------------------------------------------
+
+JL_OUT_DIM = 16
+
+
+def embedding_random_projection(
+    spark: SparkSession, sf_dir: str, out_dim: int = JL_OUT_DIM
+) -> DataFrame:
+    """Johnson-Lindenstrauss sketch: project 64-dim embeddings to
+    ``out_dim`` with a deterministic Rademacher (+-1/sqrt(k)) matrix derived
+    from md5 — 4x smaller vectors whose pairwise distances are preserved in
+    expectation, the standard pre-ANN compression when PQ's lossy codes are
+    too coarse.
+
+    The matrix is GENERATED per expression (hash of (j, i)), so nothing is
+    trained, stored, or broadcast; the pass is a narrow scan-speed map.
+    Output is EXPLODED to (vec_id, out_dim, value) rows — arrays are opaque
+    to the driver's hash compare (multimodal_frame_sample lesson), and the
+    long shape also writes/joins better at rest."""
+    emb = load(spark, sf_dir, "embeddings")
+    projected = fan_out(emb).select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(out_dim - 1))).alias("out_dim"),
+        F.col("embedding").alias("e"),
+    )
+
+    def proj_value(j_col: Column, vec: Column) -> Column:
+        # weight array depends on the literal j of this row: build it by
+        # folding over dims with the row's out_dim as part of the hash seed
+        weights = F.transform(
+            F.sequence(F.lit(1), F.size(vec)),
+            lambda i: _jl_weight_dyn(j_col, i),
+        )
+        return F.aggregate(
+            F.zip_with(vec, weights, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return projected.select(
+        "vec_id",
+        F.col("out_dim").cast("long").alias("out_dim"),
+        F.round(proj_value(F.col("out_dim"), F.col("e")), 6).alias("value"),
+    )
+
+
+def _jl_weight_dyn(j_col: Column, dim_index: Column) -> Column:
+    """Deterministic +-1/sqrt(k) Rademacher weight from md5('jl<j>:<i>'),
+    with j as a COLUMN (the exploded output dimension)."""
+    seed = F.concat(
+        F.lit("jl"), j_col.cast("string"), F.lit(":"), dim_index.cast("string")
+    )
+    sign_bit = (F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(seed), 1, 1)) - 1) >= 8
+    scale = 1.0 / (JL_OUT_DIM ** 0.5)
+    return F.when(sign_bit, F.lit(scale)).otherwise(F.lit(-scale))
