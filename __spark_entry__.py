@@ -79,6 +79,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_udf_banding": relational.sql_udf_banding,
     "text_lang_id_ngram": text_fns.text_lang_id_ngram,
     "embedding_random_projection": similarity.embedding_random_projection,
+    "similarity_ivfpq_adc": similarity.similarity_ivfpq_adc,
     "pack_sequences_documents": packing.pack_sequences_documents,
     "text_gopher_filter": text_fns.text_gopher_filter,
     "dedup_decontaminate": dedup.dedup_decontaminate,
@@ -1706,6 +1707,57 @@ _ORACLES.update({
         SELECT doc_id, md5(text) AS md5_hex,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         FROM documents
+    """,
+    "similarity_ivfpq_adc": f"""
+        WITH {_VEC_CTE},
+        c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 16),
+        scored AS (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_COS.format(a='v.e', b='c.ce')} DESC,
+                                c.centroid_id) AS rn
+            FROM v, c),
+        a AS (SELECT vec_id, centroid_id FROM scored WHERE rn = 1),
+        r AS (SELECT v.vec_id, a.centroid_id,
+                     list_transform(range(1, 65), i -> v.e[i] - c.ce[i]) AS re
+              FROM v JOIN a ON v.vec_id = a.vec_id
+              JOIN c ON a.centroid_id = c.centroid_id),
+        tr AS (SELECT re AS e,
+                      CAST(ROW_NUMBER() OVER (
+                          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                      AS INTEGER) AS code_id
+               FROM r QUALIFY code_id < 16),
+        ss AS (SELECT CAST(UNNEST(range(0, 8)) AS INTEGER) AS s),
+        enc0 AS (
+            SELECT r.vec_id, ss.s, tr.code_id,
+                   ROUND({_pq_l2sq('r.re', 'tr.e', 'ss.s')}, 6) AS d
+            FROM r, ss, tr),
+        enc AS (
+            SELECT vec_id, s, code_id FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id, s ORDER BY d, code_id) AS rn
+                FROM enc0)
+            WHERE rn = 1),
+        q AS (SELECT re, centroid_id AS q_centroid FROM r WHERE vec_id = 0),
+        qtab AS (
+            SELECT ss.s, tr.code_id,
+                   ROUND({_pq_l2sq('q.re', 'tr.e', 'ss.s')}, 6) AS qd
+            FROM q, ss, tr),
+        adc AS (
+            SELECT e2.vec_id, rr.centroid_id,
+                   STRING_AGG(lower(hex(e2.code_id)), '' ORDER BY e2.s)
+                       AS pq_code,
+                   ROUND(SUM(qt.qd), 6) AS adc_dist
+            FROM enc e2
+            JOIN r rr ON e2.vec_id = rr.vec_id
+            JOIN q ON rr.centroid_id = q.q_centroid
+            JOIN qtab qt ON e2.s = qt.s AND e2.code_id = qt.code_id
+            WHERE e2.vec_id <> 0
+            GROUP BY 1, 2)
+        SELECT vec_id, CAST(centroid_id AS BIGINT) AS centroid_id,
+               pq_code, adc_dist
+        FROM adc ORDER BY adc_dist, vec_id LIMIT 10
     """,
     "text_lang_id_ngram": r"""
         WITH d AS (

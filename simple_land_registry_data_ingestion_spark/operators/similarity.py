@@ -854,3 +854,89 @@ def _jl_weight_dyn(j_col: Column, dim_index: Column) -> Column:
     sign_bit = (F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(seed), 1, 1)) - 1) >= 8
     scale = 1.0 / (JL_OUT_DIM ** 0.5)
     return F.when(sign_bit, F.lit(scale)).otherwise(F.lit(-scale))
+
+
+def similarity_ivfpq_adc(
+    spark: SparkSession, sf_dir: str, k: int = 10, query_vec_id: int = QUERY_VEC_ID
+) -> DataFrame:
+    """IVF-PQ: the billion-scale ANN composition — an IVF coarse quantizer
+    narrows the search to one centroid's inverted list, and PQ codes of the
+    RESIDUALS (vector minus its centroid) replace the float vectors inside
+    the list.  Residual encoding is what makes PQ codes sharp at scale:
+    residual magnitudes are a fraction of the raw vectors', so the same
+    16-codeword budget quantizes far finer.
+
+    At rest: centroid_id is the partition key (one directory per inverted
+    list), PQ_M nibbles per vector inside — a probe reads one partition of
+    codes and never touches a float vector.  Query time: ADC table built
+    once against the query's residual (m*k rows, broadcast), candidates =
+    the query's list, score = m lookups each.
+
+    All three trained artifacts (centroids, assignments, codebook) are the
+    deterministic variants proven by their standalone queries
+    (similarity_ann_ivf / similarity_pq_adc); production swaps k-means||
+    centroids and per-subspace k-means codebooks with the same plan shape.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    assign = ivf_assignments(emb)
+    cent = _centroids(emb)
+    res = (
+        emb.join(assign, "vec_id")
+        .join(F.broadcast(cent), "centroid_id")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.zip_with(
+                "embedding", "c_vec",
+                lambda x, c: x.cast("double") - c.cast("double"),
+            ).alias("embedding"),
+        )
+    )
+    sub_dim = max(1, infer_dim(emb, "embedding") // PQ_M)
+    cb = pq_codebook(res, sub_dim)
+    enc = pq_encode(fan_out(res), cb, sub_dim)
+
+    q_res = res.where(F.col("vec_id") == query_vec_id).select(
+        F.col("centroid_id").alias("q_centroid"),
+        F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("s"),
+        F.col("embedding").alias("q_re"),
+    ).select(
+        "q_centroid", "s",
+        F.slice(F.col("q_re"), F.col("s") * sub_dim + 1, F.lit(sub_dim)).alias("q_sub"),
+    )
+    qtab = q_res.join(cb, "s").select(
+        "q_centroid",
+        F.col("s").alias("q_s"),
+        F.col("code_id").alias("q_code"),
+        F.round(_l2sq(F.col("q_sub"), F.col("cvec")), 6).alias("qd"),
+    )
+    nib = F.lower(F.conv(F.col("code_id").cast("string"), 10, 16))
+    return (
+        enc.where(F.col("vec_id") != query_vec_id)
+        .join(res.select("vec_id", "centroid_id").distinct(), "vec_id")
+        .join(
+            F.broadcast(qtab),
+            (F.col("centroid_id") == F.col("q_centroid"))
+            & (F.col("s") == F.col("q_s"))
+            & (F.col("code_id") == F.col("q_code")),
+        )
+        .withColumn("nib", nib)
+        .groupBy("vec_id", "centroid_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("s"), F.col("nib")))),
+                    lambda x: x["nib"],
+                ),
+            ).alias("pq_code"),
+            F.round(F.sum("qd"), 6).alias("adc_dist"),
+        )
+        .select(
+            "vec_id",
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            "pq_code", "adc_dist",
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )
