@@ -145,11 +145,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "calendar_month_bounds": calendar.calendar_month_bounds,
     "calendar_publish_dates": calendar.calendar_publish_dates,
     # -- text analysis (north-star X4) --
-    # (everything from window_range_frame down to text_lang_id — 17 r01-row
-    # queries — sits past the 50-entry window this round, displaced by the
-    # 15 brand-new round-3 queries above; they LEAD the r04 rotation.  All
-    # are re-proven locally every round by tests/test_oracle_parity.py,
-    # which runs ALL entries.)
+    # (most of block B sits past the 50-entry window this round, displaced
+    # by the 23 brand-new round-3 queries above; those r01-row queries LEAD
+    # the r04 rotation.  All are re-proven locally every round by
+    # tests/test_oracle_parity.py, which runs ALL entries.)
     "text_token_count": text_fns.text_token_count,
     "text_quality_score": text_fns.text_quality_score,
     "text_lang_id": text_fns.text_lang_id,

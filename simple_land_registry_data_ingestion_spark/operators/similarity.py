@@ -880,6 +880,10 @@ def similarity_ivfpq_adc(
     emb = load(spark, sf_dir, "embeddings")
     assign = ivf_assignments(emb)
     cent = _centroids(emb)
+    # localCheckpoint: the residual table feeds FOUR consumers (codebook
+    # draw, encode, query residual, candidate list) — materializing it once
+    # keeps the plan linear instead of repeating the assignment-window
+    # subtree per consumer (same discipline as dedup_simhash_pairs)
     res = (
         emb.join(assign, "vec_id")
         .join(F.broadcast(cent), "centroid_id")
@@ -891,6 +895,7 @@ def similarity_ivfpq_adc(
                 lambda x, c: x.cast("double") - c.cast("double"),
             ).alias("embedding"),
         )
+        .localCheckpoint(eager=False)
     )
     sub_dim = max(1, infer_dim(emb, "embedding") // PQ_M)
     cb = pq_codebook(res, sub_dim)
