@@ -80,6 +80,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id_ngram": text_fns.text_lang_id_ngram,
     "embedding_random_projection": similarity.embedding_random_projection,
     "similarity_ivfpq_adc": similarity.similarity_ivfpq_adc,
+    "customers_rfm_segments": relational.customers_rfm_segments,
     "pack_sequences_documents": packing.pack_sequences_documents,
     "text_gopher_filter": text_fns.text_gopher_filter,
     "dedup_decontaminate": dedup.dedup_decontaminate,
@@ -1706,6 +1707,26 @@ _ORACLES.update({
         SELECT doc_id, md5(text) AS md5_hex,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         FROM documents
+    """,
+    "customers_rfm_segments": """
+        WITH anchor AS (SELECT MAX(o_orderdate) AS a FROM orders),
+        rfm AS (
+            SELECT o_custkey AS c_custkey,
+                   CAST(date_diff('day',
+                        CAST(MAX(o_orderdate) AS DATE),
+                        CAST(anchor.a AS DATE)) AS BIGINT) AS recency_days,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   ROUND(SUM(o_totalprice), 2) AS monetary
+            FROM orders, anchor
+            GROUP BY o_custkey, anchor.a)
+        SELECT c_custkey, recency_days, frequency, monetary,
+               CAST(NTILE(5) OVER (ORDER BY recency_days ASC, c_custkey)
+                    AS BIGINT) AS r_score,
+               CAST(NTILE(5) OVER (ORDER BY frequency DESC, c_custkey)
+                    AS BIGINT) AS f_score,
+               CAST(NTILE(5) OVER (ORDER BY monetary DESC, c_custkey)
+                    AS BIGINT) AS m_score
+        FROM rfm
     """,
     "similarity_ivfpq_adc": f"""
         WITH {_VEC_CTE},

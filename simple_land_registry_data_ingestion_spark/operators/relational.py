@@ -1289,3 +1289,49 @@ def sql_udf_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders_v GROUP BY 1
         """
     )
+
+
+def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, Recency (days since last order),
+    Frequency (order count), Monetary (total spend), each bucketed into
+    quintiles — the canonical behavioral segmentation every activation /
+    churn pipeline derives from a transactions table.
+
+    One customer-keyed aggregation builds the metrics; three ntile windows
+    (global, but over the aggregated PER-CUSTOMER table — orders of
+    magnitude smaller than the fact table; range-partition the window at
+    extreme customer counts) assign quintiles.  All three orderings carry a
+    c_custkey tiebreak so ntile boundaries are a total order and the
+    segment assignment is engine-exact.
+    """
+    orders = load(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("anchor"))
+    rfm = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.datediff(F.to_date("anchor"), F.to_date("last_order"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("c_custkey"))
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("c_custkey"))
+    w_m = Window.orderBy(F.col("monetary").desc(), F.col("c_custkey"))
+    return rfm.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(w_r).cast("long").alias("r_score"),
+        F.ntile(5).over(w_f).cast("long").alias("f_score"),
+        F.ntile(5).over(w_m).cast("long").alias("m_score"),
+    )
