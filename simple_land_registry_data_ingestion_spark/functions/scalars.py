@@ -146,12 +146,14 @@ def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with variant_get in queries (column pruning and predicate pushdown
     still apply to the surrounding columns)."""
     events = load(spark, sf_dir, "events")
-    v = F.parse_json(F.col("props"))
-    return events.select(
+    # Bind the parsed VARIANT once in a first projection; every extraction
+    # below reads that single binary column instead of re-parsing the string.
+    parsed = events.select("event_id", F.parse_json(F.col("props")).alias("v"))
+    return parsed.select(
         "event_id",
-        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k_val"),
-        F.expr("schema_of_variant(parse_json(props))").alias("v_schema"),
-        F.expr("try_variant_get(parse_json(props), '$.missing') IS NULL")
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k_val"),
+        F.expr("schema_of_variant(v)").alias("v_schema"),
+        F.expr("try_variant_get(v, '$.missing') IS NULL")
             .alias("missing_path_null"),
-        F.to_json(v).alias("roundtrip_json"),
+        F.to_json(F.col("v")).alias("roundtrip_json"),
     )

@@ -1198,7 +1198,10 @@ def events_resample_ffill(
     )
     # tie-break key: micros-within-the-hour (< 3.6e9) * 1e6 + event_id — a
     # total order that stays far inside int64 (a raw epoch_us * shift
-    # overflows); assumes event_id < 1e6 per the testdata generator
+    # overflows); assumes event_id < 1e6, guarded by
+    # tests/test_properties.py::test_event_ids_fit_resample_tiebreak_encoding
+    # (a struct key would be cleaner but the DuckDB oracle's arg_max only
+    # accepts scalar ordering keys)
     obs = hours.groupBy("user_id", "hour_ts").agg(
         F.expr(
             "max_by(value, (unix_micros(CAST(ts AS TIMESTAMP))"

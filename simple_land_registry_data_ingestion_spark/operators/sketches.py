@@ -24,10 +24,17 @@ from pyspark.sql import functions as F
 
 from simple_land_registry_data_ingestion_spark.tables import load
 
-#: Counters per partition for the Misra-Gries pass.  Guarantee: any key
-#: with partition frequency > N_p/(k+1) survives the partition's sketch,
-#: so any key with GLOBAL frequency >= N/d (d <= k) survives in at least
-#: one partition (pigeonhole: it must hold >= N_p/d somewhere).
+#: Counters per partition for the Misra-Gries pass.  Guarantee (batched
+#: eviction): each eviction keeps at most k counters and subtracts the same
+#: `drop` from every survivor while discarding keys whose count <= drop, so
+#: the cumulative decrement applied to any single key over the partition is
+#: < N_p/k (each eviction round removes > k*drop total mass from counters,
+#: and total mass is N_p).  Hence any key with partition frequency > N_p/k
+#: survives, and any key with GLOBAL frequency >= N/d (d <= k) holds
+#: >= N_p/d >= N_p/k in at least one partition (pigeonhole) and survives
+#: there.  This is slightly weaker than the classic per-decrement bound
+#: N_p/(k+1), but still a strict superset for every denom <= k, which is
+#: what the `denom <= k` check below enforces.
 MG_COUNTERS = 512
 
 #: Heavy-hitter support threshold denominator: report keys with
@@ -87,7 +94,7 @@ def heavy_hitters_exact(
     return (
         exact.crossJoin(F.broadcast(total))
         .where(F.col("n_events") >= F.col("n_total") / F.lit(float(denom)))
-        .select(F.col("key").alias("user_id"), "n_events")
+        .select(F.col("key").alias(key), "n_events")
     )
 
 

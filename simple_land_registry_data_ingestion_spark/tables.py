@@ -39,13 +39,30 @@ _EVENTS_RAW_SCHEMA = (
 
 
 def _events_ts_unit(path: str) -> str | None:
-    """Return the parquet time unit ('ns'/'us'/'ms') of events.ts, or None."""
+    """Return the parquet time unit ('ns'/'us'/'ms') of events.ts, or None.
+
+    Only the expected footer-sniff failures are swallowed (pyarrow absent,
+    unreadable file, no ``ts`` field); anything else propagates rather than
+    silently routing a nanos-unit file to the native reader, where it would
+    fail later with PARQUET_TYPE_ILLEGAL far from the root cause.
+    """
     try:
         import pyarrow.parquet as pq
+    except ImportError:
+        import logging
 
+        logging.getLogger(__name__).warning(
+            "pyarrow unavailable; skipping events.ts unit sniff for %s "
+            "(a TIMESTAMP(NANOS) file will fail in the native reader)",
+            path,
+        )
+        return None
+    try:
         field = pq.ParquetFile(path).schema_arrow.field("ts")
         return getattr(field.type, "unit", None)
-    except Exception:
+    except (OSError, KeyError):
+        # missing/corrupt file or schema without ts: let the native reader
+        # produce its own (accurate) error downstream
         return None
 
 

@@ -140,3 +140,29 @@ def test_heavy_hitters_matches_bruteforce(spark, keys, partitions):
         (k, c) for k, c in counts.items() if c >= len(keys) / 8.0
     }
     assert got == want
+
+
+def test_event_ids_fit_resample_tiebreak_encoding():
+    """events_resample_ffill encodes its max_by tie-break as
+    micros-within-hour * 1e6 + event_id, which is a total order only while
+    event_id < 1e6.  Guard the generator assumption so a future testdata
+    change can't silently make per-hour observation choice collide
+    (operators/relational.py events_resample_ffill)."""
+    import glob
+
+    import duckdb
+
+    checked = 0
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        files = glob.glob(f"{sf_dir}/events.parquet")
+        if not files:
+            continue
+        (max_id,) = duckdb.sql(
+            f"SELECT MAX(event_id) FROM read_parquet('{files[0]}')"
+        ).fetchone()
+        assert max_id < 1_000_000, (
+            f"{sf_dir}: max event_id {max_id} >= 1e6 breaks the "
+            "resample_ffill tie-break encoding"
+        )
+        checked += 1
+    assert checked > 0, "no events.parquet found to validate"
