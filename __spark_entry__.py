@@ -623,10 +623,14 @@ _ORACLES.update({
     """,
     "dedup_ngram_jaccard": f"""
         WITH {_SHINGLES_CTE},
-        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+        -- stop-shingle guard: same df cap as operators/dedup.py MAX_SHINGLE_DF
+        shf AS (
+            SELECT doc_id, shingle FROM sh
+            QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= 1000),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM shf GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2)
         SELECT doc_a, doc_b,
                ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard

@@ -322,14 +322,36 @@ def dedup_containment_lsh(
 # n-gram Jaccard
 # ---------------------------------------------------------------------------
 
-def dedup_ngram_jaccard(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.30
+#: Stop-shingle document-frequency cap for the exact n-gram Jaccard join.
+#: A shingle shared by d documents contributes d*(d-1)/2 join rows, so one
+#: viral boilerplate shingle (d = 1% of a 100 TB corpus) alone creates
+#: ~1e14 pairs.  Dropping shingles with df > tau before the self-join (the
+#: standard "stop-shingle" guard — same role as the LSH hot-bucket cap)
+#: bounds every shingle's contribution to tau^2/2 pairs.  Jaccard is then
+#: computed over the surviving (informative) shingles on BOTH the
+#: intersection and the set sizes, so the score stays a true Jaccard of the
+#: filtered shingle sets.
+MAX_SHINGLE_DF = 1000
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.30, max_shingle_df: int = MAX_SHINGLE_DF
 ) -> DataFrame:
-    """Exact word-3-gram Jaccard similarity for every pair sharing a
-    shingle; pairs at/above ``threshold``.  jac = |A∩B| / (|A|+|B|-|A∩B|).
-    Integer set sizes -> double division, deterministic across engines."""
-    docs = load(spark, sf_dir, "documents")
+    """Exact word-3-gram Jaccard for every pair sharing a non-viral shingle.
+
+    jac = |A∩B| / (|A|+|B|-|A∩B|) over shingles with document frequency
+    <= ``max_shingle_df`` (see MAX_SHINGLE_DF).  The viral set is tiny by
+    construction (at most total_shingle_rows / tau distinct shingles), so
+    removing it is a broadcast anti-join, not a shuffle.  Integer set sizes
+    -> double division, deterministic across engines."""
     sh = shingle_table(docs)
+    viral = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_shingle_df)
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(viral), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -352,6 +374,14 @@ def dedup_ngram_jaccard(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.30
+) -> DataFrame:
+    """Registered query: exact n-gram Jaccard with the stop-shingle guard
+    active (df cap = MAX_SHINGLE_DF; oracle applies the identical filter)."""
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -623,7 +653,8 @@ def dedup_embedding_lsh(
 
 
 def dedup_embedding_cosine(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.30
+    spark: SparkSession, sf_dir: str, threshold: float = 0.30,
+    max_vectors: int = 8000,
 ) -> DataFrame:
     """Near-duplicate vectors: pairs with cosine >= threshold.
 
@@ -637,11 +668,36 @@ def dedup_embedding_cosine(
     Norms are materialized once per VECTOR before the join (n folds), not
     once per PAIR (n^2 folds): higher-order-function folds are interpreted,
     not codegen'd, so hoisting them out of the pair loop is a ~3x win while
-    keeping the exact oracle float semantics dot/(norm_a*norm_b)."""
+    keeping the exact oracle float semantics dot/(norm_a*norm_b).
+
+    GUARD: pair count grows as n^2/2, so the query carries an IN-PLAN size
+    assertion — the vector count (one 1-row aggregate, broadcast onto the
+    left side) must not exceed ``max_vectors``, else the job FAILS before
+    the pair join materializes.  The guard is a runtime filter expression
+    (assert_true), fully lazy and distributed — no driver-side count — and
+    visible in the physical plan (tests/test_plans.py pins it).  With the
+    default cap the worst case is ~3.1e7 pairs, minutes on one executor;
+    above that, use dedup_embedding_lsh.  The guard evaluates per-row on
+    the n-row vector frame BEFORE the theta join, so an oversized input
+    fails in the scan stage, not after the shuffle."""
     emb = fan_out(load(spark, sf_dir, "embeddings"))
     with_norm = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
-    a = with_norm.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
+    n_vec = emb.agg(F.count(F.lit(1)).alias("n_vec"))
+    guard_msg = (
+        f"dedup_embedding_cosine is the all-pairs VERIFICATION baseline, "
+        f"scoped to <= {max_vectors} vectors; use dedup_embedding_lsh for "
+        f"the bucketed scale path"
+    )
+    a = (
+        with_norm.crossJoin(F.broadcast(n_vec))
+        .where(
+            F.assert_true(
+                F.col("n_vec") <= F.lit(max_vectors), F.lit(guard_msg)
+            ).isNull()
+        )
+        .select(
+            F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
+        )
     )
     b = with_norm.select(
         F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")

@@ -498,3 +498,20 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_embedding_cosine_guard_in_plan_and_enforced(spark):
+    """The all-pairs verification baseline must carry its size guard IN THE
+    PLAN (assert_true on the broadcast vector count, evaluated before the
+    theta join) and the guard must actually fire on an oversized input."""
+    import pytest
+
+    df = dedup.dedup_embedding_cosine(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # assert_true lowers to `if (cond) true else isnull(raise_error(...))`
+    assert "raise_error" in plan and "n_vec" in plan, plan[:2000]
+    # under the cap (500 vectors at sf0.01): runs fine
+    assert df.limit(1).count() >= 0
+    # over the cap: the job must FAIL before pairs materialize
+    with pytest.raises(Exception, match="VERIFICATION baseline"):
+        dedup.dedup_embedding_cosine(spark, SF_ORACLE, max_vectors=10).count()

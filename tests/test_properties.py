@@ -166,3 +166,60 @@ def test_event_ids_fit_resample_tiebreak_encoding():
         )
         checked += 1
     assert checked > 0, "no events.parquet found to validate"
+
+
+@settings(**_SETTINGS)
+@given(
+    n_viral=st.integers(8, 24),
+    seed=st.integers(0, 3),
+)
+def test_ngram_jaccard_stop_shingle_guard(spark, n_viral, seed):
+    """A viral shingle (df > cap) must contribute NOTHING: neither join
+    pairs nor Jaccard mass.  Output must equal a plain-Python Jaccard over
+    the df-filtered shingle sets — proving the guard changes the metric
+    consistently (sizes AND intersections), not just the join."""
+    import itertools
+    import random
+
+    rng = random.Random(seed)
+    texts = {}
+    # every doc shares the 3-gram "viral boiler plate"; the rest of each
+    # doc is drawn from a tiny vocab so some non-viral overlap exists too
+    vocab = [f"w{j}" for j in range(6)]
+    for i in range(n_viral):
+        tail = " ".join(rng.choices(vocab, k=4))
+        texts[i] = f"viral boiler plate {tail}"
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    cap = 5  # << n_viral, so "viral boiler plate" is always dropped
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.0, max_shingle_df=cap
+        ).collect()
+    }
+
+    def shingles(t: str) -> set[str]:
+        ws = t.lower().strip().split()
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {i: shingles(t) for i, t in texts.items()}
+    df_count: dict[str, int] = {}
+    for s in sets.values():
+        for g in s:
+            df_count[g] = df_count.get(g, 0) + 1
+    filtered = {
+        i: {g for g in s if df_count[g] <= cap} for i, s in sets.items()
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(filtered), 2):
+        inter = len(filtered[a] & filtered[b])
+        if inter:
+            want[(a, b)] = round(
+                inter / (len(filtered[a]) + len(filtered[b]) - inter), 6
+            )
+    assert got == want
+    # the viral shingle alone would have produced all n*(n-1)/2 pairs;
+    # the guard must keep the pair count strictly below that
+    assert len(got) < n_viral * (n_viral - 1) // 2
