@@ -388,6 +388,23 @@ def dedup_ngram_jaccard(
 # Connected components — candidate pairs -> dedup clusters
 # ---------------------------------------------------------------------------
 
+def _truncate_lineage(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Materialize ``df`` and cut its lineage — the per-iteration discipline
+    that keeps loop plans from doubling.
+
+    ``checkpoint_dir=None`` uses localCheckpoint: fastest, but blocks are
+    executor-lifetime-bound, so on a real cluster a lost executor kills the
+    truncated frame mid-loop.  Passing a fault-tolerant directory (HDFS/S3)
+    switches to reliable ``df.checkpoint()``: blocks survive executor loss
+    at the cost of a write per iteration — the right trade at 100 TB where
+    a multi-hour loop losing one of 1000 executors is routine."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=True)
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -395,6 +412,7 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation:
     ``(id, component)`` where component = the smallest node id reachable.
@@ -408,14 +426,14 @@ def connected_components(
     convergence scalar): each pass joins labels across edges and takes the
     per-node min of (own label, neighbor labels).  Labels only ever
     decrease, so sum(labels) is a monotone convergence measure — one
-    1-row action per pass.  Lineage is truncated each pass with
-    localCheckpoint (plan doubles per iteration otherwise); at 100 TB use
-    reliable checkpointing and the small-star/large-star variant
-    (Kiveris et al., "Connected Components in MapReduce"), which
-    path-compresses to O(log n) passes — the per-pass dataflow is the same
-    join+min as here.  Passes needed = max component diameter; near-dup
-    clusters are shallow (most duplicates share one hub), so small
-    constants in practice.
+    1-row action per pass.  Lineage is truncated each pass (plan doubles
+    per iteration otherwise): localCheckpoint by default, or reliable
+    ``df.checkpoint()`` when ``checkpoint_dir`` names a fault-tolerant
+    directory (see _truncate_lineage — the 100 TB setting).  Passes needed
+    = max component diameter; near-dup clusters are shallow (most
+    duplicates share one hub), so small constants in practice.  For deep
+    graphs use connected_components_star below (small-star/large-star,
+    Kiveris et al.), which path-compresses to O(log n) passes.
 
     If the loop exhausts ``max_iterations`` before the fixpoint (a chain
     longer than the iteration budget), the labels are PARTIAL — some
@@ -428,9 +446,9 @@ def connected_components(
     # Materialize the edge list ONCE: it sits inside every iteration's join,
     # and without truncation its lineage (here: the whole LSH candidate
     # pipeline) would re-execute on every pass.
-    und = und.localCheckpoint(eager=True)
+    und = _truncate_lineage(und, checkpoint_dir)
     labels = nodes.select(F.col(node_col).alias("id"), F.col(node_col).alias("component"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = _truncate_lineage(labels, checkpoint_dir)
     prev_sum = labels.agg(F.sum("component")).first()[0]
     converged = False
     for _ in range(max_iterations):
@@ -442,7 +460,7 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("component").alias("component"))
         )
-        labels = labels.localCheckpoint(eager=True)
+        labels = _truncate_lineage(labels, checkpoint_dir)
         new_sum = labels.agg(F.sum("component")).first()[0]
         if new_sum == prev_sum:
             converged = True
@@ -455,6 +473,127 @@ def connected_components(
             f"clusters still split); raise max_iterations"
         )
     return labels
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — same ``(id, component)`` contract as connected_components.
+
+    Label propagation needs DIAMETER passes; the star operations
+    path-compress, so rounds needed are O(log n) regardless of diameter —
+    on a 10^6-node chain that is ~20 rounds instead of 10^6.  Near-dup
+    graphs are usually shallow (hub-shaped), which is why label propagation
+    is the registered default; this variant is the switch to flip when a
+    corpus produces chain-shaped duplicate structure (rolling boilerplate,
+    versioned documents) and the default loop hits its iteration budget.
+
+    Per round, over the symmetrized neighbor table (edge set kept as
+    canonical undirected pairs a < b):
+    - large-star: every node u computes m = min(N(u) + {u}) and re-points
+      each LARGER neighbor v > u at m (emit edge (m, v));
+    - small-star: u re-points each smaller-or-equal neighbor and itself at
+      m (emit (m, v) for v < u, plus (m, u)).
+    Both are one groupBy(min) + one join — the identical linear-shuffle
+    dataflow as the label-prop loop, so the 100 TB posture carries over
+    unchanged (lineage truncated per round via _truncate_lineage).
+    Convergence = the canonical edge set reaches a fixpoint (star-shaped:
+    every edge (root, v)), detected by an order-insensitive fingerprint
+    (count + sum of xxhash64) — one tiny action per round.  Isolated nodes
+    never enter the edge set and label themselves.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("x"),
+            F.col(dst_col).cast("long").alias("y"),
+        )
+        .where(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+    )
+    e = _truncate_lineage(e, checkpoint_dir)
+
+    def _fingerprint(edf: DataFrame) -> tuple:
+        row = edf.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            # decimal accumulator: a long sum of 64-bit hashes overflows
+            # (ANSI mode throws); decimal(38,0) holds ~1e19 * 1e19 headroom
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("fp"),
+        ).first()
+        return (row["cnt"], row["fp"])
+
+    def _mins(sym: DataFrame) -> DataFrame:
+        # m(u) = min over the closed neighborhood N(u) + {u}
+        return (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+
+    prev_fp = _fingerprint(e)
+    converged = False
+    for _ in range(max_iterations):
+        # -- large-star: (u,v) with v > u  ->  (m(u), v) --
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        large = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(_mins(sym), "u")
+            # m <= u < v, so (m, v) is already canonical a < b
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .distinct()
+        )
+        e = _truncate_lineage(large, checkpoint_dir)
+        # -- small-star: (u,v) with v < u -> (m(u), v); plus (m(u), u) --
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = _mins(sym)
+        small = (
+            sym.where(F.col("v") < F.col("u"))
+            .join(mins, "u")
+            # m = min(N(u)+{u}) <= v for v in N(u), so (m, v) canonical;
+            # v == m would be a self-loop — drop it
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .union(
+                mins.select(F.col("m").alias("a"), F.col("u").alias("b"))
+            )
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        e = _truncate_lineage(small, checkpoint_dir)
+        fp = _fingerprint(e)
+        if fp == prev_fp:
+            converged = True
+            break
+        prev_fp = fp
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not reach its edge-set fixpoint "
+            f"within {max_iterations} rounds — components would be partial; "
+            f"raise max_iterations"
+        )
+    # star-shaped fixpoint: every node's component is min(N(u) + {u});
+    # isolated nodes (no edges) are their own component
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    return (
+        nodes.select(F.col(node_col).alias("id"))
+        .join(_mins(sym).withColumnRenamed("u", "id"), "id", "left")
+        .select("id", F.coalesce("m", "id").alias("component"))
+    )
 
 
 def dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -912,6 +1051,7 @@ def pagerank_centrality(
     dst_col: str = "doc_b",
     damping: float = 0.85,
     iterations: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Distributed PageRank by unrolled power iteration over an undirected
     graph (each edge contributes both directions).
@@ -931,8 +1071,11 @@ def pagerank_centrality(
 
     Scale shape per iteration: one edge-keyed broadcast-or-shuffle join
     (rank onto edges) + one dst-keyed aggregation — the same linear-shuffle
-    loop as connected_components, and like it the rank frame is
-    localCheckpoint'ed each pass so the plan does not double per iteration.
+    loop as connected_components, and like it the rank frame's lineage is
+    truncated each pass so the plan does not double per iteration
+    (localCheckpoint by default; reliable df.checkpoint() when
+    ``checkpoint_dir`` names a fault-tolerant directory — see
+    _truncate_lineage).
     """
     n_nodes = nodes.select(
         F.count(F.lit(1)).cast("double").alias("_n")
@@ -943,13 +1086,14 @@ def pagerank_centrality(
         edges.select(
             F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
         )
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct()
+    und = _truncate_lineage(und, checkpoint_dir)
     outdeg = und.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    rank = (
+    rank = _truncate_lineage(
         nodes.select(F.col(node_col).alias("node"))
         .crossJoin(F.broadcast(n_nodes))
-        .select("node", F.round(F.lit(1.0) / F.col("_n"), 8).alias("rank"))
-        .localCheckpoint(eager=True)
+        .select("node", F.round(F.lit(1.0) / F.col("_n"), 8).alias("rank")),
+        checkpoint_dir,
     )
     for _ in range(iterations):
         contrib = (
@@ -963,7 +1107,7 @@ def pagerank_centrality(
         inflow = contrib.groupBy("node").agg(
             F.round(F.sum("c"), 8).alias("inflow")
         )
-        rank = (
+        rank = _truncate_lineage(
             nodes.select(F.col(node_col).alias("node"))
             .join(inflow, "node", "left")
             .crossJoin(F.broadcast(n_nodes))
@@ -974,8 +1118,8 @@ def pagerank_centrality(
                     + damping * F.coalesce(F.col("inflow"), F.lit(0.0)),
                     8,
                 ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            checkpoint_dir,
         )
     return rank
 
