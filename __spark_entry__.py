@@ -57,6 +57,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessio
 #: Rotate each round so no query's newest driver row ages past 2 rounds.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- block A: changed or added this round ----
+    "stream_user_topk": stream_ops.stream_user_topk,
     "events_heavy_hitters": sketches.events_heavy_hitters,
     "sample_token_budget_mix": relational.sample_token_budget_mix,
     "events_anomaly_mad": relational.events_anomaly_mad,
@@ -1353,6 +1354,17 @@ _ORACLES.update({
                ROUND(SUM(value), 2) AS sum_value,
                MAX(CAST(ts AS TIMESTAMP)) AS max_ts
         FROM events GROUP BY user_id
+    """,
+    "stream_user_topk": """
+        WITH ranked AS (
+            SELECT user_id, value, event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY value DESC, event_id) AS rnk
+            FROM events)
+        SELECT user_id, CAST(rnk AS BIGINT) AS rank,
+               ROUND(value, 2) AS value, event_id
+        FROM ranked WHERE rnk <= 3
     """,
 })
 

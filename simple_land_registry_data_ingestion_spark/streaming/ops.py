@@ -581,6 +581,74 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Per-user top-K size for the stateful top-K operators (both the
+#: applyInPandasWithState implementation and the TWS upgrade path).
+TOPK_K = 3
+
+
+def _user_topk_state_fn(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Bounded per-key top-K with EXPLICIT state eviction: the state tuple
+    holds at most TOPK_K (value, event_id) pairs — after merging each
+    trigger's rows the list is re-sorted and TRUNCATED, so state size is
+    O(users * K) however long the stream runs.  That eviction is the whole
+    point: an unbounded 'keep everything, rank later' state grows with the
+    stream and eventually evicts the executor instead.
+
+    Ordering: value DESC, event_id ASC tie-break — a total order, so the
+    emitted ranking is deterministic and oracle-checkable."""
+    (user_id,) = key
+    if state.exists:
+        vals, ids = state.get
+        cur = list(zip([float(v) for v in vals], [int(i) for i in ids]))
+    else:
+        cur = []
+    for pdf in batches:
+        cur.extend(
+            zip(pdf["value"].astype(float), pdf["event_id"].astype("int64"))
+        )
+    cur.sort(key=lambda t: (-t[0], t[1]))
+    cur = cur[:TOPK_K]  # eviction: state never exceeds K entries
+    state.update(([v for v, _ in cur], [int(i) for _, i in cur]))
+    yield pd.DataFrame(
+        {
+            "user_id": [int(user_id)] * len(cur),
+            "rank": list(range(1, len(cur) + 1)),
+            "value": [v for v, _ in cur],
+            "event_id": [i for _, i in cur],
+        }
+    )
+
+
+def stream_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running top-3 event values as a custom stateful streaming
+    operator (applyInPandasWithState, bounded per-key state with explicit
+    eviction — see _user_topk_state_fn).
+
+    After draining the backlog the update-mode output equals the batch
+    window ranking (ROW_NUMBER over value DESC, event_id), which is the
+    registered DuckDB oracle.  The Spark-4 upgrade path for this operator
+    is stream_tws_user_topk (transformWithStateInPandas with a typed
+    ListState); it is env-gated on protobuf, so THIS query is the
+    registered, driver-verified implementation of bounded streaming top-K.
+    """
+    stream = events_stream(spark, sf_dir).select("user_id", "value", "event_id")
+    topk = stream.groupBy("user_id").applyInPandasWithState(
+        _user_topk_state_fn,
+        outputStructType="user_id long, rank long, value double, event_id long",
+        stateStructType="vals array<double>, ids array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_stream_to_table(topk, "update")
+    return out.select(
+        "user_id", "rank", F.round("value", 2).alias("value"), "event_id"
+    )
+
+
 from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
 
@@ -648,7 +716,9 @@ def stream_tws_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Raises NotImplementedError when the env lacks protobuf (TWS driver
     worker dependency); the processor's merge semantics remain covered by
-    the fake-handle test either way.
+    the fake-handle test either way, and the SAME operator is registered
+    and driver-verified via the applyInPandasWithState implementation
+    (stream_user_topk above) — TWS is the upgrade path, not the only proof.
     """
     if not tws_available():
         raise NotImplementedError(

@@ -497,3 +497,65 @@ def test_observe_metrics_ride_the_stream_batch(spark, tmp_path):
     assert progresses, "observed metrics missing from progress"
     n = progresses[-1].observedMetrics["quality2"]["n_rows"]
     assert n == 1000  # sf0.001 events row count
+
+
+def test_user_topk_state_fn_evicts_across_triggers():
+    """The applyInPandasWithState top-K fold, driven directly across three
+    'triggers': state is truncated to K after every fold (the eviction
+    bound), and the final emission equals the overall top-3 by
+    (value desc, event_id)."""
+    import pandas as pd
+
+    class _FakeGroupState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    state = _FakeGroupState()
+    batches = [
+        pd.DataFrame({"value": [5.0, 9.0], "event_id": [1, 2]}),
+        pd.DataFrame({"value": [9.0, 1.0, 7.0], "event_id": [0, 3, 4]}),
+        pd.DataFrame({"value": [8.5], "event_id": [5]}),
+    ]
+    last = None
+    for b in batches:
+        (last,) = list(ops._user_topk_state_fn((77,), iter([b]), state))
+        vals, ids = state.get
+        assert len(vals) <= ops.TOPK_K and len(ids) <= ops.TOPK_K
+    assert list(map(tuple, last.itertuples(index=False))) == [
+        (77, 1, 9.0, 0),  # value tie 9.0: event_id 0 beats 2
+        (77, 2, 9.0, 2),
+        (77, 3, 8.5, 5),
+    ]
+
+
+def test_stream_user_topk_matches_batch(spark):
+    """End-to-end applyInPandasWithState top-K against the batch window
+    ranking — the registered, runtime-executed twin of the TWS processor."""
+    got = sorted(map(tuple, ops.stream_user_topk(spark, SF_SMALL).collect()))
+    e = tables.load(spark, SF_SMALL, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    want = sorted(
+        map(
+            tuple,
+            e.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= 3)
+            .select("user_id", "rank", F.round("value", 2).alias("value"), "event_id")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
