@@ -56,9 +56,88 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessio
 #:             by tests/test_oracle_parity.py, which runs ALL entries).
 #: Rotate each round so no query's newest driver row ages past 2 rounds.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- block A: changed or added this round ----
+    # ---- block A: changed or added in round 4 (need fresh driver rows) ----
     "stream_user_topk": stream_ops.stream_user_topk,
+    "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+    "scalar_variant_funcs": scalars.scalar_variant_funcs,
     "events_heavy_hitters": sketches.events_heavy_hitters,
+    # ---- block B: newest driver row was round 1 (2+ rounds stale) -- all 26 ----
+    "window_range_frame": relational.window_range_frame,
+    "window_running_sum": relational.window_running_sum,
+    "window_lag_lead": relational.window_lag_lead,
+    "window_topk_per_group": relational.window_topk_per_group,
+    "sort_topk": relational.sort_topk,
+    "set_union_distinct": relational.set_union_distinct,
+    "set_intersect_except": relational.set_intersect_except,
+    "join_full_outer": relational.join_full_outer,
+    "join_range_nonequi": relational.join_range_nonequi,
+    "join_asof_rates": asof.join_asof_rates,
+    "q3_shipping_priority": relational.q3_shipping_priority,
+    "sql_exists_subquery": relational.sql_exists_subquery,
+    "sql_scalar_subquery": relational.sql_scalar_subquery,
+    "scalar_string_funcs": scalars.scalar_string_funcs,
+    "scalar_date_funcs": scalars.scalar_date_funcs,
+    "scalar_math_funcs": scalars.scalar_math_funcs,
+    "scalar_json_funcs": scalars.scalar_json_funcs,
+    "scalar_map_funcs": scalars.scalar_map_funcs,
+    "array_funcs": scalars.array_funcs,
+    "generator_explode_tokens": scalars.generator_explode_tokens,
+    "calendar_working_days": calendar.calendar_working_days,
+    "calendar_month_bounds": calendar.calendar_month_bounds,
+    "calendar_publish_dates": calendar.calendar_publish_dates,
+    "text_token_count": text_fns.text_token_count,
+    "text_quality_score": text_fns.text_quality_score,
+    "text_lang_id": text_fns.text_lang_id,
+    # ---- block C: oldest round-2 rows, padding the 50-entry window ----
+    "dedup_exact_documents": dedup.dedup_exact_documents,
+    "cdc_latest_per_key": dedup.cdc_latest_per_key,
+    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+    "dedup_jaccard_lsh": dedup.dedup_jaccard_lsh,
+    "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
+    "dedup_simhash": dedup.dedup_simhash,
+    "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
+    "dedup_cluster_assignments": dedup.dedup_cluster_assignments,
+    "similarity_topk_bruteforce": similarity.similarity_topk_bruteforce,
+    "similarity_ann_lsh": similarity.similarity_ann_lsh,
+    "similarity_ann_ivf": similarity.similarity_ann_ivf,
+    "similarity_ann_lsh_multiprobe": similarity.similarity_ann_lsh_multiprobe,
+    "similarity_bucket_histogram": similarity.similarity_bucket_histogram,
+    "multimodal_binary_metadata": multimodal.multimodal_binary_metadata,
+    "multimodal_decode_features": multimodal.multimodal_decode_features,
+    "text_fingerprint": text_fns.text_fingerprint,
+    "text_stats_pandas_udf": text_fns.text_stats_pandas_udf,
+    "grouped_zscore_pandas": udfs.grouped_zscore_pandas,
+    "udtf_chunk_documents": udfs.udtf_chunk_documents,
+    # ---- block D head: remaining round-2 rows (these lead the r05 rotation) ----
+    "agg_approx_distinct": relational.agg_approx_distinct,
+    "agg_collect_sorted": relational.agg_collect_sorted,
+    "agg_distinct_counts": relational.agg_distinct_counts,
+    "agg_percentiles": relational.agg_percentiles,
+    "case_when_bucketing": relational.case_when_bucketing,
+    "cdc_snapshot_diff": relational.cdc_snapshot_diff,
+    "distinct_rows": relational.distinct_rows,
+    "filter_project": relational.filter_project,
+    "ingest_max_date": relational.ingest_max_date,
+    "ingest_run_summary": relational.ingest_run_summary,
+    "profile_columns": relational.profile_columns,
+    "q1_pricing_summary": relational.q1_pricing_summary,
+    "q6_revenue_filter": relational.q6_revenue_filter,
+    "sample_hash_deterministic": relational.sample_hash_deterministic,
+    "sample_stratified_fixed": relational.sample_stratified_fixed,
+    "sessionize_events": relational.sessionize_events,
+    "stream_dedup_within_watermark": stream_ops.stream_dedup_within_watermark,
+    "stream_session_window": stream_ops.stream_session_window,
+    "stream_sliding_window": stream_ops.stream_sliding_window,
+    "stream_stateful_user_stats": stream_ops.stream_stateful_user_stats,
+    "stream_stream_interval_join": stream_ops.stream_stream_interval_join,
+    "stream_tumbling_append_watermark": stream_ops.stream_tumbling_append_watermark,
+    "stream_tumbling_window": stream_ops.stream_tumbling_window,
+    "text_tfidf_topk": text_fns.text_tfidf_topk,
+    "text_vocab_topk": text_fns.text_vocab_topk,
+    "unpivot_measures": relational.unpivot_measures,
+    "window_rank_family": relational.window_rank_family,
+    # ---- block D tail: round-3-fresh evidence (re-proven locally every round) ----
     "sample_token_budget_mix": relational.sample_token_budget_mix,
     "events_anomaly_mad": relational.events_anomaly_mad,
     "text_zipf_slope": text_fns.text_zipf_slope,
@@ -67,7 +146,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental_minhash": dedup.dedup_incremental_minhash,
     "dedup_canonical_by_quality": dedup.dedup_canonical_by_quality,
     "events_retention_cohorts": relational.events_retention_cohorts,
-    "scalar_variant_funcs": scalars.scalar_variant_funcs,
     "pandas_grouped_agg_gini": udfs.pandas_grouped_agg_gini,
     "cogroup_activity_orders": udfs.cogroup_activity_orders,
     "profile_numeric_corr": relational.profile_numeric_corr,
@@ -86,13 +164,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_gopher_filter": text_fns.text_gopher_filter,
     "dedup_decontaminate": dedup.dedup_decontaminate,
     "multimodal_frame_sample": multimodal.multimodal_frame_sample,
-    # full oracle: the Lloyd loop quantizes means/cosines to 6 dp, making
-    # the recurrence engine-independent (unrolled DuckDB twin below)
     "similarity_ivf_kmeans": similarity.similarity_ivf_kmeans,
     "stream_left_outer_interval_join": stream_ops.stream_stream_left_outer_interval_join,
-    # (dedup_simhash_pairs moved to block D: its r02 correctness row is
-    # still valid — round 3 changed only the physical plan, and
-    # tests/test_oracle_parity.py re-proves the values locally)
     "text_repetition_ratio": text_fns.text_repetition_ratio,
     "dedup_containment_lsh": dedup.dedup_containment_lsh,
     "events_funnel_conversion": relational.events_funnel_conversion,
@@ -102,115 +175,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bigram_perplexity": text_fns.text_bigram_perplexity,
     "cdc_merge_upsert": relational.cdc_merge_upsert,
     "stream_inactivity_sessions": stream_ops.stream_inactivity_sessions,
-    # ---- block B: newest driver row is round 1 ----
     "rollup_orders": relational.rollup_orders,
     "cube_lineitem": relational.cube_lineitem,
     "sql_grouping_sets": relational.sql_grouping_sets,
     "pivot_orders": relational.pivot_orders,
-    # -- skew mitigation (north-star X6) --
     "skew_salted_agg": skew.skew_salted_agg,
     "skew_salted_join": skew.skew_salted_join,
-    # -- joins --
     "join_customer_orders": relational.join_customer_orders,
     "join_multiway": relational.join_multiway,
     "join_left_outer": relational.join_left_outer,
     "join_left_semi": relational.join_left_semi,
     "join_left_anti": relational.join_left_anti,
-    "join_full_outer": relational.join_full_outer,
-    "join_range_nonequi": relational.join_range_nonequi,
-    "join_asof_rates": asof.join_asof_rates,
-    # -- subqueries (decorrelated by Catalyst) --
-    "sql_exists_subquery": relational.sql_exists_subquery,
-    "sql_scalar_subquery": relational.sql_scalar_subquery,
-    # -- multi-join analytics --
-    "q3_shipping_priority": relational.q3_shipping_priority,
-    # -- windows --
-    "window_topk_per_group": relational.window_topk_per_group,
-    "window_running_sum": relational.window_running_sum,
-    "window_lag_lead": relational.window_lag_lead,
-    "window_range_frame": relational.window_range_frame,
-    # -- sort / limit / top-k --
-    "sort_topk": relational.sort_topk,
-    # -- set operations --
-    "set_union_distinct": relational.set_union_distinct,
-    "set_intersect_except": relational.set_intersect_except,
-    # -- scalar function families --
-    "scalar_string_funcs": scalars.scalar_string_funcs,
-    "scalar_date_funcs": scalars.scalar_date_funcs,
-    "scalar_math_funcs": scalars.scalar_math_funcs,
-    "scalar_json_funcs": scalars.scalar_json_funcs,
-    "scalar_map_funcs": scalars.scalar_map_funcs,
-    "generator_explode_tokens": scalars.generator_explode_tokens,
-    "array_funcs": scalars.array_funcs,
-    # -- calendar functions (reference F1-F5) --
-    "calendar_working_days": calendar.calendar_working_days,
-    "calendar_month_bounds": calendar.calendar_month_bounds,
-    "calendar_publish_dates": calendar.calendar_publish_dates,
-    # -- text analysis (north-star X4) --
-    # (most of block B sits past the 50-entry window this round, displaced
-    # by the 23 brand-new round-3 queries above; those r01-row queries LEAD
-    # the r04 rotation.  All are re-proven locally every round by
-    # tests/test_oracle_parity.py, which runs ALL entries.)
-    "text_token_count": text_fns.text_token_count,
-    "text_quality_score": text_fns.text_quality_score,
-    "text_lang_id": text_fns.text_lang_id,
-    # ---- block C: oldest round-2 rows, padding the prefix to 50 ----
-    "dedup_exact_documents": dedup.dedup_exact_documents,
-    "cdc_latest_per_key": dedup.cdc_latest_per_key,
-    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
-    "dedup_jaccard_lsh": dedup.dedup_jaccard_lsh,
-    "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
-    "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
-    "dedup_simhash": dedup.dedup_simhash,
-    "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
-    "similarity_topk_bruteforce": similarity.similarity_topk_bruteforce,
-    # ---- block D: freshest driver evidence ----
-    "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
-    "similarity_ann_lsh": similarity.similarity_ann_lsh,
-    "similarity_ann_ivf": similarity.similarity_ann_ivf,
-    "similarity_bucket_histogram": similarity.similarity_bucket_histogram,
-    "similarity_ann_lsh_multiprobe": similarity.similarity_ann_lsh_multiprobe,
-    # -- multimodal columns (north-star X5) --
-    "multimodal_binary_metadata": multimodal.multimodal_binary_metadata,
-    "multimodal_decode_features": multimodal.multimodal_decode_features,
-    # -- text analysis tail + UDF surfaces (north-star X4 / SURVEY 2.9) --
-    "text_fingerprint": text_fns.text_fingerprint,
-    "text_stats_pandas_udf": text_fns.text_stats_pandas_udf,
-    "grouped_zscore_pandas": udfs.grouped_zscore_pandas,
-    "udtf_chunk_documents": udfs.udtf_chunk_documents,
-    # -- structured streaming (SURVEY section 2.10) --
-    "stream_tumbling_window": stream_ops.stream_tumbling_window,
-    "stream_sliding_window": stream_ops.stream_sliding_window,
-    "stream_tumbling_append_watermark": stream_ops.stream_tumbling_append_watermark,
-    "stream_session_window": stream_ops.stream_session_window,
-    "stream_dedup_within_watermark": stream_ops.stream_dedup_within_watermark,
-    "stream_stateful_user_stats": stream_ops.stream_stateful_user_stats,
-    "stream_stream_interval_join": stream_ops.stream_stream_interval_join,
-    # -- clustering, salience, vocab, stratified sample --
-    "dedup_cluster_assignments": dedup.dedup_cluster_assignments,
-    "text_tfidf_topk": text_fns.text_tfidf_topk,
-    "text_vocab_topk": text_fns.text_vocab_topk,
-    "sample_stratified_fixed": relational.sample_stratified_fixed,
-    "window_rank_family": relational.window_rank_family,
-    "cdc_snapshot_diff": relational.cdc_snapshot_diff,
-    "profile_columns": relational.profile_columns,
-    "sessionize_events": relational.sessionize_events,
-    # -- ingest parity (reference A1 / S8 shapes) --
-    "ingest_max_date": relational.ingest_max_date,
-    "ingest_run_summary": relational.ingest_run_summary,
-    # -- filters / projections / conditionals --
-    "filter_project": relational.filter_project,
-    "case_when_bucketing": relational.case_when_bucketing,
-    # -- aggregations --
-    "q1_pricing_summary": relational.q1_pricing_summary,
-    "q6_revenue_filter": relational.q6_revenue_filter,
-    "agg_distinct_counts": relational.agg_distinct_counts,
-    "agg_approx_distinct": relational.agg_approx_distinct,
-    "agg_collect_sorted": relational.agg_collect_sorted,
-    "agg_percentiles": relational.agg_percentiles,
-    "unpivot_measures": relational.unpivot_measures,
-    "sample_hash_deterministic": relational.sample_hash_deterministic,
-    "distinct_rows": relational.distinct_rows,
 }
 
 #: Shared SQL fragments for the oracle twins below.
