@@ -122,7 +122,12 @@ def main() -> None:
                     "floor is reproducible"
                 ),
                 "queries": timings,
+                # pass 1 = cold (first planning/codegen per query), pass 2 =
+                # warm; regressions in first-run planning cost show up as a
+                # growing pass1 total even when the best-of floor is flat
                 "passes": passes,
+                "pass1_cold_total": round(sum(passes[0].values()), 3),
+                "pass2_warm_total": round(sum(passes[1].values()), 3),
             },
             fh,
             indent=1,
