@@ -58,6 +58,9 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessio
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- block A: changed or added in round 4 (need fresh driver rows) ----
     "stream_user_topk": stream_ops.stream_user_topk,
+    "dedup_semdedup": dedup.dedup_semdedup,
+    "sample_source_capped": relational.sample_source_capped,
+    "text_quality_quantile_gate": text_fns.text_quality_quantile_gate,
     "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
     "scalar_variant_funcs": scalars.scalar_variant_funcs,
@@ -994,6 +997,72 @@ _ORACLES.update({
 
 
 _ORACLES.update({
+    # SemDeDup: the same unrolled 2-iteration Lloyd pipeline as
+    # similarity_ivf_kmeans, then in-cluster keep-first-by-id pruning at
+    # 6-dp cosine >= 0.32 (threshold in operators/dedup.py dedup_semdedup).
+    "dedup_semdedup": f"""
+        WITH {_VEC_CTE},
+        n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        c0 AS (SELECT vec_id AS cid, e AS ce, sqrt(list_dot_product(e, e)) AS cn
+               FROM v WHERE vec_id < 16),
+        {_kmeans_iter(1, "c0")},
+        {_kmeans_iter(2, "c1")},
+        sf AS (SELECT n.vec_id, n.e, n.nrm, c2.cid,
+                      ROW_NUMBER() OVER (
+                          PARTITION BY n.vec_id
+                          ORDER BY ROUND(list_dot_product(n.e, c2.ce)
+                                         / (n.nrm * c2.cn), 6) DESC,
+                                   c2.cid) AS rn
+               FROM n, c2),
+        asg AS (SELECT vec_id, e, nrm, cid FROM sf WHERE rn = 1),
+        dom AS (SELECT DISTINCT y.vec_id
+                FROM asg x JOIN asg y
+                  ON x.cid = y.cid AND x.vec_id < y.vec_id
+                WHERE ROUND(list_dot_product(x.e, y.e) / (x.nrm * y.nrm), 6)
+                      >= 0.32)
+        SELECT a.vec_id, CAST(a.cid AS BIGINT) AS centroid_id,
+               (d.vec_id IS NULL) AS is_kept
+        FROM asg a LEFT JOIN dom d ON a.vec_id = d.vec_id
+    """,
+    "sample_source_capped": """
+        SELECT doc_id, source, sample_rank FROM (
+            SELECT doc_id, source,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS BIGINT) AS sample_rank
+            FROM documents)
+        WHERE sample_rank <= 10
+    """,
+    "text_quality_quantile_gate": r"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   string_split_regex(lower(trim(text)), '\s+') AS ws,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS nonspace,
+                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha
+            FROM documents),
+        c AS (
+            SELECT doc_id, lang, n_chars, nonspace, alpha,
+                   CAST(len(ws) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(ws, w -> w IN
+                        ('the','a','and','of','to','in','is','it','that','for'))) AS BIGINT) AS stop_hits
+            FROM t),
+        s AS (
+            SELECT doc_id, lang,
+                   ROUND(LEAST(stop_hits / n_tokens * 5.0, 1.0) * 0.3
+                         + GREATEST(0.0, 1.0 - ABS(nonspace / n_tokens - 5.0) / 5.0) * 0.3
+                         + LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.2
+                         + (alpha / n_chars) * 0.2 + 1e-9, 4) AS quality_score
+            FROM c),
+        thr AS (
+            SELECT lang, ROUND(quantile_cont(quality_score, 0.25), 4)
+                       AS lang_threshold
+            FROM s GROUP BY lang)
+        SELECT s.doc_id, s.lang, s.quality_score, thr.lang_threshold,
+               s.quality_score >= thr.lang_threshold AS is_kept
+        FROM s JOIN thr USING (lang)
+    """,
     "agg_approx_distinct": """
         SELECT l_linestatus,
                CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact,

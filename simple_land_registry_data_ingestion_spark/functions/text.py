@@ -82,6 +82,58 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_score_col(text: Column | str = "text") -> Column:
+    """The [0,1] combined quality heuristic as a 4-dp-rounded column
+    expression (the same formula text_quality_score emits; see its
+    docstring for the 1e-9 rounding-boundary nudge)."""
+    n_tokens = token_count_col(text)
+    n_chars = F.length(text).cast("double")
+    nonspace = F.length(F.regexp_replace(text, r"\s+", "")).cast("double")
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
+    stop_hits = stopword_hits_col(text, "en")
+    score = (
+        F.least(stop_hits / n_tokens * 5.0, F.lit(1.0)) * 0.3
+        + F.greatest(F.lit(0.0), 1.0 - F.abs(nonspace / n_tokens - 5.0) / 5.0) * 0.3
+        + F.least(n_tokens.cast("double") / 64.0, F.lit(1.0)) * 0.2
+        + (alpha / n_chars) * 0.2
+        + 1e-9
+    )
+    return F.round(score, 4)
+
+
+def text_quality_quantile_gate(
+    spark: SparkSession, sf_dir: str, q: float = 0.25
+) -> DataFrame:
+    """Per-language quantile quality gating: each language's quality
+    threshold is its own ``q``-quantile, and a document survives when it
+    scores at or above ITS language's bar.
+
+    A single global threshold over-filters whichever language the heuristic
+    scores systematically lower (the classic multilingual-pipeline bug —
+    stopword-based scores are English-biased); quantile-per-language keeps
+    the same retention rate everywhere.  Plan: one scan computing the
+    4-dp score, one per-language exact-percentile aggregate (tiny: one row
+    per language, broadcast back), one map-side comparison — no second
+    scan of the corpus, no shuffle of the documents themselves."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", quality_score_col("text").alias("quality_score")
+    )
+    thr = scored.groupBy("lang").agg(
+        F.round(F.percentile("quality_score", q), 4).alias("lang_threshold")
+    )
+    return (
+        scored.join(F.broadcast(thr), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "quality_score",
+            "lang_threshold",
+            (F.col("quality_score") >= F.col("lang_threshold")).alias("is_kept"),
+        )
+    )
+
+
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality heuristics per document: length, mean word length, stopword
     ratio, alpha ratio, and a [0,1] combined score."""

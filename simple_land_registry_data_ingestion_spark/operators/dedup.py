@@ -1009,6 +1009,93 @@ def dedup_incremental_minhash(
     )
 
 
+def dedup_semdedup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.32
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    cluster-then-prune — k-means clusters bound the quadratic, then only
+    IN-CLUSTER pairs are cosine-scored and near-duplicates pruned.
+
+    This is the embedding-space analog of MinHash-LSH dedup: at 100 TB an
+    all-pairs cosine is impossible (see dedup_embedding_cosine's guard),
+    but k clusters of n/k vectors cost k*(n/k)^2 = n^2/k pairwise scores,
+    each partition-local after one shuffle on centroid_id — tune k to
+    bound per-cluster work exactly like the LSH hot-bucket cap.
+
+    Stages (all reusing the oracle-grade deterministic pieces):
+    1. centroids: 2-iteration 6-dp-quantized Lloyd refinement
+       (similarity.kmeans_refine_centroids — engine-exact, so the full
+       pipeline carries a plain SQL oracle);
+    2. assign: argmax 6-dp cosine against broadcast centroids, ties on
+       centroid_id;
+    3. prune: within each cluster, a vector is DROPPED when any
+       lower-vec_id cluster-mate has cosine >= threshold (keep-first by
+       id — deterministic, and the paper's keep-one-per-group semantics).
+
+    Output: every vector with its cluster and the keep/drop decision."""
+    from simple_land_registry_data_ingestion_spark.operators.similarity import (
+        kmeans_refine_centroids,
+    )
+
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    cent = kmeans_refine_centroids(emb)
+    with_norm = emb.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    scored = with_norm.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        "centroid_id",
+        F.round(
+            dot(F.col("embedding"), F.col("c_vec"))
+            / (F.col("nrm") * F.col("c_norm")),
+            6,
+        ).alias("c_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("c_cos").desc(), F.col("centroid_id")
+    )
+    asg = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "nrm", "centroid_id")
+    )
+    a = asg.select(
+        F.col("centroid_id").alias("cid"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = asg.select(
+        F.col("centroid_id").alias("cid"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dominated = (
+        a.join(b, ["cid"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(
+            F.round(
+                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+            )
+            >= threshold
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        asg.join(dominated, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            F.col("_dropped").isNull().alias("is_kept"),
+        )
+    )
+
+
 def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-duplicate-cluster survivor selection by QUALITY, not id: a real
     dedup pipeline keeps the best-written copy, not the lowest key.

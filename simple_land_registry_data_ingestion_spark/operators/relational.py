@@ -320,6 +320,31 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.select("c_mktsegment", "c_nationkey").distinct()
 
 
+def sample_source_capped(
+    spark: SparkSession, sf_dir: str, cap: int = 10
+) -> DataFrame:
+    """Per-source document cap — the per-domain cap every crawl-derived
+    training pipeline applies so one prolific domain cannot dominate the
+    mix (the C4/RefinedWeb 'top sites' guard).
+
+    Within each source, documents are ranked by md5(doc_id) (pseudorandom
+    but reproducible across runs/engines/partitionings, tie-break on the
+    id) and only the first ``cap`` survive.  One shuffle on source; the
+    per-group state is the window's bounded rank counter, so a source with
+    10^9 docs costs the same per-row work as one with 10.  A skewed mega-
+    source is the one hot key — at 100 TB pre-aggregate with the salted
+    two-phase top-K (operators/skew.py) if one domain is >~1 partition."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= cap)
+        .select("doc_id", "source", "sample_rank")
+    )
+
+
 def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets: (status, priority), (status), ()."""
     orders = load(spark, sf_dir, "orders")
