@@ -1056,10 +1056,15 @@ def dedup_semdedup(
     w = Window.partitionBy("vec_id").orderBy(
         F.col("c_cos").desc(), F.col("centroid_id")
     )
+    # materialized once: the assignment subtree (scan + broadcast score +
+    # window) feeds BOTH sides of the in-cluster self-join below — without
+    # truncation it would execute twice (same discipline as the simhash
+    # fingerprint subtree, dedup_simhash_pairs)
     asg = (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("vec_id", "embedding", "nrm", "centroid_id")
+        .localCheckpoint(eager=True)
     )
     a = asg.select(
         F.col("centroid_id").alias("cid"),
