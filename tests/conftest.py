@@ -20,5 +20,10 @@ SF_ORACLE = "/root/testdata/sf0.01"
 def spark():
     spark = get_spark(app_name="slr-tests", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
+    # State-store maintenance (snapshot/cleanup) races finishing streaming
+    # queries when dozens share one test JVM — the round-3 full-suite flake.
+    # Tests never benefit from maintenance (every stream is availableNow and
+    # short-lived), so push it past any plausible suite duration.
+    spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
     yield spark
     spark.stop()

@@ -19,6 +19,24 @@ from simple_land_registry_data_ingestion_spark.streaming import ops
 from tests.conftest import SF_SMALL
 
 
+@pytest.fixture(autouse=True)
+def _isolated_stream_roots(spark, tmp_path):
+    """Per-test unique checkpoint/state-store root.
+
+    Without this, every query here uses a Spark-managed TEMP checkpoint;
+    under full-suite load dozens of streams share one JVM and temp area,
+    and the state-store maintenance thread can race a finishing query's
+    temp-checkpoint cleanup — observed as an HDFSBackedStateStore commit
+    abort (round-3 flake).  A per-test root under tmp_path removes both
+    the sharing and the eager temp cleanup; explicit checkpointLocation
+    options in restart tests still override it."""
+    spark.conf.set(
+        "spark.sql.streaming.checkpointLocation", str(tmp_path / "stream_ckpt")
+    )
+    yield
+    spark.conf.unset("spark.sql.streaming.checkpointLocation")
+
+
 @pytest.fixture(scope="module")
 def split_events_dir(spark, tmp_path_factory):
     """events (sf0.001) split into 4 parquet files so maxFilesPerTrigger=1
@@ -559,3 +577,59 @@ def test_stream_user_topk_matches_batch(spark):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_state_store_race_predicate():
+    """Only state-store commit/load races are retryable; plan and data
+    errors must re-raise immediately."""
+    race = RuntimeError(
+        "Query [id=x] terminated with exception: Error committing version 2 "
+        "to HDFSBackedStateStoreProvider[id = (op=0,part=3)]"
+    )
+    rocks = RuntimeError("RocksDBStateStoreProvider: could not load state store version 1")
+    plan_err = RuntimeError("AnalysisException: column `nope` cannot be resolved")
+    assert ops._is_state_store_race(race)
+    assert ops._is_state_store_race(rocks)
+    assert not ops._is_state_store_race(plan_err)
+
+
+def test_run_stream_retries_once_on_state_store_race(spark, monkeypatch):
+    """A first-attempt state-store commit abort must be retried against a
+    fresh query name and succeed; the result is the normal stream output."""
+    # patch the CONCRETE class (pyspark.sql.DataFrame is the abstract base
+    # in Spark 4; attribute lookup resolves on the classic subclass)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    calls = {"n": 0}
+    orig = DataFrame.writeStream
+
+    def fake(self):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            class _Boom:
+                def format(self, *a, **k):
+                    return self
+
+                def queryName(self, *a):
+                    return self
+
+                def outputMode(self, *a):
+                    return self
+
+                def trigger(self, **k):
+                    return self
+
+                def start(self):
+                    raise RuntimeError(
+                        "Error committing version 2 to "
+                        "HDFSBackedStateStoreProvider[id = (op=0,part=3)]"
+                    )
+
+            return _Boom()
+        return orig.fget(self)
+
+    monkeypatch.setattr(DataFrame, "writeStream", property(fake))
+    stream = ops.events_stream(spark, SF_SMALL).groupBy("event_type").count()
+    out = ops.run_stream_to_table(stream, "complete")
+    assert calls["n"] == 2
+    assert out.count() > 0
