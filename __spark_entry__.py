@@ -59,6 +59,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- block A: changed or added in round 4 (need fresh driver rows) ----
     "stream_user_topk": stream_ops.stream_user_topk,
     "dedup_semdedup": dedup.dedup_semdedup,
+    "dedup_triangle_stats": dedup.dedup_triangle_stats,
+    "events_markov_transitions": relational.events_markov_transitions,
     "sample_source_capped": relational.sample_source_capped,
     "text_quality_quantile_gate": text_fns.text_quality_quantile_gate,
     "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -1023,6 +1025,56 @@ _ORACLES.update({
         SELECT a.vec_id, CAST(a.cid AS BIGINT) AS centroid_id,
                (d.vec_id IS NULL) AS is_kept
         FROM asg a LEFT JOIN dom d ON a.vec_id = d.vec_id
+    """,
+    # Triangles over the MinHash-LSH candidate graph: canonical a<b edges
+    # make the (a,b)(b,c)(a,c) triple join count each triangle once; the
+    # Spark side's degree-ordered orientation yields the identical set.
+    # (reach in _CLUSTER_CTE is unreferenced here and never evaluated.)
+    "dedup_triangle_stats": f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        {_CLUSTER_CTE},
+        tri AS (
+            SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+            FROM cand e1
+            JOIN cand e2 ON e2.doc_a = e1.doc_b
+            JOIN cand e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+        pt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+                   SELECT a AS node FROM tri
+                   UNION ALL SELECT b FROM tri
+                   UNION ALL SELECT c FROM tri)
+               GROUP BY node),
+        und AS (SELECT doc_a AS u, doc_b AS v FROM cand
+                UNION ALL SELECT doc_b, doc_a FROM cand),
+        deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+                FROM und GROUP BY u)
+        SELECT d.doc_id,
+               COALESCE(deg.degree, 0) AS degree,
+               COALESCE(pt.n_tri, 0) AS n_triangles,
+               CASE WHEN COALESCE(deg.degree, 0) >= 2
+                    THEN ROUND(2.0 * COALESCE(pt.n_tri, 0)
+                               / (deg.degree * (deg.degree - 1)), 6)
+                    ELSE 0.0 END AS clustering_coeff
+        FROM documents d
+        LEFT JOIN deg ON d.doc_id = deg.node
+        LEFT JOIN pt ON d.doc_id = pt.node
+    """,
+    "events_markov_transitions": """
+        WITH steps AS (
+            SELECT user_id, event_type AS to_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS from_type
+            FROM events),
+        c AS (SELECT from_type, to_type,
+                     CAST(COUNT(*) AS BIGINT) AS n_transitions
+              FROM steps WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        t AS (SELECT from_type,
+                     CAST(SUM(n_transitions) AS BIGINT) AS n_from
+              FROM c GROUP BY 1)
+        SELECT c.from_type, c.to_type, c.n_transitions,
+               ROUND(c.n_transitions / CAST(t.n_from AS DOUBLE), 6)
+                   AS probability
+        FROM c JOIN t USING (from_type)
     """,
     "sample_source_capped": """
         SELECT doc_id, source, sample_rank FROM (

@@ -1013,6 +1013,102 @@ def dedup_incremental_minhash(
     )
 
 
+def triangle_stats(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient over an
+    undirected graph — (id, degree, n_triangles, clustering_coeff).
+
+    On the near-dup candidate graph this distinguishes DENSE duplicate
+    cliques (mirrors, template farms — coefficient ~1) from star-shaped
+    hub contamination (one boilerplate doc touching many unrelated ones —
+    coefficient ~0) even when degree alone looks identical, so it is the
+    triage signal AFTER connected_components says "one cluster".
+
+    Scale shape — degree-ordered orientation (the MapReduce-standard
+    trick): each undirected edge is directed from its lower-(degree, id)
+    endpoint to the higher one.  The orientation is acyclic, so every
+    triangle is counted EXACTLY once (its unique rank-ordered u->v->w
+    traversal), and every out-neighborhood is bounded by O(sqrt(m)) — a
+    celebrity node with 10^6 neighbors contributes no wedge explosion
+    because its edges all point INTO it.  Cost: two joins over the
+    oriented edge list (wedge build + closure check), both linear-shuffle;
+    the naive id-ordered variant has the same output but lets one
+    low-id/high-degree node generate deg^2 wedges in a single task."""
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("x"),
+            F.col(dst_col).cast("long").alias("y"),
+        )
+        .where(F.col("x") != F.col("y"))
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+        .distinct()
+    )
+    # materialized once: the edge subtree (here: the whole LSH candidate
+    # pipeline) feeds degree counting, rank joins, and the union below
+    e = e.localCheckpoint(eager=True)
+    und = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("degree"))
+    da = deg.select(F.col("u").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("u").alias("b"), F.col("degree").alias("deg_b"))
+    ranked = e.join(da, "a").join(db, "b")
+    lower_first = F.struct("deg_a", "a") < F.struct("deg_b", "b")
+    # materialized once: three consumers (wedge sides + closure probe)
+    oriented = ranked.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).localCheckpoint(eager=True)
+    o1 = oriented.select(F.col("u").alias("t_u"), F.col("v").alias("t_v"))
+    o2 = oriented.select(F.col("u").alias("t_v"), F.col("v").alias("t_w"))
+    o3 = oriented.select(F.col("u").alias("t_u"), F.col("v").alias("t_w"))
+    wedges = o1.join(o2, "t_v")
+    tri = wedges.join(o3, ["t_u", "t_w"])
+    per_node = (
+        tri.select(
+            F.explode(F.array("t_u", "t_v", "t_w")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    d = F.col("degree")
+    return (
+        nodes.select(F.col(node_col).alias("id"))
+        .join(deg.withColumnRenamed("u", "id"), "id", "left")
+        .join(per_node.withColumnRenamed("node", "id"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        )
+        .withColumn(
+            "clustering_coeff",
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0 * F.col("n_triangles") / (d * (d - F.lit(1))), 6
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def dedup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: triangle/clustering-coefficient triage over the
+    MinHash-LSH candidate graph (every document, zeros for isolated)."""
+    docs = load(spark, sf_dir, "documents")
+    edges = minhash_candidate_pairs(docs)
+    return triangle_stats(
+        docs.select("doc_id"), edges, node_col="doc_id",
+        src_col="doc_a", dst_col="doc_b",
+    ).withColumnRenamed("id", "doc_id")
+
+
 def dedup_semdedup(
     spark: SparkSession, sf_dir: str, threshold: float = 0.32
 ) -> DataFrame:

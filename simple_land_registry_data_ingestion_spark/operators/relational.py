@@ -581,6 +581,44 @@ def sessionize_events(
     )
 
 
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral Markov chain: P(next event type | current),
+    estimated from every consecutive same-user event pair.
+
+    The transition matrix is the workhorse of behavioral modeling (churn
+    prediction features, anomaly scoring of improbable sequences, funnel
+    generalization).  Plan: one lag window per user over (ts, event_id) —
+    the identical sorted run sessionize_events uses, one shuffle — then a
+    groupBy over the (from, to) pairs (25 rows out for 5 event types) and
+    a broadcast row-total join for normalization.  The heavy operator is
+    the window; everything after is constant-size regardless of corpus.
+    Probabilities are rounded to 6 dp (count ratios — engine-exact)."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = events.select(
+        "user_id",
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).where(F.col("from_type").isNotNull())
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("n_from")
+    )
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.round(F.col("n_transitions") / F.col("n_from"), 6).alias(
+                "probability"
+            ),
+        )
+    )
+
+
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel per user: first 'view', first 'click' AFTER that
     view, first 'purchase' AFTER that click — the conversion-attribution

@@ -294,3 +294,43 @@ def test_label_prop_cc_reliable_checkpoint_dir(spark, tmp_path):
     }
     assert got == _union_find_components(10, edges)
     assert any(os.scandir(ckpt)), "no reliable checkpoint data written"
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)), max_size=26
+    )
+)
+def test_triangle_stats_matches_bruteforce(spark, edges):
+    """Degree-ordered-orientation triangle counting == the O(n^3) Python
+    definition for every graph: each triangle counted once at every member
+    regardless of the orientation ranks, coefficient = 2T/(d(d-1))."""
+    import itertools
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edf = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "src long, dst long"
+    )
+    got = {
+        r["id"]: (r["degree"], r["n_triangles"], r["clustering_coeff"])
+        for r in dedup.triangle_stats(nodes, edf).collect()
+    }
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    tri = {i: 0 for i in range(n)}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if b in adj[a] and c in adj[b] and c in adj[a]:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    want = {}
+    for i in range(n):
+        d = len(adj[i])
+        coeff = round(2.0 * tri[i] / (d * (d - 1)), 6) if d >= 2 else 0.0
+        want[i] = (d, tri[i], coeff)
+    assert got == want
