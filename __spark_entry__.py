@@ -61,6 +61,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semdedup": dedup.dedup_semdedup,
     "dedup_triangle_stats": dedup.dedup_triangle_stats,
     "events_markov_transitions": relational.events_markov_transitions,
+    "events_zorder_key": scalars.events_zorder_key,
     "sample_source_capped": relational.sample_source_capped,
     "text_quality_quantile_gate": text_fns.text_quality_quantile_gate,
     "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -1057,6 +1058,28 @@ _ORACLES.update({
         FROM documents d
         LEFT JOIN deg ON d.doc_id = deg.node
         LEFT JOIN pt ON d.doc_id = pt.node
+    """,
+    "events_zorder_key": f"""
+        WITH k AS (
+            SELECT event_id, user_id,
+                   CAST(floor(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000)
+                        AS BIGINT) AS hour_idx
+            FROM events),
+        b AS (SELECT MIN(user_id) AS u_lo, MAX(user_id) AS u_hi,
+                     MIN(hour_idx) AS h_lo, MAX(hour_idx) AS h_hi
+              FROM k),
+        n AS (SELECT event_id, user_id, hour_idx,
+                     CAST(floor((user_id - u_lo) * 2048.0
+                                / (u_hi - u_lo + 1)) AS BIGINT) AS un,
+                     CAST(floor((hour_idx - h_lo) * 2048.0
+                                / (h_hi - h_lo + 1)) AS BIGINT) AS hn
+              FROM k, b)
+        SELECT event_id, user_id, hour_idx,
+               CAST({' + '.join(
+                   f"((un >> {i}) & 1) * {1 << (2 * i)}"
+                   f" + ((hn >> {i}) & 1) * {1 << (2 * i + 1)}"
+                   for i in range(11))} AS BIGINT) AS zkey
+        FROM n
     """,
     "events_markov_transitions": """
         WITH steps AS (

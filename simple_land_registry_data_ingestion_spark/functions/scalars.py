@@ -137,6 +137,74 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zorder_key_col(x, y, bits: int = 11):
+    """Morton/Z-order interleave of the low ``bits`` bits of two
+    non-negative integer columns: bit i of x lands at position 2i, bit i
+    of y at 2i+1.
+
+    The at-rest MULTI-dimensional clustering key: sorting by zkey makes any
+    contiguous key range a small axis-aligned region of the (x, y) plane,
+    so parquet min/max stats prune scans filtered on EITHER dimension —
+    unlike a plain sort, which clusters one dimension and leaves the other
+    spanning every row group.  Pure codegen'd bit arithmetic (2*bits terms
+    of shift/and/shift), zero Python in the hot path; this is how
+    Delta/Iceberg OPTIMIZE ZORDER keys are built, minus the rank
+    normalization those layers add for skewed domains."""
+    from pyspark.sql import functions as _F
+
+    xs = x.cast("long")
+    ys = y.cast("long")
+    z = _F.lit(0).cast("long")
+    for i in range(bits):
+        z = z + _F.shiftleft(_F.shiftright(xs, i).bitwiseAND(_F.lit(1)), 2 * i)
+        z = z + _F.shiftleft(
+            _F.shiftright(ys, i).bitwiseAND(_F.lit(1)), 2 * i + 1
+        )
+    return z
+
+
+def events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key over (user_id, event hour): the layout key
+    for an events table that serves BOTH per-user and per-time-range
+    queries from one sort order (see zorder_key_col; layout proof in
+    tests/test_storage_layout.py).
+
+    Both dimensions are min-max normalized into the full 11-bit domain
+    before interleaving (one broadcast 1-row bounds aggregate).  RAW
+    values break Morton keys on unbalanced domains: with user_id spanning
+    8 bits and hours 10, the untouched high bits of the wider dimension
+    dominate the key and the sort degenerates to a plain sort on that
+    dimension — normalization is why Delta/Iceberg ZORDER rank-normalizes
+    first.  Integer-in, exact double scale, floor out: deterministic
+    across engines."""
+    events = load(spark, sf_dir, "events")
+    hour_idx = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3_600_000_000)
+    ).cast("long")
+    keyed = events.select("event_id", "user_id", hour_idx.alias("hour_idx"))
+    bounds = keyed.agg(
+        F.min("user_id").alias("u_lo"),
+        F.max("user_id").alias("u_hi"),
+        F.min("hour_idx").alias("h_lo"),
+        F.max("hour_idx").alias("h_hi"),
+    )
+
+    def _norm(col, lo, hi):
+        span = F.col(hi) - F.col(lo) + F.lit(1)
+        return F.floor(
+            (F.col(col) - F.col(lo)) * F.lit(2048.0) / span
+        ).cast("long")
+
+    return keyed.crossJoin(F.broadcast(bounds)).select(
+        "event_id",
+        "user_id",
+        "hour_idx",
+        zorder_key_col(
+            _norm("user_id", "u_lo", "u_hi"), _norm("hour_idx", "h_lo", "h_hi")
+        ).alias("zkey"),
+    )
+
+
 def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VARIANT (Spark 4 semi-structured type) over events.props: parse once
     into the binary variant encoding, then typed path extraction —

@@ -192,3 +192,60 @@ def test_xml_source_roundtrip(spark, tmp_path):
         .load(out)
     )
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
+    """The Z-order claim, physically verified from parquet footer stats:
+    sorting by the interleaved key clusters BOTH dimensions — every row
+    group covers a small (user_id, hour) box, so min/max pruning works for
+    per-user AND per-time-range filters — while a plain user_id sort
+    leaves hour spanning ~the full range in every row group (no time
+    pruning possible)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from simple_land_registry_data_ingestion_spark.functions import scalars
+
+    df = scalars.events_zorder_key(spark, SF_ORACLE)
+    lo_u, hi_u, lo_h, hi_h = df.agg(
+        F.min("user_id"), F.max("user_id"), F.min("hour_idx"), F.max("hour_idx")
+    ).first()
+
+    def mean_range_fraction(path_dir, col, lo, hi):
+        fr = []
+        for f in glob.glob(path_dir + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                for c in range(md.num_columns):
+                    cc = md.row_group(rg).column(c)
+                    if cc.path_in_schema == col:
+                        st = cc.statistics
+                        fr.append((st.max - st.min) / (hi - lo))
+        assert len(fr) >= 8, "not enough row groups to measure layout"
+        return sum(fr) / len(fr)
+
+    layouts = {}
+    for label, sort_col in (("zorder", "zkey"), ("user", "user_id")):
+        out = str(tmp_path / f"layout_{label}")
+        (
+            df.repartitionByRange(16, sort_col)
+            .sortWithinPartitions(sort_col)
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        layouts[label] = (
+            mean_range_fraction(out, "user_id", lo_u, hi_u),
+            mean_range_fraction(out, "hour_idx", lo_h, hi_h),
+        )
+    z_user, z_hour = layouts["zorder"]
+    u_user, u_hour = layouts["user"]
+    # z-order: BOTH dimensions boxed (ideal for 16 contiguous z-ranges on
+    # a square domain is 0.25 per side; boundary-straddling files push the
+    # mean up — measured ~0.39 / ~0.29)
+    assert z_user < 0.5 and z_hour < 0.5, layouts
+    # plain sort: the unsorted dimension spans ~everything (measured ~1.0),
+    # i.e. a time-range filter prunes NOTHING in the user-sorted layout
+    assert u_hour > 0.9, layouts
+    # and z-order's time clustering beats the plain layout's by >2x
+    assert z_hour < u_hour / 2, layouts
