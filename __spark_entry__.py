@@ -62,6 +62,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_triangle_stats": dedup.dedup_triangle_stats,
     "events_markov_transitions": relational.events_markov_transitions,
     "events_zorder_key": scalars.events_zorder_key,
+    "text_winnowing_fingerprints": text_fns.text_winnowing_fingerprints,
     "sample_source_capped": relational.sample_source_capped,
     "text_quality_quantile_gate": text_fns.text_quality_quantile_gate,
     "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -1058,6 +1059,25 @@ _ORACLES.update({
         FROM documents d
         LEFT JOIN deg ON d.doc_id = deg.node
         LEFT JOIN pt ON d.doc_id = pt.node
+    """,
+    "text_winnowing_fingerprints": r"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\s+') AS ws
+            FROM documents),
+        g AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(ws) - 1),
+                       i -> md5(ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+                       AS grams
+            FROM t WHERE len(ws) >= 6),
+        f AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(range(1, len(grams) - 2),
+                       i -> list_min(list_slice(grams, i, i + 3))))
+                       AS fingerprint
+            FROM g)
+        SELECT DISTINCT doc_id, fingerprint FROM f
     """,
     "events_zorder_key": f"""
         WITH k AS (
