@@ -97,6 +97,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_score": text_fns.text_quality_score,
     "text_lang_id": text_fns.text_lang_id,
     # ---- block C: oldest round-2 rows, padding the 50-entry window ----
+    # (block A grew to 12 during round 4, so the last 7 entries here sit at
+    # positions 51-57 — their r02 rows are exactly 2 rounds old, the limit;
+    # they MUST lead block B of the r05 rotation)
     "dedup_exact_documents": dedup.dedup_exact_documents,
     "cdc_latest_per_key": dedup.cdc_latest_per_key,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
