@@ -63,6 +63,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_markov_transitions": relational.events_markov_transitions,
     "events_zorder_key": scalars.events_zorder_key,
     "text_winnowing_fingerprints": text_fns.text_winnowing_fingerprints,
+    "join_scd2_dimension": asof.join_scd2_dimension,
+    "agg_histogram_equidepth": relational.agg_histogram_equidepth,
     "sample_source_capped": relational.sample_source_capped,
     "text_quality_quantile_gate": text_fns.text_quality_quantile_gate,
     "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
@@ -1062,6 +1064,42 @@ _ORACLES.update({
         FROM documents d
         LEFT JOIN deg ON d.doc_id = deg.node
         LEFT JOIN pt ON d.doc_id = pt.node
+    """,
+    "join_scd2_dimension": """
+        WITH yrs AS (SELECT DISTINCT YEAR(CAST(o_orderdate AS DATE)) AS yr
+                     FROM orders),
+        dim AS (SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+                       CAST(ROUND(0.01 * ((n_nationkey * 7 + yr) % 10), 6)
+                            AS DOUBLE) AS policy_rate,
+                       MAKE_DATE(yr, 1, 1) AS valid_from
+                FROM nation, yrs
+                WHERE (n_nationkey + yr) % 2 = 0),
+        iv AS (SELECT *, LEAD(valid_from) OVER (
+                   PARTITION BY nationkey ORDER BY valid_from) AS valid_until
+               FROM dim),
+        f AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+                     o_totalprice, CAST(c_nationkey AS BIGINT) AS nationkey
+              FROM orders JOIN customer ON o_custkey = c_custkey)
+        SELECT o_orderkey, nationkey, valid_from AS version_date, policy_rate,
+               o_totalprice * (1 - policy_rate) AS net_price
+        FROM f JOIN iv USING (nationkey)
+        WHERE od >= valid_from
+          AND (valid_until IS NULL OR od < valid_until)
+    """,
+    "agg_histogram_equidepth": """
+        WITH b AS (SELECT list_transform(
+                       quantile_cont(o_totalprice,
+                           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                       x -> ROUND(x, 2)) AS bs
+                   FROM orders),
+        binned AS (SELECT o_totalprice,
+                          CAST(1 + len(list_filter(b.bs,
+                              x -> o_totalprice > x)) AS BIGINT) AS bin
+                   FROM orders, b)
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               ROUND(MIN(o_totalprice), 2) AS min_price,
+               ROUND(MAX(o_totalprice), 2) AS max_price
+        FROM binned GROUP BY bin
     """,
     "text_winnowing_fingerprints": r"""
         WITH t AS (

@@ -74,3 +74,74 @@ def join_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_totalprice") * F.col("rate")).alias("adj_price"),
         )
     )
+
+
+def join_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 point-in-time join: each fact row matches the dimension
+    VERSION that was effective on its date — the standard warehouse lookup
+    against a slowly-changing dimension, and the KEYED generalization of
+    join_asof_rates (versions per nation, not one global series).
+
+    The versioned dimension is derived deterministically: per nation, a
+    'policy rate' version effective from Jan 1 of roughly every other
+    observed order year ((nationkey + year) % 2 == 0), so most orders must
+    reach BACK across missing years to their nation's prior version, and
+    orders before a nation's first version drop out (inner point-in-time
+    semantics).
+
+    Plan shape at 100 TB: the dimension is tiny (nations x years) so it
+    broadcast-joins on the EQUI key (nationkey) with the validity range as
+    a post-join filter — a BroadcastHashJoin, never a nested-loop; the
+    fact side streams through with zero extra exchanges beyond the
+    orders->customer key join.  The interval-izing window partitions by
+    nationkey (parallel, unlike a global dimension sort).  For a LARGE
+    dimension the same query switches to union + per-key window, one
+    shuffle on the key."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+
+    years = (
+        orders.select(F.year(F.to_date("o_orderdate")).alias("yr")).distinct()
+    )
+    dim = (
+        nation.select(F.col("n_nationkey").cast("long").alias("nationkey"))
+        .crossJoin(F.broadcast(years))
+        .where((F.col("nationkey") + F.col("yr")) % 2 == 0)
+        .select(
+            "nationkey",
+            F.round(
+                0.01 * ((F.col("nationkey") * 7 + F.col("yr")) % 10), 6
+            ).alias("policy_rate"),
+            F.make_date(F.col("yr"), F.lit(1), F.lit(1)).alias("valid_from"),
+        )
+    )
+    w = Window.partitionBy("nationkey").orderBy("valid_from")
+    intervals = dim.withColumn("valid_until", F.lead("valid_from").over(w))
+    facts = orders.join(
+        customer.select(
+            F.col("c_custkey").alias("o_custkey"),
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+        ),
+        "o_custkey",
+    )
+    odate = F.to_date("o_orderdate")
+    return (
+        facts.join(
+            F.broadcast(intervals),
+            ["nationkey"],
+        )
+        .where(
+            (odate >= F.col("valid_from"))
+            & (F.col("valid_until").isNull() | (odate < F.col("valid_until")))
+        )
+        .select(
+            "o_orderkey",
+            "nationkey",
+            F.col("valid_from").alias("version_date"),
+            "policy_rate",
+            (F.col("o_totalprice") * (1 - F.col("policy_rate"))).alias(
+                "net_price"
+            ),
+        )
+    )

@@ -724,6 +724,51 @@ def agg_histogram_bins(
     )
 
 
+def agg_histogram_equidepth(
+    spark: SparkSession, sf_dir: str, n_bins: int = 10
+) -> DataFrame:
+    """Equi-depth (quantile) histogram of order prices: ~equal rows per
+    bin, data-adaptive boundaries — the distribution profile that stays
+    informative under skew where fixed-width bins collapse into one bar.
+
+    SCALE-CORRECT shape: the obvious ntile() implementation is a GLOBAL
+    window = one single-task sort of the whole table — the antipattern
+    this repo bans.  Instead: one aggregate computes the n-1 exact
+    percentile boundaries (rounded to cents so both engines agree
+    bit-for-bit), broadcast back as a tiny array, and each row finds its
+    bin with a map-side array filter — scan + 1-row broadcast + hash
+    aggregate, no global sort, no shuffle of the fact table.  Bins are
+    ~equi-depth up to boundary ties (exact equality on the cent-rounded
+    boundary keeps a tie deterministic rather than splitting it)."""
+    orders = load(spark, sf_dir, "orders")
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    bounds = orders.agg(
+        F.transform(
+            F.percentile("o_totalprice", F.lit(fracs).cast("array<double>")),
+            lambda b: F.round(b, 2),
+        ).alias("bs")
+    )
+    binned = orders.crossJoin(F.broadcast(bounds)).select(
+        "o_totalprice",
+        (
+            1
+            + F.size(
+                F.filter(
+                    F.col("bs"), lambda b: F.col("o_totalprice") > b
+                )
+            )
+        ).cast("long").alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
 def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling — per column, null count and exact distinct count —
     the data-quality pass an ingest pipeline runs before publishing (the

@@ -515,3 +515,34 @@ def test_embedding_cosine_guard_in_plan_and_enforced(spark):
     # over the cap: the job must FAIL before pairs materialize
     with pytest.raises(Exception, match="VERIFICATION baseline"):
         dedup.dedup_embedding_cosine(spark, SF_ORACLE, max_vectors=10).count()
+
+
+def test_scd2_join_is_broadcast_hash_not_nested_loop(spark):
+    """The SCD2 point-in-time join must plan as a BroadcastHASHJoin on the
+    equi key (nationkey) with the validity range as a post-join filter —
+    a range-only formulation degrades to BroadcastNestedLoopJoin, which
+    re-scans the dimension per fact row."""
+    df = asof.join_scd2_dimension(spark, SF_ORACLE)
+    plan = plans.formatted_plan(df)
+    # both fact-side joins (orders->customer, facts->intervals) hash on
+    # their equi keys
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # the only nested-loop allowed is the nations x years cross join that
+    # CONSTRUCTS the ~175-row dimension — it must sit under the Window
+    # (dimension build), i.e. the fact table never feeds a nested loop
+    fact_side = plan.split("Window")[0]
+    assert "BroadcastNestedLoopJoin" not in fact_side, plan
+
+
+def test_equidepth_histogram_has_no_global_sort(spark):
+    """Equi-depth binning must come from broadcast percentile boundaries,
+    never a global ntile window (single-task sort of the whole table)."""
+    df = relational.agg_histogram_equidepth(spark, SF_ORACLE)
+    plan = plans.formatted_plan(df)
+    assert "Window" not in plan, plan
+    bins = {r["bin"]: r["n_rows"] for r in df.collect()}
+    # ~equi-depth: every bin within 30% of the ideal share
+    total = sum(bins.values())
+    ideal = total / 10
+    assert len(bins) == 10, bins
+    assert all(abs(n - ideal) < 0.3 * ideal for n in bins.values()), bins
