@@ -19,6 +19,7 @@ from simple_land_registry_data_ingestion_spark.functions import text as text_fns
 from simple_land_registry_data_ingestion_spark.operators import (
     asof,
     dedup,
+    mining,
     multimodal,
     packing,
     relational,
@@ -57,6 +58,11 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessio
 #: Rotate each round so no query's newest driver row ages past 2 rounds.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- block A: changed or added in round 4 (need fresh driver rows) ----
+    "er_blocked_match": mining.er_blocked_match,
+    "basket_part_pairs": mining.basket_part_pairs,
+    "events_ema_decay": relational.events_ema_decay,
+    "events_attribution_last_touch": relational.events_attribution_last_touch,
+    "profile_expectations": relational.profile_expectations,
     "stream_user_topk": stream_ops.stream_user_topk,
     "dedup_semdedup": dedup.dedup_semdedup,
     "dedup_triangle_stats": dedup.dedup_triangle_stats,
@@ -99,8 +105,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_score": text_fns.text_quality_score,
     "text_lang_id": text_fns.text_lang_id,
     # ---- block C: oldest round-2 rows, padding the 50-entry window ----
-    # (block A grew to 12 during round 4, so the last 7 entries here sit at
-    # positions 51-57 — their r02 rows are exactly 2 rounds old, the limit;
+    # (block A grew to 19 during round 4, so the last 14 entries here sit at
+    # positions 51-64 — their r02 rows are exactly 2 rounds old, the limit;
     # they MUST lead block B of the r05 rotation)
     "dedup_exact_documents": dedup.dedup_exact_documents,
     "cdc_latest_per_key": dedup.cdc_latest_per_key,
@@ -2246,6 +2252,128 @@ _ORACLES.update({
                    AS week_offset,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users
         FROM a GROUP BY 1, 2
+    """,
+})
+
+
+_ORACLES.update({
+    "er_blocked_match": """
+        WITH p AS (
+            SELECT p_partkey, p_name, p_brand,
+                   regexp_extract(p_name, ' ([a-z]+)$', 1) AS block_noun
+            FROM part)
+        SELECT a.block_noun, a.p_brand AS brand,
+               a.p_partkey AS p1, b.p_partkey AS p2,
+               a.p_name AS name1, b.p_name AS name2,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT)
+                   AS edit_distance
+        FROM p a
+        JOIN p b ON a.block_noun = b.block_noun
+               AND a.p_brand = b.p_brand
+               AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+    "basket_part_pairs": """
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS order_id, l_partkey AS part_id
+            FROM lineitem),
+        n AS (SELECT COUNT(DISTINCT order_id) AS n_orders FROM items),
+        freq AS (SELECT part_id, COUNT(*) AS item_orders
+                 FROM items GROUP BY 1),
+        pairs AS (
+            SELECT a.part_id AS part_a, b.part_id AS part_b,
+                   CAST(COUNT(*) AS BIGINT) AS pair_orders
+            FROM items a
+            JOIN items b ON a.order_id = b.order_id
+                       AND a.part_id < b.part_id
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        SELECT part_a, part_b, pair_orders,
+               ROUND(pair_orders / CAST(n.n_orders AS DOUBLE), 6) AS support,
+               ROUND((pair_orders * n.n_orders)
+                     / CAST(fa.item_orders * fb.item_orders AS DOUBLE), 6)
+                   AS lift
+        FROM pairs
+        CROSS JOIN n
+        JOIN freq fa ON fa.part_id = pairs.part_a
+        JOIN freq fb ON fb.part_id = pairs.part_b
+    """,
+    "events_ema_decay": """
+        WITH r AS (
+            SELECT user_id, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n_events
+            FROM events)
+        SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+               ROUND(SUM(value * CASE
+                   WHEN rn = 1 THEN POWER(0.7, n_events - 1)
+                   ELSE 0.3 * POWER(0.7, n_events - rn) END), 6) AS ema_value
+        FROM r GROUP BY user_id, n_events
+    """,
+    "events_attribution_last_touch": """
+        WITH t AS (
+            SELECT user_id, event_type, value,
+                   COALESCE(
+                       LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                                       THEN event_type END IGNORE NULLS)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY CAST(ts AS TIMESTAMP), event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING),
+                       'direct') AS channel
+            FROM events)
+        SELECT channel, CAST(COUNT(*) AS BIGINT) AS purchases,
+               ROUND(SUM(value), 2) AS revenue
+        FROM t WHERE event_type = 'purchase' GROUP BY channel
+    """,
+    "profile_expectations": """
+        SELECT 'orders_pk_unique' AS expectation, 'orders' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_checked,
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                   AS n_failed,
+               COUNT(*) = COUNT(DISTINCT o_orderkey) AS passed
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem_fk_orders', 'lineitem',
+               CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+               CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT),
+               COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) = 0
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'orders_fk_customer', 'orders',
+               CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+               CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT),
+               COUNT(*) FILTER (WHERE c.c_custkey IS NULL) = 0
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        UNION ALL
+        SELECT 'lineitem_quantity_1_to_50', 'lineitem',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                        THEN 1 ELSE 0 END) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'events_ts_not_null', 'events',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) = 0
+        FROM events
+        UNION ALL
+        SELECT 'events_value_positive', 'events',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN NOT (value > 0) THEN 1 ELSE 0 END)
+                   AS BIGINT),
+               SUM(CASE WHEN NOT (value > 0) THEN 1 ELSE 0 END) = 0
+        FROM events
+        UNION ALL
+        SELECT 'documents_nchars_matches_text', 'documents',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+                   AS BIGINT),
+               SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) = 0
+        FROM documents
     """,
 })
 

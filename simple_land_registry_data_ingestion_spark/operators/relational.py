@@ -1446,3 +1446,188 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(w_f).cast("long").alias("f_score"),
         F.ntile(5).over(w_m).cast("long").alias("m_score"),
     )
+
+
+def events_ema_decay(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.3
+) -> DataFrame:
+    """Per-user exponentially-weighted engagement score — the standard
+    feature-store recency decay (s_i = α·x_i + (1-α)·s_{i-1}, s_1 = x_1).
+
+    The recursion is deliberately NOT computed as an iterative loop or a
+    stateful UDF: unrolled, the EMA is a plain weighted sum
+    ``s_n = Σ_{i>1} α·(1-α)^{n-i}·x_i + (1-α)^{n-1}·x_1``, so one
+    row_number window (partitioned by user, ordered by ts — the same
+    sorted run every sessionize/window query reuses) plus a count-per-user
+    window turns it into a single groupBy-sum.  Two window functions over
+    one sort, one aggregation, all JVM-side codegen.  At 100 TB this is
+    exactly the cost of any per-user window — no Python, no per-user
+    iteration, no driver state.  6-dp round keeps the double sum
+    hash-stable cross-engine.
+    """
+    events = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    ranked = events.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_events"),
+    )
+    decay = F.lit(1.0 - alpha)
+    weight = F.when(
+        F.col("rn") == 1, F.pow(decay, F.col("n_events") - 1)
+    ).otherwise(F.lit(alpha) * F.pow(decay, F.col("n_events") - F.col("rn")))
+    return (
+        ranked.select(
+            "user_id",
+            "n_events",
+            (F.col("value") * weight).alias("weighted"),
+        )
+        .groupBy("user_id", "n_events")
+        .agg(F.round(F.sum("weighted"), 6).alias("ema_value"))
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            "ema_value",
+        )
+    )
+
+
+def events_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the most recent
+    PRECEDING non-purchase event of the same user ('direct' when none) —
+    the baseline marketing-attribution model.
+
+    Plan: one window per user ordered by (ts, event_id) carrying
+    ``last(non-purchase type, ignoreNulls)`` over ROWS UNBOUNDED PRECEDING
+    → 1 PRECEDING, so the carry is computed in the same single sorted pass
+    as sessionization — no self-join of purchases against the full stream,
+    which is the naive O(events · purchases-per-user) shape.  The final
+    rollup is a constant-cardinality groupBy (one row per channel).
+    Revenue rounded to 2 dp (money).
+    """
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touched = events.withColumn(
+        "channel",
+        F.coalesce(
+            F.last(
+                F.when(F.col("event_type") != "purchase", F.col("event_type")),
+                ignorenulls=True,
+            ).over(w),
+            F.lit("direct"),
+        ),
+    )
+    return (
+        touched.where(F.col("event_type") == "purchase")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("purchases"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+    )
+
+
+def profile_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation suite (the dbt-tests / Great Expectations
+    surface): uniqueness, referential integrity, null, and range checks,
+    one summary row per expectation.
+
+    Plan shape at scale: same-table checks share ONE scan via conditional
+    aggregation (count + count_if in a single partial/final agg — never one
+    scan per rule); referential checks are left-anti joins that shuffle
+    only the child's key column (column pruning keeps the probe narrow).
+    Output is a fixed handful of rows however big the tables are, so this
+    runs as a cheap pre-flight gate in front of a 100 TB load, exactly
+    where the reference hand-rolls its single row-count sanity check
+    (reference main.py:318-330).
+    """
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    events = load(spark, sf_dir, "events")
+    documents = load(spark, sf_dir, "documents")
+    customer = load(spark, sf_dir, "customer")
+
+    def agg_check(df: DataFrame, name: str, table: str, fail_cond) -> DataFrame:
+        return df.groupBy().agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.when(fail_cond, 1).otherwise(0)).alias("n_failed"),
+        ).select(
+            F.lit(name).alias("expectation"),
+            F.lit(table).alias("table_name"),
+            F.col("n_checked").cast("long").alias("n_checked"),
+            F.col("n_failed").cast("long").alias("n_failed"),
+            (F.col("n_failed") == 0).alias("passed"),
+        )
+
+    pk_unique = orders.groupBy().agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n_failed"),
+    ).select(
+        F.lit("orders_pk_unique").alias("expectation"),
+        F.lit("orders").alias("table_name"),
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("n_failed").cast("long").alias("n_failed"),
+        (F.col("n_failed") == 0).alias("passed"),
+    )
+    n_li = lineitem.groupBy().agg(F.count(F.lit(1)).alias("n_checked"))
+    fk_li = (
+        lineitem.select("l_orderkey")
+        .join(orders.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_failed"))
+        .crossJoin(F.broadcast(n_li))
+        .select(
+            F.lit("lineitem_fk_orders").alias("expectation"),
+            F.lit("lineitem").alias("table_name"),
+            F.col("n_checked").cast("long").alias("n_checked"),
+            F.col("n_failed").cast("long").alias("n_failed"),
+            (F.col("n_failed") == 0).alias("passed"),
+        )
+    )
+    n_ord = orders.groupBy().agg(F.count(F.lit(1)).alias("n_checked"))
+    fk_ord = (
+        orders.select("o_custkey")
+        .join(customer.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_failed"))
+        .crossJoin(F.broadcast(n_ord))
+        .select(
+            F.lit("orders_fk_customer").alias("expectation"),
+            F.lit("orders").alias("table_name"),
+            F.col("n_checked").cast("long").alias("n_checked"),
+            F.col("n_failed").cast("long").alias("n_failed"),
+            (F.col("n_failed") == 0).alias("passed"),
+        )
+    )
+    qty_range = agg_check(
+        lineitem,
+        "lineitem_quantity_1_to_50",
+        "lineitem",
+        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+    )
+    ts_not_null = agg_check(
+        events, "events_ts_not_null", "events", F.col("ts").isNull()
+    )
+    value_positive = agg_check(
+        events, "events_value_positive", "events", ~(F.col("value") > 0)
+    )
+    nchars_consistent = agg_check(
+        documents,
+        "documents_nchars_matches_text",
+        "documents",
+        F.col("n_chars") != F.length("text"),
+    )
+    out = pk_unique
+    for frame in (fk_li, fk_ord, qty_range, ts_not_null, value_positive, nchars_consistent):
+        out = out.unionByName(frame)
+    return out

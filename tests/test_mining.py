@@ -1,0 +1,178 @@
+"""Mining + new relational operators: fixed-fixture semantics and
+hypothesis checks against plain-Python references.
+
+Every fixture is written to a tmp sf_dir as parquet so the operators run
+their real load path; datasets are tiny, assertions exact (or 1e-6 for
+double sums)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from simple_land_registry_data_ingestion_spark.operators import mining, relational
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _write(spark, tmp_path, name, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / f"{name}.parquet"))
+
+
+def test_er_blocked_match_pairs_only_within_blocks(spark, tmp_path):
+    # same block (noun=widget, Brand#1): 1-2 match (dist 2), 1-3 too far
+    # (dist 9 > 4); same noun different brand: 4 never pairs with 1/2/3;
+    # different noun same brand: 5 never pairs with anything.
+    rows = [
+        (1, "red widget", "Brand#1"),
+        (2, "redd widget", "Brand#1"),   # dist("red widget")=1 -> match
+        (3, "chartreuse widget", "Brand#1"),
+        (4, "red widget", "Brand#2"),
+        (5, "red gizmo", "Brand#1"),
+    ]
+    _write(spark, tmp_path, "part", [
+        (k, n, b, "ECONOMY", 1, 1.0) for k, n, b in rows
+    ], "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double")
+    got = {
+        (r["p1"], r["p2"]): r["edit_distance"]
+        for r in mining.er_blocked_match(spark, str(tmp_path)).collect()
+    }
+    assert got == {(1, 2): 1}
+
+
+def test_basket_part_pairs_support_and_lift(spark, tmp_path):
+    # 4 orders; parts 10&20 co-occur in orders 1,2 (support 2/4);
+    # part 10 in 3 orders, part 20 in 2, part 30 only once with 10.
+    li = []
+    baskets = {1: [10, 20], 2: [10, 20, 30], 3: [10], 4: [40]}
+    for o, parts in baskets.items():
+        for i, p in enumerate(parts):
+            li.append((o, p, 1, i, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                       datetime.datetime(2024, 1, 1)))
+    _write(spark, tmp_path, "lineitem", li,
+           "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+           "l_quantity double, l_extendedprice double, l_discount double, "
+           "l_tax double, l_returnflag string, l_linestatus string, "
+           "l_shipdate timestamp")
+    got = {
+        (r["part_a"], r["part_b"]): (r["pair_orders"], r["support"], r["lift"])
+        for r in mining.basket_part_pairs(spark, str(tmp_path)).collect()
+    }
+    # lift(10,20) = (2 * 4) / (3 * 2)
+    assert got == {(10, 20): (2, 0.5, round(8 / 6, 6))}
+
+
+@settings(**_SETTINGS)
+@given(
+    seqs=st.lists(
+        st.lists(st.floats(0.1, 100.0, allow_nan=False), min_size=1, max_size=12),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_ema_closed_form_matches_recursion(spark, tmp_path, seqs):
+    """The one-window closed form must equal the textbook recursion
+    s_i = a*x_i + (1-a)*s_{i-1}, s_1 = x_1, per user."""
+    rows, expected = [], {}
+    eid = 0
+    for u, values in enumerate(seqs):
+        s = values[0]
+        for i, v in enumerate(values):
+            if i:
+                s = 0.3 * v + 0.7 * s
+            rows.append((eid, datetime.datetime(2024, 1, 1, 0, 0, i), u, "view", float(v), "{}"))
+            eid += 1
+        expected[u] = s
+    _write(spark, tmp_path, "events", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    got = {
+        r["user_id"]: r["ema_value"]
+        for r in relational.events_ema_decay(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(expected)
+    for u, s in expected.items():
+        assert got[u] == pytest.approx(s, abs=2e-6)
+
+
+def test_attribution_last_touch_ordering_and_direct(spark, tmp_path):
+    mk = datetime.datetime
+    rows = [
+        # user 1: click then view then purchase -> credited to view
+        (1, mk(2024, 1, 1, 0, 0), 1, "click", 1.0, "{}"),
+        (2, mk(2024, 1, 1, 0, 1), 1, "view", 1.0, "{}"),
+        (3, mk(2024, 1, 1, 0, 2), 1, "purchase", 50.0, "{}"),
+        # user 2: purchase with no prior touch -> direct; the click AFTER
+        # must not count
+        (4, mk(2024, 1, 2, 0, 0), 2, "purchase", 20.0, "{}"),
+        (5, mk(2024, 1, 2, 0, 1), 2, "click", 1.0, "{}"),
+        # user 2 second purchase -> credited to that click
+        (6, mk(2024, 1, 2, 0, 2), 2, "purchase", 30.0, "{}"),
+        # same-ts tie: event_id orders click(7) before purchase(8)
+        (7, mk(2024, 1, 3, 0, 0), 3, "click", 1.0, "{}"),
+        (8, mk(2024, 1, 3, 0, 0), 3, "purchase", 10.0, "{}"),
+    ]
+    _write(spark, tmp_path, "events", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    got = {
+        r["channel"]: (r["purchases"], r["revenue"])
+        for r in relational.events_attribution_last_touch(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        "view": (1, 50.0),
+        "direct": (1, 20.0),
+        "click": (2, 40.0),
+    }
+
+
+def test_profile_expectations_flags_planted_violations(spark, tmp_path):
+    mk = datetime.datetime
+    _write(spark, tmp_path, "orders",
+           [(1, 1, "O", 10.0, mk(2024, 1, 1), "1-URGENT"),
+            (1, 2, "O", 20.0, mk(2024, 1, 2), "1-URGENT"),   # dup pk
+            (2, 99, "O", 30.0, mk(2024, 1, 3), "1-URGENT")],  # orphan cust
+           "o_orderkey long, o_custkey long, o_orderstatus string, "
+           "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+    _write(spark, tmp_path, "customer",
+           [(1, "Customer#1", 0, 1.0, "BUILDING"),
+            (2, "Customer#2", 0, 1.0, "BUILDING")],
+           "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+           "c_mktsegment string")
+    _write(spark, tmp_path, "lineitem",
+           [(1, 10, 1, 1, 5.0, 1.0, 0.0, 0.0, "N", "O", mk(2024, 1, 1)),
+            (7, 10, 1, 1, 99.0, 1.0, 0.0, 0.0, "N", "O", mk(2024, 1, 1))],
+           # orderkey 7 is an orphan; quantity 99 out of range
+           "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+           "l_quantity double, l_extendedprice double, l_discount double, "
+           "l_tax double, l_returnflag string, l_linestatus string, "
+           "l_shipdate timestamp")
+    _write(spark, tmp_path, "events",
+           [(1, mk(2024, 1, 1), 1, "view", 1.0, "{}")],
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    _write(spark, tmp_path, "documents",
+           [(1, "abc", "en", "src0", 3), (2, "abc", "en", "src0", 99)],
+           "doc_id long, text string, lang string, source string, n_chars long")
+    got = {
+        r["expectation"]: (r["n_checked"], r["n_failed"], r["passed"])
+        for r in relational.profile_expectations(spark, str(tmp_path)).collect()
+    }
+    assert got["orders_pk_unique"] == (3, 1, False)
+    assert got["lineitem_fk_orders"] == (2, 1, False)
+    assert got["orders_fk_customer"] == (3, 1, False)
+    assert got["lineitem_quantity_1_to_50"] == (2, 1, False)
+    assert got["events_ts_not_null"] == (1, 0, True)
+    assert got["events_value_positive"] == (1, 0, True)
+    assert got["documents_nchars_matches_text"] == (2, 1, False)
