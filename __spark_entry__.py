@@ -58,6 +58,9 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessio
 #: Rotate each round so no query's newest driver row ages past 2 rounds.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- block A: changed or added in round 4 (need fresh driver rows) ----
+    "dedup_jaccard_prefix": dedup.dedup_jaccard_prefix,
+    "dedup_exact_substring": dedup.dedup_exact_substring,
+    "er_sorted_neighborhood": mining.er_sorted_neighborhood,
     "er_blocked_match": mining.er_blocked_match,
     "basket_part_pairs": mining.basket_part_pairs,
     "events_ema_decay": relational.events_ema_decay,
@@ -2257,6 +2260,66 @@ _ORACLES.update({
 
 
 _ORACLES.update({
+    "dedup_jaccard_prefix": r"""
+        WITH docs AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+            FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle
+            FROM docs, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+        -- brute force, NO pruning: a hash-match certifies the prefix
+        -- filter's completeness guarantee
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+                  FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle
+                             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+    """,
+    "dedup_exact_substring": r"""
+        WITH docs AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+            FROM documents),
+        g AS (
+            SELECT doc_id, md5(array_to_string(ws[i:i+7], ' ')) AS gram_hash
+            FROM docs, UNNEST(range(1, len(ws) - 6)) AS t(i))
+        SELECT gram_hash,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               MIN(doc_id) AS example_doc
+        FROM g GROUP BY gram_hash
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    "er_sorted_neighborhood": """
+        WITH p AS (
+            SELECT p_partkey, p_name,
+                   regexp_extract(p_name, ' ([a-z]+)$', 1) AS block_noun
+            FROM part),
+        r AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY block_noun
+                ORDER BY p_name, p_partkey) AS rnk
+            FROM p)
+        SELECT a.block_noun,
+               a.p_partkey AS p1, b.p_partkey AS p2,
+               a.p_name AS name1, b.p_name AS name2,
+               CAST(b.rnk - a.rnk AS BIGINT) AS rank_gap,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT)
+                   AS edit_distance
+        FROM r a
+        JOIN r b ON a.block_noun = b.block_noun
+               AND b.rnk - a.rnk BETWEEN 1 AND 3
+        WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
     "er_blocked_match": """
         WITH p AS (
             SELECT p_partkey, p_name, p_brand,

@@ -1325,3 +1325,133 @@ def dedup_pagerank_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = minhash_candidate_pairs(docs)
     pr = pagerank_centrality(docs.select("doc_id"), edges)
     return pr.select(F.col("node").alias("doc_id"), F.col("rank").alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered similarity join (PPJoin-style) and exact-substring spans
+# ---------------------------------------------------------------------------
+
+def jaccard_prefix_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """EXACT Jaccard similarity join with PROVABLY LOSSLESS prefix
+    filtering (PPJoin family, Xiao et al. / Vernica et al.'s MapReduce
+    set-similarity join).
+
+    Unlike MinHash-LSH (probabilistic recall) and the df-capped exact join
+    (drops viral-shingle mass), prefix filtering prunes candidates with a
+    completeness GUARANTEE: order every doc's shingles by one global total
+    order (df asc, shingle asc — rarest first) and keep only the first
+    ``|d| - ceil(t*|d|) + 1`` as the doc's prefix; any pair with
+    J(A,B) >= t must share at least one PREFIX token (if the prefixes were
+    disjoint, the overlap is bounded by the shorter suffix, which the
+    prefix length is chosen to make too small).  Candidates therefore form
+    only in prefix-token buckets — and prefix tokens are each doc's RAREST
+    tokens, so buckets are small by construction; the same
+    distribute_threshold hook as LSH guards the residual hot bucket.
+
+    Plan: one shingle shuffle builds df; per-doc sorted-prefix arrays are
+    one groupBy; candidate generation is the bucket_pairs expansion;
+    verification joins the candidate pairs (tiny vs corpus) against the
+    per-doc shingle-set table twice and computes the exact intersection
+    with array_intersect — O(|A|+|B|) per candidate, JVM-side.  Integer
+    set arithmetic -> deterministic 6-dp jaccard."""
+    sh = shingle_table(docs)
+    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(df_tbl, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("toks")
+        )
+    )
+    sz = F.size("toks")
+    plen = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
+    prefix = per_doc.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.slice("toks", F.lit(1), plen), lambda s: s["shingle"])
+        ).alias("shingle"),
+    )
+    candidates = bucket_pairs(
+        prefix.groupBy("shingle").agg(
+            F.array_sort(F.collect_list("doc_id")).alias("ids")
+        ),
+        distribute_threshold=256,
+    ).distinct()
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sh_set"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh_set").alias("set_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh_set").alias("set_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def dedup_jaccard_prefix(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Registered query: lossless prefix-filtered exact Jaccard join at
+    t=0.5; the oracle is the UNPRUNED brute-force join, so a green row
+    certifies the completeness guarantee end-to-end."""
+    return jaccard_prefix_pairs(load(spark, sf_dir, "documents"), threshold)
+
+
+def dedup_exact_substring(
+    spark: SparkSession, sf_dir: str, window: int = 8
+) -> DataFrame:
+    """Cross-document EXACT-SUBSTRING duplicate spans (Lee et al. 2022,
+    'Deduplicating Training Data Makes Language Models Better'): every
+    ``window``-token run that appears verbatim in >= 2 distinct documents,
+    with its document and occurrence counts.
+
+    The suffix-array construction of the paper is inherently sequential;
+    the distributed equivalent hashes every token window (all positions,
+    not per-doc distinct — a doc repeating a span internally still counts
+    every occurrence) and aggregates by window hash.  Each doc emits
+    ~n_tokens rows, so the shuffle is corpus-linear with a map-side
+    combine; no pair of documents is ever joined.  At 100 TB the windows
+    would be re-hashed to 8 bytes (xxhash) and the groupBy pre-aggregated
+    per partition — the plan shape is already that.
+
+    Output: (gram_hash, n_docs, n_occurrences, example_doc) for every
+    duplicated window; downstream span-removal joins this back on the
+    hash."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    size = F.size(ws)
+    idx = F.sequence(F.lit(1), size - (window - 1))
+    grams = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i, window)))
+    )
+    hashed = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(size >= window, grams).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("gram_hash"),
+    )
+    return (
+        hashed.groupBy("gram_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

@@ -176,3 +176,39 @@ def test_profile_expectations_flags_planted_violations(spark, tmp_path):
     assert got["events_ts_not_null"] == (1, 0, True)
     assert got["events_value_positive"] == (1, 0, True)
     assert got["documents_nchars_matches_text"] == (2, 1, False)
+
+
+def test_er_sorted_neighborhood_gap_bound_and_blocks(spark, tmp_path):
+    # noun block "widget" sorted by name:
+    #   red widget(1) < redd widget(2) < rede widget(3) < zzz widget(4)
+    # every in-window pair clears edit distance <= 4 (zzz is d=3/4/4 from
+    # red/redd/rede), so the assertion pins all six gap-bounded pairs.
+    rows = [
+        (1, "red widget", "Brand#1"),
+        (2, "redd widget", "Brand#2"),   # different brand STILL pairs:
+        (3, "rede widget", "Brand#1"),   # sorted-neighborhood ignores brand
+        (4, "zzz widget", "Brand#1"),
+        (5, "red gizmo", "Brand#1"),     # other noun: never pairs with 1-4
+    ]
+    spark.createDataFrame(
+        [(k, n, b, "ECONOMY", 1, 1.0) for k, n, b in rows],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    got = {
+        (r["p1"], r["p2"]): (r["rank_gap"], r["edit_distance"])
+        for r in mining.er_sorted_neighborhood(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        (1, 2): (1, 1),
+        (1, 3): (2, 1),
+        (1, 4): (3, 3),
+        (2, 3): (1, 1),
+        (2, 4): (2, 4),
+        (3, 4): (1, 4),
+    }
+    # every record compares to at most `neighborhood` successors
+    from collections import Counter
+
+    per_left = Counter(p1 for p1, _ in got)
+    assert max(per_left.values()) <= 3

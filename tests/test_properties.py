@@ -334,3 +334,69 @@ def test_triangle_stats_matches_bruteforce(spark, edges):
         coeff = round(2.0 * tri[i] / (d * (d - 1)), 6) if d >= 2 else 0.0
         want[i] = (d, tri[i], coeff)
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    n_docs=st.integers(4, 14),
+    seed=st.integers(0, 5),
+)
+def test_jaccard_prefix_filter_is_lossless(spark, n_docs, seed):
+    """The prefix filter must return EXACTLY the brute-force pair set —
+    completeness (no pair with J >= t escapes the pruning) and soundness
+    (verification drops everything below t).  Docs are drawn from a tiny
+    vocab so shingles collide a lot and some pairs clear the threshold."""
+    import itertools
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{j}" for j in range(5)]
+    texts = {
+        i: " ".join(rng.choices(vocab, k=rng.randint(3, 10)))
+        for i in range(n_docs)
+    }
+
+    def shingles(t):
+        ws = t.split()
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    expected = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        if not sa or not sb:
+            continue
+        jac = len(sa & sb) / len(sa | sb)
+        if round(jac, 6) >= 0.5:
+            expected[(a, b)] = round(jac, 6)
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_prefix_pairs(docs, threshold=0.5).collect()
+    }
+    assert got == expected
+
+
+def test_exact_substring_counts_within_doc_repeats(spark, tmp_path):
+    """A span repeated twice inside ONE doc and once in another must show
+    n_docs=2 but n_occurrences=3; a span in a single doc never appears."""
+    span = "a b c d e f g h"
+    rows = [
+        (1, f"{span} x y z {span}", "en", "src0", 1),
+        (2, f"prefix {span} tail", "en", "src0", 1),
+        (3, "totally different text with no shared window at all q r s t u v w x", "en", "src0", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = dedup.dedup_exact_substring(spark, str(tmp_path), window=8).collect()
+    shared = [r for r in out if r["n_docs"] >= 2]
+    # the canonical span window: docs {1,2}, occurrences 3 (twice in doc 1)
+    assert any(
+        r["n_docs"] == 2 and r["n_occurrences"] == 3 and r["example_doc"] == 1
+        for r in shared
+    )
+    # no window private to a single doc leaks through the n_docs >= 2 gate
+    assert all(r["n_docs"] >= 2 for r in out)
