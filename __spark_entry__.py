@@ -58,6 +58,10 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessio
 #: Rotate each round so no query's newest driver row ages past 2 rounds.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- block A: changed or added in round 4 (need fresh driver rows) ----
+    "text_collocations_pmi": text_fns.text_collocations_pmi,
+    "text_feature_hashing": text_fns.text_feature_hashing,
+    "events_activity_islands": relational.events_activity_islands,
+    "customers_target_encoding": relational.customers_target_encoding,
     "dedup_jaccard_prefix": dedup.dedup_jaccard_prefix,
     "dedup_exact_substring": dedup.dedup_exact_substring,
     "er_sorted_neighborhood": mining.er_sorted_neighborhood,
@@ -2260,6 +2264,76 @@ _ORACLES.update({
 
 
 _ORACLES.update({
+    "text_collocations_pmi": r"""
+        WITH docs AS (
+            SELECT string_split_regex(lower(trim(text)), '\s+') AS ws
+            FROM documents),
+        toks AS (SELECT w FROM docs, UNNEST(ws) AS t(w)),
+        uni AS (SELECT w, COUNT(*) AS n_w FROM toks GROUP BY 1),
+        n_tok AS (SELECT COUNT(*) AS n_tokens FROM toks),
+        big AS (
+            SELECT ws[i] AS word_a, ws[i + 1] AS word_b
+            FROM docs, UNNEST(range(1, len(ws))) AS t(i)),
+        n_big AS (SELECT COUNT(*) AS n_pairs_total FROM big),
+        pairs AS (
+            SELECT word_a, word_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM big GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        SELECT word_a, word_b, n_pairs,
+               ROUND(log2(
+                   (n_pairs / CAST(n_pairs_total AS DOUBLE))
+                   / ((ua.n_w / CAST(n_tokens AS DOUBLE))
+                      * (ub.n_w / CAST(n_tokens AS DOUBLE)))), 6) AS pmi
+        FROM pairs
+        JOIN uni ua ON ua.w = pairs.word_a
+        JOIN uni ub ON ub.w = pairs.word_b
+        CROSS JOIN n_tok CROSS JOIN n_big
+    """,
+    "text_feature_hashing": r"""
+        WITH docs AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+            FROM documents),
+        toks AS (SELECT doc_id, w FROM docs, UNNEST(ws) AS t(w))
+        SELECT doc_id,
+               ('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY 1, 2
+    """,
+    "events_activity_islands": """
+        WITH e AS (
+            SELECT user_id, event_type, event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                   - ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                       AS island_key
+            FROM events)
+        SELECT user_id, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(event_id) AS first_event_id,
+               MAX(event_id) AS last_event_id
+        FROM e GROUP BY user_id, event_type, island_key
+    """,
+    "customers_target_encoding": """
+        WITH so AS (
+            SELECT c_mktsegment, o_orderkey % 5 AS fold, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey),
+        per_fold AS (
+            SELECT c_mktsegment, fold,
+                   CAST(COUNT(*) AS BIGINT) AS fold_n,
+                   SUM(o_totalprice) AS fold_sum
+            FROM so GROUP BY 1, 2),
+        totals AS (
+            SELECT c_mktsegment, SUM(fold_n) AS seg_n,
+                   SUM(fold_sum) AS seg_sum
+            FROM per_fold GROUP BY 1)
+        SELECT per_fold.c_mktsegment, CAST(fold AS BIGINT) AS fold,
+               fold_n AS n_in_fold,
+               ROUND((seg_sum - fold_sum) / (seg_n - fold_n), 6)
+                   AS oof_mean_totalprice
+        FROM per_fold JOIN totals USING (c_mktsegment)
+    """,
     "dedup_jaccard_prefix": r"""
         WITH docs AS (
             SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws

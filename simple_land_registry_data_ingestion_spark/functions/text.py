@@ -624,3 +624,87 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str, top_k: int = 20) -> Dat
             F.col("n_hits").cast("long").alias("n_profile_hits"),
         )
     )
+
+
+def text_collocations_pmi(
+    spark: SparkSession, sf_dir: str, min_count: int = 5
+) -> DataFrame:
+    """Collocation extraction by pointwise mutual information: adjacent
+    token pairs that co-occur more than their unigram frequencies predict
+    (PMI = log2(p(a,b) / (p(a)·p(b)))) — the classic phrase detector
+    (word2vec's phrase pass, quality signals for tokenizer vocab building).
+
+    One corpus scan explodes positional bigrams (corpus-linear, map-side
+    combined counts); unigram totals are a second aggregate over the same
+    exploded frame; the unigram table is vocabulary-sized and BROADCASTS
+    twice onto the bigram counts.  Corpus-size scalars ride along as 1-row
+    broadcast literals.  All probabilities are ratios of counts, so the
+    6-dp round is engine-exact modulo one log2 ulp.
+    """
+    from simple_land_registry_data_ingestion_spark.tables import fan_out
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = docs.select(F.explode(ws).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    n_tokens = toks.groupBy().agg(F.count(F.lit(1)).alias("n_tokens"))
+    size = F.size(ws)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(size - 1, F.lit(1))),
+        lambda i: F.struct(
+            F.get(ws, i - 1).alias("word_a"), F.get(ws, i).alias("word_b")
+        ),
+    )
+    big = docs.select(
+        F.explode(F.when(size >= 2, grams).otherwise(F.array())).alias("g")
+    ).select("g.word_a", "g.word_b")
+    n_pairs_total = big.groupBy().agg(F.count(F.lit(1)).alias("n_pairs_total"))
+    pairs = (
+        big.groupBy("word_a", "word_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .where(F.col("n_pairs") >= min_count)
+    )
+    ua = uni.select(F.col("w").alias("word_a"), F.col("n_w").alias("n_a"))
+    ub = uni.select(F.col("w").alias("word_b"), F.col("n_w").alias("n_b"))
+    pmi = F.log2(
+        (F.col("n_pairs") / F.col("n_pairs_total"))
+        / ((F.col("n_a") / F.col("n_tokens")) * (F.col("n_b") / F.col("n_tokens")))
+    )
+    return (
+        pairs.join(F.broadcast(ua), "word_a")
+        .join(F.broadcast(ub), "word_b")
+        .crossJoin(F.broadcast(n_tokens))
+        .crossJoin(F.broadcast(n_pairs_total))
+        .select("word_a", "word_b", "n_pairs", F.round(pmi, 6).alias("pmi"))
+    )
+
+
+def text_feature_hashing(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 64
+) -> DataFrame:
+    """Hashing-trick vectorizer: tokens map to a FIXED feature space of
+    ``n_buckets`` dimensions via a hash, no vocabulary pass required —
+    the unbounded-vocab answer for streaming/online featurization
+    (scikit-learn HashingVectorizer, Vowpal Wabbit).
+
+    The whole transform is one stateless scan: explode tokens, bucket =
+    md5-prefix mod n_buckets (engine-portable, seed-free), count per
+    (doc, bucket).  No vocabulary table, no broadcast, no second pass —
+    which is exactly why the trick exists at 100 TB: the TF-IDF pipeline's
+    vocab aggregate disappears entirely, and collisions are the accepted
+    trade (documented dimension for quality evals).  Output is the sparse
+    COO representation (doc_id, bucket, tf)."""
+    from simple_land_registry_data_ingestion_spark.tables import fan_out
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = docs.select("doc_id", F.explode(ws).alias("w"))
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    return (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )

@@ -1631,3 +1631,97 @@ def profile_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for frame in (fk_li, fk_ord, qty_range, ts_not_null, value_positive, nchars_consistent):
         out = out.unionByName(frame)
     return out
+
+
+def events_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE same-type events per
+    user (a burst of clicks, an error storm) — the run-length view that
+    sessionization by time gap cannot express.
+
+    The rn − rn_by_type difference trick turns run detection into pure
+    windows: both row_numbers come from the SAME per-user sort order
+    (ts, event_id), so the whole query is one shuffle on user_id, two
+    window functions over one sorted run, and a groupBy on the derived
+    island key.  No self-join, no lag-cascade, no iteration; at 100 TB the
+    cost is exactly one per-user window regardless of island count.
+    Island identity is exposed as (first_event_id) rather than the raw
+    rn-difference, keeping the output stable under re-partitioning."""
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    grouped = events.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias(
+            "island_key"
+        ),
+    )
+    return (
+        grouped.groupBy("user_id", "event_type", "island_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event_id"),
+            F.max("event_id").alias("last_event_id"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "n_events",
+            "first_event_id",
+            "last_event_id",
+        )
+    )
+
+
+def customers_target_encoding(
+    spark: SparkSession, sf_dir: str, n_folds: int = 5
+) -> DataFrame:
+    """Leakage-free target encoding: each (market segment, fold) gets the
+    mean order value computed from the OTHER folds only — the K-fold
+    out-of-fold scheme that keeps a row's own target out of its feature
+    (the difference between a legitimate encoder and target leakage).
+
+    The naive implementation joins each fold against the other K-1 folds
+    (K² scans).  One pass suffices: aggregate sum/count per (segment,
+    fold) — a single shuffle of pre-combined partials — then the
+    out-of-fold mean is (segment_total − fold_sum)/(segment_count −
+    fold_count) via a broadcast join of the tiny per-segment totals onto
+    the tiny per-fold aggregate.  Corpus scans: exactly one, whatever K
+    is.  Fold assignment hashes the immutable order key (pmod keeps it
+    engine-portable); 6-dp round on the double mean."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    seg_orders = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        "c_mktsegment",
+        F.pmod(F.col("o_orderkey"), F.lit(n_folds)).alias("fold"),
+        "o_totalprice",
+    )
+    per_fold = seg_orders.groupBy("c_mktsegment", "fold").agg(
+        F.count(F.lit(1)).alias("fold_n"),
+        F.sum("o_totalprice").alias("fold_sum"),
+    )
+    totals = per_fold.groupBy("c_mktsegment").agg(
+        F.sum("fold_n").alias("seg_n"),
+        F.sum("fold_sum").alias("seg_sum"),
+    )
+    return (
+        per_fold.join(F.broadcast(totals), "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            F.col("fold").cast("long").alias("fold"),
+            F.col("fold_n").alias("n_in_fold"),
+            F.round(
+                (F.col("seg_sum") - F.col("fold_sum"))
+                / (F.col("seg_n") - F.col("fold_n")),
+                6,
+            ).alias("oof_mean_totalprice"),
+        )
+    )

@@ -212,3 +212,66 @@ def test_er_sorted_neighborhood_gap_bound_and_blocks(spark, tmp_path):
 
     per_left = Counter(p1 for p1, _ in got)
     assert max(per_left.values()) <= 3
+
+
+@settings(**_SETTINGS)
+@given(
+    seqs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=15),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_activity_islands_match_run_length_encoding(spark, tmp_path, seqs):
+    """The rn-difference trick must produce exactly the runs a plain
+    run-length encoder finds, per user, regardless of partitioning."""
+    rows, expected = [], set()
+    eid = 0
+    for u, types in enumerate(seqs):
+        run_start, run_len = eid, 0
+        prev = None
+        for t in types:
+            if t != prev and run_len:
+                expected.add((u, prev, run_len, run_start, eid - 1))
+                run_start, run_len = eid, 0
+            # constant ts: ordering rides entirely on the event_id tiebreak
+            rows.append((eid, datetime.datetime(2024, 1, 1), u, t, 1.0, "{}"))
+            prev = t
+            run_len += 1
+            eid += 1
+        expected.add((u, prev, run_len, run_start, eid - 1))
+    _write(spark, tmp_path, "events", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    got = {
+        (r["user_id"], r["event_type"], r["n_events"],
+         r["first_event_id"], r["last_event_id"])
+        for r in relational.events_activity_islands(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_target_encoding_excludes_own_fold(spark, tmp_path):
+    """Fold 0's encoding must be the mean of the OTHER folds' targets —
+    the whole point of out-of-fold encoding."""
+    mk = datetime.datetime
+    # one segment, folds 0/1/2 (orderkey % 5), targets 10/20/30
+    _write(spark, tmp_path, "orders",
+           [(0, 1, "O", 10.0, mk(2024, 1, 1), "x"),
+            (1, 1, "O", 20.0, mk(2024, 1, 1), "x"),
+            (2, 1, "O", 30.0, mk(2024, 1, 1), "x")],
+           "o_orderkey long, o_custkey long, o_orderstatus string, "
+           "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+    _write(spark, tmp_path, "customer",
+           [(1, "Customer#1", 0, 1.0, "BUILDING")],
+           "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+           "c_mktsegment string")
+    got = {
+        r["fold"]: r["oof_mean_totalprice"]
+        for r in relational.customers_target_encoding(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {0: 25.0, 1: 20.0, 2: 15.0}
