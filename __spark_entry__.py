@@ -58,6 +58,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessio
 #: Rotate each round so no query's newest driver row ages past 2 rounds.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- block A: changed or added in round 4 (need fresh driver rows) ----
+    "similarity_recall_at_k": similarity.similarity_recall_at_k,
     "text_collocations_pmi": text_fns.text_collocations_pmi,
     "text_feature_hashing": text_fns.text_feature_hashing,
     "events_activity_islands": relational.events_activity_islands,
@@ -82,8 +83,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_quantile_gate": text_fns.text_quality_quantile_gate,
     "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
-    "scalar_variant_funcs": scalars.scalar_variant_funcs,
-    "events_heavy_hitters": sketches.events_heavy_hitters,
+    # (scalar_variant_funcs / events_heavy_hitters were touched by the
+    # round-3 advice fixes but kept identical output and already hold
+    # fresh r03 rows — they yield their window slots to block B and sit
+    # right after it)
     # ---- block B: newest driver row was round 1 (2+ rounds stale) -- all 26 ----
     "window_range_frame": relational.window_range_frame,
     "window_running_sum": relational.window_running_sum,
@@ -111,10 +114,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_count": text_fns.text_token_count,
     "text_quality_score": text_fns.text_quality_score,
     "text_lang_id": text_fns.text_lang_id,
-    # ---- block C: oldest round-2 rows, padding the 50-entry window ----
-    # (block A grew to 19 during round 4, so the last 14 entries here sit at
-    # positions 51-64 — their r02 rows are exactly 2 rounds old, the limit;
-    # they MUST lead block B of the r05 rotation)
+    "scalar_variant_funcs": scalars.scalar_variant_funcs,
+    "events_heavy_hitters": sketches.events_heavy_hitters,
+    # ---- block C: round-2 rows — ALL outside the window this round ----
+    # (block A grew to 24 during round 4 and block B's 26 r01 queries fill
+    # the rest of the 50-slot window, so every entry below sits at
+    # position 51+; these r02 rows will be 3 rounds old after r04 and MUST
+    # lead the r05 window, before anything with r03 evidence)
     "dedup_exact_documents": dedup.dedup_exact_documents,
     "cdc_latest_per_key": dedup.cdc_latest_per_key,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -2264,6 +2270,50 @@ _ORACLES.update({
 
 
 _ORACLES.update({
+    "similarity_recall_at_k": f"""
+        WITH {_VEC_CTE},
+        planes3 AS (
+            SELECT p,
+                   list_transform(range(1, 65), j ->
+                       CAST(instr('0123456789abcdef',
+                                  substring(md5(CAST(p AS VARCHAR) || ':'
+                                      || CAST(j AS VARCHAR)), 1, 1))
+                            - 1 AS DOUBLE) - 7.5) AS w
+            FROM UNNEST(range(0, 3)) AS t(p)),
+        sigs AS (
+            SELECT v.vec_id,
+                   STRING_AGG(CASE WHEN list_dot_product(v.e, planes3.w) > 0
+                                   THEN '1' ELSE '0' END, ''
+                              ORDER BY planes3.p) AS bucket
+            FROM v, planes3 GROUP BY v.vec_id),
+        q AS (SELECT v.vec_id AS q_id, v.e AS qe, sigs.bucket AS qb
+              FROM v JOIN sigs ON v.vec_id = sigs.vec_id
+              WHERE v.vec_id < 20),
+        scored AS (
+            SELECT q.q_id, v.vec_id,
+                   ROUND({_COS.format(a="v.e", b="q.qe")}, 6) AS cosine,
+                   sigs.bucket = q.qb AS in_bucket
+            FROM v JOIN sigs ON v.vec_id = sigs.vec_id, q
+            WHERE v.vec_id <> q.q_id),
+        cand AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_candidates
+                 FROM scored WHERE in_bucket GROUP BY q_id),
+        truth AS (SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id, ROW_NUMBER() OVER (
+                PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+            FROM scored) WHERE rnk <= 10),
+        ann AS (SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id, ROW_NUMBER() OVER (
+                PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+            FROM scored WHERE in_bucket) WHERE rnk <= 10)
+        SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+               cand.n_candidates,
+               CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+               ROUND(COUNT(a.vec_id) / 10.0, 6) AS recall_at_k
+        FROM truth t
+        LEFT JOIN ann a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
+        JOIN cand ON t.q_id = cand.q_id
+        GROUP BY t.q_id, cand.n_candidates
+    """,
     "text_collocations_pmi": r"""
         WITH docs AS (
             SELECT string_split_regex(lower(trim(text)), '\s+') AS ws
