@@ -59,6 +59,9 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessio
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- block A: changed or added in round 4 (need fresh driver rows) ----
     "similarity_recall_at_k": similarity.similarity_recall_at_k,
+    "profile_benford_deviation": relational.profile_benford_deviation,
+    "events_user_entropy": relational.events_user_entropy,
+    "events_mutual_information": relational.events_mutual_information,
     "text_collocations_pmi": text_fns.text_collocations_pmi,
     "text_feature_hashing": text_fns.text_feature_hashing,
     "events_activity_islands": relational.events_activity_islands,
@@ -2313,6 +2316,60 @@ _ORACLES.update({
         LEFT JOIN ann a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
         JOIN cand ON t.q_id = cand.q_id
         GROUP BY t.q_id, cand.n_candidates
+    """,
+    "profile_benford_deviation": """
+        WITH o AS (SELECT o_totalprice FROM orders WHERE o_totalprice > 0),
+        d AS (
+            SELECT CAST(substring(CAST(CAST(ROUND(o_totalprice * 100)
+                       AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+            FROM o),
+        c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+              FROM d GROUP BY 1),
+        n AS (SELECT SUM(n_obs) AS n_total FROM c)
+        SELECT digit, n_obs,
+               ROUND(n_obs / CAST(n_total AS DOUBLE), 6) AS observed_p,
+               ROUND(log10(1 + 1 / CAST(digit AS DOUBLE)), 6) AS benford_p,
+               ROUND(ABS(n_obs / CAST(n_total AS DOUBLE)
+                         - log10(1 + 1 / CAST(digit AS DOUBLE))), 6)
+                   AS abs_deviation
+        FROM c CROSS JOIN n
+    """,
+    "events_user_entropy": """
+        WITH t AS (
+            SELECT user_id, event_type, COUNT(*) AS n_t
+            FROM events GROUP BY 1, 2),
+        u AS (
+            SELECT user_id, CAST(SUM(n_t) AS BIGINT) AS n_events,
+                   SUM(n_t * log2(n_t)) AS sum_nlogn
+            FROM t GROUP BY 1)
+        SELECT user_id, n_events,
+               ROUND(log2(n_events) - sum_nlogn / n_events, 6)
+                   AS entropy_bits
+        FROM u
+    """,
+    "events_mutual_information": """
+        WITH cells AS (
+            SELECT event_type,
+                   CASE WHEN value < 5 THEN 'lt5'
+                        WHEN value < 50 THEN '5to50'
+                        WHEN value < 200 THEN '50to200'
+                        ELSE 'ge200' END AS value_band,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2),
+        n_tot AS (SELECT SUM(n) AS n_total FROM cells),
+        bt AS (SELECT event_type, SUM(n) AS n_type FROM cells GROUP BY 1),
+        bb AS (SELECT value_band, SUM(n) AS n_band FROM cells GROUP BY 1)
+        SELECT cells.event_type, cells.value_band, cells.n,
+               ROUND(cells.n / CAST(n_total AS DOUBLE), 6) AS p_joint,
+               ROUND((cells.n / CAST(n_total AS DOUBLE))
+                     * log2((cells.n / CAST(n_total AS DOUBLE))
+                            / ((bt.n_type / CAST(n_total AS DOUBLE))
+                               * (bb.n_band / CAST(n_total AS DOUBLE)))), 6)
+                   AS mi_contribution
+        FROM cells
+        JOIN bt ON cells.event_type = bt.event_type
+        JOIN bb ON cells.value_band = bb.value_band
+        CROSS JOIN n_tot
     """,
     "text_collocations_pmi": r"""
         WITH docs AS (

@@ -1725,3 +1725,112 @@ def customers_target_encoding(
             ).alias("oof_mean_totalprice"),
         )
     )
+
+
+def profile_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit profile of order amounts vs Benford's law —
+    the standard forensic screen for fabricated or truncated numeric
+    columns (a generator bug, a capped feed, invented figures all bend the
+    leading-digit curve).
+
+    The digit is taken from the CENTS integer's decimal string, never from
+    log10: leading-digit-via-logarithm is the textbook formula but
+    ``floor(log10(1000)) = 2`` is one libm ulp away from being wrong, and
+    this query's contract is bit-identical results across engines.  One
+    scan, one 9-row groupBy (map-side combined), Benford expectation
+    computed per row on the tiny aggregate.  Counts are exact; the three
+    derived ratios round at 6 dp."""
+    orders = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("long")
+    n_total = orders.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    benford_p = F.log10(1 + 1 / F.col("digit"))
+    observed_p = F.col("n_obs") / F.col("n_total")
+    return (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(observed_p, 6).alias("observed_p"),
+            F.round(benford_p, 6).alias("benford_p"),
+            F.round(F.abs(observed_p - benford_p), 6).alias("abs_deviation"),
+        )
+    )
+
+
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity feature (bots and scrapers sit near 0, engaged
+    humans spread across types) and the standard exploration metric.
+
+    Two map-side-combined aggregations on the same user_id key — per
+    (user, type) counts, then the entropy fold over each user's handful of
+    type rows — so the second groupBy reuses the first's partitioning and
+    the corpus shuffles once.  -sum(p*log2(p)) over <= |event types| terms
+    per user; 6-dp round keeps the tiny float sum engine-stable."""
+    events = load(spark, sf_dir, "events")
+    per_type = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    per_user = per_type.groupBy("user_id").agg(
+        F.sum("n_t").alias("n_events"),
+        F.sum(F.col("n_t") * F.log2("n_t")).alias("sum_nlogn"),
+    )
+    # H = log2(N) - (1/N) * sum(n_t * log2(n_t)): one pass, no per-user
+    # second scan to compute probabilities
+    entropy = F.log2("n_events") - F.col("sum_nlogn") / F.col("n_events")
+    return per_user.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(entropy, 6).alias("entropy_bits"),
+    )
+
+
+def events_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and value band — the
+    feature-selection screen (does the action type carry information about
+    the amount?), decomposed per cell so the MI sum AND the strongest
+    dependencies are both visible.
+
+    Value bands are CASE literals, not quantiles: quantile boundaries
+    computed independently by two engines can differ by one float ulp and
+    flip a boundary row's band — fixed thresholds keep cell membership
+    exact.  Plan: one scan to the (type, band) contingency table (25-ish
+    rows), marginals and total derived from the table itself (three tiny
+    aggregates of an already-tiny frame), broadcast joins to assemble
+    p_joint * log2(p_joint / (p_type * p_band)) per cell."""
+    events = load(spark, sf_dir, "events")
+    band = (
+        F.when(F.col("value") < 5, "lt5")
+        .when(F.col("value") < 50, "5to50")
+        .when(F.col("value") < 200, "50to200")
+        .otherwise("ge200")
+    )
+    cells = (
+        events.select("event_type", band.alias("value_band"))
+        .groupBy("event_type", "value_band")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = cells.groupBy().agg(F.sum("n").alias("n_total"))
+    by_type = cells.groupBy("event_type").agg(F.sum("n").alias("n_type"))
+    by_band = cells.groupBy("value_band").agg(F.sum("n").alias("n_band"))
+    p_joint = F.col("n") / F.col("n_total")
+    p_type = F.col("n_type") / F.col("n_total")
+    p_band = F.col("n_band") / F.col("n_total")
+    return (
+        cells.join(F.broadcast(by_type), "event_type")
+        .join(F.broadcast(by_band), "value_band")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "event_type",
+            "value_band",
+            "n",
+            F.round(p_joint, 6).alias("p_joint"),
+            F.round(p_joint * F.log2(p_joint / (p_type * p_band)), 6).alias(
+                "mi_contribution"
+            ),
+        )
+    )
