@@ -59,6 +59,9 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessio
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- block A: changed or added in round 4 (need fresh driver rows) ----
     "similarity_recall_at_k": similarity.similarity_recall_at_k,
+    "agg_approx_quantile_error": relational.agg_approx_quantile_error,
+    "events_cumulative_distinct_users": relational.events_cumulative_distinct_users,
+    "sample_priority_estimate": relational.sample_priority_estimate,
     "profile_benford_deviation": relational.profile_benford_deviation,
     "events_user_entropy": relational.events_user_entropy,
     "events_mutual_information": relational.events_mutual_information,
@@ -2316,6 +2319,71 @@ _ORACLES.update({
         LEFT JOIN ann a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
         JOIN cand ON t.q_id = cand.q_id
         GROUP BY t.q_id, cand.n_candidates
+    """,
+    "agg_approx_quantile_error": """
+        -- exact percentiles + the published rank bound asserted TRUE: a
+        -- Spark-side sketch regression flips the hash mismatch
+        WITH e AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   quantile_cont(l_extendedprice, 0.25) AS q25,
+                   quantile_cont(l_extendedprice, 0.5) AS q50,
+                   quantile_cont(l_extendedprice, 0.75) AS q75,
+                   quantile_cont(l_extendedprice, 0.9) AS q90
+            FROM lineitem)
+        SELECT CAST(0.25 AS DOUBLE) AS quantile, n_rows,
+               ROUND(q25, 4) AS exact_value, TRUE AS within_rank_bound
+        FROM e
+        UNION ALL SELECT CAST(0.5 AS DOUBLE), n_rows, ROUND(q50, 4), TRUE
+        FROM e
+        UNION ALL SELECT CAST(0.75 AS DOUBLE), n_rows, ROUND(q75, 4), TRUE
+        FROM e
+        UNION ALL SELECT CAST(0.9 AS DOUBLE), n_rows, ROUND(q90, 4), TRUE
+        FROM e
+    """,
+    "events_cumulative_distinct_users": """
+        WITH f AS (
+            SELECT user_id, CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE)
+                       AS first_day
+            FROM events GROUP BY 1),
+        d AS (SELECT first_day, CAST(COUNT(*) AS BIGINT) AS n_new_users
+              FROM f GROUP BY 1)
+        SELECT first_day AS day, n_new_users,
+               CAST(SUM(n_new_users) OVER (
+                   ORDER BY first_day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_users
+        FROM d
+    """,
+    "sample_priority_estimate": r"""
+        WITH d AS (
+            SELECT doc_id,
+                   CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                       AS DOUBLE) AS w,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       AS u_int
+            FROM documents),
+        pr AS (
+            SELECT doc_id, w,
+                   w / ((u_int + 1.0) / 4294967296.0) AS priority
+            FROM d),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY priority DESC, doc_id) AS rn
+            FROM pr),
+        tau AS (SELECT priority AS tau FROM ranked WHERE rn = 101),
+        est AS (
+            SELECT SUM(GREATEST(w, tau.tau)) AS estimate_raw
+            FROM ranked CROSS JOIN tau WHERE rn <= 100),
+        exact AS (
+            SELECT CAST(SUM(w) AS BIGINT) AS exact_total_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM d)
+        SELECT exact.n_docs, CAST(100 AS BIGINT) AS k,
+               exact.exact_total_tokens,
+               ROUND(est.estimate_raw, 2) AS estimate_tokens,
+               ROUND(ABS(est.estimate_raw - exact.exact_total_tokens)
+                     / exact.exact_total_tokens, 6) AS rel_error
+        FROM est CROSS JOIN exact
     """,
     "profile_benford_deviation": """
         WITH o AS (SELECT o_totalprice FROM orders WHERE o_totalprice > 0),

@@ -1834,3 +1834,166 @@ def events_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def agg_approx_quantile_error(
+    spark: SparkSession, sf_dir: str, accuracy: int = 10000
+) -> DataFrame:
+    """Self-certifying accuracy harness for approx_percentile: for each
+    requested quantile q, the sketch's returned element must sit within
+    the published rank guarantee (rank within (q ± 1/accuracy)·n), checked
+    tie-aware against the EXACT data — count(< v) may not exceed the upper
+    rank bound and count(<= v) must reach the lower one.
+
+    The point mirrors similarity_recall_at_k: probabilistic/approximate
+    operators belong in the correctness gate too, via the bound they
+    promise rather than a value equality no sketch can honor.  The oracle
+    asserts the exact percentiles AND `within_rank_bound = TRUE`, so a
+    sketch regression flips a driver row red.
+
+    Plan: one aggregation computes the sketch, the exact percentiles (for
+    the report) and n; one more conditional-aggregation scan counts ranks
+    for the 4 returned elements (broadcast of a 4-row frame onto the
+    scan).  Two corpus scans total, both full-parallel, no windows."""
+    li = load(spark, sf_dir, "lineitem").select("l_extendedprice")
+    qs = [0.25, 0.5, 0.75, 0.9]
+    q_arr = ", ".join(str(q) for q in qs)
+    agg = li.groupBy().agg(
+        F.expr(
+            f"approx_percentile(l_extendedprice, array({q_arr}), {accuracy})"
+        ).alias("approx"),
+        F.expr(f"percentile(l_extendedprice, array({q_arr}))").alias("exact"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    per_q = agg.select(
+        F.posexplode(F.arrays_zip("approx", "exact")).alias("i", "z"),
+        "n_rows",
+    ).select(
+        F.element_at(F.array(*[F.lit(q) for q in qs]), F.col("i") + 1).alias(
+            "quantile"
+        ),
+        F.col("z.approx").alias("approx_value"),
+        F.col("z.exact").alias("exact_value"),
+        "n_rows",
+    )
+    ranks = (
+        li.crossJoin(F.broadcast(per_q))
+        .groupBy("quantile", "approx_value", "exact_value", "n_rows")
+        .agg(
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("approx_value"), 1).otherwise(0)
+            ).alias("n_below"),
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("approx_value"), 1).otherwise(0)
+            ).alias("n_at_or_below"),
+        )
+    )
+    eps = 1.0 / accuracy
+    within = (
+        F.col("n_below") <= F.ceil((F.col("quantile") + eps) * F.col("n_rows"))
+    ) & (
+        F.col("n_at_or_below")
+        >= F.floor((F.col("quantile") - eps) * F.col("n_rows"))
+    )
+    return ranks.select(
+        "quantile",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round("exact_value", 4).alias("exact_value"),
+        within.alias("within_rank_bound"),
+    )
+
+
+def events_cumulative_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cumulative distinct users by day — the growth-accounting curve
+    (DAU is a groupBy; CUMULATIVE distinct is the one that trips people
+    into O(days × users) re-scans).
+
+    One pass: a user contributes to the cumulative count exactly at their
+    FIRST event day, so min(ts)-per-user (one shuffle), count per day,
+    running sum.  The running-sum window orders the per-day aggregate —
+    a few thousand rows at any corpus size — so the single-partition
+    window is over the tiny frame, never the event stream."""
+    events = load(spark, sf_dir, "events")
+    first_day = events.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("first_day")
+    )
+    per_day = first_day.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        F.col("first_day").alias("day"),
+        "n_new_users",
+        F.sum("n_new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+def sample_priority_estimate(
+    spark: SparkSession, sf_dir: str, k: int = 100
+) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): estimate the corpus total
+    token count from a k-item sample — THE estimator for subset-sum
+    queries over heavy-tailed data, provably near-optimal variance among
+    all k-sample schemes.
+
+    Priority q_i = w_i / u_i with the same deterministic md5 uniform as
+    sample_weighted_aes; the sample is the top-k by priority, τ is the
+    (k+1)-th priority, and each sampled item's weight estimate is
+    max(w_i, τ) — unbiased for any weights.  Everything is a pure
+    function of the data, so the DuckDB oracle reproduces the estimate
+    EXACTLY: a probabilistic estimator inside the value-hash gate.
+
+    Plan: top-(k+1) via TakeOrderedAndProject (per-task heaps — never a
+    global sort/window over the corpus); τ and the estimator fold over a
+    (k+1)-row frame; the exact total is one map-side-combined sum riding
+    the same scan family.  At 100 TB the estimate costs one scan + a
+    k-row reduction."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    u_int = sum(
+        (F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1)
+        .cast("long")
+        * F.lit(16 ** (7 - i)).cast("long")
+        for i in range(8)
+    )
+    u = (u_int.cast("double") + 1.0) / F.lit(4294967296.0)
+    w = F.size(F.split(F.lower(F.trim("text")), r"\s+")).cast("double")
+    prio = docs.select(
+        "doc_id",
+        w.alias("w"),
+        (w / u).alias("priority"),
+    )
+    topk1 = prio.orderBy(F.col("priority").desc(), "doc_id").limit(k + 1)
+    wnd = Window.orderBy(F.col("priority").desc(), "doc_id")
+    ranked = topk1.withColumn("rn", F.row_number().over(wnd))
+    tau = ranked.where(F.col("rn") == k + 1).select(
+        F.col("priority").alias("tau")
+    )
+    est = (
+        ranked.where(F.col("rn") <= k)
+        .crossJoin(F.broadcast(tau))
+        .groupBy()
+        .agg(F.sum(F.greatest("w", "tau")).alias("estimate_raw"))
+    )
+    exact = docs.select(w.alias("w")).groupBy().agg(
+        F.sum("w").cast("long").alias("exact_total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.lit(k).cast("long").alias("k"),
+            "exact_total_tokens",
+            F.round("estimate_raw", 2).alias("estimate_tokens"),
+            F.round(
+                F.abs(F.col("estimate_raw") - F.col("exact_total_tokens"))
+                / F.col("exact_total_tokens"),
+                6,
+            ).alias("rel_error"),
+        )
+    )
