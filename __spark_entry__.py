@@ -59,6 +59,9 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessio
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- block A: changed or added in round 4 (need fresh driver rows) ----
     "similarity_recall_at_k": similarity.similarity_recall_at_k,
+    "sql_lateral_topn": relational.sql_lateral_topn,
+    "join_null_safe": relational.join_null_safe,
+    "scan_file_metadata": relational.scan_file_metadata,
     "agg_approx_quantile_error": relational.agg_approx_quantile_error,
     "events_cumulative_distinct_users": relational.events_cumulative_distinct_users,
     "sample_priority_estimate": relational.sample_priority_estimate,
@@ -2319,6 +2322,30 @@ _ORACLES.update({
         LEFT JOIN ann a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
         JOIN cand ON t.q_id = cand.q_id
         GROUP BY t.q_id, cand.n_candidates
+    """,
+    "sql_lateral_topn": """
+        SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+        FROM customer c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """,
+    "join_null_safe": """
+        WITH c AS (SELECT nullif(c_nationkey % 5, 0) AS c_key FROM customer),
+        s AS (SELECT nullif(s_nationkey % 5, 0) AS s_key FROM supplier)
+        SELECT COALESCE(CAST(c_key AS VARCHAR), 'NULL') AS join_key,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM c JOIN s ON c.c_key IS NOT DISTINCT FROM s.s_key
+        GROUP BY c_key
+    """,
+    "scan_file_metadata": """
+        -- the driver's oracle runs on pre-registered views (no filename
+        -- pseudo-column), but the testdata layout is one file per table
+        -- with a fixed name: the literal pins Spark's _metadata.file_name
+        -- resolution AND the per-file row rollup
+        SELECT 'documents.parquet' AS file_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM documents
     """,
     "agg_approx_quantile_error": """
         -- exact percentiles + the published rank bound asserted TRUE: a

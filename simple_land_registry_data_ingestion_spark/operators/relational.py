@@ -1997,3 +1997,76 @@ def sample_priority_estimate(
             ).alias("rel_error"),
         )
     )
+
+
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's top-2 orders by value
+    — the SQL surface for per-row dependent subqueries (Spark 3.2+).
+
+    Catalyst DE-CORRELATES the lateral limit into WindowGroupLimit: a
+    PARTIAL top-2-per-key runs before the shuffle (per-task heaps, same
+    idea as TakeOrdered), the final top-2 after, then a plain broadcast
+    hash join — the textbook plan one would hand-write, derived from the
+    declarative form.  No per-customer re-execution of the subquery
+    exists anywhere in the physical plan, which is the entire point:
+    LATERAL is sugar, the engine owes you the join."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+        FROM customer_v c, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders_v o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        """
+    )
+
+
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=>): NULL keys MATCH EACH OTHER instead of
+    vanishing — the semantic corner every dimension-key join with
+    incomplete data eventually hits (standard = joins silently drop the
+    NULL partition; <=> keeps it as its own key group).
+
+    Keys are made sparse with nullif so both behaviors are observable.
+    Spark plans <=> as a regular hash join (null-safe comparison is just
+    a different key equality), so the scale story is unchanged from any
+    equi-join: one shuffle per side, broadcast when small.  The aggregate
+    output pins the NULL<=>NULL group's existence and size."""
+    customer = load(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("c_key")
+    )
+    supplier = load(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("s_key")
+    )
+    return (
+        customer.join(supplier, F.col("c_key").eqNullSafe(F.col("s_key")))
+        .groupBy("c_key")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            F.coalesce(F.col("c_key").cast("string"), F.lit("NULL")).alias(
+                "join_key"
+            ),
+            "n_pairs",
+        )
+    )
+
+
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file provenance rollup via the hidden ``_metadata`` struct —
+    the lineage column every ingest audit wants (which physical file did
+    each row come from, how many rows per file) without a filename UDF or
+    input_file_name()'s whole-stage-codegen breakage.
+
+    ``_metadata`` is resolved at scan time from the file index, costs
+    nothing to read (no data-column decode), and survives column pruning
+    as its own struct field read.  The rollup is a map-side-combined
+    groupBy over however many files the table has — at 100 TB that is
+    the file count, not the row count."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(F.col("_metadata.file_name").alias("file_name"))
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
