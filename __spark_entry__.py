@@ -59,6 +59,9 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessio
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- block A: changed or added in round 4 (need fresh driver rows) ----
     "similarity_recall_at_k": similarity.similarity_recall_at_k,
+    "events_mean_shift_detect": relational.events_mean_shift_detect,
+    "sample_mix_diversity": relational.sample_mix_diversity,
+    "parts_pareto_frontier": relational.parts_pareto_frontier,
     "sql_lateral_topn": relational.sql_lateral_topn,
     "join_null_safe": relational.join_null_safe,
     "scan_file_metadata": relational.scan_file_metadata,
@@ -2322,6 +2325,70 @@ _ORACLES.update({
         LEFT JOIN ann a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
         JOIN cand ON t.q_id = cand.q_id
         GROUP BY t.q_id, cand.n_candidates
+    """,
+    "events_mean_shift_detect": """
+        WITH m AS (
+            SELECT user_id, event_id,
+                   AVG(value) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id
+                       ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+                       AS mean_before,
+                   COUNT(*) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id
+                       ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS n_before,
+                   AVG(value) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id
+                       ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+                       AS mean_after,
+                   COUNT(*) OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id
+                       ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS n_after
+            FROM events)
+        SELECT user_id, event_id,
+               ROUND(mean_before, 4) AS mean_before,
+               ROUND(mean_after, 4) AS mean_after,
+               ROUND(mean_after - mean_before, 4) AS shift
+        FROM m
+        WHERE n_before = 5 AND n_after = 5
+          AND ABS(mean_after - mean_before) > 80
+    """,
+    "sample_mix_diversity": r"""
+        WITH s AS (
+            SELECT source,
+                   SUM(CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                       AS DOUBLE)) AS source_tokens
+            FROM documents GROUP BY 1),
+        t AS (
+            SELECT SUM(source_tokens) AS total_tokens,
+                   log2(SUM(source_tokens))
+                   - SUM(source_tokens * log2(source_tokens))
+                     / SUM(source_tokens) AS entropy_bits
+            FROM s)
+        SELECT source, CAST(source_tokens AS BIGINT) AS source_tokens,
+               ROUND(source_tokens / total_tokens, 6) AS token_share,
+               ROUND(entropy_bits, 6) AS mix_entropy_bits,
+               ROUND(POWER(2.0, entropy_bits), 4) AS effective_sources
+        FROM s CROSS JOIN t
+    """,
+    "parts_pareto_frontier": """
+        WITH p AS (
+            SELECT p_partkey, p_name, p_retailprice,
+                   CAST(p_size AS BIGINT) AS p_size,
+                   CAST(ROUND(p_retailprice * 10) AS BIGINT) AS tick
+            FROM part),
+        m AS (
+            SELECT *, MAX(p_size) OVER (
+                ORDER BY tick
+                RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS best_size_cheaper
+            FROM p)
+        SELECT p_partkey, p_name, p_retailprice, p_size
+        FROM m
+        WHERE best_size_cheaper IS NULL OR p_size > best_size_cheaper
     """,
     "sql_lateral_topn": """
         SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice

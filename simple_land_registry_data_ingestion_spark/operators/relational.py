@@ -2070,3 +2070,124 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("file_name")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+def events_mean_shift_detect(
+    spark: SparkSession, sf_dir: str, w: int = 5, threshold: float = 80.0
+) -> DataFrame:
+    """Mean-shift change detection per user: flag events where the average
+    value over the following ``w`` events diverges from the preceding
+    ``w`` by more than ``threshold`` — the windowed two-sample test that
+    catches regime changes (price jumps, bot takeover, sensor drift)
+    without CUSUM's sequential recursion, which no window function can
+    express.
+
+    Two ROWS-frame averages over the SAME per-user sort — one shuffle,
+    one sorted pass, both frames read from the single sorted run.  Only
+    full windows test (count == w on both sides), so edges never
+    false-positive.  Output is the flagged rows only: corpus-sparse."""
+    events = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    before = order.rowsBetween(-w, -1)
+    after = order.rowsBetween(0, w - 1)
+    measured = events.select(
+        "user_id",
+        "event_id",
+        F.avg("value").over(before).alias("mean_before"),
+        F.count(F.lit(1)).over(before).alias("n_before"),
+        F.avg("value").over(after).alias("mean_after"),
+        F.count(F.lit(1)).over(after).alias("n_after"),
+    )
+    return (
+        measured.where(
+            (F.col("n_before") == w)
+            & (F.col("n_after") == w)
+            & (F.abs(F.col("mean_after") - F.col("mean_before")) > threshold)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.round("mean_before", 4).alias("mean_before"),
+            F.round("mean_after", 4).alias("mean_after"),
+            F.round(F.col("mean_after") - F.col("mean_before"), 4).alias(
+                "shift"
+            ),
+        )
+    )
+
+
+def sample_mix_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity accounting of the training mix: per-source token share,
+    Shannon entropy of the mix, and the EFFECTIVE number of sources
+    (2^H) — the one-number answer to 'is this corpus really 20 sources or
+    3 big ones wearing 20 hats', reported per source with the corpus-level
+    diversity on every row for a flat, joinable shape.
+
+    One scan to per-source token sums (map-side combined); entropy folds
+    over the source-count-sized aggregate; broadcast join carries the two
+    corpus scalars back onto the 20 rows.  6-dp rounds on the ratios."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = F.size(F.split(F.lower(F.trim("text")), r"\s+")).cast("double")
+    per_source = docs.groupBy("source").agg(
+        F.sum(tokens).alias("source_tokens")
+    )
+    totals = per_source.groupBy().agg(
+        F.sum("source_tokens").alias("total_tokens"),
+        (
+            F.log2(F.sum("source_tokens"))
+            - F.sum(F.col("source_tokens") * F.log2("source_tokens"))
+            / F.sum("source_tokens")
+        ).alias("entropy_bits"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            F.col("source_tokens").cast("long").alias("source_tokens"),
+            F.round(F.col("source_tokens") / F.col("total_tokens"), 6).alias(
+                "token_share"
+            ),
+            F.round("entropy_bits", 6).alias("mix_entropy_bits"),
+            F.round(F.pow(F.lit(2.0), F.col("entropy_bits")), 4).alias(
+                "effective_sources"
+            ),
+        )
+    )
+
+
+def parts_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline): parts not dominated on
+    (cheaper price, larger size) by any other part — the multi-objective
+    shortlist query (price/quality, latency/accuracy, cost/coverage).
+
+    The window formulation beats the naive NOT EXISTS self-join: sort by
+    price, keep a row iff its size strictly exceeds the running max size
+    over all STRICTLY CHEAPER rows.  'Strictly cheaper' needs a RANGE
+    frame ending at -1 over a DISCRETE order key — prices are 0.1-granular,
+    so the key is the integer price tick (on the raw double, RANGE -1
+    would mean 'price <= current - 1.0' and silently skip sub-unit
+    differences; price TIES must not dominate each other, which a ROWS
+    frame would get wrong).  One sort, one pass, O(n) — the self-join is
+    O(n²) and unguarded.  At 100 TB the sort becomes a repartitionByRange
+    + per-partition pass with one boundary max handed across partitions;
+    the frame semantics are unchanged."""
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_retailprice",
+        "p_size",
+        F.round(F.col("p_retailprice") * 10).cast("long").alias("price_tick"),
+    )
+    w = (
+        Window.orderBy("price_tick")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    measured = part.withColumn(
+        "best_size_cheaper", F.max("p_size").over(w)
+    )
+    return measured.where(
+        F.col("best_size_cheaper").isNull()
+        | (F.col("p_size") > F.col("best_size_cheaper"))
+    ).select("p_partkey", "p_name", "p_retailprice", F.col("p_size").cast("long").alias("p_size"))
