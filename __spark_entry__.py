@@ -59,6 +59,9 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessio
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- block A: changed or added in round 4 (need fresh driver rows) ----
     "similarity_recall_at_k": similarity.similarity_recall_at_k,
+    "set_ops_all": relational.set_ops_all,
+    "scalar_try_funcs": relational.scalar_try_funcs,
+    "agg_bitwise": relational.agg_bitwise,
     "events_mean_shift_detect": relational.events_mean_shift_detect,
     "sample_mix_diversity": relational.sample_mix_diversity,
     "parts_pareto_frontier": relational.parts_pareto_frontier,
@@ -2325,6 +2328,42 @@ _ORACLES.update({
         LEFT JOIN ann a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
         JOIN cand ON t.q_id = cand.q_id
         GROUP BY t.q_id, cand.n_candidates
+    """,
+    "set_ops_all": """
+        WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey
+                   FROM customer),
+        s AS (SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier)
+        SELECT 'intersect_all' AS op, nationkey,
+               CAST(COUNT(*) AS BIGINT) AS multiplicity
+        FROM (SELECT nationkey FROM c INTERSECT ALL SELECT nationkey FROM s)
+        GROUP BY nationkey
+        UNION ALL
+        SELECT 'except_all', nationkey, CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT nationkey FROM c EXCEPT ALL SELECT nationkey FROM s)
+        GROUP BY nationkey
+    """,
+    "scalar_try_funcs": """
+        SELECT o_orderkey,
+               ROUND(o_totalprice
+                     / nullif(CAST(o_orderkey % 3 AS DOUBLE), 0), 4)
+                   AS div_or_null,
+               TRY_CAST('x' || o_orderstatus AS DOUBLE) AS bad_cast_null,
+               TRY_CAST(CAST(o_orderkey AS VARCHAR) AS DOUBLE) AS good_cast,
+               CAST(CASE WHEN o_orderkey % 4 + 1 <= 2
+                         THEN ([10, 20])[CAST(o_orderkey % 4 AS INT) + 1]
+                         END AS BIGINT) AS elem_or_null
+        FROM orders
+    """,
+    "agg_bitwise": """
+        WITH b AS (
+            SELECT event_type,
+                   CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT) AS user_bit
+            FROM events)
+        SELECT event_type,
+               CAST(bit_or(user_bit) AS BIGINT) AS cohort_mask,
+               CAST(bit_and(user_bit) AS BIGINT) AS common_bits,
+               CAST(bit_xor(user_bit) AS BIGINT) AS parity_bits
+        FROM b GROUP BY event_type
     """,
     "events_mean_shift_detect": """
         WITH m AS (

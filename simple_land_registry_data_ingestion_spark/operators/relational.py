@@ -2191,3 +2191,87 @@ def parts_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best_size_cheaper").isNull()
         | (F.col("p_size") > F.col("best_size_cheaper"))
     ).select("p_partkey", "p_name", "p_retailprice", F.col("p_size").cast("long").alias("p_size"))
+
+
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicity-preserving set operations — INTERSECT ALL and
+    EXCEPT ALL over per-nation key bags (a customer nation appearing 40
+    times meets a supplier nation appearing 7 times: INTERSECT ALL keeps
+    7, EXCEPT ALL keeps 33).  The distinct variants hide exactly the
+    cardinality information a reconciliation query needs.
+
+    Spark plans both as aggregate + generate (count per key per side,
+    min/difference, replicate) — no join explosion; the shuffle carries
+    one row per distinct key per side.  Output aggregates the bags back
+    to (key, multiplicity) so the result is readable and hash-stable."""
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    cust = customer.select(F.col("c_nationkey").cast("long").alias("nationkey"))
+    supp = supplier.select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    inter = cust.intersectAll(supp).groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("multiplicity")
+    ).withColumn("op", F.lit("intersect_all"))
+    diff = cust.exceptAll(supp).groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("multiplicity")
+    ).withColumn("op", F.lit("except_all"))
+    return inter.unionByName(diff).select("op", "nationkey", "multiplicity")
+
+
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The try_* ANSI companions — under ANSI mode (ON in this engine,
+    session.py) a division by zero or an out-of-range cast THROWS, and
+    try_divide / try_cast / try_element_at / try_add are the per-
+    expression opt-outs that return NULL instead.  A pipeline that runs
+    ANSI-strict needs exactly these at its dirty edges (and nowhere
+    else).
+
+    One scan, pure projections; every NULL-path is exercised by
+    construction (zero divisors, unparseable strings, out-of-bounds
+    indices) so the oracle pins the full NULL semantics, not just the
+    happy path."""
+    orders = load(spark, sf_dir, "orders")
+    zero_ish = F.col("o_orderkey") % 3  # 0 for every third row
+    return orders.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), zero_ish.cast("double")).alias(
+            "div_or_null"
+        ),
+        F.concat(F.lit("x"), F.col("o_orderstatus"))
+        .try_cast("double")
+        .alias("bad_cast_null"),
+        F.col("o_orderkey").cast("string").try_cast("double").alias(
+            "good_cast"
+        ),
+        F.try_element_at(
+            F.array(F.lit(10), F.lit(20)), (F.col("o_orderkey") % 4).cast("int") + 1
+        ).alias("elem_or_null"),
+    ).select(
+        "o_orderkey",
+        F.round("div_or_null", 4).alias("div_or_null"),
+        "bad_cast_null",
+        "good_cast",
+        F.col("elem_or_null").cast("long").alias("elem_or_null"),
+    )
+
+
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate functions (bit_or / bit_and / bit_xor) building a
+    per-event-type user-cohort BITMASK — the poor man's roaring bitmap:
+    distributive, mergeable, constant-size state, the same partial/final
+    shape as sum().
+
+    Each user sets bit (user_id % 32); bit_or accumulates the cohort mask
+    per event type, bit_and finds always-set bits, bit_xor the parity.
+    At scale this is how engagement bitmaps are built per segment without
+    a distinct-user shuffle: the aggregation state is one long."""
+    events = load(spark, sf_dir, "events")
+    # shiftleft's pyspark wrapper takes a literal bit count; a per-row
+    # shift amount needs the SQL form
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))")
+    return events.select("event_type", bit.alias("user_bit")).groupBy(
+        "event_type"
+    ).agg(
+        F.bit_or("user_bit").alias("cohort_mask"),
+        F.bit_and("user_bit").alias("common_bits"),
+        F.bit_xor("user_bit").alias("parity_bits"),
+    )
