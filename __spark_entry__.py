@@ -59,6 +59,8 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessio
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- block A: changed or added in round 4 (need fresh driver rows) ----
     "similarity_recall_at_k": similarity.similarity_recall_at_k,
+    "dedup_source_overlap_matrix": dedup.dedup_source_overlap_matrix,
+    "events_winsorized_stats": relational.events_winsorized_stats,
     "set_ops_all": relational.set_ops_all,
     "scalar_try_funcs": relational.scalar_try_funcs,
     "agg_bitwise": relational.agg_bitwise,
@@ -2328,6 +2330,50 @@ _ORACLES.update({
         LEFT JOIN ann a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
         JOIN cand ON t.q_id = cand.q_id
         GROUP BY t.q_id, cand.n_candidates
+    """,
+    "dedup_source_overlap_matrix": f"""
+        WITH {_SHINGLES_CTE},
+        sig AS (
+            SELECT doc_id,
+                   min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+                   min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+                   min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5
+            FROM sh GROUP BY doc_id),
+        bands AS (
+            SELECT doc_id, '0:' || h0 || h1 AS band_key FROM sig
+            UNION ALL SELECT doc_id, '1:' || h2 || h3 FROM sig
+            UNION ALL SELECT doc_id, '2:' || h4 || h5 FROM sig),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        SELECT LEAST(da.source, db.source) AS source_a,
+               GREATEST(da.source, db.source) AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs
+        FROM cand
+        JOIN documents da ON cand.doc_a = da.doc_id
+        JOIN documents db ON cand.doc_b = db.doc_id
+        GROUP BY 1, 2
+    """,
+    "events_winsorized_stats": """
+        WITH b AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.05) AS lo,
+                   quantile_cont(value, 0.95) AS hi
+            FROM events GROUP BY 1),
+        c AS (
+            SELECT e.event_type, e.value, b.lo, b.hi,
+                   LEAST(GREATEST(e.value, b.lo), b.hi) AS wvalue
+            FROM events e JOIN b USING (event_type))
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clipped_low,
+               CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clipped_high,
+               ROUND(AVG(value), 4) AS raw_mean,
+               ROUND(AVG(wvalue), 4) AS winsorized_mean
+        FROM c GROUP BY event_type
     """,
     "set_ops_all": """
         WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey

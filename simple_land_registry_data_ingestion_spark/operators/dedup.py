@@ -1455,3 +1455,38 @@ def dedup_exact_substring(
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every (source, source) pair,
+    how many MinHash-LSH near-duplicate CANDIDATE pairs straddle them —
+    the diagnostic that separates 'source X mirrors source Y' (off-
+    diagonal mass: drop one side) from 'source X re-posts its own content'
+    (diagonal mass: dedup within).  The per-source acquisition decision a
+    training-data pipeline has to make before any cleaning starts.
+
+    Plan: candidate pairs from the existing banded LSH machinery (bucket-
+    bounded, never all-pairs), then the doc→source map joins in on the
+    pair's two doc ids — two equi-joins of the pair table against a
+    projected two-column map (shuffle joins on doc_id; at 100 TB the map
+    is corpus-sized, not broadcastable, which is fine — the PAIR side is
+    the small one).  least/greatest normalizes the unordered source pair
+    so the matrix is upper-triangular."""
+    pairs = minhash_candidate_pairs(load(spark, sf_dir, "documents"))
+    srcs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = srcs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+    )
+    sb = srcs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+    )

@@ -2275,3 +2275,47 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_and("user_bit").alias("common_bits"),
         F.bit_xor("user_bit").alias("parity_bits"),
     )
+
+
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics per event type: clip values at the
+    group's own exact p05/p95, then report the clipped mean next to the
+    raw mean — the outlier-robust KPI (a handful of fat-finger values
+    should not move the metric).
+
+    Two passes over the events scan, both shuffling only the tiny
+    per-type aggregate: exact percentiles per type first (engine-parity
+    for interpolated percentiles is already proven by agg_percentiles),
+    then a broadcast of the 5-row bounds table back onto the scan for the
+    conditional clip + aggregate.  Boundary membership is engine-safe:
+    when the interpolation lands ON a data value (fraction 0) both
+    engines return that value bit-exactly, and strictly-interior
+    boundaries never equal a data point."""
+    events = load(spark, sf_dir, "events")
+    bounds = events.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.05, 0.95))").alias("p")
+    ).select(
+        "event_type",
+        F.col("p")[0].alias("lo"),
+        F.col("p")[1].alias("hi"),
+    )
+    clipped = events.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "value",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias(
+            "wvalue"
+        ),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_low"),
+        F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clipped_high"),
+        F.round(F.avg("value"), 4).alias("raw_mean"),
+        F.round(F.avg("wvalue"), 4).alias("winsorized_mean"),
+    )

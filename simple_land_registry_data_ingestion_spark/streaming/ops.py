@@ -215,7 +215,12 @@ def run_stream_to_table(
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        for attempt in range(2):
+        # Three attempts: under heavy external machine load the
+        # state-store commit race has been observed to hit two fresh
+        # checkpoints back to back; each retry is idempotent (fresh
+        # checkpoint + fresh memory sink), so a second retry only trades
+        # seconds for not failing a correct query.
+        for attempt in range(3):
             name = f"stream_result_{next(_QUERY_COUNTER)}"
             try:
                 query = (
@@ -232,7 +237,7 @@ def run_stream_to_table(
                     spark.catalog.dropTempView(name)
                 except Exception:
                     pass
-                if attempt == 0 and _is_state_store_race(exc):
+                if attempt < 2 and _is_state_store_race(exc):
                     continue
                 raise
     finally:
