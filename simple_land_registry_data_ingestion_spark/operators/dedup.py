@@ -1391,10 +1391,28 @@ def jaccard_prefix_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         F.col("sh_set").alias("set_b"),
         F.col("n_sh").alias("n_b"),
     )
+    # LENGTH filter (the second standard PPJoin prune, equally lossless):
+    # J(A,B) >= t forces t*|A| <= |B| <= |A|/t, so size-incompatible
+    # candidates are dropped on a join of NARROW (id, size) columns and
+    # the wide shingle-set arrays only shuffle for survivors.  On THIS
+    # corpus doc lengths are homogeneous so the prune is nearly free but
+    # nearly empty (measured ~0 at sf0.1); on heterogeneous-length
+    # corpora — where web data actually lives — it is the bigger lever.
+    na = sa.select("doc_a", "n_a")
+    nb = sb.select("doc_b", "n_b")
+    compatible = (
+        candidates.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(
+            (F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
+            & (F.col("n_a") >= F.ceil(F.lit(threshold) * F.col("n_b")))
+        )
+        .select("doc_a", "doc_b")
+    )
     inter = F.size(F.array_intersect("set_a", "set_b"))
     jac = inter / (F.col("n_a") + F.col("n_b") - inter)
     return (
-        candidates.join(sa, "doc_a")
+        compatible.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("jaccard", F.round(jac, 6))
         .where(F.col("jaccard") >= threshold)
