@@ -59,6 +59,9 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessio
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- block A: changed or added in round 4 (need fresh driver rows) ----
     "similarity_recall_at_k": similarity.similarity_recall_at_k,
+    "profile_k_anonymity": relational.profile_k_anonymity,
+    "sample_shard_routing": relational.sample_shard_routing,
+    "profile_dp_noisy_counts": relational.profile_dp_noisy_counts,
     "dedup_source_overlap_matrix": dedup.dedup_source_overlap_matrix,
     "events_winsorized_stats": relational.events_winsorized_stats,
     "set_ops_all": relational.set_ops_all,
@@ -2330,6 +2333,43 @@ _ORACLES.update({
         LEFT JOIN ann a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
         JOIN cand ON t.q_id = cand.q_id
         GROUP BY t.q_id, cand.n_candidates
+    """,
+    "profile_k_anonymity": """
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS class_size,
+               COUNT(*) < 5 AS violates_k
+        FROM customer GROUP BY 1, 2
+    """,
+    "sample_shard_routing": """
+        WITH r AS (
+            SELECT doc_id,
+                   arg_max(s, md5(CAST(doc_id AS VARCHAR) || ':'
+                                  || CAST(s AS VARCHAR))) AS shard
+            FROM documents, UNNEST(range(0, 8)) AS t(s)
+            GROUP BY doc_id)
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM r GROUP BY 1
+    """,
+    "profile_dp_noisy_counts": """
+        WITH c AS (
+            SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS true_count
+            FROM customer GROUP BY 1),
+        n AS (
+            SELECT c_mktsegment, true_count,
+                   (('0x' || substr(md5('dp:' || c_mktsegment), 1, 8))::BIGINT
+                    + 1.0) / 4294967298.0 AS u
+            FROM c)
+        SELECT c_mktsegment, true_count,
+               ROUND((CASE WHEN u - 0.5 >= 0 THEN 1.0 ELSE -1.0 END)
+                     * -ln(1.0 - 2.0 * ABS(u - 0.5)) / 1.0, 6)
+                   AS laplace_noise,
+               ROUND(true_count
+                     + (CASE WHEN u - 0.5 >= 0 THEN 1.0 ELSE -1.0 END)
+                       * -ln(1.0 - 2.0 * ABS(u - 0.5)) / 1.0, 6)
+                   AS released_count
+        FROM n
     """,
     "dedup_source_overlap_matrix": f"""
         WITH {_SHINGLES_CTE},

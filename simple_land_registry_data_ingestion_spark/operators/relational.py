@@ -2319,3 +2319,109 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 4).alias("raw_mean"),
         F.round(F.avg("wvalue"), 4).alias("winsorized_mean"),
     )
+
+
+def profile_k_anonymity(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """K-anonymity audit over a quasi-identifier tuple: every
+    (nation, market-segment) equivalence class with its size and a flag
+    for classes smaller than k — the table a privacy review asks for
+    before a dataset leaves the building (small classes re-identify).
+
+    One groupBy on the quasi-identifier; the summary row (min class size,
+    number of violating classes) is derivable downstream, while the
+    per-class rows keep the audit actionable.  At 100 TB this is a
+    single map-side-combined aggregation — the privacy check costs one
+    scan, which is the argument for running it on every export."""
+    customer = load(spark, sf_dir, "customer")
+    classes = customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    return classes.select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        "c_mktsegment",
+        "class_size",
+        (F.col("class_size") < k).alias("violates_k"),
+    )
+
+
+def sample_shard_routing(
+    spark: SparkSession, sf_dir: str, n_shards: int = 8
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) routing of documents to shards:
+    each doc goes to argmax over shards of md5(doc:shard) — the
+    consistent-placement scheme where adding or removing a shard moves
+    ONLY that shard's keys (1/n of data), unlike mod-n which reshuffles
+    everything.
+
+    The argmax is a row-local fold over n_shards generated hash strings
+    (lexicographic max — any total order works), zero shuffle; the
+    output aggregates to per-shard counts plus each shard's min/max doc
+    ids as a placement fingerprint.  Balance follows from md5 uniformity;
+    the count spread in the output IS the balance audit."""
+    docs = load(spark, sf_dir, "documents")
+    shard_ids = F.sequence(F.lit(0), F.lit(n_shards - 1))
+    best = F.array_max(
+        F.transform(
+            shard_ids,
+            lambda s: F.struct(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(":"), s.cast("string")
+                    )
+                ).alias("weight"),
+                s.cast("long").alias("shard"),
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id", best["shard"].alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+def profile_dp_noisy_counts(
+    spark: SparkSession, sf_dir: str, epsilon: float = 1.0
+) -> DataFrame:
+    """Laplace-mechanism count release, mechanism demo: per-segment
+    counts plus Laplace(1/ε) noise drawn by inverse-CDF from a
+    DETERMINISTIC md5 uniform — the exact arithmetic of an ε-DP count
+    release, reproducible across engines and runs.
+
+    HONESTY NOTE: determinism makes this a mechanism demonstration, NOT
+    a privacy guarantee — real DP requires fresh randomness per release
+    (swap the md5 uniform for a secure RNG and drop the oracle).  What
+    the query pins: sensitivity-1 counting, the inverse-CDF transform
+    sign(u-.5)·ln(1-2|u-.5|)/ε, and the plan (one aggregation, noise
+    applied to the AGGREGATE rows — noise per input row would be both
+    wrong and a full-scan cost)."""
+    customer = load(spark, sf_dir, "customer")
+    counts = customer.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    h = F.md5(F.concat(F.lit("dp:"), F.col("c_mktsegment")))
+    u_int = sum(
+        (F.instr(F.lit("0123456789abcdef"), F.substring(h, i + 1, 1)) - 1)
+        .cast("long")
+        * F.lit(16 ** (7 - i)).cast("long")
+        for i in range(8)
+    )
+    u = (u_int.cast("double") + 1.0) / F.lit(4294967296.0 + 2.0)
+    centered = u - F.lit(0.5)
+    noise = (
+        F.when(centered >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * -F.log(1.0 - 2.0 * F.abs(centered))
+        / F.lit(epsilon)
+    )
+    return counts.select(
+        "c_mktsegment",
+        "true_count",
+        F.round(noise, 6).alias("laplace_noise"),
+        F.round(F.col("true_count") + noise, 6).alias("released_count"),
+    )
