@@ -59,6 +59,9 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessio
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- block A: changed or added in round 4 (need fresh driver rows) ----
     "similarity_recall_at_k": similarity.similarity_recall_at_k,
+    "agg_hll_mergeable": sketches.agg_hll_mergeable,
+    "events_seasonality": relational.events_seasonality,
+    "orders_cohort_revenue": relational.orders_cohort_revenue,
     "profile_k_anonymity": relational.profile_k_anonymity,
     "sample_shard_routing": relational.sample_shard_routing,
     "profile_dp_noisy_counts": relational.profile_dp_noisy_counts,
@@ -2333,6 +2336,54 @@ _ORACLES.update({
         LEFT JOIN ann a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
         JOIN cand ON t.q_id = cand.q_id
         GROUP BY t.q_id, cand.n_candidates
+    """,
+    "agg_hll_mergeable": """
+        -- properties, not estimates: mergeability and the error bound
+        -- are the cross-engine facts; the estimate itself is
+        -- implementation-defined (see the operator docstring)
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+               TRUE AS merge_consistent,
+               TRUE AS within_rel_bound
+        FROM events
+    """,
+    "events_seasonality": """
+        WITH cells AS (
+            SELECT CAST(isodow(CAST(ts AS TIMESTAMP)) - 1 AS BIGINT)
+                       AS iso_weekday,
+                   CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                       AS hour_of_day,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2),
+        t AS (SELECT SUM(n_events) AS n_total, COUNT(*) AS n_cells
+              FROM cells)
+        SELECT iso_weekday, hour_of_day, n_events,
+               ROUND(n_events / (n_total / CAST(n_cells AS DOUBLE)), 6)
+                   AS ratio_vs_uniform
+        FROM cells CROSS JOIN t
+    """,
+    "orders_cohort_revenue": """
+        WITH f AS (
+            SELECT o_custkey,
+                   date_trunc('month', MIN(o_orderdate)) AS cohort_month
+            FROM orders GROUP BY 1),
+        e AS (
+            SELECT CAST(f.cohort_month AS DATE) AS cohort_month,
+                   CAST((year(o_orderdate) - year(f.cohort_month)) * 12
+                        + (month(o_orderdate) - month(f.cohort_month))
+                       AS BIGINT) AS month_offset,
+                   o_totalprice
+            FROM orders JOIN f USING (o_custkey)),
+        c AS (
+            SELECT cohort_month, month_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM e GROUP BY 1, 2)
+        SELECT cohort_month, month_offset, n_orders, revenue,
+               ROUND(SUM(revenue) OVER (
+                   PARTITION BY cohort_month ORDER BY month_offset
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS cum_revenue
+        FROM c
     """,
     "profile_k_anonymity": """
         SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_mktsegment,

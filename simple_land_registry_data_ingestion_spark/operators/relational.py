@@ -2425,3 +2425,79 @@ def profile_dp_noisy_counts(
         F.round(noise, 6).alias("laplace_noise"),
         F.round(F.col("true_count") + noise, 6).alias("released_count"),
     )
+
+
+def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week activity matrix with each cell's ratio
+    to the uniform expectation — the load-shape profile behind capacity
+    planning, anomaly baselines, and bot detection (humans have diurnal
+    cycles; scrapers do not).
+
+    One scan to a ≤168-row contingency table (map-side combined); the
+    uniform expectation n_total/cells_observed rides in as a 1-row
+    broadcast literal.  dayofweek is pinned to ISO (1=Monday) via the
+    same weekday() arithmetic both engines define identically."""
+    events = load(spark, sf_dir, "events")
+    cells = events.groupBy(
+        F.weekday("ts").cast("long").alias("iso_weekday"),
+        F.hour("ts").cast("long").alias("hour_of_day"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    totals = cells.groupBy().agg(
+        F.sum("n_events").alias("n_total"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    return (
+        cells.crossJoin(F.broadcast(totals))
+        .select(
+            "iso_weekday",
+            "hour_of_day",
+            "n_events",
+            F.round(
+                F.col("n_events") / (F.col("n_total") / F.col("n_cells")), 6
+            ).alias("ratio_vs_uniform"),
+        )
+    )
+
+
+def orders_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort revenue curves: customers cohorted by first-order month,
+    revenue accumulated by months-since-first-order — the LTV ramp per
+    acquisition vintage (which cohorts monetize faster), the revenue twin
+    of the retention matrix.
+
+    Two shuffles: first-order month per customer (groupBy custkey), then
+    the (cohort, offset) rollup after a broadcast-joined month arithmetic
+    — the per-customer cohort frame is one row per customer and joins
+    back on the orders scan's own key.  The cumulative sum windows over
+    the cohort×offset aggregate (hundreds of rows), never the order
+    stream."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    firsts = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    enriched = orders.join(firsts, "o_custkey").select(
+        F.to_date("cohort_month").alias("cohort_month"),
+        (
+            (F.year("o_orderdate") - F.year("cohort_month")) * 12
+            + (F.month("o_orderdate") - F.month("cohort_month"))
+        ).cast("long").alias("month_offset"),
+        "o_totalprice",
+    )
+    per_cell = enriched.groupBy("cohort_month", "month_offset").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_cell.select(
+        "cohort_month",
+        "month_offset",
+        "n_orders",
+        "revenue",
+        F.round(F.sum("revenue").over(w), 2).alias("cum_revenue"),
+    )

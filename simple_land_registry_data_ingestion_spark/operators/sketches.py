@@ -103,3 +103,52 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew-aware pipeline runs before choosing salting factors."""
     events = load(spark, sf_dir, "events")
     return heavy_hitters_exact(events, "user_id")
+
+
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch certification for HLL distinct counting (Apache
+    DataSketches via hll_sketch_agg): the whole-corpus estimate must (a)
+    EQUAL the estimate from unioning independently-built per-day sketches
+    — the mergeability that makes sketches work on a cluster, where every
+    partition builds its own and the combiner unions — and (b) sit within
+    the configured relative error of the exact count.
+
+    Output carries the exact count plus two booleans; the estimates
+    themselves stay out of the result on purpose (they are
+    implementation-defined — only their PROPERTIES are cross-engine
+    facts, so only the properties are hashed).  Same self-certification
+    pattern as agg_approx_quantile_error / similarity_recall_at_k.
+
+    Plan: two aggregations over one scan lineage (direct sketch; per-day
+    sketches then a union-agg over the day-count-sized frame) plus the
+    exact distinct — the one shuffle a sketch deployment exists to avoid,
+    paid here only because this IS the certification query."""
+    events = load(spark, sf_dir, "events")
+    direct = events.groupBy().agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_direct")
+    )
+    merged = (
+        events.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy()
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged"))
+    )
+    exact = events.groupBy().agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    # lgConfigK=12 default -> relative standard error ~1.6%; 5% is > 3 RSE
+    bound = 0.05
+    return (
+        direct.crossJoin(merged)
+        .crossJoin(exact)
+        .select(
+            "exact_distinct",
+            (F.col("est_direct") == F.col("est_merged")).alias(
+                "merge_consistent"
+            ),
+            (
+                F.abs(F.col("est_direct") - F.col("exact_distinct"))
+                <= F.lit(bound) * F.col("exact_distinct")
+            ).alias("within_rel_bound"),
+        )
+    )
