@@ -1377,10 +1377,16 @@ def jaccard_prefix_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         ),
         distribute_threshold=256,
     ).distinct()
+    # localCheckpoint: four verify-side references (two narrow size
+    # probes, two wide set fetches) would otherwise each replicate the
+    # whole shingle subtree, blowing the plan past the registry's
+    # operator-count tripwire; the aggregate is doc-count-sized, so
+    # materializing it lazily once keeps the plan flat and the shingling
+    # computed once.
     sets = sh.groupBy("doc_id").agg(
         F.collect_set("shingle").alias("sh_set"),
         F.count(F.lit(1)).alias("n_sh"),
-    )
+    ).localCheckpoint(eager=False)
     sa = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sh_set").alias("set_a"),
