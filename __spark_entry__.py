@@ -145,6 +145,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_dp_noisy_counts": relational.profile_dp_noisy_counts,
     "events_seasonality": relational.events_seasonality,
     "orders_cohort_revenue": relational.orders_cohort_revenue,
+    "events_linear_trend": relational.events_linear_trend,
+    "events_chi_square": relational.events_chi_square,
+    "agg_histogram_2d": relational.agg_histogram_2d,
     # (scalar_variant_funcs / events_heavy_hitters were touched by the
     # round-3 advice fixes but kept identical output and already hold
     # fresh r03 rows)
@@ -2345,6 +2348,65 @@ _ORACLES.update({
         LEFT JOIN ann a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
         JOIN cand ON t.q_id = cand.q_id
         GROUP BY t.q_id, cand.n_candidates
+    """,
+    "events_linear_trend": """
+        WITH e AS (
+            SELECT event_type,
+                   CAST(epoch(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS x_raw,
+                   value AS y
+            FROM events),
+        m AS (SELECT event_type, MIN(x_raw) AS x0 FROM e GROUP BY 1),
+        c AS (SELECT e.event_type, e.x_raw - m.x0 AS x, e.y
+              FROM e JOIN m USING (event_type)),
+        s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                   SUM(x * x) AS sxx, SUM(y * y) AS syy
+            FROM c GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) AS n_events,
+               ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n) * 86400, 4)
+                   AS slope_per_day,
+               ROUND((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx)
+                     / n, 4) AS intercept,
+               ROUND((sxy - sx * sy / n) * (sxy - sx * sy / n)
+                     / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 4) AS r2
+        FROM s
+    """,
+    "events_chi_square": """
+        WITH cells AS (
+            SELECT event_type,
+                   CASE WHEN value < 5 THEN 'lt5'
+                        WHEN value < 50 THEN '5to50'
+                        WHEN value < 200 THEN '50to200'
+                        ELSE 'ge200' END AS value_band,
+                   CAST(COUNT(*) AS BIGINT) AS observed
+            FROM events GROUP BY 1, 2),
+        t AS (SELECT SUM(observed) AS n_total FROM cells),
+        bt AS (SELECT event_type, SUM(observed) AS n_type
+               FROM cells GROUP BY 1),
+        bb AS (SELECT value_band, SUM(observed) AS n_band
+               FROM cells GROUP BY 1)
+        SELECT cells.event_type, cells.value_band, cells.observed,
+               ROUND(bt.n_type * bb.n_band / CAST(n_total AS DOUBLE), 4)
+                   AS expected,
+               ROUND(POWER(cells.observed
+                           - bt.n_type * bb.n_band / CAST(n_total AS DOUBLE),
+                           2)
+                     / (bt.n_type * bb.n_band / CAST(n_total AS DOUBLE)), 6)
+                   AS chi2_term
+        FROM cells
+        JOIN bt ON cells.event_type = bt.event_type
+        JOIN bb ON cells.value_band = bb.value_band
+        CROSS JOIN t
+    """,
+    "agg_histogram_2d": """
+        SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS hour_of_day,
+               CAST(FLOOR(value / 25.0) AS BIGINT) AS value_bin,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(MIN(value), 2) AS bin_min,
+               ROUND(MAX(value), 2) AS bin_max
+        FROM events GROUP BY 1, 2
     """,
     "agg_hll_mergeable": """
         -- properties, not estimates: mergeability and the error bound

@@ -2501,3 +2501,116 @@ def orders_cohort_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         F.round(F.sum("revenue").over(w), 2).alias("cum_revenue"),
     )
+
+
+def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend of value over time — closed-form slope /
+    intercept / R² from the five sufficient statistics (Σx Σy Σxy Σx²
+    Σy²), so regression costs ONE map-side-combined aggregation per
+    group, no ML library, no iteration, no second pass.
+
+    x is epoch seconds RE-CENTERED per group (x − min x): raw epochs are
+    ~1.7e9 and squaring them burns double precision exactly where the
+    covariance subtraction needs it; centering keeps every intermediate
+    small.  The min comes from the same single aggregation via two-pass-
+    free conditional math — a broadcast join of the per-type min is one
+    tiny frame.  4-dp rounds on the derived ratios."""
+    events = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).cast("double").alias("x_raw"),
+        F.col("value").alias("y"),
+    )
+    mins = events.groupBy("event_type").agg(F.min("x_raw").alias("x0"))
+    centered = events.join(F.broadcast(mins), "event_type").select(
+        "event_type", (F.col("x_raw") - F.col("x0")).alias("x"), "y"
+    )
+    stats = centered.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    sxx_c = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    sxy_c = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    syy_c = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    slope = sxy_c / sxx_c
+    return stats.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.round(slope * 86400, 4).alias("slope_per_day"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 4
+        ).alias("intercept"),
+        F.round(sxy_c * sxy_c / (sxx_c * syy_c), 4).alias("r2"),
+    )
+
+
+def events_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence statistic for event type × value
+    band, per-cell decomposed ((observed − expected)² / expected) — the
+    frequentist twin of events_mutual_information, and the standard
+    drift/independence screen for categorical features.
+
+    Same plan as MI: one scan to the ≤20-cell contingency table,
+    marginals from the table itself, broadcast assembly.  The total χ²
+    and degrees of freedom are derivable downstream; per-cell terms keep
+    the diagnosis actionable (WHICH cell drives the dependence)."""
+    events = load(spark, sf_dir, "events")
+    band = (
+        F.when(F.col("value") < 5, "lt5")
+        .when(F.col("value") < 50, "5to50")
+        .when(F.col("value") < 200, "50to200")
+        .otherwise("ge200")
+    )
+    cells = (
+        events.select("event_type", band.alias("value_band"))
+        .groupBy("event_type", "value_band")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    totals = cells.groupBy().agg(F.sum("observed").alias("n_total"))
+    by_type = cells.groupBy("event_type").agg(F.sum("observed").alias("n_type"))
+    by_band = cells.groupBy("value_band").agg(F.sum("observed").alias("n_band"))
+    expected = F.col("n_type") * F.col("n_band") / F.col("n_total")
+    return (
+        cells.join(F.broadcast(by_type), "event_type")
+        .join(F.broadcast(by_band), "value_band")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "event_type",
+            "value_band",
+            "observed",
+            F.round(expected, 4).alias("expected"),
+            F.round(
+                (F.col("observed") - expected) * (F.col("observed") - expected)
+                / expected,
+                6,
+            ).alias("chi2_term"),
+        )
+    )
+
+
+def agg_histogram_2d(
+    spark: SparkSession, sf_dir: str, value_bin: float = 25.0
+) -> DataFrame:
+    """2-D histogram (hour-of-day × value bin) — the heatmap backing
+    every monitoring dashboard, computed as one scan to a bounded cell
+    table (24 × value-range/bin cells, map-side combined).
+
+    Bin indices are integer arithmetic on both axes (floor division for
+    the value axis, hour extraction for time), so cell membership is
+    engine-exact — the same discipline as the fixed-width 1-D histogram
+    (agg_histogram_bins) extended to two dimensions."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.hour("ts").cast("long").alias("hour_of_day"),
+            F.floor(F.col("value") / value_bin).cast("long").alias("value_bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.min("value"), 2).alias("bin_min"),
+            F.round(F.max("value"), 2).alias("bin_max"),
+        )
+    )
