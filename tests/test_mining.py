@@ -275,3 +275,82 @@ def test_target_encoding_excludes_own_fold(spark, tmp_path):
         ).collect()
     }
     assert got == {0: 25.0, 1: 20.0, 2: 15.0}
+
+
+@settings(**_SETTINGS)
+@given(
+    parts=st.lists(
+        st.tuples(st.integers(1, 50), st.integers(1, 50)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_pareto_frontier_matches_dominance_bruteforce(spark, tmp_path, parts):
+    """The windowed skyline must equal the O(n²) dominance definition:
+    keep p iff no q has (strictly lower price-tick AND size >= p's) —
+    with the price-tick RANGE semantics, a strictly-cheaper q with equal
+    size also dominates (p must strictly exceed the running max)."""
+    rows = [
+        (i, f"part {i}", "Brand#1", "ECONOMY", size, price / 10.0)
+        for i, (price, size) in enumerate(parts)
+    ]
+    _write(spark, tmp_path, "part", rows,
+           "p_partkey long, p_name string, p_brand string, p_type string, "
+           "p_size int, p_retailprice double")
+    expected = set()
+    for i, (pi, si) in enumerate(parts):
+        dominated = any(
+            pj < pi and sj >= si for j, (pj, sj) in enumerate(parts) if j != i
+        )
+        if not dominated:
+            expected.add(i)
+    got = {
+        r["p_partkey"]
+        for r in relational.parts_pareto_frontier(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    series=st.lists(
+        st.tuples(st.integers(0, 10_000), st.floats(0.1, 100.0)),
+        min_size=3,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_linear_trend_matches_numpy_reference(spark, tmp_path, series):
+    """The sufficient-statistics OLS must match a plain least-squares fit
+    computed directly (slope within 1e-3 of the closed form re-derived in
+    Python) — and r2 must stay in [0, 1]."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(seconds=x), 1, "view", float(y), "{}")
+        for i, (x, y) in enumerate(series)
+    ]
+    _write(spark, tmp_path, "events", rows,
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    xs = [float(x) for x, _ in series]
+    ys = [y for _, y in series]
+    n = len(xs)
+    x0 = min(xs)
+    xs = [x - x0 for x in xs]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxx_c = sxx - sx * sx / n
+    syy_c = syy - sy * sy / n
+    rows_out = relational.events_linear_trend(spark, str(tmp_path)).collect()
+    assert len(rows_out) == 1
+    r = rows_out[0]
+    if sxx_c > 1e-9:
+        slope = (sxy - sx * sy / n) / sxx_c
+        assert r["slope_per_day"] == pytest.approx(slope * 86400, abs=1e-3)
+        assert r["intercept"] == pytest.approx((sy - slope * sx) / n, abs=1e-3)
+        if syy_c > 1e-9:
+            assert -1e-9 <= r["r2"] <= 1.0 + 1e-9
