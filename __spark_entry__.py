@@ -145,6 +145,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_dp_noisy_counts": relational.profile_dp_noisy_counts,
     "events_seasonality": relational.events_seasonality,
     "orders_cohort_revenue": relational.orders_cohort_revenue,
+    "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+    "q10_returned_items": relational.q10_returned_items,
     "events_linear_trend": relational.events_linear_trend,
     "events_chi_square": relational.events_chi_square,
     "agg_histogram_2d": relational.agg_histogram_2d,
@@ -2348,6 +2350,41 @@ _ORACLES.update({
         LEFT JOIN ann a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
         JOIN cand ON t.q_id = cand.q_id
         GROUP BY t.q_id, cand.n_candidates
+    """,
+    "q5_local_supplier_volume": """
+        SELECT n_name,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lineitems
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    "q10_returned_items": """
+        WITH rev AS (
+            SELECT o_custkey,
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_returned
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY o_custkey)
+        SELECT c_custkey, c_name, n_name AS nation, revenue, n_returned
+        FROM rev
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY revenue DESC, c_custkey LIMIT 20
     """,
     "events_linear_trend": """
         WITH e AS (

@@ -2614,3 +2614,112 @@ def agg_histogram_2d(
             F.round(F.max("value"), 2).alias("bin_max"),
         )
     )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where the customer and the
+    supplier share a nation inside one region and a one-year window —
+    the canonical 6-table star join.
+
+    Join-order story Catalyst gets right from the declarative form:
+    region (5 rows) → nation (25) → supplier/customer dims all
+    BROADCAST; the only shuffles are lineitem⋈orders on the order key
+    and the final 5-row aggregate.  The date filter pushes into the
+    orders parquet scan, the region filter prunes nation before it ever
+    touches a fact table.  Revenue = Σ price·(1−discount), 2-dp."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asian_nations = nation.join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(asian_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            # decimal-sum the revenue: a double sum's order-dependent ulp
+            # can land exactly on a half-cent and round differently per
+            # engine; decimal addition is exact and order-free
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H Q10 shape: the top customers by revenue LOST to returned
+    items in one quarter — the classic churn-investigation report.
+
+    Facts join on their keys (lineitem filtered to returnflag='R' BEFORE
+    the join — the filter prunes ~75% of the fact table at the scan);
+    the customer and nation dims broadcast; the top-k is
+    TakeOrderedAndProject on the per-customer aggregate, ordered by the
+    ROUNDED revenue with the customer key as tiebreak so the cut at
+    position k is engine-exact."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    revenue = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            # decimal sum: see q5 — exact, order-free, half-cent-safe
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_returned"),
+        )
+    )
+    return (
+        revenue.join(
+            F.broadcast(customer.select("c_custkey", "c_name", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", F.col("n_name").alias("nation"), "revenue", "n_returned")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(k)
+    )
