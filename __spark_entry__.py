@@ -145,6 +145,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_dp_noisy_counts": relational.profile_dp_noisy_counts,
     "events_seasonality": relational.events_seasonality,
     "orders_cohort_revenue": relational.orders_cohort_revenue,
+    "compliance_erasure_simulation": relational.compliance_erasure_simulation,
+    "profile_table_checksum": relational.profile_table_checksum,
+    "events_recency_features": relational.events_recency_features,
     "q5_local_supplier_volume": relational.q5_local_supplier_volume,
     "q10_returned_items": relational.q10_returned_items,
     "events_linear_trend": relational.events_linear_trend,
@@ -2350,6 +2353,51 @@ _ORACLES.update({
         LEFT JOIN ann a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
         JOIN cand ON t.q_id = cand.q_id
         GROUP BY t.q_id, cand.n_candidates
+    """,
+    "compliance_erasure_simulation": """
+        WITH t AS (SELECT DISTINCT user_id FROM events
+                   WHERE user_id % 97 = 0)
+        SELECT 'erasure_subjects' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_erased,
+               CAST(0 AS BIGINT) AS n_kept
+        FROM t
+        UNION ALL
+        SELECT 'events',
+               CAST(COUNT(*) FILTER (WHERE t.user_id IS NOT NULL) AS BIGINT),
+               CAST(COUNT(*) FILTER (WHERE t.user_id IS NULL) AS BIGINT)
+        FROM events e LEFT JOIN t ON e.user_id = t.user_id
+    """,
+    "profile_table_checksum": """
+        WITH h AS (
+            SELECT ('0x' || substr(md5(
+                       CAST(event_id AS VARCHAR) || '|'
+                       || CAST(user_id AS VARCHAR) || '|'
+                       || event_type), 1, 8))::BIGINT AS h
+            FROM events)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(bit_xor(h) AS BIGINT) AS xor_checksum,
+               CAST(SUM(h) % 2305843009213693951 AS BIGINT) AS sum_checksum
+        FROM h
+    """,
+    "events_recency_features": """
+        WITH a AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS now_ts FROM events),
+        d AS (
+            SELECT user_id,
+                   date_diff('day', CAST(CAST(ts AS TIMESTAMP) AS DATE),
+                             CAST(now_ts AS DATE)) AS day_age
+            FROM events CROSS JOIN a)
+        SELECT user_id,
+               CAST(MIN(day_age) AS BIGINT) AS days_since_last,
+               CAST(SUM(CASE WHEN day_age < 7 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_last_7d,
+               CAST(SUM(CASE WHEN day_age >= 7 AND day_age < 37
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_prior_30d,
+               ROUND(SUM(CASE WHEN day_age < 7 THEN 1 ELSE 0 END)
+                     / (7.0 * GREATEST(
+                         SUM(CASE WHEN day_age >= 7 AND day_age < 37
+                                  THEN 1 ELSE 0 END) / 30.0, 1e-9)), 6)
+                   AS acceleration
+        FROM d GROUP BY user_id
     """,
     "q5_local_supplier_volume": """
         SELECT n_name,

@@ -2723,3 +2723,123 @@ def q10_returned_items(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFra
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(k)
     )
+
+
+def compliance_erasure_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure-cascade accounting (GDPR art. 17 shape): given a tombstone
+    set of users, how many rows each table loses and keeps — the
+    pre-flight report a deletion pipeline emits before destructive
+    execution, and the same anti-join plan the deletion itself runs.
+
+    The tombstone set here is deterministic (user_id % 97 == 0) so the
+    report is oracle-checkable; production swaps in the request table.
+    Plan: the tombstone frame is tiny by construction and BROADCASTS into
+    left-anti (keep) and left-semi (erase) counts — each table pays one
+    scan, no shuffle of fact data at all.  Extending the cascade to a new
+    table is one more summarize() line, which is the operational point:
+    erasure coverage should be declarative and auditable."""
+    events = load(spark, sf_dir, "events")
+    tombstones = (
+        events.select(F.col("user_id").alias("t_user_id"))
+        .where(F.col("t_user_id") % 97 == 0)
+        .distinct()
+    )
+
+    def summarize(df: DataFrame, table: str, key) -> DataFrame:
+        erased = df.join(
+            F.broadcast(tombstones), key == F.col("t_user_id"), "left_semi"
+        )
+        kept = df.join(
+            F.broadcast(tombstones), key == F.col("t_user_id"), "left_anti"
+        )
+        e = erased.groupBy().agg(F.count(F.lit(1)).alias("n_erased"))
+        k = kept.groupBy().agg(F.count(F.lit(1)).alias("n_kept"))
+        return (
+            e.crossJoin(k)
+            .select(
+                F.lit(table).alias("table_name"),
+                F.col("n_erased").cast("long").alias("n_erased"),
+                F.col("n_kept").cast("long").alias("n_kept"),
+            )
+        )
+
+    n_subjects = tombstones.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_erased")
+    ).select(
+        F.lit("erasure_subjects").alias("table_name"),
+        "n_erased",
+        F.lit(0).cast("long").alias("n_kept"),
+    )
+    return n_subjects.unionByName(
+        summarize(events, "events", F.col("user_id"))
+    )
+
+
+def profile_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant table checksum for cross-system reconciliation:
+    per-row md5 over a canonical string encoding, folded with the three
+    commutative combiners (xor, sum-mod, count) — equal checksums mean
+    equal multisets of rows WITHOUT sorting, shipping, or diffing either
+    side.  This is the mechanism behind 'did the migration lose rows',
+    and the same idea the driver's own value-hash gate uses.
+
+    Only integer and string columns feed the encoding: float-to-string
+    formatting is ENGINE-SPECIFIC (1.0 vs 1; scientific cutoffs), so a
+    checksum over rendered doubles would diverge on identical data —
+    doubles must be quantized to integers first (the same discipline as
+    every rounded oracle column in this registry).  One scan,
+    constant-size state per partition, one 1-row result."""
+    events = load(spark, sf_dir, "events")
+    enc = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+    )
+    h = F.conv(F.substring(F.md5(enc), 1, 8), 16, 10).cast("long")
+    return events.select(h.alias("h")).groupBy().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor("h").alias("xor_checksum"),
+        F.pmod(F.sum("h"), F.lit(2305843009213693951)).cast("long").alias(
+            "sum_checksum"
+        ),
+    )
+
+
+def events_recency_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store recency snapshot per user: days since last event,
+    activity in the trailing 7 days vs the 30-day window before it, and
+    the acceleration ratio — the standard churn-model feature block,
+    computed against the corpus max timestamp as the snapshot anchor.
+
+    One scan with conditional aggregation per user (every feature is a
+    filtered count/max over the same rows — never one scan per feature),
+    plus a 1-row broadcast of the global anchor.  6-dp round on the
+    ratio."""
+    events = load(spark, sf_dir, "events").select("user_id", "ts")
+    anchor = events.groupBy().agg(F.max("ts").alias("now_ts"))
+    with_anchor = events.crossJoin(F.broadcast(anchor))
+    day_age = F.datediff(F.to_date("now_ts"), F.to_date("ts"))
+    return (
+        with_anchor.groupBy("user_id")
+        .agg(
+            F.min(day_age).cast("long").alias("days_since_last"),
+            F.sum(F.when(day_age < 7, 1).otherwise(0))
+            .cast("long")
+            .alias("n_last_7d"),
+            F.sum(F.when((day_age >= 7) & (day_age < 37), 1).otherwise(0))
+            .cast("long")
+            .alias("n_prior_30d"),
+        )
+        .select(
+            "user_id",
+            "days_since_last",
+            "n_last_7d",
+            "n_prior_30d",
+            F.round(
+                F.col("n_last_7d")
+                / (F.lit(7.0) * F.greatest(F.col("n_prior_30d") / 30.0, F.lit(1e-9))),
+                6,
+            ).alias("acceleration"),
+        )
+    )
