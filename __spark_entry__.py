@@ -145,6 +145,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_dp_noisy_counts": relational.profile_dp_noisy_counts,
     "events_seasonality": relational.events_seasonality,
     "orders_cohort_revenue": relational.orders_cohort_revenue,
+    "orders_open_backlog": relational.orders_open_backlog,
     "compliance_erasure_simulation": relational.compliance_erasure_simulation,
     "profile_table_checksum": relational.profile_table_checksum,
     "events_recency_features": relational.events_recency_features,
@@ -2353,6 +2354,27 @@ _ORACLES.update({
         LEFT JOIN ann a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
         JOIN cand ON t.q_id = cand.q_id
         GROUP BY t.q_id, cand.n_candidates
+    """,
+    "orders_open_backlog": """
+        WITH closes AS (
+            SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+            FROM lineitem GROUP BY 1),
+        spans AS (
+            SELECT CAST(o_orderdate AS DATE) AS open_day,
+                   CAST(last_ship AS DATE) + 1 AS close_day
+            FROM orders JOIN closes ON o_orderkey = l_orderkey),
+        deltas AS (
+            SELECT open_day AS day, 1 AS delta FROM spans
+            UNION ALL SELECT close_day, -1 FROM spans),
+        per_day AS (
+            SELECT day, CAST(SUM(delta) AS BIGINT) AS net_change
+            FROM deltas GROUP BY 1)
+        SELECT day, net_change,
+               CAST(SUM(net_change) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS open_orders
+        FROM per_day
     """,
     "compliance_erasure_simulation": """
         WITH t AS (SELECT DISTINCT user_id FROM events

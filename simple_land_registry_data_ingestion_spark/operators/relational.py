@@ -2843,3 +2843,46 @@ def events_recency_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("acceleration"),
         )
     )
+
+
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog: how many orders were placed but not yet
+    fully shipped on each day — the interval-concurrency classic
+    (concurrent sessions, bed occupancy, WIP inventory all reduce to it).
+
+    The scalable encoding is ±1 DELTAS, never day×interval expansion:
+    each order contributes (+1 at placement, −1 the day after its last
+    shipment), the deltas aggregate per day, and a running sum over the
+    per-day frame reconstructs the concurrent count.  An interval
+    spanning a year costs 2 rows instead of 365; the running-sum window
+    orders the day-level aggregate (thousands of rows at any corpus
+    size), not the order stream.  Days with no delta are absent (sparse
+    representation — join a calendar spine for dense output)."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    closes = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    spans = orders.join(
+        closes, F.col("o_orderkey") == F.col("l_orderkey"), "inner"
+    ).select(
+        F.to_date("o_orderdate").alias("open_day"),
+        F.date_add(F.to_date("last_ship"), 1).alias("close_day"),
+    )
+    deltas = spans.select(
+        F.col("open_day").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(
+            F.col("close_day").alias("day"), F.lit(-1).alias("delta")
+        )
+    )
+    per_day = deltas.groupBy("day").agg(F.sum("delta").alias("net_change"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        "day",
+        F.col("net_change").cast("long").alias("net_change"),
+        F.sum("net_change").over(w).cast("long").alias("open_orders"),
+    )
