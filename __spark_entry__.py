@@ -145,6 +145,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_dp_noisy_counts": relational.profile_dp_noisy_counts,
     "events_seasonality": relational.events_seasonality,
     "orders_cohort_revenue": relational.orders_cohort_revenue,
+    "events_path_trigrams": relational.events_path_trigrams,
+    "supplier_otif_scorecard": relational.supplier_otif_scorecard,
+    "events_regr_builtin": relational.events_regr_builtin,
     "orders_open_backlog": relational.orders_open_backlog,
     "compliance_erasure_simulation": relational.compliance_erasure_simulation,
     "profile_table_checksum": relational.profile_table_checksum,
@@ -2354,6 +2357,54 @@ _ORACLES.update({
         LEFT JOIN ann a ON t.q_id = a.q_id AND t.vec_id = a.vec_id
         JOIN cand ON t.q_id = cand.q_id
         GROUP BY t.q_id, cand.n_candidates
+    """,
+    "events_path_trigrams": """
+        WITH t AS (
+            SELECT LAG(event_type, 2) OVER w AS step_1,
+                   LAG(event_type, 1) OVER w AS step_2,
+                   event_type AS step_3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP), event_id))
+        SELECT step_1, step_2, step_3,
+               CAST(COUNT(*) AS BIGINT) AS n_paths
+        FROM t WHERE step_1 IS NOT NULL
+        GROUP BY 1, 2, 3 HAVING COUNT(*) >= 10
+    """,
+    "supplier_otif_scorecard": """
+        WITH s AS (
+            SELECT l_suppkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+                   CAST(SUM(CASE WHEN date_diff('day',
+                                CAST(o_orderdate AS DATE),
+                                CAST(l_shipdate AS DATE)) <= 60
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time,
+                   ROUND(AVG(date_diff('day', CAST(o_orderdate AS DATE),
+                                       CAST(l_shipdate AS DATE))), 4)
+                       AS avg_ship_days
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1)
+        SELECT l_suppkey AS suppkey, s_name, n_lineitems, n_on_time,
+               ROUND(n_on_time / CAST(n_lineitems AS DOUBLE), 6)
+                   AS otif_rate,
+               avg_ship_days
+        FROM s JOIN supplier ON l_suppkey = s_suppkey
+    """,
+    "events_regr_builtin": """
+        WITH e AS (
+            SELECT event_type,
+                   CAST(epoch(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS x_raw,
+                   value AS y
+            FROM events),
+        m AS (SELECT event_type, MIN(x_raw) AS x0 FROM e GROUP BY 1),
+        c AS (SELECT e.event_type, e.x_raw - m.x0 AS x, e.y
+              FROM e JOIN m USING (event_type))
+        SELECT event_type,
+               CAST(regr_count(y, x) AS BIGINT) AS n_points,
+               ROUND(regr_slope(y, x) * 86400, 4) AS slope_per_day,
+               ROUND(regr_intercept(y, x), 4) AS intercept,
+               ROUND(regr_r2(y, x), 4) AS r2
+        FROM c GROUP BY event_type
     """,
     "orders_open_backlog": """
         WITH closes AS (

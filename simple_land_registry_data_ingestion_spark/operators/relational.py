@@ -2886,3 +2886,102 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("net_change").cast("long").alias("net_change"),
         F.sum("net_change").over(w).cast("long").alias("open_orders"),
     )
+
+
+def events_path_trigrams(
+    spark: SparkSession, sf_dir: str, min_count: int = 10
+) -> DataFrame:
+    """Top behavioral paths of length 3 — the Sankey-diagram feed: every
+    consecutive (t₋₂ → t₋₁ → t) event-type triple per user, counted
+    corpus-wide.
+
+    Two lags over ONE per-user sorted pass (the same sort run as the
+    Markov transitions — first-order chains miss exactly the patterns a
+    length-3 path exposes, e.g. view→click→error vs view→click→purchase).
+    Output is bounded by |types|³ however large the corpus; min_count
+    keeps the long tail out of the report."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    triples = events.select(
+        F.lag("event_type", 2).over(w).alias("step_1"),
+        F.lag("event_type", 1).over(w).alias("step_2"),
+        F.col("event_type").alias("step_3"),
+    ).where(F.col("step_1").isNotNull())
+    return (
+        triples.groupBy("step_1", "step_2", "step_3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .where(F.col("n_paths") >= min_count)
+    )
+
+
+def supplier_otif_scorecard(
+    spark: SparkSession, sf_dir: str, sla_days: int = 60
+) -> DataFrame:
+    """Supplier on-time scorecard: per supplier, the share of line items
+    shipped within the SLA window of the order date — the
+    vendor-performance KPI behind every procurement review.
+
+    One fact-fact join on the order key (lineitem⋈orders — both sides
+    pruned to two columns before the shuffle), then a conditional
+    aggregate per supplier.  The supplier dim joins AFTER aggregation —
+    one row per supplier, broadcast — never onto the fact stream."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lag_days = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    scored = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(F.when(lag_days <= sla_days, 1).otherwise(0))
+            .cast("long")
+            .alias("n_on_time"),
+            F.round(F.avg(lag_days), 4).alias("avg_ship_days"),
+        )
+    )
+    return (
+        scored.join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            "s_name",
+            "n_lineitems",
+            "n_on_time",
+            F.round(F.col("n_on_time") / F.col("n_lineitems"), 6).alias(
+                "otif_rate"
+            ),
+            "avg_ship_days",
+        )
+    )
+
+
+def events_regr_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The built-in linear-regression AGGREGATE family (regr_slope /
+    regr_intercept / regr_r2 / regr_count) per event type — the
+    SQL-standard one-liner that events_linear_trend derives by hand;
+    registering both pins that the engine's builtins and the
+    sufficient-statistics unroll agree on the same data.
+
+    x is re-centered per group before the aggregate for the same
+    precision reason as the manual version (epoch² eats the double
+    mantissa); the builtins then do their own partial/final sufficient-
+    statistics fold — one shuffle of constant-size state per group."""
+    events = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).cast("double").alias("x_raw"),
+        F.col("value").alias("y"),
+    )
+    mins = events.groupBy("event_type").agg(F.min("x_raw").alias("x0"))
+    centered = events.join(F.broadcast(mins), "event_type").select(
+        "event_type", (F.col("x_raw") - F.col("x0")).alias("x"), "y"
+    )
+    return centered.groupBy("event_type").agg(
+        F.expr("CAST(regr_count(y, x) AS BIGINT)").alias("n_points"),
+        F.round(F.expr("regr_slope(y, x) * 86400"), 4).alias("slope_per_day"),
+        F.round(F.expr("regr_intercept(y, x)"), 4).alias("intercept"),
+        F.round(F.expr("regr_r2(y, x)"), 4).alias("r2"),
+    )
