@@ -57,70 +57,13 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessio
 #:             by tests/test_oracle_parity.py, which runs ALL entries).
 #: Rotate each round so no query's newest driver row ages past 2 rounds.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # Round 4 added 45 queries — more than one 50-slot window can prove
-    # alongside the mandated rotation, so block A is split: A1 holds the
-    # CHANGED-behavior queries (the two exact-pair guards — their r02
-    # rows describe code that no longer exists) and the 22 most
-    # evidence-hungry new operators; A2 (after block B) holds the other
-    # 24 new queries, all locally oracle-proven, queued to LEAD the r05
-    # window together with block C.
-    # ---- block A1: changed/new, in-window (24) ----
-    "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
-    "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
-    "stream_user_topk": stream_ops.stream_user_topk,
-    "dedup_semdedup": dedup.dedup_semdedup,
-    "dedup_triangle_stats": dedup.dedup_triangle_stats,
-    "events_markov_transitions": relational.events_markov_transitions,
-    "events_zorder_key": scalars.events_zorder_key,
-    "text_winnowing_fingerprints": text_fns.text_winnowing_fingerprints,
-    "join_scd2_dimension": asof.join_scd2_dimension,
-    "agg_histogram_equidepth": relational.agg_histogram_equidepth,
-    "sample_source_capped": relational.sample_source_capped,
-    "text_quality_quantile_gate": text_fns.text_quality_quantile_gate,
+    # ---- r05 block A: code CHANGED this round (1) — positional filtering
+    # added to the PPJoin prune chain; output provably unchanged (oracle is
+    # still the unpruned brute-force join) but the r04 row describes a plan
+    # that no longer exists, so it re-earns its row first ----
     "dedup_jaccard_prefix": dedup.dedup_jaccard_prefix,
-    "dedup_exact_substring": dedup.dedup_exact_substring,
-    "similarity_recall_at_k": similarity.similarity_recall_at_k,
-    "agg_approx_quantile_error": relational.agg_approx_quantile_error,
-    "sample_priority_estimate": relational.sample_priority_estimate,
-    "agg_hll_mergeable": sketches.agg_hll_mergeable,
-    "er_blocked_match": mining.er_blocked_match,
-    "basket_part_pairs": mining.basket_part_pairs,
-    "events_ema_decay": relational.events_ema_decay,
-    "profile_expectations": relational.profile_expectations,
-    "dedup_source_overlap_matrix": dedup.dedup_source_overlap_matrix,
-    "sql_lateral_topn": relational.sql_lateral_topn,
-    # ---- block B: newest driver row was round 1 (3 rounds old after
-    # r04 — VERDICT r03 item 1 mandates these fill the rest of the
-    # window) -- all 26 ----
-    "window_range_frame": relational.window_range_frame,
-    "window_running_sum": relational.window_running_sum,
-    "window_lag_lead": relational.window_lag_lead,
-    "window_topk_per_group": relational.window_topk_per_group,
-    "sort_topk": relational.sort_topk,
-    "set_union_distinct": relational.set_union_distinct,
-    "set_intersect_except": relational.set_intersect_except,
-    "join_full_outer": relational.join_full_outer,
-    "join_range_nonequi": relational.join_range_nonequi,
-    "join_asof_rates": asof.join_asof_rates,
-    "q3_shipping_priority": relational.q3_shipping_priority,
-    "sql_exists_subquery": relational.sql_exists_subquery,
-    "sql_scalar_subquery": relational.sql_scalar_subquery,
-    "scalar_string_funcs": scalars.scalar_string_funcs,
-    "scalar_date_funcs": scalars.scalar_date_funcs,
-    "scalar_math_funcs": scalars.scalar_math_funcs,
-    "scalar_json_funcs": scalars.scalar_json_funcs,
-    "scalar_map_funcs": scalars.scalar_map_funcs,
-    "array_funcs": scalars.array_funcs,
-    "generator_explode_tokens": scalars.generator_explode_tokens,
-    "calendar_working_days": calendar.calendar_working_days,
-    "calendar_month_bounds": calendar.calendar_month_bounds,
-    "calendar_publish_dates": calendar.calendar_publish_dates,
-    "text_token_count": text_fns.text_token_count,
-    "text_quality_score": text_fns.text_quality_score,
-    "text_lang_id": text_fns.text_lang_id,
-    # ---- block A2: new in round 4, NO driver row yet (24) — these and
-    # block C below MUST lead the r05 window; all are re-proven locally
-    # every run by tests/test_oracle_parity.py ----
+    # ---- r05 block B: round-4 additions with NO driver row yet (36) —
+    # the r04 verdict's mandate #2: these lead the r05 window ----
     "er_sorted_neighborhood": mining.er_sorted_neighborhood,
     "events_attribution_last_touch": relational.events_attribution_last_touch,
     "text_collocations_pmi": text_fns.text_collocations_pmi,
@@ -157,14 +100,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_linear_trend": relational.events_linear_trend,
     "events_chi_square": relational.events_chi_square,
     "agg_histogram_2d": relational.agg_histogram_2d,
-    # (scalar_variant_funcs / events_heavy_hitters were touched by the
-    # round-3 advice fixes but kept identical output and already hold
-    # fresh r03 rows)
-    "scalar_variant_funcs": scalars.scalar_variant_funcs,
-    "events_heavy_hitters": sketches.events_heavy_hitters,
-    # ---- block C: round-2 rows — outside the window this round; they
-    # will be 3 rounds old after r04 and MUST lead the r05 window with
-    # block A2, before anything holding r03/r04 evidence ----
+    # ---- r05 block C: oldest round-2 rows, padding the window to 50 ----
     "dedup_exact_documents": dedup.dedup_exact_documents,
     "cdc_latest_per_key": dedup.cdc_latest_per_key,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -178,13 +114,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ann_ivf": similarity.similarity_ann_ivf,
     "similarity_ann_lsh_multiprobe": similarity.similarity_ann_lsh_multiprobe,
     "similarity_bucket_histogram": similarity.similarity_bucket_histogram,
+    # ================= 50-slot driver-window boundary =================
+    # ---- block D: remaining round-2 rows (33) — MUST lead the r06
+    # window, before any round-5 addition and before anything holding
+    # r03/r04/r05 evidence; re-proven locally every run by
+    # tests/test_oracle_parity.py ----
     "multimodal_binary_metadata": multimodal.multimodal_binary_metadata,
     "multimodal_decode_features": multimodal.multimodal_decode_features,
     "text_fingerprint": text_fns.text_fingerprint,
     "text_stats_pandas_udf": text_fns.text_stats_pandas_udf,
     "grouped_zscore_pandas": udfs.grouped_zscore_pandas,
     "udtf_chunk_documents": udfs.udtf_chunk_documents,
-    # ---- block D head: remaining round-2 rows (these lead the r05 rotation) ----
     "agg_approx_distinct": relational.agg_approx_distinct,
     "agg_collect_sorted": relational.agg_collect_sorted,
     "agg_distinct_counts": relational.agg_distinct_counts,
@@ -212,7 +152,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_vocab_topk": text_fns.text_vocab_topk,
     "unpivot_measures": relational.unpivot_measures,
     "window_rank_family": relational.window_rank_family,
-    # ---- block D tail: round-3-fresh evidence (re-proven locally every round) ----
+    # ---- block E: round-3 driver rows (freshness ahead of block F) ----
+    "scalar_variant_funcs": scalars.scalar_variant_funcs,
+    "events_heavy_hitters": sketches.events_heavy_hitters,
     "sample_token_budget_mix": relational.sample_token_budget_mix,
     "events_anomaly_mad": relational.events_anomaly_mad,
     "text_zipf_slope": text_fns.text_zipf_slope,
@@ -261,6 +203,56 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_left_outer": relational.join_left_outer,
     "join_left_semi": relational.join_left_semi,
     "join_left_anti": relational.join_left_anti,
+    # ---- block F: round-4 driver rows (freshest evidence) ----
+    "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
+    "stream_user_topk": stream_ops.stream_user_topk,
+    "dedup_semdedup": dedup.dedup_semdedup,
+    "dedup_triangle_stats": dedup.dedup_triangle_stats,
+    "events_markov_transitions": relational.events_markov_transitions,
+    "events_zorder_key": scalars.events_zorder_key,
+    "text_winnowing_fingerprints": text_fns.text_winnowing_fingerprints,
+    "join_scd2_dimension": asof.join_scd2_dimension,
+    "agg_histogram_equidepth": relational.agg_histogram_equidepth,
+    "sample_source_capped": relational.sample_source_capped,
+    "text_quality_quantile_gate": text_fns.text_quality_quantile_gate,
+    "dedup_exact_substring": dedup.dedup_exact_substring,
+    "similarity_recall_at_k": similarity.similarity_recall_at_k,
+    "agg_approx_quantile_error": relational.agg_approx_quantile_error,
+    "sample_priority_estimate": relational.sample_priority_estimate,
+    "agg_hll_mergeable": sketches.agg_hll_mergeable,
+    "er_blocked_match": mining.er_blocked_match,
+    "basket_part_pairs": mining.basket_part_pairs,
+    "events_ema_decay": relational.events_ema_decay,
+    "profile_expectations": relational.profile_expectations,
+    "dedup_source_overlap_matrix": dedup.dedup_source_overlap_matrix,
+    "sql_lateral_topn": relational.sql_lateral_topn,
+    "window_range_frame": relational.window_range_frame,
+    "window_running_sum": relational.window_running_sum,
+    "window_lag_lead": relational.window_lag_lead,
+    "window_topk_per_group": relational.window_topk_per_group,
+    "sort_topk": relational.sort_topk,
+    "set_union_distinct": relational.set_union_distinct,
+    "set_intersect_except": relational.set_intersect_except,
+    "join_full_outer": relational.join_full_outer,
+    "join_range_nonequi": relational.join_range_nonequi,
+    "join_asof_rates": asof.join_asof_rates,
+    "q3_shipping_priority": relational.q3_shipping_priority,
+    "sql_exists_subquery": relational.sql_exists_subquery,
+    "sql_scalar_subquery": relational.sql_scalar_subquery,
+    "scalar_string_funcs": scalars.scalar_string_funcs,
+    "scalar_date_funcs": scalars.scalar_date_funcs,
+    "scalar_math_funcs": scalars.scalar_math_funcs,
+    "scalar_json_funcs": scalars.scalar_json_funcs,
+    "scalar_map_funcs": scalars.scalar_map_funcs,
+    "array_funcs": scalars.array_funcs,
+    "generator_explode_tokens": scalars.generator_explode_tokens,
+    "calendar_working_days": calendar.calendar_working_days,
+    "calendar_month_bounds": calendar.calendar_month_bounds,
+    "calendar_publish_dates": calendar.calendar_publish_dates,
+    "text_token_count": text_fns.text_token_count,
+    "text_quality_score": text_fns.text_quality_score,
+    "text_lang_id": text_fns.text_lang_id,
 }
 
 #: Shared SQL fragments for the oracle twins below.

@@ -25,5 +25,16 @@ def spark():
     # Tests never benefit from maintenance (every stream is availableNow and
     # short-lived), so push it past any plausible suite duration.
     spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "3600s")
+    # Spark 4's ChecksumCheckpointFileManager.createAtomic is where the one
+    # remaining full-suite flake aborts (HDFSBackedStateStore commit abort;
+    # rounds 3-4, passes in isolation).  Checkpoint checksumming adds a
+    # sidecar-file write per state commit — pure overhead for short-lived
+    # availableNow test streams — so turn it off in the test JVM.
+    # (Key verified against the spark-sql 4.1.2 jar: it is
+    # ``...checkpoint.fileChecksum.enabled``, not ``...checksumEnabled``.)
+    try:
+        spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+    except Exception:
+        pass  # conf absent on older Spark: the flake doesn't exist there
     yield spark
     spark.stop()

@@ -152,9 +152,29 @@ def test_inactivity_sessions_close_by_timeout_and_gap(spark, tmp_path):
     _write_events_file(str(d / "0.parquet"), early)
     _write_events_file(str(d / "1.parquet"), late)
 
-    out = ops.stream_inactivity_sessions(
-        spark, str(d), glob="*.parquet", max_files_per_trigger=1
-    )
+    def run_once():
+        return ops.stream_inactivity_sessions(
+            spark, str(d), glob="*.parquet", max_files_per_trigger=1
+        )
+
+    try:
+        out = run_once()
+    except Exception as exc:  # noqa: BLE001
+        # Rounds 3-4 full-suite flake: HDFSBackedStateStore commit abort via
+        # the checkpoint checksum manager under shared-JVM load; passes in
+        # isolation.  fileChecksum is now disabled session-wide (conftest),
+        # but if a commit abort still slips through, retry exactly once on a
+        # fresh checkpoint root — any genuine semantic failure would recur.
+        msg = str(exc)
+        if not any(
+            tag in msg
+            for tag in ("commit", "createAtomic", "StateStore", "state store")
+        ):
+            raise
+        spark.conf.set(
+            "spark.sql.streaming.checkpointLocation", str(tmp_path / "ckpt_retry")
+        )
+        out = run_once()
     rows = {
         (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
         for r in out.collect()
