@@ -359,6 +359,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _wrap(fn) for name, fn in _QUERIES.items()}
 
 
+#: PARAMETER COUPLING (r04 advice): each oracle string inlines the literal
+#: value of its operator's DEFAULT keyword arguments (e.g. basket_part_pairs
+#: min_support=2, supplier_otif sla_days=60, er_sorted_neighborhood window
+#: gap 1..3, similarity_recall_at_k k=10).  The driver always calls the
+#: operators with defaults, so the pair stays in lockstep; anyone invoking an
+#: operator with a non-default argument must adjust the twin SQL to match —
+#: there is no runtime signal tying the two constants together.
 _ORACLES: dict[str, str] = {
     "ingest_max_date": "SELECT CAST(MAX(l_shipdate) AS DATE) AS auto_date FROM lineitem",
     "ingest_run_summary": """
@@ -2393,9 +2400,13 @@ _ORACLES.update({
               FROM e JOIN m USING (event_type))
         SELECT event_type,
                CAST(regr_count(y, x) AS BIGINT) AS n_points,
-               ROUND(regr_slope(y, x) * 86400, 4) AS slope_per_day,
-               ROUND(regr_intercept(y, x), 4) AS intercept,
-               ROUND(regr_r2(y, x), 4) AS r2
+               -- zero-variance guards mirror the Spark side exactly
+               ROUND(CASE WHEN var_pop(x) > 0
+                          THEN regr_slope(y, x) * 86400 END, 4) AS slope_per_day,
+               ROUND(CASE WHEN var_pop(x) > 0
+                          THEN regr_intercept(y, x) END, 4) AS intercept,
+               ROUND(CASE WHEN var_pop(x) > 0 AND var_pop(y) > 0
+                          THEN regr_r2(y, x) END, 4) AS r2
         FROM c GROUP BY event_type
     """,
     "orders_open_backlog": """
@@ -2515,12 +2526,18 @@ _ORACLES.update({
                    SUM(x * x) AS sxx, SUM(y * y) AS syy
             FROM c GROUP BY 1)
         SELECT event_type, CAST(n AS BIGINT) AS n_events,
-               ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n) * 86400, 4)
-                   AS slope_per_day,
-               ROUND((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx)
-                     / n, 4) AS intercept,
-               ROUND((sxy - sx * sy / n) * (sxy - sx * sy / n)
-                     / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 4) AS r2
+               -- degenerate-group guards mirror the Spark side: slope NULL
+               -- when x has zero variance, r2 NULL when either side does
+               ROUND(CASE WHEN sxx - sx * sx / n > 0
+                          THEN (sxy - sx * sy / n) / (sxx - sx * sx / n) * 86400
+                     END, 4) AS slope_per_day,
+               ROUND(CASE WHEN sxx - sx * sx / n > 0
+                          THEN (sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n
+                     END, 4) AS intercept,
+               ROUND(CASE WHEN sxx - sx * sx / n > 0 AND syy - sy * sy / n > 0
+                          THEN (sxy - sx * sy / n) * (sxy - sx * sy / n)
+                               / ((sxx - sx * sx / n) * (syy - sy * sy / n))
+                     END, 4) AS r2
         FROM s
     """,
     "events_chi_square": """

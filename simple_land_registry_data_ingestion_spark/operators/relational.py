@@ -2535,7 +2535,11 @@ def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx_c = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
     sxy_c = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
     syy_c = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
-    slope = sxy_c / sxx_c
+    # Degenerate-group guards (r04 advice): a group whose events all share
+    # one timestamp has sxx_c == 0 (slope undefined), one whose values are
+    # constant has syy_c == 0 (r2 undefined).  Unguarded division yields
+    # engine-dependent NULL/inf; the oracle mirrors the same CASE guards.
+    slope = F.when(sxx_c > 0, sxy_c / sxx_c)
     return stats.select(
         "event_type",
         F.col("n").cast("long").alias("n_events"),
@@ -2543,7 +2547,9 @@ def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (F.col("sy") - slope * F.col("sx")) / F.col("n"), 4
         ).alias("intercept"),
-        F.round(sxy_c * sxy_c / (sxx_c * syy_c), 4).alias("r2"),
+        F.round(
+            F.when((sxx_c > 0) & (syy_c > 0), sxy_c * sxy_c / (sxx_c * syy_c)), 4
+        ).alias("r2"),
     )
 
 
@@ -2622,11 +2628,16 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     the canonical 6-table star join.
 
     Join-order story Catalyst gets right from the declarative form:
-    region (5 rows) → nation (25) → supplier/customer dims all
-    BROADCAST; the only shuffles are lineitem⋈orders on the order key
-    and the final 5-row aggregate.  The date filter pushes into the
-    orders parquet scan, the region filter prunes nation before it ever
-    touches a fact table.  Revenue = Σ price·(1−discount), 2-dp."""
+    region (5 rows) → nation (25) → supplier all BROADCAST by explicit
+    hint (they stay tiny at every scale); CUSTOMER is deliberately NOT
+    hinted — TPC-H customer is a semi-fact (SF·150k rows, ~1.5 M at
+    sf10), so a forced broadcast that is free at sf0.1 becomes a
+    driver/executor OOM at 100×.  AQE decides at runtime: below the
+    64 MiB threshold it still broadcasts, above it the customer join
+    shuffles on the order key like the fact join it really is.  The
+    date filter pushes into the orders parquet scan, the region filter
+    prunes nation before it ever touches a fact table.
+    Revenue = Σ price·(1−discount), 2-dp."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= "1996-01-01")
@@ -2643,7 +2654,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
@@ -2681,7 +2692,11 @@ def q10_returned_items(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFra
 
     Facts join on their keys (lineitem filtered to returnflag='R' BEFORE
     the join — the filter prunes ~75% of the fact table at the scan);
-    the customer and nation dims broadcast; the top-k is
+    nation broadcasts by hint, while CUSTOMER carries no hint — it is a
+    semi-fact (SF·150k rows) and a forced broadcast would OOM at 100×;
+    AQE still broadcasts it below the 64 MiB threshold and otherwise
+    shuffles the (already k-bounded-ish) per-customer aggregate against
+    it on the customer key.  The top-k is
     TakeOrderedAndProject on the per-customer aggregate, ordered by the
     ROUNDED revenue with the customer key as tiebreak so the cut at
     position k is engine-exact."""
@@ -2712,7 +2727,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFra
     )
     return (
         revenue.join(
-            F.broadcast(customer.select("c_custkey", "c_name", "c_nationkey")),
+            customer.select("c_custkey", "c_name", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
@@ -2979,9 +2994,22 @@ def events_regr_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     centered = events.join(F.broadcast(mins), "event_type").select(
         "event_type", (F.col("x_raw") - F.col("x0")).alias("x"), "y"
     )
+    # Degenerate-group guards (r04 advice): the builtins' zero-variance
+    # behavior is engine-defined (Spark NULLs, other engines may inf/NaN),
+    # so both sides compute the regression only when var(x) > 0 (and
+    # var(y) > 0 for r2) — identical CASE in the DuckDB oracle.
     return centered.groupBy("event_type").agg(
         F.expr("CAST(regr_count(y, x) AS BIGINT)").alias("n_points"),
-        F.round(F.expr("regr_slope(y, x) * 86400"), 4).alias("slope_per_day"),
-        F.round(F.expr("regr_intercept(y, x)"), 4).alias("intercept"),
-        F.round(F.expr("regr_r2(y, x)"), 4).alias("r2"),
+        F.round(
+            F.expr("CASE WHEN var_pop(x) > 0 THEN regr_slope(y, x) * 86400 END"), 4
+        ).alias("slope_per_day"),
+        F.round(
+            F.expr("CASE WHEN var_pop(x) > 0 THEN regr_intercept(y, x) END"), 4
+        ).alias("intercept"),
+        F.round(
+            F.expr(
+                "CASE WHEN var_pop(x) > 0 AND var_pop(y) > 0 THEN regr_r2(y, x) END"
+            ),
+            4,
+        ).alias("r2"),
     )

@@ -138,14 +138,22 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # lgConfigK=12 default -> relative standard error ~1.6%; 5% is > 3 RSE
     bound = 0.05
+    # merge_consistent: DataSketches register semantics make direct == merged
+    # EXACTLY today (Spark 4.1 bundles DataSketches with lossless HLL_4
+    # union at same lgK), but that is an implementation detail — certify to
+    # a 1e-9 relative tolerance so a library upgrade that reorders float
+    # folds cannot flip the row red without a real mergeability bug
+    # (r04 advice; the oracle hardcodes TRUE either way).
+    merge_tol = 1e-9
     return (
         direct.crossJoin(merged)
         .crossJoin(exact)
         .select(
             "exact_distinct",
-            (F.col("est_direct") == F.col("est_merged")).alias(
-                "merge_consistent"
-            ),
+            (
+                F.abs(F.col("est_direct") - F.col("est_merged"))
+                <= F.lit(merge_tol) * F.col("est_direct")
+            ).alias("merge_consistent"),
             (
                 F.abs(F.col("est_direct") - F.col("exact_distinct"))
                 <= F.lit(bound) * F.col("exact_distinct")

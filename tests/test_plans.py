@@ -546,3 +546,25 @@ def test_equidepth_histogram_has_no_global_sort(spark):
     ideal = total / 10
     assert len(bins) == 10, bins
     assert all(abs(n - ideal) < 0.3 * ideal for n in bins.values()), bins
+
+
+def test_q5_q10_do_not_force_customer_broadcast(spark):
+    """Round-4 verdict item: TPC-H customer is a semi-fact (SF*150k rows);
+    an explicit broadcast hint on it overrides the 64 MiB threshold at
+    EVERY scale and becomes an OOM at 100x.  Pin that (a) the customer
+    join carries no hint in the LOGICAL plan (the hint node is absent, so
+    AQE remains free to shuffle it when it outgrows the threshold), while
+    (b) the genuinely tiny dims still broadcast in the physical plan."""
+    for fn in (relational.q5_local_supplier_volume, relational.q10_returned_items):
+        df = fn(spark, SF_ORACLE)
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        # the join ON the customer key carries no broadcast hint (the
+        # supplier join's condition references c_nationkey, so key the
+        # check on c_custkey = the customer join's equi-key)
+        for line in optimized.splitlines():
+            if "broadcast" in line.lower():
+                assert "c_custkey" not in line, line
+        # tiny dims still broadcast physically (AQE may add more at sf0.01
+        # where customer itself fits -- that is the threshold working)
+        assert plans.broadcast_join_count(df) >= 2, fn.__name__
+        plans.assert_no_cartesian_product(df)
