@@ -1331,7 +1331,9 @@ def dedup_pagerank_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Prefix-filtered similarity join (PPJoin-style) and exact-substring spans
 # ---------------------------------------------------------------------------
 
-def jaccard_prefix_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def jaccard_prefix_pairs(
+    docs: DataFrame, threshold: float = 0.5, positional_filter: bool = True
+) -> DataFrame:
     """EXACT Jaccard similarity join with PROVABLY LOSSLESS prefix
     filtering (PPJoin family, Xiao et al. / Vernica et al.'s MapReduce
     set-similarity join).
@@ -1353,7 +1355,17 @@ def jaccard_prefix_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     verification joins the candidate pairs (tiny vs corpus) against the
     per-doc shingle-set table twice and computes the exact intersection
     with array_intersect — O(|A|+|B|) per candidate, JVM-side.  Integer
-    set arithmetic -> deterministic 6-dp jaccard."""
+    set arithmetic -> deterministic 6-dp jaccard.
+
+    All three classic PPJoin prunes are applied, each lossless: prefix
+    (candidate generation), length (t*|A| <= |B| <= |A|/t on narrow
+    columns), and positional (overlap <= 1 + min(|A|-i0, |B|-j0) from the
+    first common token's positions — the prune that bites on
+    boilerplate-heavy corpora where many docs share a rare-ish template
+    token late in their prefix).  ``positional_filter=False`` disables the
+    third prune — results are identical either way (the property test
+    asserts it); the flag exists so tests can MEASURE the candidate-count
+    drop the prune buys."""
     sh = shingle_table(docs)
     df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
@@ -1365,18 +1377,40 @@ def jaccard_prefix_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
     sz = F.size("toks")
     plen = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
+    # posexplode keeps each prefix token's 1-based POSITION in the doc's
+    # full df-sorted token list — the input to the positional filter below.
     prefix = per_doc.select(
         "doc_id",
-        F.explode(
+        F.posexplode(
             F.transform(F.slice("toks", F.lit(1), plen), lambda s: s["shingle"])
-        ).alias("shingle"),
+        ).alias("pos0", "shingle"),
     )
-    candidates = bucket_pairs(
+    # Buckets carry (doc_id, pos) structs; doc_id is the leading struct
+    # field so array_sort keeps the i<j pair orientation identical to the
+    # id-only path (one row per doc per bucket: shingles are distinct
+    # within a doc).
+    raw_pairs = bucket_pairs(
         prefix.groupBy("shingle").agg(
-            F.array_sort(F.collect_list("doc_id")).alias("ids")
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", (F.col("pos0") + 1).alias("pos")))
+            ).alias("ids")
         ),
         distribute_threshold=256,
-    ).distinct()
+    )
+    # POSITIONAL filter inputs (third lossless PPJoin prune): every common
+    # token of a candidate pair sorts at-or-after the pair's globally first
+    # common token w0, and w0 — being earliest — lies in BOTH prefixes, so
+    # the pair is also generated in w0's bucket and the component-wise MIN
+    # positions across buckets are exactly w0's positions (i0, j0).  Hence
+    # overlap(A,B) <= 1 + min(|A| - i0, |B| - j0), a bound the pruned join
+    # can apply without ever touching the wide shingle sets.
+    candidates = raw_pairs.groupBy(
+        F.col("doc_a.doc_id").alias("doc_a"),
+        F.col("doc_b.doc_id").alias("doc_b"),
+    ).agg(
+        F.min(F.col("doc_a.pos")).alias("pos_a"),
+        F.min(F.col("doc_b.pos")).alias("pos_b"),
+    )
     # localCheckpoint: four verify-side references (two narrow size
     # probes, two wide set fetches) would otherwise each replicate the
     # whole shingle subtree, blowing the plan past the registry's
@@ -1406,24 +1440,42 @@ def jaccard_prefix_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     # corpora — where web data actually lives — it is the bigger lever.
     na = sa.select("doc_a", "n_a")
     nb = sb.select("doc_b", "n_b")
+    # Required overlap for J >= t: o >= t/(1+t) * (|A|+|B|).  The 1e-9
+    # slack keeps float ceil from over-pruning an exactly-integral bound —
+    # under-pruning by one candidate is harmless (verification is exact),
+    # over-pruning would break the completeness guarantee.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("n_a") + F.col("n_b"))
+        - F.lit(1e-9)
+    )
+    pos_ubound = F.lit(1) + F.least(
+        F.col("n_a") - F.col("pos_a"), F.col("n_b") - F.col("pos_b")
+    )
+    pruned = (
+        (F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
+        & (F.col("n_a") >= F.ceil(F.lit(threshold) * F.col("n_b")))
+    )
+    if positional_filter:
+        pruned = pruned & (pos_ubound >= alpha)
     compatible = (
         candidates.join(na, "doc_a")
         .join(nb, "doc_b")
-        .where(
-            (F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
-            & (F.col("n_a") >= F.ceil(F.lit(threshold) * F.col("n_b")))
-        )
+        .where(pruned)
         .select("doc_a", "doc_b")
     )
     inter = F.size(F.array_intersect("set_a", "set_b"))
     jac = inter / (F.col("n_a") + F.col("n_b") - inter)
-    return (
+    verified = (
         compatible.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("jaccard", F.round(jac, 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    # Surface the post-prune candidate frame for tests/diagnostics without
+    # re-deriving the lineage (counting it measures what each prune buys).
+    verified.candidates = compatible  # type: ignore[attr-defined]
+    return verified
 
 
 def dedup_jaccard_prefix(

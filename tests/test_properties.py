@@ -400,3 +400,49 @@ def test_exact_substring_counts_within_doc_repeats(spark, tmp_path):
     )
     # no window private to a single doc leaks through the n_docs >= 2 gate
     assert all(r["n_docs"] >= 2 for r in out)
+
+
+def test_jaccard_prefix_positional_filter_prunes_boilerplate(spark):
+    """The positional filter (third lossless PPJoin prune) must (a) change
+    NOTHING about the result and (b) measurably cut the candidate count on
+    a boilerplate-heavy corpus: many docs share one template shingle that
+    is just rare enough to sit in every doc's prefix, but it sits LATE in
+    the df order, so the positional bound 1 + min(|A|-i0, |B|-j0) falls
+    below the required overlap for most template-only pairs."""
+    # 40 docs: 6 unique filler words -> 6 df=1 shingles (4 filler-only +
+    # 2 boundary), then a 10-word shared template -> 8 df=40 shingles.
+    # Per doc: n=14 shingles, prefix length 14 - ceil(0.5*14) + 1 = 8, so
+    # the first TWO template shingles (positions 7-8 in df-asc order) DO
+    # sit in every prefix -> without the positional filter all C(40,2)
+    # template pairs become candidates.  With it: i0=7 gives the bound
+    # 1 + (14-7) = 8 < alpha = ceil(0.5/1.5 * 28) = 10 -> all pruned.
+    # (Template-only pairs have J = 8/20 = 0.4 < t, so pruning them is
+    # exactly right and the output stays identical.)
+    template = " ".join(f"c{j}" for j in range(10))
+    texts = {}
+    for i in range(40):
+        filler = " ".join(f"u{i}w{j}" for j in range(6))
+        texts[i] = f"{filler} {template}"
+    # plus one genuine near-duplicate pair that must survive everything
+    texts[100] = "alpha beta gamma delta epsilon zeta"
+    texts[101] = "alpha beta gamma delta epsilon eta"
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    with_pos = dedup.jaccard_prefix_pairs(docs, threshold=0.5)
+    without_pos = dedup.jaccard_prefix_pairs(
+        docs, threshold=0.5, positional_filter=False
+    )
+    got_with = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in with_pos.collect()}
+    got_without = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"] for r in without_pos.collect()
+    }
+    assert got_with == got_without  # lossless: identical verified output
+    assert (100, 101) in got_with
+    n_with = with_pos.candidates.count()
+    n_without = without_pos.candidates.count()
+    # template-only pairs dominate the unpruned candidate set; the
+    # positional bound must remove the bulk of them
+    assert n_without >= 100, (n_with, n_without)
+    assert n_with <= n_without // 2, (n_with, n_without)
