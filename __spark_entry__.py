@@ -152,6 +152,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_vocab_topk": text_fns.text_vocab_topk,
     "unpivot_measures": relational.unpivot_measures,
     "window_rank_family": relational.window_rank_family,
+    # ---- block D2: NEW in round 5 (5) — locally oracle-proven only;
+    # they join block D at the head of the r06 window (33 + 5 = 38 slots,
+    # leaving 12 for the oldest r03 rows) ----
+    "agg_count_min_sketch": sketches.agg_count_min_sketch,
+    "dedup_minhash_error": dedup.dedup_minhash_error,
+    "text_chunk_dedup_fraction": text_fns.text_chunk_dedup_fraction,
+    "er_golden_record": mining.er_golden_record,
+    "similarity_range_search": similarity.similarity_range_search,
     # ---- block E: round-3 driver rows (freshness ahead of block F) ----
     "scalar_variant_funcs": scalars.scalar_variant_funcs,
     "events_heavy_hitters": sketches.events_heavy_hitters,
@@ -3194,6 +3202,151 @@ _ORACLES.update({
                    AS BIGINT),
                SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) = 0
         FROM documents
+    """,
+})
+
+# ---- round-5 additions (block D2) ----
+_ORACLES.update({
+    # identical CMS construction: md5-derived row hashes -> width-64 cells,
+    # estimate = min over 4 rows (depth=4, width=64 are the operator
+    # defaults; see the parameter-coupling note above _ORACLES)
+    "agg_count_min_sketch": """
+        WITH exact AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+            FROM events GROUP BY 1),
+        b AS (
+            SELECT user_id, n_exact,
+                   ('0x' || substring(md5('0:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS b0,
+                   ('0x' || substring(md5('1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS b1,
+                   ('0x' || substring(md5('2:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS b2,
+                   ('0x' || substring(md5('3:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS b3
+            FROM exact),
+        c0 AS (SELECT b0, CAST(SUM(n_exact) AS BIGINT) AS cell0 FROM b GROUP BY 1),
+        c1 AS (SELECT b1, CAST(SUM(n_exact) AS BIGINT) AS cell1 FROM b GROUP BY 1),
+        c2 AS (SELECT b2, CAST(SUM(n_exact) AS BIGINT) AS cell2 FROM b GROUP BY 1),
+        c3 AS (SELECT b3, CAST(SUM(n_exact) AS BIGINT) AS cell3 FROM b GROUP BY 1)
+        SELECT user_id, n_exact,
+               LEAST(cell0, cell1, cell2, cell3) AS n_cms,
+               LEAST(cell0, cell1, cell2, cell3) - n_exact AS overestimate
+        FROM b
+        JOIN c0 USING (b0) JOIN c1 USING (b1)
+        JOIN c2 USING (b2) JOIN c3 USING (b3)
+    """,
+    # LSH candidates + signature-agreement estimate vs exact Jaccard
+    "dedup_minhash_error": f"""
+        WITH {_SHINGLES_CTE},
+        sig AS (
+            SELECT doc_id,
+                   min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+                   min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+                   min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5
+            FROM sh GROUP BY doc_id),
+        bands AS (
+            SELECT doc_id, '0:' || h0 || h1 AS band_key FROM sig
+            UNION ALL SELECT doc_id, '1:' || h2 || h3 FROM sig
+            UNION ALL SELECT doc_id, '2:' || h4 || h5 FROM sig),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        est AS (
+            SELECT c.doc_a, c.doc_b,
+                   ROUND(((sa.h0 = sb.h0)::INT + (sa.h1 = sb.h1)::INT
+                        + (sa.h2 = sb.h2)::INT + (sa.h3 = sb.h3)::INT
+                        + (sa.h4 = sb.h4)::INT + (sa.h5 = sb.h5)::INT) / 6.0,
+                         6) AS est_jaccard
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.doc_a
+            JOIN sig sb ON sb.doc_id = c.doc_b),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+                  FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+            GROUP BY 1, 2)
+        SELECT i.doc_a, i.doc_b, e.est_jaccard,
+               ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard,
+               ROUND(ABS(e.est_jaccard
+                         - n_inter / (sa.n_sh + sb.n_sh - n_inter)), 6) AS abs_err
+        FROM inter i
+        JOIN est e ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+    """,
+    # non-overlapping 10-word chunks; per-doc duplicated-chunk fraction
+    "text_chunk_dedup_fraction": r"""
+        WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+                   FROM documents),
+        c AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(ws[(i * 10 + 1):(i * 10 + 10)], ' ') AS chunk
+            FROM d, UNNEST(range(0, CAST(floor(len(ws) / 10.0) AS BIGINT))) AS t(i)),
+        dup AS (SELECT chunk FROM c GROUP BY chunk
+                HAVING COUNT(DISTINCT doc_id) >= 2),
+        tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+                FROM c GROUP BY 1),
+        dd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_chunks
+               FROM c WHERE chunk IN (SELECT chunk FROM dup) GROUP BY 1)
+        SELECT doc_id,
+               COALESCE(n_chunks, 0) AS n_chunks,
+               COALESCE(n_dup_chunks, 0) AS n_dup_chunks,
+               ROUND(CASE WHEN COALESCE(n_chunks, 0) > 0
+                          THEN COALESCE(n_dup_chunks, 0) / CAST(n_chunks AS DOUBLE)
+                          ELSE 0.0 END, 6) AS dup_fraction
+        FROM documents
+        LEFT JOIN tot USING (doc_id)
+        LEFT JOIN dd USING (doc_id)
+    """,
+    # ER matches (er_blocked_match's oracle) -> recursive min-label CC ->
+    # survivorship aggregates per multi-member entity
+    "er_golden_record": """
+        WITH RECURSIVE p AS (
+            SELECT p_partkey, p_name, p_brand,
+                   regexp_extract(p_name, ' ([a-z]+)$', 1) AS block_noun
+            FROM part),
+        matches AS (
+            SELECT a.p_partkey AS p1, b.p_partkey AS p2
+            FROM p a
+            JOIN p b ON a.block_noun = b.block_noun
+                   AND a.p_brand = b.p_brand
+                   AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 4),
+        edges AS (
+            SELECT p1 AS src, p2 AS dst FROM matches
+            UNION ALL SELECT p2, p1 FROM matches),
+        nodes AS (SELECT DISTINCT src AS pk FROM edges),
+        reach(node, label) AS (
+            SELECT pk, pk FROM nodes
+            UNION
+            SELECT e.dst, r.label
+            FROM reach r JOIN edges e ON r.node = e.src
+            WHERE r.label < e.dst),
+        comp AS (SELECT node AS p_partkey, MIN(label) AS entity_id
+                 FROM reach GROUP BY node)
+        SELECT entity_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               MIN(p_name) AS canonical_name,
+               ROUND(MAX(CAST(p_retailprice AS DOUBLE)), 2) AS merged_price,
+               CAST(MIN(p_size) AS BIGINT) AS min_size,
+               CAST(MAX(p_size) AS BIGINT) AS max_size
+        FROM part JOIN comp USING (p_partkey)
+        GROUP BY entity_id
+        HAVING COUNT(*) >= 2
+    """,
+    # UNPRUNED brute-force range search: a green row certifies the Spark
+    # side's cluster prune lossless
+    "similarity_range_search": f"""
+        WITH {_VEC_CTE},
+        q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id % 200 = 0)
+        SELECT q_id, vec_id, c AS cosine FROM (
+            SELECT q_id, v.vec_id,
+                   ROUND(list_dot_product(qe, v.e)
+                         / (sqrt(list_dot_product(qe, qe))
+                            * sqrt(list_dot_product(v.e, v.e))), 6) AS c
+            FROM q JOIN v ON v.vec_id <> q_id)
+        WHERE c >= 0.30
     """,
 })
 

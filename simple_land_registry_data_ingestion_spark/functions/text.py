@@ -708,3 +708,70 @@ def text_feature_hashing(
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+
+def text_chunk_dedup_fraction(
+    spark: SparkSession, sf_dir: str, chunk_words: int = 10
+) -> DataFrame:
+    """Paragraph-level dedup metric (CCNet / RefinedWeb style, adapted to
+    this corpus's single-paragraph docs): split each document into
+    NON-overlapping ``chunk_words``-word chunks and report, per document,
+    how many of its distinct chunks also appear verbatim in at least one
+    OTHER document — the per-doc duplicate-content fraction a filtering
+    pipeline thresholds on before near-dedup ever runs.
+
+    Differs from dedup_exact_substring (overlapping windows, span-level
+    output) exactly the way paragraph-dedup differs from substring-dedup
+    in an LLM pipeline: chunks are coarse, disjoint, and attributable to
+    a document, so the metric is a per-doc score, not a span list.
+
+    Plan: corpus-linear — explode to one row per chunk, ONE shuffle on
+    the chunk text to count distinct docs per chunk (map-side combined),
+    join the tiny duplicated-chunk set back (broadcast at any dup rate),
+    aggregate per doc.  No doc ever joins another doc.  Docs shorter than
+    one full chunk carry n_chunks=0 and fraction 0."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_full = F.floor(F.size(words) / chunk_words).cast("int")
+    # guard: sequence(0, -1) would DESCEND in Spark, so docs shorter than
+    # one chunk must be excluded here (they re-enter via the left joins)
+    chunks = docs.where(F.size(words) >= chunk_words).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_full - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * chunk_words + 1, chunk_words), " "
+                ),
+            )
+        ).alias("chunk"),
+    ).distinct()
+    dup_chunks = (
+        chunks.groupBy("chunk")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("chunk")
+    )
+    per_doc = chunks.join(F.broadcast(dup_chunks), "chunk", "left_semi")
+    dup_counts = per_doc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_chunks")
+    )
+    totals = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    base = docs.select("doc_id")
+    return (
+        base.join(totals, "doc_id", "left")
+        .join(dup_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0)).cast("long").alias("n_dup_chunks"),
+            F.round(
+                F.when(
+                    F.coalesce("n_chunks", F.lit(0)) > 0,
+                    F.coalesce("n_dup_chunks", F.lit(0))
+                    / F.col("n_chunks").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )

@@ -1566,3 +1566,71 @@ def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
     )
+
+
+def dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR certification: for every LSH candidate pair,
+    the signature-agreement estimate of Jaccard (fraction of the k=6
+    min-hash components that agree — the unbiased estimator the whole
+    MinHash stack rests on, Broder 1997) side by side with the EXACT
+    Jaccard from the shingle sets, plus the absolute error.
+
+    This closes the statistical loop the LSH queries leave open:
+    dedup_minhash_lsh certifies the CANDIDATE mechanics and
+    dedup_jaccard_lsh the exact verify, but neither proves the signatures
+    themselves estimate what they claim.  With k=6 the estimator is
+    coarse (granularity 1/6, sd = sqrt(J(1-J)/6) ~ 0.2) — the per-pair
+    errors the driver hashes are exactly that coarse, which is the point:
+    the certified numbers tell an operator what k buys before scaling it.
+
+    Plan: signature table built once (one shingle shuffle), band buckets
+    from it (no recompute), candidates by in-bucket expansion; exact
+    side reuses the shingle-set aggregate; both join the candidate list
+    (small) — no all-pairs anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    grouped = minhash_band_buckets(sigs).groupBy("band_key").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+    cand = bucket_pairs(grouped).distinct()
+    hs = [f"h{i}" for i in range(NUM_HASHES)]
+    siga = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(h).alias(f"{h}_a") for h in hs]
+    )
+    sigb = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(h).alias(f"{h}_b") for h in hs]
+    )
+    agree = sum(
+        (F.col(f"{h}_a") == F.col(f"{h}_b")).cast("int") for h in hs
+    )
+    sh = shingle_table(docs)
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sh_set"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh_set").alias("set_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh_set").alias("set_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    exact = inter / (F.col("n_a") + F.col("n_b") - inter)
+    return (
+        cand.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .withColumn("est_jaccard", F.round(agree / F.lit(float(NUM_HASHES)), 6))
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.round(exact, 6).alias("jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_err"),
+        )
+    )

@@ -160,3 +160,64 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_rel_bound"),
         )
     )
+
+
+def agg_count_min_sketch(
+    spark: SparkSession, sf_dir: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Count-Min sketch built ENTIRELY from relational ops, certified
+    against exact counts (Cormode & Muthukrishnan 2005): ``depth``
+    independent hash rows of ``width`` counters each; a key's estimate is
+    the MIN over rows of its cell total.  The classic guarantees — never
+    underestimates, overestimate bounded by colliding mass — fall out of
+    the construction and the driver's hash gate certifies them row by row
+    (the DuckDB twin builds the identical sketch: md5-derived row hashes
+    are engine-portable, so both engines produce byte-identical cells).
+
+    Plan at 100 TB: the sketch IS the aggregation pattern — one exact
+    groupBy on the key would shuffle every distinct key, while the CMS
+    cells are depth*width counters TOTAL, built with a map-side-combined
+    groupBy on (row, bucket): constant-size shuffle regardless of key
+    cardinality.  Here the exact counts are also computed (that is the
+    certification), so the expensive path runs once to prove the cheap
+    path right; production keeps only the cells.  Estimate lookup is a
+    broadcast join of the key list against depth tiny cell frames.
+
+    Output: one row per distinct user_id with exact count, CMS estimate,
+    and the overestimate (>= 0 by construction)."""
+    events = load(spark, sf_dir, "events")
+    exact = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+
+    def bucket(row: int):
+        # first 8 md5 hex chars -> 32-bit int -> % width; portable to the
+        # oracle's ('0x' || substring(md5(...), 1, 8))::BIGINT % width
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{row}:"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        )
+
+    keyed = exact.select(
+        "user_id", "n_exact", *[bucket(r).alias(f"b{r}") for r in range(depth)]
+    )
+    est = keyed
+    for r in range(depth):
+        cells = keyed.groupBy(f"b{r}").agg(F.sum("n_exact").alias(f"cell{r}"))
+        est = est.join(F.broadcast(cells), f"b{r}")
+    return est.select(
+        "user_id",
+        "n_exact",
+        F.least(*[F.col(f"cell{r}") for r in range(depth)]).alias("n_cms"),
+        (
+            F.least(*[F.col(f"cell{r}") for r in range(depth)]) - F.col("n_exact")
+        ).alias("overestimate"),
+    )

@@ -1,0 +1,124 @@
+"""Scaling spot-check for the dedup family (r04 verdict item 8).
+
+No sf1 testdata exists in the sandbox, so this builds a DETERMINISTIC 10x
+corpus from sf0.1: ten copies of `documents`, copy 0 verbatim and copies
+1-9 with a per-copy GLOBAL word reordering (words sorted by
+md5(word || copy)).  Within a copy, docs that were near-duplicates stay
+near-duplicates (the same global order maps similar word sets to similar
+sequences, so they still share most 3-gram shingles); ACROSS copies the
+orders differ, so copies of the same doc share almost no shingles and the
+corpus does not degenerate into 10-way exact-duplicate groups.
+`embeddings` copies rotate the vector by `copy` positions — norm and
+coordinate distribution preserved, cross-copy cosine decorrelated.
+
+Writes BENCH_SCALING.json: per-query wall seconds at 1x vs 10x (best of
+2 after a warm-up pass at 1x) plus the wall-time slope (t10/t1; linear
+scaling on 32 fixed cores = 10).
+
+Usage: python tools/bench_scaling.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import SparkSession, functions as F
+
+from simple_land_registry_data_ingestion_spark.operators import dedup
+from simple_land_registry_data_ingestion_spark.session import get_spark
+from simple_land_registry_data_ingestion_spark.tables import load
+
+BASE = "/root/testdata/sf0.1"
+SCALED = "/root/repo/.scratch/sf1"
+COPIES = 10
+
+QUERIES = {
+    "dedup_jaccard_prefix": dedup.dedup_jaccard_prefix,
+    "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+    "dedup_semdedup": dedup.dedup_semdedup,
+    "dedup_exact_substring": dedup.dedup_exact_substring,
+}
+
+
+def build_scaled(spark: SparkSession) -> None:
+    docs = load(spark, BASE, "documents")
+    parts = []
+    for c in range(COPIES):
+        off = F.lit(c * 10_000_000).cast("long")
+        if c == 0:
+            parts.append(docs.select(
+                (F.col("doc_id") + off).alias("doc_id"),
+                "text", "lang", "source", "n_chars"))
+            continue
+        words = F.split(F.col("text"), r"\s+")
+        keyed = F.array_sort(F.transform(
+            words,
+            lambda w: F.struct(
+                F.md5(F.concat(w, F.lit(f"#c{c}"))).alias("k"), w.alias("w")
+            ),
+        ))
+        text2 = F.array_join(F.transform(keyed, lambda s: s["w"]), " ")
+        parts.append(docs.select(
+            (F.col("doc_id") + off).alias("doc_id"),
+            text2.alias("text"), "lang", "source", "n_chars"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.coalesce(8).write.mode("overwrite").parquet(f"{SCALED}/documents.parquet")
+
+    emb = load(spark, BASE, "embeddings")
+    eparts = []
+    for c in range(COPIES):
+        off = F.lit(c * 10_000_000).cast("long")
+        dim = F.size("embedding")
+        rot = F.concat(
+            F.slice("embedding", F.lit(c + 1), dim - F.lit(c)),
+            F.slice("embedding", F.lit(1), F.lit(c)),
+        ) if c else F.col("embedding")
+        eparts.append(emb.select(
+            (F.col("vec_id") + off).alias("vec_id"),
+            rot.alias("embedding"), "label"))
+    eout = eparts[0]
+    for p in eparts[1:]:
+        eout = eout.unionByName(p)
+    eout.coalesce(8).write.mode("overwrite").parquet(f"{SCALED}/embeddings.parquet")
+
+
+def time_query(fn, spark, sf_dir, passes=2) -> tuple[float, int]:
+    best, rows = float("inf"), -1
+    for _ in range(passes):
+        t0 = time.monotonic()
+        rows = fn(spark, sf_dir).count()
+        best = min(best, time.monotonic() - t0)
+    return round(best, 3), rows
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not Path(f"{SCALED}/documents.parquet").exists():
+        t0 = time.monotonic()
+        build_scaled(spark)
+        print(f"built 10x corpus in {time.monotonic() - t0:.1f}s", file=sys.stderr)
+
+    result = {"base": BASE, "scaled": SCALED, "copies": COPIES, "queries": {}}
+    for name, fn in QUERIES.items():
+        t1, r1 = time_query(fn, spark, BASE)
+        t10, r10 = time_query(fn, spark, SCALED)
+        result["queries"][name] = {
+            "sec_1x": t1, "rows_1x": r1,
+            "sec_10x": t10, "rows_10x": r10,
+            "slope": round(t10 / t1, 2) if t1 else None,
+        }
+        print(name, result["queries"][name], file=sys.stderr)
+    Path("/root/repo/BENCH_SCALING.json").write_text(json.dumps(result, indent=2))
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
