@@ -51,13 +51,19 @@ def get_spark(
     app_name: str = "simple-land-registry-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the package's tuning applied.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when no cluster is
     configured; on a real cluster, leave it unset and let spark-submit decide.
+    ``extra_conf`` lets callers add STATIC confs that must be set before the
+    JVM starts (e.g. ``spark.driver.memory`` for an oversized local run);
+    it has no effect if a session already exists in the process.
     """
     builder = SparkSession.builder.appName(app_name)
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
     if master is None and "SPARK_MASTER" not in os.environ:
         master = f"local[{DEFAULT_CPUS}]"
     if master is not None:

@@ -691,7 +691,11 @@ def tws_available() -> bool:
     """transformWithStateInPandas needs protobuf in the Python env (its
     driver worker speaks a protobuf protocol to validate state schemas);
     absent/broken protobuf is an ENVIRONMENT limitation, not a code path
-    difference — gate, don't fail mid-query."""
+    difference — gate, don't fail mid-query.
+
+    Probe log (re-checked each round): 2026-08-14 — ``import google.protobuf``
+    still raises ModuleNotFoundError in the sandbox; the registered
+    bounded-state fallback remains ``stream_user_topk``."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 

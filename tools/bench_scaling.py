@@ -2,12 +2,16 @@
 
 No sf1 testdata exists in the sandbox, so this builds a DETERMINISTIC 10x
 corpus from sf0.1: ten copies of `documents`, copy 0 verbatim and copies
-1-9 with a per-copy GLOBAL word reordering (words sorted by
-md5(word || copy)).  Within a copy, docs that were near-duplicates stay
-near-duplicates (the same global order maps similar word sets to similar
-sequences, so they still share most 3-gram shingles); ACROSS copies the
-orders differ, so copies of the same doc share almost no shingles and the
-corpus does not degenerate into 10-way exact-duplicate groups.
+1-9 with a per-copy ORDER-PRESERVING word substitution (every word w is
+renamed to a 6-hex token md5(w || copy)).  The rename is a bijection on
+the vocabulary, so within a copy every 3-gram shingle maps 1:1 to an
+original shingle — each copy's near-duplicate pair structure is EXACTLY
+the base corpus's — while across copies the substitutions differ, so
+copies share no shingles and the corpus does not degenerate into
+cross-copy duplicate groups.  (A first attempt SORTED words per copy;
+that canonicalizes every doc over the small vocab and turned the whole
+copy into one near-dup cluster — 1200x the base pair count.  The
+substitution keeps selectivity flat: rows_10x ~ 10 * rows_1x.)
 `embeddings` copies rotate the vector by `copy` positions — norm and
 coordinate distribution preserved, cross-copy cosine decorrelated.
 
@@ -56,13 +60,10 @@ def build_scaled(spark: SparkSession) -> None:
                 "text", "lang", "source", "n_chars"))
             continue
         words = F.split(F.col("text"), r"\s+")
-        keyed = F.array_sort(F.transform(
-            words,
-            lambda w: F.struct(
-                F.md5(F.concat(w, F.lit(f"#c{c}"))).alias("k"), w.alias("w")
-            ),
-        ))
-        text2 = F.array_join(F.transform(keyed, lambda s: s["w"]), " ")
+        renamed = F.transform(
+            words, lambda w: F.substring(F.md5(F.concat(w, F.lit(f"#c{c}"))), 1, 6)
+        )
+        text2 = F.array_join(renamed, " ")
         parts.append(docs.select(
             (F.col("doc_id") + off).alias("doc_id"),
             text2.alias("text"), "lang", "source", "n_chars"))
@@ -99,7 +100,10 @@ def time_query(fn, spark, sf_dir, passes=2) -> tuple[float, int]:
 
 
 def main() -> None:
-    spark = get_spark(app_name="bench-scaling")
+    # 10x data in one local JVM needs a real heap (default local heap is 1g)
+    spark = get_spark(
+        app_name="bench-scaling", extra_conf={"spark.driver.memory": "48g"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
     if not Path(f"{SCALED}/documents.parquet").exists():
         t0 = time.monotonic()
