@@ -152,14 +152,18 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_vocab_topk": text_fns.text_vocab_topk,
     "unpivot_measures": relational.unpivot_measures,
     "window_rank_family": relational.window_rank_family,
-    # ---- block D2: NEW in round 5 (5) — locally oracle-proven only;
-    # they join block D at the head of the r06 window (33 + 5 = 38 slots,
-    # leaving 12 for the oldest r03 rows) ----
+    # ---- block D2: NEW in round 5 (9) — locally oracle-proven only;
+    # they join block D at the head of the r06 window (33 + 9 = 42 slots,
+    # leaving 8 for the oldest r03 rows) ----
     "agg_count_min_sketch": sketches.agg_count_min_sketch,
     "dedup_minhash_error": dedup.dedup_minhash_error,
     "text_chunk_dedup_fraction": text_fns.text_chunk_dedup_fraction,
     "er_golden_record": mining.er_golden_record,
     "similarity_range_search": similarity.similarity_range_search,
+    "cdc_scd2_build": relational.cdc_scd2_build,
+    "events_adoption_wilson": relational.events_adoption_wilson,
+    "text_bigram_kn_perplexity": text_fns.text_bigram_kn_perplexity,
+    "dedup_lsh_scurve": dedup.dedup_lsh_scurve,
     # ---- block E: round-3 driver rows (freshness ahead of block F) ----
     "scalar_variant_funcs": scalars.scalar_variant_funcs,
     "events_heavy_hitters": sketches.events_heavy_hitters,
@@ -3334,6 +3338,119 @@ _ORACLES.update({
         FROM part JOIN comp USING (p_partkey)
         GROUP BY entity_id
         HAVING COUNT(*) >= 2
+    """,
+    # SCD2 build: identical two-window construction
+    "cdc_scd2_build": """
+        WITH e AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+            FROM events),
+        s AS (
+            SELECT *, COALESCE(
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                           <> event_type, TRUE) AS is_start
+            FROM e),
+        st AS (SELECT user_id, event_type, ts, event_id FROM s WHERE is_start)
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER w2 AS valid_to,
+               lead(ts) OVER w2 IS NULL AS is_current
+        FROM st WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    # Wilson 95% interval: identical closed-form arithmetic
+    "events_adoption_wilson": """
+        WITH t AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n FROM events),
+        k AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS k
+              FROM events GROUP BY 1)
+        SELECT event_type,
+               CAST(k AS BIGINT) AS n_users,
+               ROUND(k / n, 6) AS adoption_rate,
+               ROUND((k / n + 1.96 * 1.96 / (2.0 * n)
+                      - 1.96 * sqrt((k / n) * (1.0 - k / n) / n
+                                    + 1.96 * 1.96 / (4.0 * n * n)))
+                     / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_lower,
+               ROUND((k / n + 1.96 * 1.96 / (2.0 * n)
+                      + 1.96 * sqrt((k / n) * (1.0 - k / n) / n
+                                    + 1.96 * 1.96 / (4.0 * n * n)))
+                     / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_upper
+        FROM k CROSS JOIN t
+    """,
+    # interpolated Kneser-Ney bigram model, identical factor ordering
+    "text_bigram_kn_perplexity": r"""
+        WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+                   FROM documents),
+        big AS (
+            SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+            FROM d, UNNEST(range(1, len(ws))) AS t(i)),
+        c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+        c1 AS (SELECT w1, COUNT(*) AS c1, COUNT(DISTINCT w2) AS n1p_fwd
+               FROM big GROUP BY 1),
+        cont AS (SELECT w2, COUNT(DISTINCT w1) AS n1p_rev FROM big GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS n1p_all FROM c12)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(exp(-AVG(ln(
+                   GREATEST(c12 - 0.75, 0.0) / c1
+                   + 0.75 * n1p_fwd / c1 * (n1p_rev / CAST(n1p_all AS DOUBLE))
+               ))) + 1e-9, 4) AS kn_perplexity
+        FROM big
+        JOIN c12 USING (w1, w2)
+        JOIN c1 USING (w1)
+        JOIN cont USING (w2)
+        CROSS JOIN tot
+        GROUP BY doc_id
+    """,
+    # empirical vs theoretical LSH S-curve on the doc_id < 200 sample
+    "dedup_lsh_scurve": r"""
+        WITH docs0 AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+            FROM documents WHERE doc_id < 200),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle
+            FROM docs0, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+                  FROM sh GROUP BY 1),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.n_sh AS n_a, b.n_sh AS n_b
+            FROM sizes a JOIN sizes b ON a.doc_id < b.doc_id),
+        inter AS (
+            SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_inter
+            FROM sh sa JOIN sh sb
+              ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+            GROUP BY 1, 2),
+        j AS (
+            SELECT p.doc_a, p.doc_b,
+                   COALESCE(n_inter, 0)
+                       / (n_a + n_b - COALESCE(n_inter, 0)) AS jac
+            FROM pairs p LEFT JOIN inter USING (doc_a, doc_b)),
+        sig AS (
+            SELECT doc_id,
+                   min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+                   min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+                   min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5
+            FROM sh GROUP BY doc_id),
+        bands AS (
+            SELECT doc_id, '0:' || h0 || h1 AS band_key FROM sig
+            UNION ALL SELECT doc_id, '1:' || h2 || h3 FROM sig
+            UNION ALL SELECT doc_id, '2:' || h4 || h5 FROM sig),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        flagged AS (
+            SELECT LEAST(CAST(FLOOR(jac * 10) AS INT), 9) AS jac_decile,
+                   CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand,
+                   1.0 - (1.0 - jac * jac) * (1.0 - jac * jac)
+                       * (1.0 - jac * jac) AS p_theory
+            FROM j LEFT JOIN cand c USING (doc_a, doc_b))
+        SELECT jac_decile,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(is_cand) AS BIGINT) AS n_candidates,
+               ROUND(SUM(is_cand) / COUNT(*), 6) AS cand_rate,
+               ROUND(AVG(p_theory), 6) AS avg_p_theory
+        FROM flagged GROUP BY 1
     """,
     # UNPRUNED brute-force range search: a green row certifies the Spark
     # side's cluster prune lossless

@@ -775,3 +775,68 @@ def text_chunk_dedup_fraction(
             ).alias("dup_fraction"),
         )
     )
+
+
+def text_bigram_kn_perplexity(
+    spark: SparkSession, sf_dir: str, discount: float = 0.75
+) -> DataFrame:
+    """Per-document perplexity under an interpolated KNESER-NEY bigram
+    model (Kneser & Ney 1995; the smoothing KenLM defaults to) — the
+    production upgrade of text_bigram_perplexity's MLE: absolute
+    discounting moves ``discount`` mass off every seen bigram and backs
+    off to the CONTINUATION unigram (how many distinct left-contexts a
+    word completes), which is what separates "common because versatile"
+    from "common inside one collocation".
+
+    p_kn(w2|w1) = max(C(w1w2) - d, 0)/C(w1)
+                + d * N1+(w1,.)/C(w1) * N1+(.,w2)/N1+(..)
+
+    Every factor is a vocabulary-sized aggregate of the one bigram
+    explode: C(w1w2), C(w1), distinct-successor and distinct-predecessor
+    counts, and the scalar distinct-bigram total (broadcast 1-row).
+    Same scale shape as the MLE version: corpus-linear explode, vocab-
+    sized count tables AQE-broadcasts back, one doc-keyed mean.  The
+    1e-9 nudge keeps 4-dp rounding off engine-divergent halfway points."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", words_col("text").alias("ws")
+    )
+    ws = F.col("ws")
+    n = F.size(ws)
+    bi = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(ws, i).alias("w1"),
+                F.element_at(ws, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = docs.select("doc_id", F.explode(bi).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("c1"),
+        F.count_distinct("w2").alias("n1p_fwd"),
+    )
+    cont = big.groupBy("w2").agg(F.count_distinct("w1").alias("n1p_rev"))
+    total = c12.groupBy().agg(F.count(F.lit(1)).alias("n1p_all"))
+    d = F.lit(discount)
+    scored = (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(total))
+    )
+    p_kn = (
+        F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
+        + d
+        * F.col("n1p_fwd")
+        / F.col("c1")
+        * (F.col("n1p_rev") / F.col("n1p_all"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.exp(-F.avg(F.log(p_kn))) + 1e-9, 4).alias("kn_perplexity"),
+    )

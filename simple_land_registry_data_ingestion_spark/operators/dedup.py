@@ -1634,3 +1634,68 @@ def dedup_minhash_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("abs_err"),
         )
     )
+
+
+def dedup_lsh_scurve(spark: SparkSession, sf_dir: str, sample: int = 200) -> DataFrame:
+    """Empirical LSH S-CURVE certification: on a bounded doc sample, score
+    EVERY pair's exact Jaccard, flag whether the banded MinHash made it a
+    candidate, and compare the per-decile candidate rate against the
+    theoretical collision probability 1 - (1 - J^r)^b for this index's
+    (b=3 bands, r=2 rows) — the tuning curve every LSH deployment sizes
+    its bands from (Leskovec/Rajaraman/Ullman ch. 3).
+
+    The decile table is the operational artifact: low deciles show the
+    false-candidate rate you pay, high deciles the recall you get, and a
+    gap from theory flags broken hash independence.  The driver hashes
+    all of it, so the statistical behavior of the index is a certified
+    fact, not a docstring claim.
+
+    Scale shape: the all-pairs scoring is deliberately bounded to
+    ``sample`` docs (sample^2/2 pairs — an EVALUATION, like
+    similarity_recall_at_k, never run corpus-wide); signature and band
+    computation reuse the per-doc pipeline.  The theoretical curve uses
+    explicit multiplication (q*q*q), not pow(), so both engines produce
+    identical doubles."""
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < sample)
+    sh = shingle_table(docs)
+    sets = sh.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("sh_set"),
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh_set").alias("set_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh_set").alias("set_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    jac = inter / (F.col("n_a") + F.col("n_b") - inter)
+    pairs = (
+        sa.crossJoin(F.broadcast(sb))
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jac"))
+    )
+    grouped = minhash_band_buckets(minhash_signatures(docs)).groupBy(
+        "band_key"
+    ).agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+    cand = bucket_pairs(grouped).distinct().withColumn("is_cand", F.lit(1))
+    j2 = F.col("jac") * F.col("jac")
+    q = F.lit(1.0) - j2
+    theory = F.lit(1.0) - q * q * q
+    flagged = pairs.join(cand, ["doc_a", "doc_b"], "left").select(
+        F.least(F.floor(F.col("jac") * 10).cast("int"), F.lit(9)).alias(
+            "jac_decile"
+        ),
+        F.coalesce("is_cand", F.lit(0)).alias("is_cand"),
+        theory.alias("p_theory"),
+    )
+    return flagged.groupBy("jac_decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("is_cand").cast("long").alias("n_candidates"),
+        F.round(F.sum("is_cand") / F.count(F.lit(1)), 6).alias("cand_rate"),
+        F.round(F.avg("p_theory"), 6).alias("avg_p_theory"),
+    )

@@ -3013,3 +3013,79 @@ def events_regr_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("r2"),
     )
+
+
+def cdc_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILD an SCD2 (type-2 slowly-changing dimension) history from a raw
+    change stream — the producer side of join_scd2_dimension, which
+    consumes one.  Per user, consecutive events with the SAME event_type
+    collapse into one validity interval; a change of type closes the
+    previous interval exactly at the new row's timestamp (half-open
+    [valid_from, valid_to)), and the last interval per user stays open
+    (valid_to NULL, is_current true) — the standard warehouse pattern
+    (Kimball ch. 5) a MERGE-based dimension load maintains incrementally.
+
+    Plan: ONE window partitioned by user ordered by (ts, event_id): lag
+    detects run starts, lead over the run-start subset assigns each
+    interval its successor's start.  Two narrow window passes over the
+    events scan, shuffling only on user_id — at 100 TB this is the same
+    single hash exchange as any per-user sessionization; no join, no
+    second scan.  The (ts, event_id) tiebreak makes simultaneous events
+    deterministic in both engines."""
+    events = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = events.withColumn(
+        "is_start",
+        F.coalesce(F.lag("event_type").over(w) != F.col("event_type"), F.lit(True)),
+    ).where(F.col("is_start"))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return starts.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+def events_adoption_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type user adoption rate with a WILSON 95% score interval
+    — uncertainty quantification for funnel/adoption metrics, the
+    binomial CI that behaves at small n and extreme p where the naive
+    normal interval collapses (Wilson 1927; what A/B dashboards should
+    ship instead of p-hat +/- 1.96*se).
+
+    All closed-form: p = k/n, z = 1.96,
+    center = p + z^2/2n, half = z*sqrt(p(1-p)/n + z^2/4n^2),
+    bounds = (center -/+ half) / (1 + z^2/n) — pure arithmetic over two
+    distinct-count aggregates, so both engines produce bit-identical
+    doubles and the driver hashes the full interval.  Plan: one
+    distinct-count per type plus one global, broadcast joined — two
+    map-side-combinable aggregations of the events scan."""
+    events = load(spark, sf_dir, "events")
+    n_total = events.groupBy().agg(
+        F.count_distinct("user_id").cast("double").alias("n")
+    )
+    per_type = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("double").alias("k")
+    )
+    z = F.lit(1.96)
+    p = F.col("k") / F.col("n")
+    denom = F.lit(1.0) + z * z / F.col("n")
+    center = p + z * z / (F.lit(2.0) * F.col("n"))
+    half = z * F.sqrt(
+        p * (F.lit(1.0) - p) / F.col("n")
+        + z * z / (F.lit(4.0) * F.col("n") * F.col("n"))
+    )
+    return per_type.crossJoin(F.broadcast(n_total)).select(
+        "event_type",
+        F.col("k").cast("long").alias("n_users"),
+        F.round(p, 6).alias("adoption_rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lower"),
+        F.round((center + half) / denom, 6).alias("wilson_upper"),
+    )
