@@ -152,9 +152,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_vocab_topk": text_fns.text_vocab_topk,
     "unpivot_measures": relational.unpivot_measures,
     "window_rank_family": relational.window_rank_family,
-    # ---- block D2: NEW in round 5 (9) — locally oracle-proven only;
-    # they join block D at the head of the r06 window (33 + 9 = 42 slots,
-    # leaving 8 for the oldest r03 rows) ----
+    # ---- block D2: NEW in round 5 (12) — locally oracle-proven only;
+    # they join block D at the head of the r06 window (33 + 12 = 45 slots,
+    # leaving 5 for the oldest r03 rows) ----
     "agg_count_min_sketch": sketches.agg_count_min_sketch,
     "dedup_minhash_error": dedup.dedup_minhash_error,
     "text_chunk_dedup_fraction": text_fns.text_chunk_dedup_fraction,
@@ -164,6 +164,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_adoption_wilson": relational.events_adoption_wilson,
     "text_bigram_kn_perplexity": text_fns.text_bigram_kn_perplexity,
     "dedup_lsh_scurve": dedup.dedup_lsh_scurve,
+    "sample_importance_reweight": relational.sample_importance_reweight,
+    "agg_partial_merge": relational.agg_partial_merge,
+    "text_jsd_source_drift": text_fns.text_jsd_source_drift,
     # ---- block E: round-3 driver rows (freshness ahead of block F) ----
     "scalar_variant_funcs": scalars.scalar_variant_funcs,
     "events_heavy_hitters": sketches.events_heavy_hitters,
@@ -3303,8 +3306,9 @@ _ORACLES.update({
         LEFT JOIN tot USING (doc_id)
         LEFT JOIN dd USING (doc_id)
     """,
-    # ER matches (er_blocked_match's oracle) -> recursive min-label CC ->
-    # survivorship aggregates per multi-member entity
+    # ER matches at the operator's tighter merge threshold (distance 2,
+    # not er_blocked_match's candidate threshold 4) -> recursive
+    # min-label CC -> survivorship aggregates per multi-member entity
     "er_golden_record": """
         WITH RECURSIVE p AS (
             SELECT p_partkey, p_name, p_brand,
@@ -3316,7 +3320,7 @@ _ORACLES.update({
             JOIN p b ON a.block_noun = b.block_noun
                    AND a.p_brand = b.p_brand
                    AND a.p_partkey < b.p_partkey
-            WHERE levenshtein(a.p_name, b.p_name) <= 4),
+            WHERE levenshtein(a.p_name, b.p_name) <= 2),
         edges AS (
             SELECT p1 AS src, p2 AS dst FROM matches
             UNION ALL SELECT p2, p1 FROM matches),
@@ -3451,6 +3455,92 @@ _ORACLES.update({
                ROUND(SUM(is_cand) / COUNT(*), 6) AS cand_rate,
                ROUND(AVG(p_theory), 6) AS avg_p_theory
         FROM flagged GROUP BY 1
+    """,
+    # importance reweighting to a uniform source target + Kish ESS
+    "sample_importance_reweight": """
+        WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                   FROM documents GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS n_total,
+                     CAST(COUNT(*) AS DOUBLE) AS n_sources FROM s),
+        c AS (
+            SELECT source, n_docs,
+                   n_docs / n_total AS actual,
+                   1.0 / n_sources AS target,
+                   (1.0 / n_sources) / (n_docs / n_total) AS w,
+                   n_docs * ((1.0 / n_sources) / (n_docs / n_total)) AS sw,
+                   n_docs * ((1.0 / n_sources) / (n_docs / n_total))
+                          * ((1.0 / n_sources) / (n_docs / n_total)) AS sw2,
+                   n_total
+            FROM s CROSS JOIN t),
+        e AS (SELECT SUM(sw) * SUM(sw) / (MAX(n_total) * SUM(sw2)) AS ess
+              FROM c)
+        SELECT source, n_docs,
+               ROUND(actual, 6) AS actual_share,
+               ROUND(target, 6) AS target_share,
+               ROUND(w, 6) AS weight,
+               ROUND(ess, 6) AS ess_fraction
+        FROM c CROSS JOIN e
+    """,
+    # direct vs per-month-partial-merged algebraic aggregates
+    "agg_partial_merge": """
+        WITH li AS (
+            SELECT l_returnflag, date_trunc('month', l_shipdate) AS m,
+                   CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+                   CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+            FROM lineitem),
+        d AS (SELECT l_returnflag, SUM(qty) AS d_sum,
+                     CAST(COUNT(*) AS BIGINT) AS d_n,
+                     MIN(price) AS d_min, MAX(price) AS d_max
+              FROM li GROUP BY 1),
+        p AS (SELECT l_returnflag, m, SUM(qty) AS ps, COUNT(*) AS pn,
+                     MIN(price) AS pmin, MAX(price) AS pmax
+              FROM li GROUP BY 1, 2),
+        mg AS (SELECT l_returnflag, SUM(ps) AS m_sum,
+                      CAST(SUM(pn) AS BIGINT) AS m_n,
+                      MIN(pmin) AS m_min, MAX(pmax) AS m_max
+               FROM p GROUP BY 1)
+        SELECT l_returnflag,
+               CAST(d_sum AS DOUBLE) AS sum_qty,
+               d_n AS n_rows,
+               CAST(d_min AS DOUBLE) AS min_price,
+               CAST(d_max AS DOUBLE) AS max_price,
+               d_sum = m_sum AS sum_merges,
+               d_n = m_n AS count_merges,
+               d_min = m_min AND d_max = m_max AS minmax_merges
+        FROM d JOIN mg USING (l_returnflag)
+    """,
+    # per-source vs corpus Jensen-Shannon divergence, absent-word mass in
+    # closed form (q*ln2), identical factor ordering
+    "text_jsd_source_drift": r"""
+        WITH toks AS (
+            SELECT source,
+                   UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS w
+            FROM documents),
+        sw AS (SELECT source, w, CAST(COUNT(*) AS DOUBLE) AS c_sw
+               FROM toks GROUP BY 1, 2),
+        s AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS c_s
+              FROM toks GROUP BY 1),
+        wt AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS c_w FROM toks GROUP BY 1),
+        tt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c_all FROM toks),
+        j AS (
+            SELECT sw.source, sw.c_sw / s.c_s AS p, wt.c_w / tt.c_all AS q,
+                   s.c_s
+            FROM sw JOIN s USING (source) JOIN wt USING (w) CROSS JOIN tt),
+        kt AS (
+            SELECT source,
+                   SUM(p * ln(p / ((p + q) / 2.0))) AS kl_p,
+                   SUM(q * ln(q / ((p + q) / 2.0))) AS kl_q_present,
+                   MAX(c_s) AS n_tokens
+            FROM j GROUP BY 1),
+        qp AS (
+            SELECT sw.source, SUM(wt.c_w / tt.c_all) AS q_mass_present
+            FROM sw JOIN wt USING (w) CROSS JOIN tt GROUP BY 1)
+        SELECT source,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               ROUND(0.5 * kl_p
+                     + 0.5 * (kl_q_present
+                              + (1.0 - q_mass_present) * ln(2.0)), 6) AS jsd
+        FROM kt JOIN qp USING (source)
     """,
     # UNPRUNED brute-force range search: a green row certifies the Spark
     # side's cluster prune lossless

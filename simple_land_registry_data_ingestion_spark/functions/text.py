@@ -840,3 +840,71 @@ def text_bigram_kn_perplexity(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.exp(-F.avg(F.log(p_kn))) + 1e-9, 4).alias("kn_perplexity"),
     )
+
+
+def text_jsd_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between every source's word distribution
+    and the CORPUS word distribution — the drift/outlier screen a corpus
+    curator runs per ingest source (JSD is symmetric, bounded [0, ln 2],
+    and defined even where one side has zero mass, unlike raw KL).
+
+    JSD(P||Q) = 0.5*KL(P||M) + 0.5*KL(Q||M), M = (P+Q)/2, computed per
+    source over the shared vocabulary: one token explode, one (source,
+    word) count, one corpus word count — vocabulary-sized frames joined
+    and folded with sum(p*ln(p/m)) terms.  Words absent from a source
+    contribute only through the Q-side term (p=0 -> 0*ln0 = 0 by
+    convention), handled by aggregating each side separately instead of
+    outer-joining NULLs.  Output: one row per source with its JSD and
+    token count; identical fold both engines (same joins, same ln)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(words_col("text")).alias("w")
+    )
+    per_sw = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("c_sw")
+    )
+    per_s = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("c_s")
+    )
+    per_w = toks.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c_w"))
+    total = toks.groupBy().agg(F.count(F.lit(1)).cast("double").alias("c_all"))
+    j = (
+        per_sw.join(per_s, "source")
+        .join(per_w, "w")
+        .crossJoin(F.broadcast(total))
+    )
+    p = F.col("c_sw") / F.col("c_s")          # P(w | source)
+    q = F.col("c_w") / F.col("c_all")         # Q(w | corpus)
+    m = (p + q) / F.lit(2.0)
+    # words PRESENT in the source: full P-term + the present part of Q-term
+    kl_terms = j.groupBy("source").agg(
+        F.sum(p * F.log(p / m)).alias("kl_p"),
+        F.sum(q * F.log(q / m)).alias("kl_q_present"),
+        F.max("c_s").alias("n_tokens"),
+    )
+    # words ABSENT from the source: m = q/2, so each contributes
+    # q*ln(2); their total q-mass is 1 - sum(present q), giving a closed
+    # form instead of an outer join over the vocabulary
+    q_present = (
+        per_sw.join(per_w, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source")
+        .agg(F.sum(F.col("c_w") / F.col("c_all")).alias("q_mass_present"))
+    )
+    ln2 = F.log(F.lit(2.0))
+    return (
+        kl_terms.join(q_present, "source")
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.lit(0.5) * F.col("kl_p")
+                + F.lit(0.5)
+                * (
+                    F.col("kl_q_present")
+                    + (F.lit(1.0) - F.col("q_mass_present")) * ln2
+                ),
+                6,
+            ).alias("jsd"),
+        )
+    )

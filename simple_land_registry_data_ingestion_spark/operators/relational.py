@@ -3089,3 +3089,122 @@ def events_adoption_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("wilson_lower"),
         F.round((center + half) / denom, 6).alias("wilson_upper"),
     )
+
+
+def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance weights that retarget the corpus's SOURCE mix to a
+    declared target distribution (the DoReMi/Pile-style domain-mixing
+    step): weight(source) = target_share / actual_share, so a weighted
+    sample of the corpus draws sources in target proportion without
+    moving a single row.
+
+    Output is the per-source audit table a mixing run ships: actual
+    share, target share, the weight, and the EFFECTIVE SAMPLE SIZE
+    fraction (Kish: (sum w)^2 / (n * sum w^2), computed over docs via
+    per-source closed form) that quantifies how much resampling power
+    the reweight burns.  Uniform target over the sources present keeps
+    the query parameter-free and oracle-stable.
+
+    Plan: one source-count aggregate (20 rows), everything else is
+    arithmetic on the tiny frame — the corpus itself is scanned once and
+    never shuffled."""
+    docs = load(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    totals = per_source.groupBy().agg(
+        F.sum("n_docs").cast("double").alias("n_total"),
+        F.count(F.lit(1)).cast("double").alias("n_sources"),
+    )
+    joined = per_source.crossJoin(F.broadcast(totals))
+    actual = F.col("n_docs") / F.col("n_total")
+    target = F.lit(1.0) / F.col("n_sources")
+    w = target / actual
+    # Kish ESS over docs: sum w = n_total * sum_s(actual_s * w_s) etc.;
+    # per-source contribution n_docs * w and n_docs * w^2
+    contrib = joined.select(
+        "source",
+        "n_docs",
+        F.round(actual, 6).alias("actual_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(w, 6).alias("weight"),
+        (F.col("n_docs") * w).alias("_sw"),
+        (F.col("n_docs") * w * w).alias("_sw2"),
+        "n_total",
+    )
+    ess = contrib.groupBy().agg(
+        (
+            F.sum("_sw") * F.sum("_sw")
+            / (F.max("n_total") * F.sum("_sw2"))
+        ).alias("_ess_frac")
+    )
+    return (
+        contrib.crossJoin(F.broadcast(ess))
+        .select(
+            "source",
+            "n_docs",
+            "actual_share",
+            "target_share",
+            "weight",
+            F.round(F.col("_ess_frac"), 6).alias("ess_fraction"),
+        )
+    )
+
+
+def agg_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algebraic-aggregate MERGEABILITY certification: sum/count/min/max
+    computed directly over lineitem must EQUAL the same aggregates merged
+    from independent per-month partials — the property that makes
+    incremental rollups (daily partitions -> monthly -> total) and
+    map-side combine correct, certified the same way agg_hll_mergeable
+    certifies the sketch path.  Exact integer/decimal aggregates merge
+    losslessly, so unlike the HLL row this one asserts strict equality.
+
+    Output: one row per l_returnflag with the direct aggregates and the
+    booleans; a false anywhere means a non-commutative accumulation snuck
+    into the rollup path.  Plan: two map-side-combined aggregations over
+    one scan lineage; the merge step runs on the month-count-sized frame."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    direct = li.groupBy("l_returnflag").agg(
+        F.sum("qty").alias("d_sum_qty"),
+        F.count(F.lit(1)).cast("long").alias("d_n"),
+        F.min("price").alias("d_min_price"),
+        F.max("price").alias("d_max_price"),
+    )
+    merged = (
+        li.groupBy("l_returnflag", "ship_month")
+        .agg(
+            F.sum("qty").alias("p_sum_qty"),
+            F.count(F.lit(1)).cast("long").alias("p_n"),
+            F.min("price").alias("p_min_price"),
+            F.max("price").alias("p_max_price"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("p_sum_qty").alias("m_sum_qty"),
+            F.sum("p_n").cast("long").alias("m_n"),
+            F.min("p_min_price").alias("m_min_price"),
+            F.max("p_max_price").alias("m_max_price"),
+        )
+    )
+    return (
+        direct.join(merged, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.col("d_sum_qty").cast("double").alias("sum_qty"),
+            F.col("d_n").alias("n_rows"),
+            F.col("d_min_price").cast("double").alias("min_price"),
+            F.col("d_max_price").cast("double").alias("max_price"),
+            (F.col("d_sum_qty") == F.col("m_sum_qty")).alias("sum_merges"),
+            (F.col("d_n") == F.col("m_n")).alias("count_merges"),
+            (
+                (F.col("d_min_price") == F.col("m_min_price"))
+                & (F.col("d_max_price") == F.col("m_max_price"))
+            ).alias("minmax_merges"),
+        )
+    )
