@@ -152,9 +152,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_vocab_topk": text_fns.text_vocab_topk,
     "unpivot_measures": relational.unpivot_measures,
     "window_rank_family": relational.window_rank_family,
-    # ---- block D2: NEW in round 5 (12) — locally oracle-proven only;
-    # they join block D at the head of the r06 window (33 + 12 = 45 slots,
-    # leaving 5 for the oldest r03 rows) ----
+    # ---- block D2: NEW in round 5 (14) — locally oracle-proven only;
+    # they join block D at the head of the r06 window (33 + 14 = 47 slots,
+    # leaving 3 for the oldest r03 rows) ----
     "agg_count_min_sketch": sketches.agg_count_min_sketch,
     "dedup_minhash_error": dedup.dedup_minhash_error,
     "text_chunk_dedup_fraction": text_fns.text_chunk_dedup_fraction,
@@ -167,6 +167,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_importance_reweight": relational.sample_importance_reweight,
     "agg_partial_merge": relational.agg_partial_merge,
     "text_jsd_source_drift": text_fns.text_jsd_source_drift,
+    "events_ohlc_candles": relational.events_ohlc_candles,
+    "events_lateness_audit": relational.events_lateness_audit,
     # ---- block E: round-3 driver rows (freshness ahead of block F) ----
     "scalar_variant_funcs": scalars.scalar_variant_funcs,
     "events_heavy_hitters": sketches.events_heavy_hitters,
@@ -3541,6 +3543,47 @@ _ORACLES.update({
                      + 0.5 * (kl_q_present
                               + (1.0 - q_mass_present) * ln(2.0)), 6) AS jsd
         FROM kt JOIN qp USING (source)
+    """,
+    # OHLC via arg_min/arg_max on the zero-padded (epoch_us, event_id) key
+    "events_ohlc_candles": """
+        WITH e AS (
+            SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+                   printf('%020d-%012d', epoch_us(CAST(ts AS TIMESTAMP)),
+                          event_id) AS ok
+            FROM events)
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               ROUND(arg_min(value, ok), 6) AS open,
+               ROUND(MAX(value), 6) AS high,
+               ROUND(MIN(value), 6) AS low,
+               ROUND(arg_max(value, ok), 6) AS close,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 6) AS volume
+        FROM e GROUP BY 1, 2
+    """,
+    # lateness vs the running event-time high-water mark in arrival order
+    "events_lateness_audit": """
+        WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        l AS (
+            SELECT CAST(floor(epoch(MAX(ts) OVER (
+                       ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+                       AS BIGINT)
+                   - CAST(floor(epoch(ts)) AS BIGINT) AS late_sec
+            FROM e),
+        b AS (
+            SELECT CASE WHEN late_sec <= 0 THEN 'on-time'
+                        WHEN late_sec <= 60 THEN '<=1m'
+                        WHEN late_sec <= 600 THEN '<=10m'
+                        WHEN late_sec <= 3600 THEN '<=1h'
+                        WHEN late_sec <= 86400 THEN '<=1d'
+                        ELSE '>1d' END AS lateness_bucket
+            FROM l),
+        t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM e)
+        SELECT lateness_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(COUNT(*) / n_total, 6) AS share
+        FROM b CROSS JOIN t
+        GROUP BY lateness_bucket, n_total
     """,
     # UNPRUNED brute-force range search: a green row certifies the Spark
     # side's cluster prune lossless

@@ -3208,3 +3208,81 @@ def agg_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("minmax_merges"),
         )
     )
+
+
+def events_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily OHLC (open/high/low/close) candles over the event
+    value stream — the time-series downsampling shape (financial bars,
+    metric rollups) whose interesting parts are the ORDERED aggregates:
+    open/close are min_by/max_by(value, (ts, event_id)) — the SQL:2023
+    any_value-with-ordering builtins — not window functions, so the whole
+    candle is ONE map-side-combinable aggregation, no sort, no window
+    shuffle, exactly what a 100 TB rollup wants.
+
+    The ordering key is a zero-padded "%020d-%012d" string of
+    (epoch-micros, event_id) — lexicographic equals chronological with a
+    deterministic tiebreak, and a plain sortable scalar is the one key
+    shape every engine's arg_min/min_by accepts (DuckDB rejects struct
+    keys).  high/low/volume are the plain commutative aggregates."""
+    events = load(spark, sf_dir, "events")
+    ordkey = F.format_string(
+        "%020d-%012d",
+        F.unix_micros(F.col("ts").cast("timestamp")),
+        F.col("event_id"),
+    )
+    return (
+        events.groupBy(
+            "event_type", F.to_date(F.col("ts").cast("timestamp")).alias("day")
+        )
+        .agg(
+            F.round(F.min_by("value", ordkey), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", ordkey), 6).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("volume"),
+        )
+    )
+
+
+def events_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness profile: treating event_id as arrival order (the
+    generator assigns ids in arrival sequence), how far behind the
+    running event-time high-water mark does each event arrive?  The
+    resulting distribution is THE input for choosing a streaming
+    watermark delay (`withWatermark("ts", ...)`): the p99-ish bucket
+    says what delay keeps 99% of events inside the window, and the tail
+    mass is the fraction a given delay would drop — measured on the
+    actual corpus instead of guessed.
+
+    Plan: one global-ordering window (running max of ts by event_id) —
+    an analysis query run on a sample/day in production, so the single
+    ordered pass is the acceptable cost it looks like — then a tiny
+    bucketed aggregate.  Lateness buckets in seconds, log-ish edges."""
+    events = load(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    late_sec = (
+        F.unix_timestamp(F.max("ts").over(w)) - F.unix_timestamp(F.col("ts"))
+    ).cast("long")
+    bucket = (
+        F.when(late_sec <= 0, "on-time")
+        .when(late_sec <= 60, "<=1m")
+        .when(late_sec <= 600, "<=10m")
+        .when(late_sec <= 3600, "<=1h")
+        .when(late_sec <= 86400, "<=1d")
+        .otherwise(">1d")
+    )
+    total = events.groupBy().agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    return (
+        events.select(bucket.alias("lateness_bucket"))
+        .groupBy("lateness_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lateness_bucket",
+            "n_events",
+            F.round(F.col("n_events") / F.col("n_total"), 6).alias("share"),
+        )
+    )
