@@ -1368,12 +1368,24 @@ def jaccard_prefix_pairs(
     drop the prune buys."""
     sh = shingle_table(docs)
     df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # ONE doc-keyed aggregation carries everything downstream needs: the
+    # df-sorted token structs (prefix + positions), the shingle set for
+    # exact verification (a projection of toks — sh is distinct), and the
+    # set size.  Lazily localCheckpoint'd: prefix generation, both narrow
+    # size probes, and both wide set fetches read the materialized rows
+    # instead of each replaying the shingle+df subtree (this was the
+    # second doc-wide shuffle the old plan paid).
     per_doc = (
         sh.join(df_tbl, "shingle")
         .groupBy("doc_id")
         .agg(
             F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("toks")
         )
+        .withColumn(
+            "sh_set", F.transform("toks", lambda s: s["shingle"])
+        )
+        .withColumn("n_sh", F.size("toks").cast("long"))
+        .localCheckpoint(eager=False)
     )
     sz = F.size("toks")
     plen = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
@@ -1411,22 +1423,12 @@ def jaccard_prefix_pairs(
         F.min(F.col("doc_a.pos")).alias("pos_a"),
         F.min(F.col("doc_b.pos")).alias("pos_b"),
     )
-    # localCheckpoint: four verify-side references (two narrow size
-    # probes, two wide set fetches) would otherwise each replicate the
-    # whole shingle subtree, blowing the plan past the registry's
-    # operator-count tripwire; the aggregate is doc-count-sized, so
-    # materializing it lazily once keeps the plan flat and the shingling
-    # computed once.
-    sets = sh.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("sh_set"),
-        F.count(F.lit(1)).alias("n_sh"),
-    ).localCheckpoint(eager=False)
-    sa = sets.select(
+    sa = per_doc.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sh_set").alias("set_a"),
         F.col("n_sh").alias("n_a"),
     )
-    sb = sets.select(
+    sb = per_doc.select(
         F.col("doc_id").alias("doc_b"),
         F.col("sh_set").alias("set_b"),
         F.col("n_sh").alias("n_b"),
