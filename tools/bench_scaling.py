@@ -41,11 +41,26 @@ BASE = "/root/testdata/sf0.1"
 SCALED = "/root/repo/.scratch/sf1"
 COPIES = 10
 
+from simple_land_registry_data_ingestion_spark.functions import text as text_fns
+from simple_land_registry_data_ingestion_spark.operators import relational, similarity
+
 QUERIES = {
+    # dedup family (documents)
     "dedup_jaccard_prefix": dedup.dedup_jaccard_prefix,
     "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
     "dedup_semdedup": dedup.dedup_semdedup,
     "dedup_exact_substring": dedup.dedup_exact_substring,
+    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+    # similarity family (embeddings)
+    "similarity_ann_ivf": similarity.similarity_ann_ivf,
+    "similarity_ann_batch": similarity.similarity_ann_batch,
+    # text family (documents)
+    "text_gopher_filter": text_fns.text_gopher_filter,
+    "text_winnowing_fingerprints": text_fns.text_winnowing_fingerprints,
+    # events family (scaled change stream)
+    "sessionize_events": relational.sessionize_events,
+    "events_ohlc_candles": relational.events_ohlc_candles,
+    "window_topk_per_group": relational.window_topk_per_group,
 }
 
 
@@ -89,6 +104,23 @@ def build_scaled(spark: SparkSession) -> None:
         eout = eout.unionByName(p)
     eout.coalesce(8).write.mode("overwrite").parquet(f"{SCALED}/embeddings.parquet")
 
+    ev = load(spark, BASE, "events")
+    vparts = []
+    for c in range(COPIES):
+        off = F.lit(c * 10_000_000).cast("long")
+        # shift each copy's users into a fresh id range (10x the user
+        # population, same per-user behavior) and nudge ts by c seconds so
+        # copies are not timestamp-identical; event_id keeps arrival order
+        vparts.append(ev.select(
+            (F.col("event_id") + off).alias("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {c} SECOND")).alias("ts"),
+            (F.col("user_id") + off).alias("user_id"),
+            "event_type", "value", "props"))
+    vout = vparts[0]
+    for p in vparts[1:]:
+        vout = vout.unionByName(p)
+    vout.coalesce(8).write.mode("overwrite").parquet(f"{SCALED}/events.parquet")
+
 
 def time_query(fn, spark, sf_dir, passes=2) -> tuple[float, int]:
     best, rows = float("inf"), -1
@@ -105,7 +137,8 @@ def main() -> None:
         app_name="bench-scaling", extra_conf={"spark.driver.memory": "48g"}
     )
     spark.sparkContext.setLogLevel("ERROR")
-    if not Path(f"{SCALED}/documents.parquet").exists():
+    # events.parquet is written LAST, so its presence implies a complete build
+    if not Path(f"{SCALED}/events.parquet").exists():
         t0 = time.monotonic()
         build_scaled(spark)
         print(f"built 10x corpus in {time.monotonic() - t0:.1f}s", file=sys.stderr)
