@@ -60,7 +60,7 @@ QUERIES = {
     # events family (scaled change stream)
     "sessionize_events": relational.sessionize_events,
     "events_ohlc_candles": relational.events_ohlc_candles,
-    "window_topk_per_group": relational.window_topk_per_group,
+    "events_lateness_audit": relational.events_lateness_audit,
 }
 
 
