@@ -152,9 +152,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_vocab_topk": text_fns.text_vocab_topk,
     "unpivot_measures": relational.unpivot_measures,
     "window_rank_family": relational.window_rank_family,
-    # ---- block D2: NEW in round 5 (14) — locally oracle-proven only;
-    # they join block D at the head of the r06 window (33 + 14 = 47 slots,
-    # leaving 3 for the oldest r03 rows) ----
+    # ---- block D2: NEW in round 5 (15) — locally oracle-proven only;
+    # they join block D at the head of the r06 window (33 + 15 = 48 slots,
+    # leaving 2 for the oldest r03 rows) ----
     "agg_count_min_sketch": sketches.agg_count_min_sketch,
     "dedup_minhash_error": dedup.dedup_minhash_error,
     "text_chunk_dedup_fraction": text_fns.text_chunk_dedup_fraction,
@@ -169,6 +169,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_jsd_source_drift": text_fns.text_jsd_source_drift,
     "events_ohlc_candles": relational.events_ohlc_candles,
     "events_lateness_audit": relational.events_lateness_audit,
+    "stream_ohlc_candles": stream_ops.stream_ohlc_candles,
     # ---- block E: round-3 driver rows (freshness ahead of block F) ----
     "scalar_variant_funcs": scalars.scalar_variant_funcs,
     "events_heavy_hitters": sketches.events_heavy_hitters,
@@ -3584,6 +3585,22 @@ _ORACLES.update({
                ROUND(COUNT(*) / n_total, 6) AS share
         FROM b CROSS JOIN t
         GROUP BY lateness_bucket, n_total
+    """,
+    # streaming OHLC == batch OHLC at end-of-stream (complete mode)
+    "stream_ohlc_candles": """
+        WITH e AS (
+            SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+                   printf('%020d-%012d', epoch_us(CAST(ts AS TIMESTAMP)),
+                          event_id) AS ok
+            FROM events)
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+               ROUND(arg_min(value, ok), 6) AS open,
+               ROUND(MAX(value), 6) AS high,
+               ROUND(MIN(value), 6) AS low,
+               ROUND(arg_max(value, ok), 6) AS close,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 6) AS volume
+        FROM e GROUP BY 1, 2
     """,
     # UNPRUNED brute-force range search: a green row certifies the Spark
     # side's cluster prune lossless

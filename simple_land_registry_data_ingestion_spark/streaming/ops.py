@@ -822,3 +822,47 @@ def stream_static_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_table(enriched, "complete")
+
+
+def stream_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of relational.events_ohlc_candles: per-type daily
+    OHLC candles maintained incrementally over the event stream —
+    min_by/max_by are ALGEBRAIC aggregates (their partial state is one
+    (key, value) pair), so Structured Streaming folds them per
+    micro-batch exactly like sum/count, and the end-of-stream complete-
+    mode result equals the batch GROUP BY, which is what the DuckDB twin
+    certifies.  The batch/stream pair pins that a rollup can move from
+    nightly to continuous without changing its numbers.
+
+    Ordering key: the same zero-padded (epoch-micros, event_id) string
+    as the batch version — deterministic across engines AND across
+    micro-batch arrival orders (the key is data-derived, not
+    arrival-derived)."""
+    ordkey = F.format_string(
+        "%020d-%012d",
+        F.unix_micros(F.col("ts")),
+        F.col("event_id"),
+    )
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.round(F.min_by("value", ordkey), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", ordkey), 6).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("volume"),
+        )
+    )
+    out = run_stream_to_table(agg, "complete")
+    return out.select(
+        _ntz("w.start").cast("date").alias("day"),
+        "event_type",
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_events",
+        "volume",
+    )
