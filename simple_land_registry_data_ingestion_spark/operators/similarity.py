@@ -1044,6 +1044,7 @@ def similarity_range_search(
     sf_dir: str,
     threshold: float = 0.30,
     k: int = NUM_CENTROIDS,
+    emb: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT cosine RANGE search (all neighbors with cosine >= t, not
     top-k) with LOSSLESS cluster pruning — the radius-query twin of the
@@ -1071,8 +1072,13 @@ def similarity_range_search(
 
     Output: (q_id, vec_id, cosine) for every corpus vector within the
     radius, self-pairs excluded, cosine 6-dp rounded (the rounded value
-    is also what the threshold tests, so the cut is engine-exact)."""
-    emb = load(spark, sf_dir, "embeddings")
+    is also what the threshold tests, so the cut is engine-exact).
+    ``emb`` overrides the corpus (tests inject a CLUSTERED frame to prove
+    the prune both fires and stays lossless); the returned frame carries
+    the surviving (query, cluster) cells as ``.surviving`` for the same
+    diagnostics purpose as jaccard_prefix_pairs.candidates."""
+    if emb is None:
+        emb = load(spark, sf_dir, "embeddings")
     cent = _centroids(emb, k)
     assign = ivf_assignments(emb, k)
     members = emb.join(assign, "vec_id").select(
@@ -1112,10 +1118,12 @@ def similarity_range_search(
     cos = dot(F.col("embedding"), F.col("q_vec")) / (
         F.col("m_norm") * F.col("q_norm")
     )
-    return (
+    out = (
         members.join(F.broadcast(surviving), "centroid_id")
         .where(F.col("vec_id") != F.col("q_id"))
         .withColumn("cosine", F.round(cos, 6))
         .where(F.col("cosine") >= F.lit(threshold))
         .select("q_id", "vec_id", "cosine")
     )
+    out.surviving = surviving.select("q_id", "centroid_id")  # type: ignore[attr-defined]
+    return out

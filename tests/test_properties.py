@@ -446,3 +446,86 @@ def test_jaccard_prefix_positional_filter_prunes_boilerplate(spark):
     # positional bound must remove the bulk of them
     assert n_without >= 100, (n_with, n_without)
     assert n_with <= n_without // 2, (n_with, n_without)
+
+
+def test_range_search_prune_fires_on_clustered_data_and_stays_lossless(spark):
+    """On isotropic test vectors the range-search cluster prune honestly
+    prunes ~nothing (documented); this plants a CLUSTERED corpus where it
+    must both (a) skip most (query, cluster) cells and (b) still return
+    exactly the brute-force answer.  Three tight clusters around
+    orthogonal axes: a query near axis 0 can only match cluster 0, so of
+    the k=3 surviving cells per query only ~1 should remain."""
+    import itertools
+    import math
+    import random
+
+    from simple_land_registry_data_ingestion_spark.operators import similarity
+
+    rng = random.Random(11)
+    dim = 8
+    vecs = {}
+    # centroid seeds first (vec_id < k become the centroids: axes 0,1,2)
+    for c in range(3):
+        base = [0.0] * dim
+        base[c] = 1.0
+        vecs[c] = base
+    vid = 3
+    for c in range(3):
+        for _ in range(40):
+            v = [rng.gauss(0, 0.05) for _ in range(dim)]
+            v[c] += 1.0
+            vecs[vid] = v
+            vid += 1
+    # queries: vec_id % 200 == 0 -> only vec_id 0 (the axis-0 centroid)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = similarity.similarity_range_search(
+        spark, "unused", threshold=0.8, k=3, emb=emb
+    )
+    got = {(r["q_id"], r["vec_id"]): r["cosine"] for r in out.collect()}
+    surviving = out.surviving.collect()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    want = {}
+    q = vecs[0]
+    for i, v in vecs.items():
+        if i == 0:
+            continue
+        c = round(cos(q, [float(x) for x in v]), 6)
+        if c >= 0.8:
+            want[(0, i)] = c
+    assert got == want            # lossless: exactly the brute-force answer
+    assert len(want) >= 30        # the planted cluster really is in-radius
+    # prune fired: the query kept at most 2 of the 3 cluster cells
+    assert 1 <= len(surviving) <= 2, surviving
+
+
+def test_scd2_build_intervals_partition_users_history(spark):
+    """cdc_scd2_build's output must be a valid type-2 history for every
+    user: intervals ordered and NON-overlapping (each valid_to equals the
+    next valid_from), exactly one open current row per user, first
+    interval starting at the user's first event, and consecutive
+    intervals never carrying the same event_type (runs are maximal)."""
+    from collections import defaultdict
+
+    from simple_land_registry_data_ingestion_spark.operators import relational
+    from tests.conftest import SF_SMALL
+
+    rows = relational.cdc_scd2_build(spark, SF_SMALL).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    assert by_user
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r["valid_from"])
+        opens = [r for r in ivs if r["valid_to"] is None]
+        assert len(opens) == 1 and ivs[-1]["is_current"], user
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"], (user, a, b)
+            assert a["event_type"] != b["event_type"], (user, a, b)
+        assert all(not r["is_current"] for r in ivs[:-1])
