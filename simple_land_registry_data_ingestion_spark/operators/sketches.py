@@ -206,9 +206,14 @@ def agg_count_min_sketch(
             % width
         )
 
+    # keyed is distinct-key-sized (tiny next to the corpus) and feeds five
+    # consumers (the key frame + one cell aggregate per depth row); lazily
+    # materialize it so the corpus is scanned and exact-aggregated ONCE —
+    # without this each cell frame replays the full scan+groupBy (plan
+    # audit showed 5 parquet scans).
     keyed = exact.select(
         "user_id", "n_exact", *[bucket(r).alias(f"b{r}") for r in range(depth)]
-    )
+    ).localCheckpoint(eager=False)
     est = keyed
     for r in range(depth):
         cells = keyed.groupBy(f"b{r}").agg(F.sum("n_exact").alias(f"cell{r}"))

@@ -568,3 +568,52 @@ def test_q5_q10_do_not_force_customer_broadcast(spark):
         # where customer itself fits -- that is the threshold working)
         assert plans.broadcast_join_count(df) >= 2, fn.__name__
         plans.assert_no_cartesian_product(df)
+
+
+def test_scd2_build_reuses_one_user_exchange(spark):
+    """Both window passes (run-start lag, interval-closing lead) partition
+    by user_id, so Catalyst must plan ONE hash exchange, not two — the
+    single per-user shuffle the docstring promises."""
+    df = relational.cdc_scd2_build(spark, SF_ORACLE)
+    assert plans.shuffle_count(df) == 1, plans.formatted_plan(df)
+
+
+def test_ohlc_candles_is_one_aggregation_no_window(spark):
+    """min_by/max_by keep OHLC a plain aggregate: exactly one exchange
+    (partial -> final agg) and no Window operator anywhere."""
+    df = relational.events_ohlc_candles(spark, SF_ORACLE)
+    plan = plans.formatted_plan(df)
+    assert plans.shuffle_count(df) == 1, plan
+    assert "Window" not in plan, plan
+
+
+def test_chunk_dedup_broadcasts_duplicate_chunks(spark):
+    """The duplicated-chunk set joins back by BROADCAST (it is small at
+    any dup rate); the corpus-side chunk table must never be the build
+    side of a shuffle join against itself."""
+    from simple_land_registry_data_ingestion_spark.functions import text as text_fns
+
+    df = text_fns.text_chunk_dedup_fraction(spark, SF_ORACLE)
+    assert plans.broadcast_join_count(df) >= 1, plans.formatted_plan(df)
+    plans.assert_no_cartesian_product(df)
+
+
+def test_count_min_sketch_scans_corpus_once_and_broadcasts_cells(spark):
+    """All four depth-row cell tables are width-bounded (64 rows) and must
+    broadcast onto the key frame; the keyed aggregate is materialized
+    once, so the plan contains exactly ONE parquet scan (an earlier shape
+    replayed the scan+groupBy per cell frame — 5 corpus scans)."""
+    from simple_land_registry_data_ingestion_spark.operators import sketches
+
+    df = sketches.agg_count_min_sketch(spark, SF_ORACLE)
+    plan = plans.formatted_plan(df)
+    assert plans.broadcast_join_count(df) >= 4, plan
+    assert plan.count("Scan parquet") <= 1, plan
+
+
+def test_range_search_broadcasts_queries_and_cells(spark):
+    """The scored side is members ⋈ broadcast(surviving cells): the corpus
+    is scanned, never shuffled pairwise; no cartesian anywhere."""
+    df = similarity.similarity_range_search(spark, SF_ORACLE)
+    assert plans.broadcast_join_count(df) >= 2, plans.formatted_plan(df)
+    plans.assert_no_cartesian_product(df)
