@@ -3388,18 +3388,23 @@ _ORACLES.update({
         big AS (
             SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
             FROM d, UNNEST(range(1, len(ws))) AS t(i)),
-        c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
-        c1 AS (SELECT w1, COUNT(*) AS c1, COUNT(DISTINCT w2) AS n1p_fwd
-               FROM big GROUP BY 1),
-        cont AS (SELECT w2, COUNT(DISTINCT w1) AS n1p_rev FROM big GROUP BY 1),
+        -- mirrors the Spark plan: one explode -> per-doc bigram counts,
+        -- every model factor derived from d12 (integer-exact sums), and
+        -- the occurrence-WEIGHTED mean log-prob
+        d12 AS (SELECT doc_id, w1, w2, COUNT(*) AS cnt
+                FROM big GROUP BY 1, 2, 3),
+        c12 AS (SELECT w1, w2, SUM(cnt) AS c12 FROM d12 GROUP BY 1, 2),
+        c1 AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1p_fwd
+               FROM c12 GROUP BY 1),
+        cont AS (SELECT w2, COUNT(*) AS n1p_rev FROM c12 GROUP BY 1),
         tot AS (SELECT COUNT(*) AS n1p_all FROM c12)
         SELECT doc_id,
-               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-               ROUND(exp(-AVG(ln(
+               CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+               ROUND(exp(-(SUM(cnt * ln(
                    GREATEST(c12 - 0.75, 0.0) / c1
                    + 0.75 * n1p_fwd / c1 * (n1p_rev / CAST(n1p_all AS DOUBLE))
-               ))) + 1e-9, 4) AS kn_perplexity
-        FROM big
+               )) / SUM(cnt))) + 1e-9, 4) AS kn_perplexity
+        FROM d12
         JOIN c12 USING (w1, w2)
         JOIN c1 USING (w1)
         JOIN cont USING (w2)

@@ -745,7 +745,7 @@ def text_chunk_dedup_fraction(
                 ),
             )
         ).alias("chunk"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     dup_chunks = (
         chunks.groupBy("chunk")
         .agg(F.count_distinct("doc_id").alias("n_docs"))
@@ -815,16 +815,25 @@ def text_bigram_kn_perplexity(
     big = docs.select("doc_id", F.explode(bi).alias("b")).select(
         "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
-    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = big.groupBy("w1").agg(
-        F.count(F.lit(1)).alias("c1"),
-        F.count_distinct("w2").alias("n1p_fwd"),
+    # ONE corpus explode: the per-doc bigram-count frame d12 is the only
+    # aggregation that touches `big`; every model factor then derives from
+    # d12 (vocab^2-bounded) — c12 / c1 / continuation / total are sums and
+    # distinct-counts OVER d12, all integer-exact, so the numbers equal
+    # the definitionally row-wise ones.  (An earlier shape replayed the
+    # explode per count table: 5 corpus passes.)
+    d12 = big.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint(eager=False)
+    c12 = d12.groupBy("w1", "w2").agg(F.sum("cnt").alias("c12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count(F.lit(1)).alias("n1p_fwd"),
     )
-    cont = big.groupBy("w2").agg(F.count_distinct("w1").alias("n1p_rev"))
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_rev"))
     total = c12.groupBy().agg(F.count(F.lit(1)).alias("n1p_all"))
     d = F.lit(discount)
     scored = (
-        big.join(c12, ["w1", "w2"])
+        d12.join(c12, ["w1", "w2"])
         .join(c1, "w1")
         .join(cont, "w2")
         .crossJoin(F.broadcast(total))
@@ -836,9 +845,14 @@ def text_bigram_kn_perplexity(
         / F.col("c1")
         * (F.col("n1p_rev") / F.col("n1p_all"))
     )
+    # occurrence-weighted mean log-prob == the row-wise mean (each distinct
+    # doc-bigram contributes cnt identical terms); the oracle computes the
+    # same weighted form so float association matches shape-for-shape
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.exp(-F.avg(F.log(p_kn))) + 1e-9, 4).alias("kn_perplexity"),
+        F.sum("cnt").alias("n_bigrams"),
+        F.round(
+            F.exp(-(F.sum(F.col("cnt") * F.log(p_kn)) / F.sum("cnt"))) + 1e-9, 4
+        ).alias("kn_perplexity"),
     )
 
 
@@ -860,14 +874,15 @@ def text_jsd_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "source", F.explode(words_col("text")).alias("w")
     )
+    # ONE corpus explode: marginals derive from the (source, word) counts
+    # — integer sums, so every downstream double equals the definitional
+    # direct count exactly and the oracle needs no mirroring
     per_sw = toks.groupBy("source", "w").agg(
         F.count(F.lit(1)).cast("double").alias("c_sw")
-    )
-    per_s = toks.groupBy("source").agg(
-        F.count(F.lit(1)).cast("double").alias("c_s")
-    )
-    per_w = toks.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c_w"))
-    total = toks.groupBy().agg(F.count(F.lit(1)).cast("double").alias("c_all"))
+    ).localCheckpoint(eager=False)
+    per_s = per_sw.groupBy("source").agg(F.sum("c_sw").alias("c_s"))
+    per_w = per_sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    total = per_sw.groupBy().agg(F.sum("c_sw").alias("c_all"))
     j = (
         per_sw.join(per_s, "source")
         .join(per_w, "w")

@@ -3111,7 +3111,7 @@ def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     per_source = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
+    ).localCheckpoint(eager=False)  # 20 rows, 3 consumers: scan corpus once
     totals = per_source.groupBy().agg(
         F.sum("n_docs").cast("double").alias("n_total"),
         F.count(F.lit(1)).cast("double").alias("n_sources"),
