@@ -57,13 +57,77 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessio
 #:             by tests/test_oracle_parity.py, which runs ALL entries).
 #: Rotate each round so no query's newest driver row ages past 2 rounds.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- r05 block A: code CHANGED this round (1) — positional filtering
-    # added to the PPJoin prune chain; output provably unchanged (oracle is
-    # still the unpruned brute-force join) but the r04 row describes a plan
-    # that no longer exists, so it re-earns its row first ----
+    # ---- r06 block A: code CHANGED this round (1) — the PPJoin LENGTH
+    # filter gained the same 1e-9 float-ceil slack as the alpha bound
+    # (r05 ADVICE); output provably unchanged (oracle is still the
+    # unpruned brute-force join) but the predicate differs, so it
+    # re-earns its driver row first ----
     "dedup_jaccard_prefix": dedup.dedup_jaccard_prefix,
-    # ---- r05 block B: round-4 additions with NO driver row yet (36) —
-    # the r04 verdict's mandate #2: these lead the r05 window ----
+    # ---- r06 block B: last driver evidence is ROUND 2 (33) — the oldest
+    # rows in the registry; the r05 close mandated they lead this
+    # window ----
+    "multimodal_binary_metadata": multimodal.multimodal_binary_metadata,
+    "multimodal_decode_features": multimodal.multimodal_decode_features,
+    "text_fingerprint": text_fns.text_fingerprint,
+    "text_stats_pandas_udf": text_fns.text_stats_pandas_udf,
+    "grouped_zscore_pandas": udfs.grouped_zscore_pandas,
+    "udtf_chunk_documents": udfs.udtf_chunk_documents,
+    "agg_approx_distinct": relational.agg_approx_distinct,
+    "agg_collect_sorted": relational.agg_collect_sorted,
+    "agg_distinct_counts": relational.agg_distinct_counts,
+    "agg_percentiles": relational.agg_percentiles,
+    "case_when_bucketing": relational.case_when_bucketing,
+    "cdc_snapshot_diff": relational.cdc_snapshot_diff,
+    "distinct_rows": relational.distinct_rows,
+    "filter_project": relational.filter_project,
+    "ingest_max_date": relational.ingest_max_date,
+    "ingest_run_summary": relational.ingest_run_summary,
+    "profile_columns": relational.profile_columns,
+    "q1_pricing_summary": relational.q1_pricing_summary,
+    "q6_revenue_filter": relational.q6_revenue_filter,
+    "sample_hash_deterministic": relational.sample_hash_deterministic,
+    "sample_stratified_fixed": relational.sample_stratified_fixed,
+    "sessionize_events": relational.sessionize_events,
+    "stream_dedup_within_watermark": stream_ops.stream_dedup_within_watermark,
+    "stream_session_window": stream_ops.stream_session_window,
+    "stream_sliding_window": stream_ops.stream_sliding_window,
+    "stream_stateful_user_stats": stream_ops.stream_stateful_user_stats,
+    "stream_stream_interval_join": stream_ops.stream_stream_interval_join,
+    "stream_tumbling_append_watermark": stream_ops.stream_tumbling_append_watermark,
+    "stream_tumbling_window": stream_ops.stream_tumbling_window,
+    "text_tfidf_topk": text_fns.text_tfidf_topk,
+    "text_vocab_topk": text_fns.text_vocab_topk,
+    "unpivot_measures": relational.unpivot_measures,
+    "window_rank_family": relational.window_rank_family,
+    # ---- r06 block C: round-5 additions taking their FIRST driver rows
+    # (15).  dedup_minhash_error's ORACLE changed this round (drives from
+    # cand with LEFT JOIN inter + COALESCE per r05 ADVICE) and
+    # similarity_range_search was refactored (diagnostics accessor split
+    # out), so their first rows also certify the new code ----
+    "agg_count_min_sketch": sketches.agg_count_min_sketch,
+    "dedup_minhash_error": dedup.dedup_minhash_error,
+    "text_chunk_dedup_fraction": text_fns.text_chunk_dedup_fraction,
+    "er_golden_record": mining.er_golden_record,
+    "similarity_range_search": similarity.similarity_range_search,
+    "cdc_scd2_build": relational.cdc_scd2_build,
+    "events_adoption_wilson": relational.events_adoption_wilson,
+    "text_bigram_kn_perplexity": text_fns.text_bigram_kn_perplexity,
+    "dedup_lsh_scurve": dedup.dedup_lsh_scurve,
+    "sample_importance_reweight": relational.sample_importance_reweight,
+    "agg_partial_merge": relational.agg_partial_merge,
+    "text_jsd_source_drift": text_fns.text_jsd_source_drift,
+    "events_ohlc_candles": relational.events_ohlc_candles,
+    "events_lateness_audit": relational.events_lateness_audit,
+    "stream_ohlc_candles": stream_ops.stream_ohlc_candles,
+    # ---- r06 block D: oldest round-3 row, padding the window to 50 ----
+    "scalar_variant_funcs": scalars.scalar_variant_funcs,
+    # ================= 50-slot driver-window boundary =================
+    # ---- block E: round-6 ADDITIONS (no driver evidence; locally
+    # oracle-proven by tests/test_oracle_parity.py) — they MUST lead the
+    # r07 window together with the remaining round-3 rows below ----
+    # (round-6 additions are appended here as they land)
+    # ---- block F: r05 driver rows, aging next-oldest after block B
+    # drains (36 round-4 additions certified r05) ----
     "er_sorted_neighborhood": mining.er_sorted_neighborhood,
     "events_attribution_last_touch": relational.events_attribution_last_touch,
     "text_collocations_pmi": text_fns.text_collocations_pmi,
@@ -100,7 +164,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_linear_trend": relational.events_linear_trend,
     "events_chi_square": relational.events_chi_square,
     "agg_histogram_2d": relational.agg_histogram_2d,
-    # ---- r05 block C: oldest round-2 rows, padding the window to 50 ----
+    # (13 more r05-certified rows — the former round-2 padding batch)
     "dedup_exact_documents": dedup.dedup_exact_documents,
     "cdc_latest_per_key": dedup.cdc_latest_per_key,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -114,64 +178,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ann_ivf": similarity.similarity_ann_ivf,
     "similarity_ann_lsh_multiprobe": similarity.similarity_ann_lsh_multiprobe,
     "similarity_bucket_histogram": similarity.similarity_bucket_histogram,
-    # ================= 50-slot driver-window boundary =================
-    # ---- block D: remaining round-2 rows (33) — MUST lead the r06
-    # window, before any round-5 addition and before anything holding
-    # r03/r04/r05 evidence; re-proven locally every run by
-    # tests/test_oracle_parity.py ----
-    "multimodal_binary_metadata": multimodal.multimodal_binary_metadata,
-    "multimodal_decode_features": multimodal.multimodal_decode_features,
-    "text_fingerprint": text_fns.text_fingerprint,
-    "text_stats_pandas_udf": text_fns.text_stats_pandas_udf,
-    "grouped_zscore_pandas": udfs.grouped_zscore_pandas,
-    "udtf_chunk_documents": udfs.udtf_chunk_documents,
-    "agg_approx_distinct": relational.agg_approx_distinct,
-    "agg_collect_sorted": relational.agg_collect_sorted,
-    "agg_distinct_counts": relational.agg_distinct_counts,
-    "agg_percentiles": relational.agg_percentiles,
-    "case_when_bucketing": relational.case_when_bucketing,
-    "cdc_snapshot_diff": relational.cdc_snapshot_diff,
-    "distinct_rows": relational.distinct_rows,
-    "filter_project": relational.filter_project,
-    "ingest_max_date": relational.ingest_max_date,
-    "ingest_run_summary": relational.ingest_run_summary,
-    "profile_columns": relational.profile_columns,
-    "q1_pricing_summary": relational.q1_pricing_summary,
-    "q6_revenue_filter": relational.q6_revenue_filter,
-    "sample_hash_deterministic": relational.sample_hash_deterministic,
-    "sample_stratified_fixed": relational.sample_stratified_fixed,
-    "sessionize_events": relational.sessionize_events,
-    "stream_dedup_within_watermark": stream_ops.stream_dedup_within_watermark,
-    "stream_session_window": stream_ops.stream_session_window,
-    "stream_sliding_window": stream_ops.stream_sliding_window,
-    "stream_stateful_user_stats": stream_ops.stream_stateful_user_stats,
-    "stream_stream_interval_join": stream_ops.stream_stream_interval_join,
-    "stream_tumbling_append_watermark": stream_ops.stream_tumbling_append_watermark,
-    "stream_tumbling_window": stream_ops.stream_tumbling_window,
-    "text_tfidf_topk": text_fns.text_tfidf_topk,
-    "text_vocab_topk": text_fns.text_vocab_topk,
-    "unpivot_measures": relational.unpivot_measures,
-    "window_rank_family": relational.window_rank_family,
-    # ---- block D2: NEW in round 5 (15) — locally oracle-proven only;
-    # they join block D at the head of the r06 window (33 + 15 = 48 slots,
-    # leaving 2 for the oldest r03 rows) ----
-    "agg_count_min_sketch": sketches.agg_count_min_sketch,
-    "dedup_minhash_error": dedup.dedup_minhash_error,
-    "text_chunk_dedup_fraction": text_fns.text_chunk_dedup_fraction,
-    "er_golden_record": mining.er_golden_record,
-    "similarity_range_search": similarity.similarity_range_search,
-    "cdc_scd2_build": relational.cdc_scd2_build,
-    "events_adoption_wilson": relational.events_adoption_wilson,
-    "text_bigram_kn_perplexity": text_fns.text_bigram_kn_perplexity,
-    "dedup_lsh_scurve": dedup.dedup_lsh_scurve,
-    "sample_importance_reweight": relational.sample_importance_reweight,
-    "agg_partial_merge": relational.agg_partial_merge,
-    "text_jsd_source_drift": text_fns.text_jsd_source_drift,
-    "events_ohlc_candles": relational.events_ohlc_candles,
-    "events_lateness_audit": relational.events_lateness_audit,
-    "stream_ohlc_candles": stream_ops.stream_ohlc_candles,
-    # ---- block E: round-3 driver rows (freshness ahead of block F) ----
-    "scalar_variant_funcs": scalars.scalar_variant_funcs,
+    # ---- block G: remaining round-3 driver rows — with the round-6
+    # additions of block E, these lead the r07 window ----
     "events_heavy_hitters": sketches.events_heavy_hitters,
     "sample_token_budget_mix": relational.sample_token_budget_mix,
     "events_anomaly_mad": relational.events_anomaly_mad,
@@ -3276,14 +3284,21 @@ _ORACLES.update({
             JOIN sh a ON a.doc_id = c.doc_a
             JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
             GROUP BY 1, 2)
-        SELECT i.doc_a, i.doc_b, e.est_jaccard,
-               ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard,
+        -- drive from cand (LEFT JOIN inter, zero-shared-shingle pairs kept
+        -- with jaccard 0), mirroring the Spark side: today equal min-md5
+        -- band values imply a shared shingle, but an md5 collision or a
+        -- banding change must not silently break parity
+        SELECT c.doc_a, c.doc_b, e.est_jaccard,
+               ROUND(COALESCE(n_inter, 0)
+                     / (sa.n_sh + sb.n_sh - COALESCE(n_inter, 0)), 6) AS jaccard,
                ROUND(ABS(e.est_jaccard
-                         - n_inter / (sa.n_sh + sb.n_sh - n_inter)), 6) AS abs_err
-        FROM inter i
-        JOIN est e ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
-        JOIN sizes sa ON i.doc_a = sa.doc_id
-        JOIN sizes sb ON i.doc_b = sb.doc_id
+                         - COALESCE(n_inter, 0)
+                           / (sa.n_sh + sb.n_sh - COALESCE(n_inter, 0))), 6) AS abs_err
+        FROM cand c
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN est e ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+        JOIN sizes sa ON c.doc_a = sa.doc_id
+        JOIN sizes sb ON c.doc_b = sb.doc_id
     """,
     # non-overlapping 10-word chunks; per-doc duplicated-chunk fraction
     "text_chunk_dedup_fraction": r"""

@@ -27,6 +27,8 @@ Scale design notes:
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1366,6 +1368,27 @@ def jaccard_prefix_pairs(
     third prune — results are identical either way (the property test
     asserts it); the flag exists so tests can MEASURE the candidate-count
     drop the prune buys."""
+    return _jaccard_prefix_build(docs, threshold, positional_filter).verified
+
+
+def jaccard_prefix_candidates(
+    docs: DataFrame, threshold: float = 0.5, positional_filter: bool = True
+) -> DataFrame:
+    """The post-prune candidate frame (doc_a, doc_b) of
+    ``jaccard_prefix_pairs`` — a separate accessor (not an attribute
+    monkey-patched onto the result DataFrame, which any _wrap or transform
+    would silently drop) so tests can MEASURE what each prune buys."""
+    return _jaccard_prefix_build(docs, threshold, positional_filter).candidates
+
+
+class _JaccardPrefixParts(NamedTuple):
+    verified: DataFrame
+    candidates: DataFrame
+
+
+def _jaccard_prefix_build(
+    docs: DataFrame, threshold: float, positional_filter: bool
+) -> "_JaccardPrefixParts":
     sh = shingle_table(docs)
     df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # ONE doc-keyed aggregation carries everything downstream needs: the
@@ -1453,9 +1476,13 @@ def jaccard_prefix_pairs(
     pos_ubound = F.lit(1) + F.least(
         F.col("n_a") - F.col("pos_a"), F.col("n_b") - F.col("pos_b")
     )
+    # Same 1e-9 slack as alpha: t*n whose double product lands just above
+    # an exactly-integral bound (e.g. 3.0000000000000004) must not ceil to
+    # a stricter size requirement and over-prune a boundary pair with
+    # J exactly equal to t.
     pruned = (
-        (F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
-        & (F.col("n_a") >= F.ceil(F.lit(threshold) * F.col("n_b")))
+        (F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a") - F.lit(1e-9)))
+        & (F.col("n_a") >= F.ceil(F.lit(threshold) * F.col("n_b") - F.lit(1e-9)))
     )
     if positional_filter:
         pruned = pruned & (pos_ubound >= alpha)
@@ -1474,10 +1501,7 @@ def jaccard_prefix_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    # Surface the post-prune candidate frame for tests/diagnostics without
-    # re-deriving the lineage (counting it measures what each prune buys).
-    verified.candidates = compatible  # type: ignore[attr-defined]
-    return verified
+    return _JaccardPrefixParts(verified=verified, candidates=compatible)
 
 
 def dedup_jaccard_prefix(

@@ -10,6 +10,8 @@ deterministic: hyperplanes derive from md5, ties break on vec_id.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1074,9 +1076,39 @@ def similarity_range_search(
     radius, self-pairs excluded, cosine 6-dp rounded (the rounded value
     is also what the threshold tests, so the cut is engine-exact).
     ``emb`` overrides the corpus (tests inject a CLUSTERED frame to prove
-    the prune both fires and stays lossless); the returned frame carries
-    the surviving (query, cluster) cells as ``.surviving`` for the same
-    diagnostics purpose as jaccard_prefix_pairs.candidates."""
+    the prune both fires and stays lossless); the surviving
+    (query, cluster) cells are exposed by the separate
+    ``range_search_surviving_cells`` accessor for the same diagnostics
+    purpose as jaccard_prefix_candidates."""
+    return _range_search_build(spark, sf_dir, threshold, k, emb).matches
+
+
+def range_search_surviving_cells(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.30,
+    k: int = NUM_CENTROIDS,
+    emb: DataFrame | None = None,
+) -> DataFrame:
+    """The (q_id, centroid_id) cells that survive the triangle-inequality
+    prune of ``similarity_range_search`` — a separate accessor (not an
+    attribute monkey-patched onto the result DataFrame, which any
+    transform would silently drop) so tests can measure the prune."""
+    return _range_search_build(spark, sf_dir, threshold, k, emb).surviving
+
+
+class _RangeSearchParts(NamedTuple):
+    matches: DataFrame
+    surviving: DataFrame
+
+
+def _range_search_build(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float,
+    k: int,
+    emb: DataFrame | None,
+) -> "_RangeSearchParts":
     if emb is None:
         emb = load(spark, sf_dir, "embeddings")
     cent = _centroids(emb, k)
@@ -1125,5 +1157,6 @@ def similarity_range_search(
         .where(F.col("cosine") >= F.lit(threshold))
         .select("q_id", "vec_id", "cosine")
     )
-    out.surviving = surviving.select("q_id", "centroid_id")  # type: ignore[attr-defined]
-    return out
+    return _RangeSearchParts(
+        matches=out, surviving=surviving.select("q_id", "centroid_id")
+    )

@@ -440,8 +440,10 @@ def test_jaccard_prefix_positional_filter_prunes_boilerplate(spark):
     }
     assert got_with == got_without  # lossless: identical verified output
     assert (100, 101) in got_with
-    n_with = with_pos.candidates.count()
-    n_without = without_pos.candidates.count()
+    n_with = dedup.jaccard_prefix_candidates(docs, threshold=0.5).count()
+    n_without = dedup.jaccard_prefix_candidates(
+        docs, threshold=0.5, positional_filter=False
+    ).count()
     # template-only pairs dominate the unpruned candidate set; the
     # positional bound must remove the bulk of them
     assert n_without >= 100, (n_with, n_without)
@@ -485,7 +487,9 @@ def test_range_search_prune_fires_on_clustered_data_and_stays_lossless(spark):
         spark, "unused", threshold=0.8, k=3, emb=emb
     )
     got = {(r["q_id"], r["vec_id"]): r["cosine"] for r in out.collect()}
-    surviving = out.surviving.collect()
+    surviving = similarity.range_search_surviving_cells(
+        spark, "unused", threshold=0.8, k=3, emb=emb
+    ).collect()
 
     def cos(a, b):
         d = sum(x * y for x, y in zip(a, b))
