@@ -125,7 +125,17 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- block E: round-6 ADDITIONS (no driver evidence; locally
     # oracle-proven by tests/test_oracle_parity.py) — they MUST lead the
     # r07 window together with the remaining round-3 rows below ----
-    # (round-6 additions are appended here as they land)
+    "text_ngram_novelty": dedup.text_ngram_novelty,
+    "dedup_tfidf_cosine": dedup.dedup_tfidf_cosine,
+    "text_readability": text_fns.text_readability,
+    "orders_penny_allocation": relational.orders_penny_allocation,
+    "orders_mix_shift_decomposition": relational.orders_mix_shift_decomposition,
+    "users_kaplan_meier": relational.users_kaplan_meier,
+    "events_theilsen_trend": relational.events_theilsen_trend,
+    "agg_bloom_filter_fpr": sketches.agg_bloom_filter_fpr,
+    "events_audience_overlap_hll": sketches.events_audience_overlap_hll,
+    "similarity_sq8_error": similarity.similarity_sq8_error,
+    "stream_two_level_window": stream_ops.stream_two_level_window,
     # ---- block F: r05 driver rows, aging next-oldest after block B
     # drains (36 round-4 additions certified r05) ----
     "er_sorted_neighborhood": mining.er_sorted_neighborhood,
@@ -3634,6 +3644,288 @@ _ORACLES.update({
                             * sqrt(list_dot_product(v.e, v.e))), 6) AS c
             FROM q JOIN v ON v.vec_id <> q_id)
         WHERE c >= 0.30
+    """,
+})
+
+# ---- round-6 additions (block E) ----
+_ORACLES.update({
+    # gram -> min-doc_id first occurrence; novelty credited to that doc only
+    "text_ngram_novelty": f"""
+        WITH {_SHINGLES_CTE},
+        firsts AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+        tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+                FROM sh GROUP BY 1),
+        nov AS (SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+                FROM firsts GROUP BY 1)
+        SELECT d.doc_id,
+               COALESCE(n_grams, 0) AS n_grams,
+               COALESCE(n_novel, 0) AS n_novel,
+               ROUND(CASE WHEN COALESCE(n_grams, 0) > 0
+                          THEN COALESCE(n_novel, 0) / CAST(n_grams AS DOUBLE)
+                          ELSE 0.0 END, 6) AS novelty_fraction
+        FROM documents d
+        LEFT JOIN tot ON d.doc_id = tot.doc_id
+        LEFT JOIN nov ON d.doc_id = nov.doc_id
+    """,
+    # identical float discipline as the Spark side: 6-dp idf, decimal norm
+    # sum, 6-dp unit coords, DECIMAL(18,9) pair contributions (exact,
+    # order-free sums on both engines); identical df-cap [2, 100] on the
+    # posting lists that generate pairs
+    "dedup_tfidf_cosine": r"""
+        WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+                   FROM documents),
+        tf AS (SELECT doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM d, UNNEST(ws) AS t(term) GROUP BY 1, 2),
+        dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_corpus
+              FROM documents),
+        w AS (SELECT doc_id, term, df, tf * ROUND(ln(n_corpus / df), 6) AS w
+              FROM tf JOIN dfc USING (term), n),
+        norms AS (SELECT doc_id,
+                         sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+                  FROM w GROUP BY 1),
+        unit AS (SELECT w.doc_id, term, df, ROUND(w / nrm, 6) AS u
+                 FROM w JOIN norms USING (doc_id) WHERE nrm > 0),
+        p AS (SELECT * FROM unit WHERE df BETWEEN 2 AND 100),
+        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         CAST(ROUND(a.u * b.u, 9) AS DECIMAL(18,9)) AS c
+                  FROM p a JOIN p b ON a.term = b.term AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS cosine
+        FROM pairs GROUP BY 1, 2
+        HAVING ROUND(CAST(SUM(c) AS DOUBLE), 6) >= 0.30
+    """,
+    # vowel-group syllable proxy; ordered integer folds; identical
+    # left-associated double expression for both scores
+    "text_readability": r"""
+        WITH d AS (SELECT doc_id, text,
+                          string_split_regex(lower(trim(text)), '\s+') AS ws
+                   FROM documents),
+        s AS (SELECT doc_id,
+                     CAST(len(ws) AS BIGINT) AS n_words,
+                     CAST(list_sum(list_transform(ws,
+                          w -> GREATEST(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+                          AS BIGINT) AS n_syllables,
+                     CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+                          AS BIGINT) AS n_sentences
+              FROM d)
+        SELECT doc_id, n_words, n_syllables, n_sentences,
+               ROUND(206.835 - 1.015 * (n_words / n_sentences)
+                             - 84.6 * (n_syllables / n_words), 6) AS flesch_ease,
+               ROUND(0.39 * (n_words / n_sentences)
+                     + 11.8 * (n_syllables / n_words) - 15.59, 6) AS fk_grade
+        FROM s
+    """,
+})
+
+_ORACLES.update({
+    # pure integer arithmetic: floor share = num // sum_w, leftover cents
+    # to the largest integer remainders (ties by line number)
+    "orders_penny_allocation": """
+        WITH o AS (SELECT o_orderkey,
+                          CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+                   FROM orders WHERE o_orderkey % 10 = 0),
+        l AS (SELECT l_orderkey AS o_orderkey, l_linenumber,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS w_cents
+              FROM lineitem),
+        s AS (SELECT o_orderkey, SUM(w_cents) AS sum_w FROM l GROUP BY 1),
+        base AS (SELECT l.o_orderkey, l_linenumber, total_cents, w_cents,
+                        total_cents * w_cents AS num,
+                        CAST(sum_w AS BIGINT) AS sum_w
+                 FROM l JOIN s USING (o_orderkey) JOIN o USING (o_orderkey)),
+        fl AS (SELECT o_orderkey, l_linenumber, total_cents, w_cents,
+                      num // sum_w AS floor_share, num % sum_w AS rem
+               FROM base),
+        r AS (SELECT *,
+                     total_cents - SUM(floor_share)
+                         OVER (PARTITION BY o_orderkey) AS leftover,
+                     ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                         ORDER BY rem DESC, l_linenumber ASC, w_cents ASC)
+                         AS rk
+              FROM fl)
+        SELECT o_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               CAST(floor_share
+                    + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc_cents
+        FROM r
+    """,
+    # exact cent sums -> deterministic divisions -> effects from 6-dp
+    # rounded operands
+    "orders_mix_shift_decomposition": """
+        WITH per AS (
+            SELECT c_mktsegment AS segment,
+                   EXTRACT(year FROM o_orderdate) AS yr,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+            GROUP BY 1, 2),
+        tot AS (SELECT yr, CAST(SUM(n) AS BIGINT) AS n_tot FROM per GROUP BY 1),
+        shaped AS (SELECT segment, yr, n,
+                          ROUND(n / n_tot, 6) AS share,
+                          ROUND(cents / n / 100.0, 6) AS rate
+                   FROM per JOIN tot USING (yr)),
+        p1 AS (SELECT segment, n AS n_1995, share AS share_1995,
+                      rate AS rate_1995 FROM shaped WHERE yr = 1995),
+        p2 AS (SELECT segment, n AS n_1996, share AS share_1996,
+                      rate AS rate_1996 FROM shaped WHERE yr = 1996)
+        SELECT segment, n_1995, n_1996, share_1995, share_1996,
+               rate_1995, rate_1996,
+               ROUND(share_1996 * (rate_1996 - rate_1995), 6) AS rate_effect,
+               ROUND((share_1996 - share_1995) * rate_1995, 6) AS mix_effect
+        FROM p1 FULL JOIN p2 USING (segment)
+    """,
+    # same quantized factors folded in the same ascending-duration order
+    "users_kaplan_meier": """
+        WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events),
+        u AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day,
+                     MAX(CAST(ts AS DATE)) AS last_day
+              FROM events GROUP BY 1),
+        lif AS (SELECT CAST(date_diff('day', first_day, last_day) AS BIGINT)
+                           AS duration,
+                       date_diff('day', last_day, max_day) < 3 AS censored
+                FROM u, mx),
+        durs AS (SELECT duration,
+                        CAST(SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END)
+                             AS BIGINT) AS n_churned,
+                        CAST(SUM(CASE WHEN censored THEN 1 ELSE 0 END)
+                             AS BIGINT) AS n_censored
+                 FROM lif GROUP BY 1),
+        f AS (SELECT duration, n_churned, n_censored,
+                     CAST(SUM(n_churned + n_censored)
+                          OVER (ORDER BY duration DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS n_at_risk
+              FROM durs),
+        fq AS (SELECT *, ROUND(1.0 - n_churned / n_at_risk, 6) AS factor
+               FROM f),
+        arr AS (SELECT list(struct_pack(duration := duration, factor := factor)
+                            ORDER BY duration) AS fs
+                FROM fq),
+        folded AS (
+            SELECT (fs[i]).duration AS duration,
+                   ROUND(list_reduce(list_transform(fs[1:i], s -> s.factor),
+                                     (a, b) -> a * b), 6) AS survival
+            FROM arr, UNNEST(range(1, len(fs) + 1)) AS t(i))
+        SELECT fq.duration AS duration_days, n_at_risk, n_churned,
+               n_censored, survival
+        FROM fq JOIN folded ON fq.duration = folded.duration
+    """,
+    # hand-rolled sorted-array median (odd -> middle, even -> midpoint),
+    # identical indexing formula as the Spark side (0-based there, +1 here)
+    "events_theilsen_trend": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2),
+        dd AS (SELECT event_type,
+                      CAST(date_diff('day', DATE '2024-01-01', d) AS BIGINT)
+                          AS epoch_d,
+                      cents
+               FROM daily),
+        slopes AS (SELECT a.event_type,
+                          (b.cents - a.cents) / (b.epoch_d - a.epoch_d) AS slope
+                   FROM dd a JOIN dd b ON a.event_type = b.event_type
+                                      AND a.epoch_d < b.epoch_d),
+        agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                       list_sort(list(slope)) AS ss
+                FROM slopes GROUP BY 1),
+        nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+               FROM daily GROUP BY 1)
+        SELECT event_type, n_days, n_pairs,
+               ROUND((ss[CAST(floor((len(ss) - 1) / 2) AS BIGINT) + 1]
+                      + ss[CAST(floor(len(ss) / 2) AS BIGINT) + 1]) / 2.0,
+                     6) AS theilsen_slope
+        FROM agg JOIN nd USING (event_type)
+    """,
+    # byte-identical filter: same md5 positions, same m/k
+    "agg_bloom_filter_fpr": """
+        WITH buyers AS (SELECT DISTINCT o_custkey AS key FROM orders
+                        WHERE o_orderdate < DATE '1996-01-01'),
+        nb AS (SELECT c_custkey AS key FROM customer
+               WHERE c_custkey NOT IN (SELECT key FROM buyers)),
+        bpos AS (SELECT DISTINCT
+                        ('0x' || substring(md5(i || ':' || CAST(key AS VARCHAR)),
+                                           1, 8))::BIGINT % 4096 AS bit
+                 FROM buyers, UNNEST([0, 1, 2]) AS t(i)),
+        ppos AS (SELECT key,
+                        ('0x' || substring(md5(i || ':' || CAST(key AS VARCHAR)),
+                                           1, 8))::BIGINT % 4096 AS bit
+                 FROM nb, UNNEST([0, 1, 2]) AS t(i)),
+        fp AS (SELECT key FROM ppos WHERE bit IN (SELECT bit FROM bpos)
+               GROUP BY key HAVING COUNT(*) = 3),
+        counts AS (
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM buyers) AS n_keys,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM bpos) AS n_bits_set,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM nb) AS n_probes,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM fp)
+                       AS n_false_positives)
+        SELECT n_keys, n_bits_set, n_probes, n_false_positives,
+               ROUND(n_false_positives / n_probes, 6) AS fpr_measured,
+               n_false_positives / n_probes
+                   <= 3.0 * POWER(1.0 - POWER(1.0 - 1.0 / 4096, 3 * n_keys),
+                                  3) + 1e-3 AS within_bound
+        FROM counts
+    """,
+    # same per-dim grid, same round-half-up quantization, same
+    # dimension-order error folds
+    "similarity_sq8_error": f"""
+        WITH {_VEC_CTE},
+        d AS (SELECT vec_id, i, e[i] AS x
+              FROM v, UNNEST(range(1, len(e) + 1)) AS t(i)),
+        st AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM d GROUP BY 1),
+        b AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
+              FROM st),
+        q AS (SELECT vec_id,
+                     list_transform(range(1, len(e) + 1),
+                         i -> CASE WHEN maxs[i] > mins[i]
+                                   THEN e[i] - (mins[i]
+                                        + ROUND(255.0 * (e[i] - mins[i])
+                                                / (maxs[i] - mins[i]))
+                                          / 255 * (maxs[i] - mins[i]))
+                                   ELSE 0.0 END) AS errs
+              FROM v, b)
+        SELECT vec_id,
+               ROUND(list_reduce(list_transform(errs, x -> x * x),
+                                 (a, b) -> a + b) / len(errs), 8) AS mse,
+               ROUND(list_max(list_transform(errs, x -> abs(x))), 8)
+                   AS max_abs_err
+        FROM q
+    """,
+    # append-mode chained-window semantics: hours whose end the final
+    # watermark (max ts - 1h) passed, rolled to days whose end it passed
+    "stream_two_level_window": """
+        WITH wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS w FROM events),
+        h AS (SELECT date_trunc('hour', ts) AS hr, event_type,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+        hh AS (SELECT hr, event_type, n FROM h, wm
+               WHERE hr + INTERVAL 1 HOUR <= w)
+        SELECT CAST(date_trunc('day', hr) AS TIMESTAMP) AS day_start,
+               event_type,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_hours
+        FROM hh, wm
+        WHERE date_trunc('day', hr) + INTERVAL 1 DAY <= w
+        GROUP BY 1, 2
+    """,
+    # exact overlap drives the hash; the HLL bound is certified TRUE
+    # (estimates are implementation-defined, properties are the facts)
+    "events_audience_overlap_hll": """
+        WITH t AS (SELECT DISTINCT event_type FROM events),
+        ut AS (SELECT DISTINCT event_type, user_id FROM events),
+        ov AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                      CAST(COUNT(*) AS BIGINT) AS exact_overlap
+               FROM ut a JOIN ut b ON a.user_id = b.user_id
+                                  AND a.event_type < b.event_type
+               GROUP BY 1, 2)
+        SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+               CAST(COALESCE(exact_overlap, 0) AS BIGINT) AS exact_overlap,
+               TRUE AS within_bound
+        FROM t ta JOIN t tb ON ta.event_type < tb.event_type
+        LEFT JOIN ov ON ov.type_a = ta.event_type
+                    AND ov.type_b = tb.event_type
     """,
 })
 

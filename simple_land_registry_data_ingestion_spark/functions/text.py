@@ -923,3 +923,52 @@ def text_jsd_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jsd"),
         )
     )
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document, with a
+    deterministic vowel-group syllable proxy (syllables(word) =
+    max(1, count of [aeiouy]+ runs) — the standard dictionary-free
+    heuristic; CMUdict-grade syllabification would be a broadcast lookup
+    join in production).
+
+    Readability is a stock quality-filter feature next to the Gopher
+    rules: too-low grade flags listicles/boilerplate, too-high flags
+    OCR garbage and run-on extraction errors.  Everything is one
+    codegen'd scan — array transform + ordered fold for syllables (both
+    engines fold in list order over integers, so the sum is exact),
+    regexp_count for sentence terminators; no shuffle at all.
+
+    Output: (doc_id, n_words, n_syllables, n_sentences, flesch_ease,
+    fk_grade), 6-dp doubles computed with the identical left-associated
+    IEEE expression on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    ws = words_col("text")
+    n_words = F.size(ws).cast("long")
+    syllables = F.aggregate(
+        F.transform(
+            ws,
+            lambda w: F.greatest(
+                F.lit(1), F.regexp_count(w, F.lit(r"[aeiouy]+"))
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    n_sentences = F.greatest(
+        F.lit(1), F.regexp_count(F.col("text"), F.lit(r"[.!?]+"))
+    ).cast("long")
+    wps = n_words / n_sentences
+    spw = syllables / n_words
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        syllables.alias("n_syllables"),
+        n_sentences.alias("n_sentences"),
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+        ).alias("flesch_ease"),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+        ).alias("fk_grade"),
+    )

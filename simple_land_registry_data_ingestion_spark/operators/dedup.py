@@ -32,6 +32,7 @@ from typing import NamedTuple
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from simple_land_registry_data_ingestion_spark.functions.text import words_col
 from simple_land_registry_data_ingestion_spark.functions.vectors import dot, norm
 from simple_land_registry_data_ingestion_spark.tables import fan_out, load
 
@@ -1736,4 +1737,135 @@ def dedup_lsh_scurve(spark: SparkSession, sf_dir: str, sample: int = 200) -> Dat
         F.sum("is_cand").cast("long").alias("n_candidates"),
         F.round(F.sum("is_cand") / F.count(F.lit(1)), 6).alias("cand_rate"),
         F.round(F.avg("p_theory"), 6).alias("avg_p_theory"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: corpus novelty curve + sparse TF-IDF cosine join
+# ---------------------------------------------------------------------------
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus DIVERSITY GROWTH curve: per document (in doc_id ingestion
+    order), how many of its distinct word 3-grams appear in NO earlier
+    document — the data-ablation signal ("is the marginal document adding
+    anything?") curation pipelines read before buying another crawl.
+
+    A gram credits novelty to exactly its MIN-doc_id occurrence, so the
+    whole metric is two corpus-linear aggregations of one shingle explode
+    (gram -> first_doc; doc -> totals) plus a join of two doc-keyed
+    narrow frames back onto the doc spine — no doc pair ever joins, no
+    window over the corpus.  At 100 TB "earlier" generalizes to any total
+    order carried as a column (crawl timestamp, shard id).
+
+    Output: (doc_id, n_grams, n_novel, novelty_fraction), zero rows for
+    sub-3-word docs kept with fraction 0."""
+    docs = load(spark, sf_dir, "documents")
+    sh = shingle_table(docs)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    totals = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
+    n_grams = F.coalesce("n_grams", F.lit(0)).cast("long")
+    n_novel = F.coalesce("n_novel", F.lit(0)).cast("long")
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_grams.alias("n_grams"),
+            n_novel.alias("n_novel"),
+            F.round(
+                F.when(n_grams > 0, n_novel / n_grams).otherwise(F.lit(0.0)), 6
+            ).alias("novelty_fraction"),
+        )
+    )
+
+
+def dedup_tfidf_cosine(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.30,
+    df_cap: int = 100,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join via an INVERTED INDEX — the
+    text-similarity-at-scale shape (term-at-a-time posting-list join,
+    Elasticsearch/Lucene's scoring dataflow re-expressed relationally):
+    documents never pair up directly; pair contributions are generated
+    per shared term inside that term's posting list and summed.
+
+    Scale discipline mirrors dedup_ngram_jaccard: terms with df > df_cap
+    (stopword-grade postings whose lists would go quadratic) are EXCLUDED
+    from pair generation — deliberately lossy for scoring (documented;
+    high-df terms carry near-zero idf weight anyway) while norms keep
+    every term; the oracle applies the identical cap so the green row
+    certifies the exact semantics as specified.  Hot surviving lists
+    spread through bucket_pairs(distribute_threshold).
+
+    Cross-engine float discipline (the whole design problem here):
+    idf is 6-dp quantized (ln may differ by an ulp across libms); per-doc
+    norm sums w^2 as DECIMAL(38,12) (exact, order-free) before one
+    correctly-rounded sqrt; unit coordinates are 6-dp quantized; pair
+    contributions are 9-dp DECIMAL(18,9) so the per-pair sum is again
+    exact and order-free.  Every non-deterministic float reduction is
+    replaced by a decimal one — the same trick as the k-means oracles.
+
+    Output: (doc_a, doc_b, cosine) for pairs with 6-dp cosine >= t.
+    ``docs`` overrides the corpus (tests plant duplicates)."""
+    if docs is None:
+        docs = load(spark, sf_dir, "documents")
+    n_docs = docs.agg(
+        F.count_distinct("doc_id").cast("double").alias("n_corpus")
+    )
+    tf = (
+        fan_out(docs)
+        .select("doc_id", F.explode(words_col("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    w = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("idf", F.round(F.log(F.col("n_corpus") / F.col("df")), 6))
+        .withColumn("w", F.col("tf") * F.col("idf"))
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum((F.col("w") * F.col("w")).cast("decimal(38,12)")).cast(
+                "double"
+            )
+        ).alias("nrm")
+    )
+    unit = (
+        w.join(norms, "doc_id")
+        .where(F.col("nrm") > 0)
+        .select(
+            "doc_id",
+            "term",
+            "df",
+            F.round(F.col("w") / F.col("nrm"), 6).alias("u"),
+        )
+    )
+    postings = unit.where((F.col("df") >= 2) & (F.col("df") <= df_cap))
+    grouped = postings.groupBy("term").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "u"))).alias("ids")
+    )
+    pairs = bucket_pairs(grouped, distribute_threshold=256)
+    contrib = F.round(F.col("doc_a.u") * F.col("doc_b.u"), 9).cast(
+        "decimal(18,9)"
+    )
+    return (
+        pairs.select(
+            F.col("doc_a.doc_id").alias("doc_a"),
+            F.col("doc_b.doc_id").alias("doc_b"),
+            contrib.alias("c"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.round(F.sum("c").cast("double"), 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
     )

@@ -3286,3 +3286,318 @@ def events_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_events") / F.col("n_total"), 6).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: financial allocation, variance decomposition, survival analysis,
+# robust trend estimation
+# ---------------------------------------------------------------------------
+
+def orders_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder pro-rata allocation: distribute each order's total
+    across its lineitems in proportion to extended price so the per-line
+    cent amounts sum EXACTLY to the order total — the invoice/royalty/
+    cost-allocation primitive every financial mart needs, and the classic
+    place naive float math loses pennies.
+
+    ENTIRELY integer arithmetic, so both engines agree bit-for-bit with no
+    rounding discipline needed: amounts become cents (BIGINT), the floor
+    share is the integer division total_cents * w_cents // sum_w, and the
+    leftover R = total_cents - sum(floors) cents go one each to the R
+    lines with the LARGEST integer remainder (ties by line number —
+    deterministic).  Plan: one groupBy(orderkey) for per-order sums, one
+    window per order for remainder ranks — both on the same key, ONE
+    shuffle total (the window reuses the aggregation's partitioning).
+    Scoped to o_orderkey % 10 = 0 to keep the driver compare bounded; the
+    plan is scoped-filter-then-allocate and scales in the filter.
+
+    Output: (o_orderkey, l_linenumber, alloc_cents) with
+    sum(alloc_cents) per order == round(o_totalprice * 100)."""
+    orders = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
+    li = load(spark, sf_dir, "lineitem")
+    w_cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    lines = li.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        w_cents.alias("w_cents"),
+    )
+    totals = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+    )
+    per_order = lines.groupBy("o_orderkey").agg(
+        F.sum("w_cents").alias("sum_w")
+    )
+    base = (
+        lines.join(per_order, "o_orderkey")
+        .join(totals, "o_orderkey")
+        .withColumn("num", F.col("total_cents") * F.col("w_cents"))
+        .withColumn("floor_share", (F.col("num") - F.col("num") % F.col("sum_w")) / F.col("sum_w"))
+        .withColumn("floor_share", F.col("floor_share").cast("long"))
+        .withColumn("rem", F.col("num") % F.col("sum_w"))
+    )
+    # l_linenumber is NOT unique per order in this corpus (generator
+    # artifact), so the remainder rank also orders by w_cents: rows that
+    # still tie are bit-identical (same floor share, same remainder), and
+    # whichever of them takes the +1 cent yields the same output MULTISET
+    # — deterministic across engines without a unique line key.
+    worder = Window.partitionBy("o_orderkey")
+    rank_w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("rem").desc(), F.col("l_linenumber").asc(), F.col("w_cents").asc()
+    )
+    return (
+        base.withColumn(
+            "leftover", F.col("total_cents") - F.sum("floor_share").over(worder)
+        )
+        .withColumn("rk", F.row_number().over(rank_w))
+        .select(
+            "o_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            (
+                F.col("floor_share")
+                + F.when(F.col("rk") <= F.col("leftover"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).cast("long").alias("alloc_cents"),
+        )
+    )
+
+
+def orders_mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period RATE/MIX variance decomposition of average order
+    value by market segment (1995 vs 1996): the BI bridge that answers
+    "did revenue-per-order move because segments got better, or because
+    the segment MIX shifted?".
+
+    Closed form: with per-segment share w_ps = n_ps / N_p and rate
+    r_ps = revenue_ps / n_ps, the overall delta R2 - R1 decomposes as
+    sum_s[w2(r2 - r1)] (rate effect) + sum_s[(w2 - w1) r1] (mix effect)
+    — exact, no residual term, because R_p = sum_s w_ps * r_ps.
+
+    Cross-engine float discipline: revenue sums are CENTS (BIGINT, exact
+    and order-free); shares and rates are single deterministic divisions
+    of those integers; effects are products/differences of 6-dp-rounded
+    operands so the final rounding cannot sit on a libm boundary.  Plan:
+    orders joined to the broadcast customer-segment dim (narrow columns),
+    ONE groupBy (segment, year), then a 10-row self-pivot — the decades-of
+    -data version aggregates per (segment, period) first and the
+    decomposition never touches the fact table again."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per = (
+        orders.where(F.year("o_orderdate").isin(1995, 1996))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+    )
+    tot = per.groupBy("yr").agg(F.sum("n").alias("n_tot"))
+    shaped = (
+        per.join(tot, "yr")
+        .withColumn("share", F.round(F.col("n") / F.col("n_tot"), 6))
+        .withColumn("rate", F.round(F.col("cents") / F.col("n") / 100.0, 6))
+    )
+    p1 = shaped.where(F.col("yr") == 1995).select(
+        "segment",
+        F.col("n").alias("n_1995"),
+        F.col("share").alias("share_1995"),
+        F.col("rate").alias("rate_1995"),
+    )
+    p2 = shaped.where(F.col("yr") == 1996).select(
+        "segment",
+        F.col("n").alias("n_1996"),
+        F.col("share").alias("share_1996"),
+        F.col("rate").alias("rate_1996"),
+    )
+    return (
+        p1.join(p2, "segment", "full")
+        .select(
+            "segment",
+            "n_1995",
+            "n_1996",
+            "share_1995",
+            "share_1996",
+            "rate_1995",
+            "rate_1996",
+            F.round(
+                F.col("share_1996") * (F.col("rate_1996") - F.col("rate_1995")),
+                6,
+            ).alias("rate_effect"),
+            F.round(
+                (F.col("share_1996") - F.col("share_1995")) * F.col("rate_1995"),
+                6,
+            ).alias("mix_effect"),
+        )
+    )
+
+
+def users_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve over user activity
+    lifetimes — THE churn/retention estimator that handles censoring
+    correctly (a user still active at the end of the observation window
+    is censored, not churned; naive retention curves conflate the two).
+
+    Per user: lifetime = last-event day - first-event day; censored if
+    the last event falls within 3 days of the corpus max day.  At each
+    distinct event time d: deaths(d) = uncensored lifetimes == d,
+    at_risk(d) = lifetimes >= d (deaths AND censored — censoring removes
+    from risk AFTER d), factor = 1 - deaths/at_risk, and
+    S(d) = prod_{d' <= d} factor(d').
+
+    The cumulative product is the float hazard: a groupBy product is
+    order-free only in exact arithmetic.  Both engines instead fold the
+    SAME 6-dp-quantized factors in the SAME ascending-duration order
+    (array slice + ordered reduce over the duration-level table, <= ~30
+    rows here and bounded by distinct durations everywhere), so the
+    whole curve is deterministic IEEE.  The event stream collapses to a
+    per-user aggregate, then to a duration-level aggregate; nothing
+    quadratic ever touches event rows — the slice-fold is O(D^2) on the
+    DURATION table only.
+
+    Output: (duration_days, n_at_risk, n_churned, n_censored, survival)."""
+    ev = load(spark, sf_dir, "events")
+    corpus_max = ev.agg(F.max(F.to_date("ts")).alias("max_day"))
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("first_day"),
+            F.max(F.to_date("ts")).alias("last_day"),
+        )
+        .crossJoin(F.broadcast(corpus_max))
+        .select(
+            F.datediff("last_day", "first_day").cast("long").alias("duration"),
+            (F.datediff("max_day", "last_day") < 3).alias("censored"),
+        )
+    )
+    durs = users.groupBy("duration").agg(
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_churned"),
+        F.sum(F.when(F.col("censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_censored"),
+    )
+    # at_risk(d) = all users with duration >= d: suffix sum over the tiny
+    # duration-level frame via a single-partition window (duration-level
+    # cardinality is bounded by the observation span, not the corpus)
+    w_at_risk = (
+        Window.orderBy(F.col("duration").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at_risk = durs.withColumn(
+        "n_at_risk", F.sum(F.col("n_churned") + F.col("n_censored")).over(w_at_risk)
+    ).withColumn(
+        "factor",
+        F.round(
+            F.lit(1.0) - F.col("n_churned") / F.col("n_at_risk"), 6
+        ),
+    )
+    # ordered fold of the quantized factors: collect the duration-level
+    # rows once, then for each duration multiply the factors of all
+    # durations <= it in ascending order — identical fold on both engines
+    folded = (
+        at_risk.groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("duration", "factor"))
+            ).alias("fs")
+        )
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("fs")),
+                    lambda i: F.struct(
+                        F.get(F.col("fs"), i - 1)["duration"].alias("duration"),
+                        F.aggregate(
+                            F.slice("fs", F.lit(1), i),
+                            F.lit(1.0),
+                            lambda acc, s: acc * s["factor"],
+                        ).alias("surv_raw"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select(
+            F.col("s.duration").alias("duration"),
+            F.round(F.col("s.surv_raw"), 6).alias("survival"),
+        )
+    )
+    return (
+        at_risk.join(folded, "duration")
+        .select(
+            F.col("duration").alias("duration_days"),
+            "n_at_risk",
+            "n_churned",
+            "n_censored",
+            "survival",
+        )
+    )
+
+
+def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the MEDIAN of all pairwise
+    slopes between DAILY aggregates — up to ~29% outlier contamination
+    tolerance where OLS (events_linear_trend) breaks on one bad day.
+
+    The pair space is deliberately built on the DAY-level aggregate, so
+    the quadratic is bounded by observation days squared per type (~900
+    pairs/type here; a year is ~66k) — never event rows.  Day totals are
+    exact integer cents; each pairwise slope is one deterministic double
+    division; the median of an odd/even set is the standard midpoint,
+    identical on both engines.  Output: (event_type, n_days, n_pairs,
+    theilsen_slope) — slope in value-cents per day, 6 dp."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    ).withColumn("epoch_d", F.datediff(F.col("d"), F.lit("2024-01-01")).cast("long"))
+    a = daily.select(
+        "event_type",
+        F.col("epoch_d").alias("d_a"),
+        F.col("cents").alias("c_a"),
+    )
+    b = daily.select(
+        "event_type",
+        F.col("epoch_d").alias("d_b"),
+        F.col("cents").alias("c_b"),
+    )
+    slopes = (
+        a.join(b, "event_type")
+        .where(F.col("d_a") < F.col("d_b"))
+        .select(
+            "event_type",
+            (
+                (F.col("c_b") - F.col("c_a")) / (F.col("d_b") - F.col("d_a"))
+            ).alias("slope"),
+        )
+    )
+    # median computed EXPLICITLY from the sorted slope array with one
+    # shared formula (odd -> middle element, even -> (lo + hi) / 2) —
+    # built-in percentile/quantile_cont interpolation formulas are
+    # engine-specific at the last ulp, the hand-rolled midpoint is not
+    sorted_slopes = F.array_sort(F.collect_list("slope"))
+    n = F.size(sorted_slopes)
+    lo = F.get(sorted_slopes, F.floor((n - 1) / 2).cast("int"))
+    hi = F.get(sorted_slopes, F.floor(n / 2).cast("int"))
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round((lo + hi) / 2.0, 6).alias("theilsen_slope"),
+        )
+        .join(
+            daily.groupBy("event_type").agg(
+                F.count(F.lit(1)).cast("long").alias("n_days")
+            ),
+            "event_type",
+        )
+        .select("event_type", "n_days", "n_pairs", "theilsen_slope")
+    )

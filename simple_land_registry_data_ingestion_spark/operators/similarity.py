@@ -1160,3 +1160,70 @@ def _range_search_build(
     return _RangeSearchParts(
         matches=out, surviving=surviving.select("q_id", "centroid_id")
     )
+
+
+def similarity_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 scalar-quantization (SQ8) certification: per-dimension min/max
+    over the corpus define a 256-level uniform grid; every coordinate is
+    quantized to its nearest level and reconstructed, and the query
+    reports each vector's reconstruction MSE and max absolute error —
+    the FAISS ScalarQuantizer storage path that cuts vector memory 4x
+    before any PQ/IVF structure, certified end-to-end like
+    similarity_pq_adc certifies the product-quantization path.
+
+    Plan: one posexplode + groupBy(dim) produces the DIM-sized stats
+    frame (64 rows), collected into two aligned arrays and broadcast —
+    the corpus is then scanned ONCE with row-local zip_with arithmetic;
+    no second shuffle, no pairwise anything.  At 100 TB the stats frame
+    is a constant-size aggregation and the encode is a map-only pass —
+    exactly how an at-rest SQ8 rewrite would run.
+
+    Determinism: quantization is round-half-up on identical doubles,
+    error folds run in array (dimension) order on both engines, min/max
+    are order-free — every number in the output is bit-reproducible.
+
+    Output: (vec_id, mse, max_abs_err), 8 dp."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    dims = emb.select(F.posexplode(e).alias("dim", "x"))
+    stats = dims.groupBy("dim").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    bounds = stats.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mn"))),
+            lambda s: s["mn"],
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mx"))),
+            lambda s: s["mx"],
+        ).alias("maxs"),
+    )
+    code = lambda x, mn, mx: F.round(  # noqa: E731
+        F.lit(255.0) * (x - mn) / (mx - mn)
+    )
+    err = lambda x, mn, mx: F.when(  # noqa: E731
+        mx > mn, x - (mn + code(x, mn, mx) / 255 * (mx - mn))
+    ).otherwise(F.lit(0.0))
+    errs = F.zip_with(
+        e,
+        F.arrays_zip("mins", "maxs"),
+        lambda x, b: err(x, b["mins"], b["maxs"]),
+    )
+    return (
+        emb.crossJoin(F.broadcast(bounds))
+        .select("vec_id", errs.alias("errs"))
+        .select(
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    "errs", F.lit(0.0), lambda acc, x: acc + x * x
+                )
+                / F.size("errs"),
+                8,
+            ).alias("mse"),
+            F.round(
+                F.array_max(F.transform("errs", lambda x: F.abs(x))), 8
+            ).alias("max_abs_err"),
+        )
+    )

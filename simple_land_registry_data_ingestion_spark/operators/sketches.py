@@ -226,3 +226,169 @@ def agg_count_min_sketch(
             F.least(*[F.col(f"cell{r}") for r in range(depth)]) - F.col("n_exact")
         ).alias("overestimate"),
     )
+
+
+def agg_bloom_filter_fpr(
+    spark: SparkSession, sf_dir: str, m: int = 4096, k: int = 3
+) -> DataFrame:
+    """Bloom-filter certification built ENTIRELY from relational ops
+    (Bloom 1970): insert every BUYER (distinct o_custkey) into an m-bit
+    filter via k md5-derived bit positions, probe every NON-buyer
+    customer, and report the measured false-positive rate next to the
+    classic bound — the same self-certification pattern as
+    agg_count_min_sketch (both engines build byte-identical filters, so
+    the driver hashes the whole certification row).
+
+    Why it matters at 100 TB: a Bloom filter is the standard shuffle
+    killer for selective joins (Spark's own runtime bloom-filter join
+    pruning, pinned on in session defaults, is exactly this structure);
+    this query certifies the mechanics end-to-end — the bit positions
+    ARE the relational plan: keys explode to k (bit) rows, the filter is
+    the DISTINCT position set (m-bounded, broadcastable by
+    construction), a probe is a left join counting matched positions,
+    and positive == all k matched.
+
+    fpr_theory = (1 - (1 - 1/m)^(k*n))^k; within_bound compares measured
+    <= 3x theory as a BOOLEAN so libm pow ulps cannot flip the hash.
+    Output: one row (n_keys, n_bits_set, n_probes, n_false_positives,
+    fpr_measured, within_bound)."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    # keys = 1995 buyers; probes = the rest (on this synthetic corpus every
+    # customer eventually buys, so the full-history key set would leave
+    # zero true negatives to measure FPR on)
+    buyers = (
+        orders.where(F.col("o_orderdate") < F.lit("1996-01-01"))
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    non_buyers = (
+        customer.select(F.col("c_custkey").alias("key"))
+        .join(buyers, "key", "left_anti")
+    )
+
+    def positions(frame):
+        pos = F.explode(
+            F.array(
+                *[
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"{i}:"), F.col("key").cast("string")
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % m
+                    for i in range(k)
+                ]
+            )
+        )
+        return frame.select("key", pos.alias("bit"))
+
+    bits = positions(buyers).select("bit").distinct()
+    probe_hits = (
+        positions(non_buyers)
+        .join(bits, "bit", "left_semi")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .where(F.col("n_hit") == k)
+    )
+    n_keys = buyers.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    n_bits = bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set"))
+    n_probes = non_buyers.agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
+    n_fp = probe_hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_false_positives")
+    )
+    theory = F.pow(
+        F.lit(1.0)
+        - F.pow(F.lit(1.0 - 1.0 / m), F.lit(float(k)) * F.col("n_keys")),
+        F.lit(float(k)),
+    )
+    return (
+        n_keys.crossJoin(n_bits)
+        .crossJoin(n_probes)
+        .crossJoin(n_fp)
+        .select(
+            "n_keys",
+            "n_bits_set",
+            "n_probes",
+            "n_false_positives",
+            F.round(F.col("n_false_positives") / F.col("n_probes"), 6).alias(
+                "fpr_measured"
+            ),
+            (
+                F.col("n_false_positives") / F.col("n_probes")
+                <= F.lit(3.0) * theory + F.lit(1e-3)
+            ).alias("within_bound"),
+        )
+    )
+
+
+def events_audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix via HLL inclusion-exclusion: for every
+    unordered pair of event types, the number of users active in BOTH —
+    estimated as est(A) + est(B) - est(A union B) from per-type sketches
+    and certified against the exact distinct-join answer.
+
+    This is the sketch-side answer to "how much do these audiences /
+    corpora / crawls overlap?" at 100 TB: per-type sketches are built in
+    one corpus pass (constant state per type), every pairwise union is
+    sketch-merge on the TYPE-COUNT-sized frame, and no user-level join
+    ever happens.  The exact path (a self-join on distinct user-type
+    pairs) runs here only as certification, same pattern as
+    agg_hll_mergeable: only the exact count and the bound BOOLEAN are
+    hashed — estimates are implementation-defined.
+
+    Inclusion-exclusion error compounds (three estimates, RSE ~1.6% at
+    the default lgK=12, relative to the UNION size), so the certified
+    bound is 5% of the union cardinality.  Output: (type_a, type_b,
+    exact_overlap, within_bound)."""
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").cast("long").alias("n_exact"),
+    )
+    a = per_type.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("n_exact").alias("n_a"),
+    )
+    b = per_type.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("n_exact").alias("n_b"),
+    )
+    pairs = a.crossJoin(b).where(F.col("type_a") < F.col("type_b"))
+    users = ev.select("event_type", "user_id").distinct()
+    ua = users.select(F.col("event_type").alias("type_a"), "user_id")
+    ub = users.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (
+        ua.join(ub, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_overlap"))
+    )
+    est_union = F.hll_sketch_estimate(
+        F.hll_union(F.col("sk_a"), F.col("sk_b"))
+    )
+    est_a = F.hll_sketch_estimate("sk_a")
+    est_b = F.hll_sketch_estimate("sk_b")
+    est_overlap = est_a + est_b - est_union
+    return (
+        pairs.join(exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.coalesce("exact_overlap", F.lit(0)).cast("long").alias("exact_overlap"),
+            (
+                F.abs(est_overlap - F.coalesce("exact_overlap", F.lit(0)))
+                <= F.lit(0.05) * est_union + F.lit(1.0)
+            ).alias("within_bound"),
+        )
+    )

@@ -866,3 +866,51 @@ def stream_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "volume",
     )
+
+
+def stream_two_level_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED STATEFUL OPERATORS in one streaming query (Spark 3.4+
+    multiple-stateful-ops support): a watermarked HOURLY windowed count
+    per event type feeds a SECOND windowed aggregation that rolls the
+    hourly rows up to DAILY — the hierarchical minute->hour->day rollup
+    every metrics pipeline wants as one continuous query instead of a
+    chain of jobs with intermediate tables.
+
+    The chain works because ``window_time()`` re-exposes the first
+    window's event time to the second stateful operator, and the
+    watermark PROPAGATES: both levels run in append mode, so a window is
+    emitted only once the (delayed) watermark passes its end.  At
+    end-of-stream the final watermark is max(ts) - 1h, which here
+    withholds the last partial day — the DuckDB twin applies the same
+    two-level cutoff (hours with end <= wm, then days with end <= wm),
+    so the driver row certifies the real append-mode emission semantics,
+    not a complete-mode simplification.
+
+    State at 100 TB: level 1 holds open hour windows per type (bounded
+    by types x hours-in-watermark), level 2 open day windows — both
+    collapse the stream before any wide state accumulates; no
+    event-level state is ever kept.
+
+    Output: (day_start, event_type, n_events, n_hours)."""
+    hourly = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w1"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.window(F.window_time("w1"), "1 day").alias("w2"), "event_type"
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+        )
+    )
+    out = run_stream_to_table(daily, "append")
+    return out.select(
+        _ntz("w2.start").alias("day_start"),
+        "event_type",
+        "n_events",
+        "n_hours",
+    )

@@ -533,3 +533,101 @@ def test_scd2_build_intervals_partition_users_history(spark):
             assert a["valid_to"] == b["valid_from"], (user, a, b)
             assert a["event_type"] != b["event_type"], (user, a, b)
         assert all(not r["is_current"] for r in ivs[:-1])
+
+
+def test_penny_allocation_matches_reference_largest_remainder(spark):
+    """orders_penny_allocation must equal a plain-Python largest-remainder
+    reference per order — in particular per-order sums EQUAL
+    round(o_totalprice * 100) exactly (the invariant the operator exists
+    for).  Compared as multisets per order because l_linenumber is not
+    unique within an order in this corpus."""
+    from collections import Counter, defaultdict
+
+    from simple_land_registry_data_ingestion_spark.operators import relational
+    from simple_land_registry_data_ingestion_spark.tables import load
+    from tests.conftest import SF_SMALL
+
+    rows = relational.orders_penny_allocation(spark, SF_SMALL).collect()
+    assert rows
+    totals = {
+        r["o_orderkey"]: round(r["o_totalprice"] * 100)
+        for r in load(spark, SF_SMALL, "orders")
+        .where("o_orderkey % 10 = 0")
+        .collect()
+    }
+    lines = defaultdict(list)
+    for r in (
+        load(spark, SF_SMALL, "lineitem")
+        .where("l_orderkey % 10 = 0")
+        .collect()
+    ):
+        lines[r["l_orderkey"]].append(
+            (r["l_linenumber"], round(r["l_extendedprice"] * 100))
+        )
+    got = defaultdict(Counter)
+    for r in rows:
+        got[r["o_orderkey"]][(r["l_linenumber"], r["alloc_cents"])] += 1
+    for ok, ls in lines.items():
+        total = totals[ok]
+        sum_w = sum(w for _, w in ls)
+        shares = [
+            (ln, w, total * w // sum_w, (total * w) % sum_w) for ln, w in ls
+        ]
+        leftover = total - sum(s for _, _, s, _ in shares)
+        ranked = sorted(shares, key=lambda s: (-s[3], s[0], s[1]))
+        want = Counter()
+        for i, (ln, _w, s, _rem) in enumerate(ranked):
+            want[(ln, s + (1 if i < leftover else 0))] += 1
+        assert got[ok] == want, ok
+        assert sum(c * n for (_, c), n in got[ok].items()) == total, ok
+
+
+def test_kaplan_meier_curve_is_a_valid_survival_function(spark):
+    """users_kaplan_meier: survival must start <= 1, be non-increasing in
+    duration, stay positive, and equal the hand-computed product-limit
+    estimator from the same at-risk/churn counts."""
+    from simple_land_registry_data_ingestion_spark.operators import relational
+    from tests.conftest import SF_SMALL
+
+    rows = sorted(
+        relational.users_kaplan_meier(spark, SF_SMALL).collect(),
+        key=lambda r: r["duration_days"],
+    )
+    assert rows
+    prev = 1.0 + 1e-9
+    running = 1.0
+    for r in rows:
+        assert 0.0 < r["survival"] <= prev + 1e-9, r
+        prev = r["survival"]
+        # at_risk must never be below the row's own event counts
+        assert r["n_at_risk"] >= r["n_churned"] + r["n_censored"]
+        running *= round(1.0 - r["n_churned"] / r["n_at_risk"], 6)
+        assert abs(r["survival"] - round(running, 6)) <= 1e-9, r
+    # at_risk is non-increasing when read in ascending duration order
+    at_risk = [r["n_at_risk"] for r in rows]
+    assert at_risk == sorted(at_risk, reverse=True)
+
+
+def test_tfidf_cosine_detects_planted_duplicate_pair(spark):
+    """A verbatim duplicate document must surface with cosine ~1.0, and a
+    disjoint-vocabulary document must never pair with it."""
+    from simple_land_registry_data_ingestion_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "one two three four five six seven eight"),
+            (4, "alpha beta gamma delta unrelated words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in dedup.dedup_tfidf_cosine(
+            spark, "unused", docs=docs
+        ).collect()
+    }
+    assert (1, 2) in out
+    assert out[(1, 2)] >= 0.999
+    assert not any(3 in pair for pair in out)
