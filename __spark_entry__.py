@@ -136,6 +136,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_audience_overlap_hll": sketches.events_audience_overlap_hll,
     "similarity_sq8_error": similarity.similarity_sq8_error,
     "stream_two_level_window": stream_ops.stream_two_level_window,
+    "events_cusum_pandas": udfs.events_cusum_pandas,
+    "parts_abc_classification": relational.parts_abc_classification,
+    "cdc_incremental_aggregate": relational.cdc_incremental_aggregate,
+    "q7_nation_volume": relational.q7_nation_volume,
+    "join_asof_tolerance": asof.join_asof_tolerance,
     # ---- block F: r05 driver rows, aging next-oldest after block B
     # drains (36 round-4 additions certified r05) ----
     "er_sorted_neighborhood": mining.er_sorted_neighborhood,
@@ -3926,6 +3931,118 @@ _ORACLES.update({
         FROM t ta JOIN t tb ON ta.event_type < tb.event_type
         LEFT JOIN ov ON ov.type_a = ta.event_type
                     AND ov.type_b = tb.event_type
+    """,
+})
+
+_ORACLES.update({
+    # identical recursion replayed as a recursive CTE: fold order
+    # (ts, event_id), arithmetic order (s + v) - 50, clamp at 0
+    "events_cusum_pandas": """
+        WITH RECURSIVE ev AS (
+            SELECT user_id, CAST(value AS DOUBLE) AS v,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events),
+        c(user_id, rn, s) AS (
+            SELECT user_id, rn, GREATEST(0.0, v - 50.0)
+            FROM ev WHERE rn = 1
+            UNION ALL
+            SELECT e.user_id, e.rn, GREATEST(0.0, c.s + e.v - 50.0)
+            FROM c JOIN ev e ON e.user_id = c.user_id AND e.rn = c.rn + 1)
+        SELECT user_id, ROUND(MAX(s), 6) AS max_cusum,
+               CAST(SUM(CASE WHEN s > 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_over
+        FROM c GROUP BY 1
+    """,
+    # integer-cent running total over the part-level aggregate
+    "parts_abc_classification": """
+        WITH per AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM lineitem GROUP BY 1),
+        tot AS (SELECT CAST(SUM(revenue_cents) AS BIGINT) AS total_cents
+                FROM per),
+        r AS (SELECT l_partkey, revenue_cents,
+                     CAST(SUM(revenue_cents)
+                          OVER (ORDER BY revenue_cents DESC, l_partkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS cum_cents
+              FROM per)
+        SELECT l_partkey, revenue_cents,
+               ROUND(cum_cents / total_cents, 6) AS cum_share,
+               CASE WHEN cum_cents / total_cents <= 0.80 THEN 'A'
+                    WHEN cum_cents / total_cents <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM r, tot
+    """,
+    # base + delta partial states merged by addition == full recompute
+    "cdc_incremental_aggregate": """
+        WITH ev AS (SELECT user_id, ts,
+                           CAST(ROUND(value * 100) AS BIGINT) AS cents
+                    FROM events),
+        base AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_base,
+                        CAST(SUM(cents) AS BIGINT) AS c_base
+                 FROM ev WHERE ts < TIMESTAMP '2024-01-26' GROUP BY 1),
+        delta AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_delta,
+                         CAST(SUM(cents) AS BIGINT) AS c_delta
+                  FROM ev WHERE ts >= TIMESTAMP '2024-01-26' GROUP BY 1),
+        m AS (SELECT user_id,
+                     COALESCE(n_base, 0) + COALESCE(n_delta, 0) AS n_m,
+                     COALESCE(c_base, 0) + COALESCE(c_delta, 0) AS c_m
+              FROM base FULL JOIN delta USING (user_id)),
+        f AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                     CAST(SUM(cents) AS BIGINT) AS value_cents
+              FROM ev GROUP BY 1)
+        SELECT user_id, n_events, value_cents,
+               n_events = n_m AND value_cents = c_m AS maintained_matches
+        FROM f FULL JOIN m USING (user_id)
+    """,
+    # decimal-exact revenue, two-nation flow per direction and ship year
+    "q7_nation_volume": """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lineitems
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+                      AND sn.n_nationkey IN (1, 2)
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+                      AND cn.n_nationkey IN (1, 2)
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND sn.n_name <> cn.n_name
+        GROUP BY 1, 2, 3
+    """,
+    # same one-pass window composition; tolerance in exact microseconds
+    "join_asof_tolerance": """
+        WITH t AS (SELECT user_id, ts, event_id, event_type FROM events
+                   WHERE event_type IN ('click', 'purchase')),
+        e AS (SELECT *,
+                     last_value(CASE WHEN event_type = 'click'
+                                     THEN struct_pack(c_ts := ts,
+                                                      c_id := event_id)
+                                END IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS lc
+              FROM t)
+        SELECT event_id AS purchase_id, user_id,
+               CASE WHEN lc IS NOT NULL
+                     AND epoch_us(ts) - epoch_us((lc).c_ts) <= 7200000000
+                    THEN (lc).c_id END AS matched_click_id,
+               ROUND(CASE WHEN lc IS NOT NULL
+                           AND epoch_us(ts) - epoch_us((lc).c_ts)
+                               <= 7200000000
+                          THEN (epoch_us(ts) - epoch_us((lc).c_ts))
+                               / 1000000.0 END, 6) AS staleness_s
+        FROM e WHERE event_type = 'purchase'
     """,
 })
 

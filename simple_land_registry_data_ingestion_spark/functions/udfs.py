@@ -240,3 +240,59 @@ def arrow_md5_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(
         _arrow_digest_batches, "doc_id long, md5_hex string, n_bytes long"
     )
+
+
+_CUSUM_SCHEMA = "user_id long, max_cusum double, n_over long"
+
+
+def _cusum_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Sequential one-sided CUSUM fold over one user's ordered events.
+
+    Plain-Python loop on purpose: the recursion S_i = max(0, S_{i-1} +
+    x_i - k) is what no window frame can express (each value depends on
+    the clamped previous value).  Arithmetic order matches the oracle's
+    recursive CTE exactly: (s + v) - k, then clamp."""
+    pdf = pdf.sort_values(["ts", "event_id"])
+    s = 0.0
+    mx = 0.0
+    n_over = 0
+    for v in pdf["value"]:
+        s = s + float(v) - 50.0
+        if s < 0.0:
+            s = 0.0
+        if s > mx:
+            mx = s
+        if s > 100.0:
+            n_over += 1
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "max_cusum": [round(mx, 6)],
+            "n_over": [n_over],
+        }
+    )
+
+
+def events_cusum_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user one-sided CUSUM drift statistic (Page 1954) via
+    ``applyInPandas`` — the operator the window-function family DOCUMENTS
+    as inexpressible (events_mean_shift_detect chose two-sample frames
+    precisely because CUSUM's clamped recursion has no frame form); this
+    closes the loop by running the true sequential statistic in the
+    grouped-map Python path, where per-entity imperative state is the
+    legitimate use of Python in the row path.
+
+    k = 50 (the stream's long-run mean) so S accumulates only sustained
+    positive drift; alarms counted at h = 100.  One shuffle on user_id,
+    Arrow batch per user, O(state)=1 per group.
+
+    The DuckDB twin replays the IDENTICAL recursion as a recursive CTE
+    over row-numbered events — fold order (ts, event_id) and arithmetic
+    order (s + v) - 50 are pinned on both sides, so the driver hashes a
+    float recursion bit-for-bit.
+
+    Output: (user_id, max_cusum, n_over)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return ev.groupBy("user_id").applyInPandas(_cusum_group, _CUSUM_SCHEMA)

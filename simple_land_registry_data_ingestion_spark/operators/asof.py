@@ -145,3 +145,61 @@ def join_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def join_asof_tolerance(
+    spark: SparkSession, sf_dir: str, tolerance_s: int = 7200
+) -> DataFrame:
+    """As-of join with TOLERANCE (pandas ``merge_asof(tolerance=...)``
+    semantics) between two LARGE event streams: each purchase matches the
+    same user's most recent PRIOR click, but only if that click is within
+    ``tolerance_s`` seconds — older matches become NULL, exactly how a
+    stale quote must not price a trade.
+
+    This is the documented large-right-side composition from this
+    module's header put to work: no broadcast, no range join — the two
+    streams UNION into one frame, ONE shuffle on user_id, and a single
+    sorted window pass carries the last-click struct forward
+    (`last(..., ignoreNulls)` over UNBOUNDED PRECEDING → 1 PRECEDING).
+    Every row is touched once; at 100 TB this is a one-pass keyed scan,
+    the same shape as sessionization.
+
+    Tolerance arithmetic in integer MICROSECONDS (exact), staleness
+    reported in 6-dp seconds.  Output: (purchase_id, user_id,
+    matched_click_id, staleness_s) — NULLs where no in-tolerance click
+    exists, so the null rate itself is driver-hashed."""
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_key = F.when(
+        F.col("event_type") == "click",
+        F.struct(F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")),
+    )
+    enriched = tagged.withColumn(
+        "lc", F.last(click_key, ignorenulls=True).over(w)
+    )
+    # session tz is pinned UTC, so the ntz->timestamp cast is a no-op
+    # relabel; unix_micros rejects timestamp_ntz directly
+    lag_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("lc.c_ts").cast("timestamp")
+    )
+    within = F.col("lc").isNotNull() & (lag_us <= tolerance_s * 1_000_000)
+    return (
+        enriched.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.when(within, F.col("lc.c_id")).cast("long").alias(
+                "matched_click_id"
+            ),
+            F.round(F.when(within, lag_us / 1_000_000.0), 6).alias(
+                "staleness_s"
+            ),
+        )
+    )

@@ -1821,11 +1821,16 @@ def dedup_tfidf_cosine(
     n_docs = docs.agg(
         F.count_distinct("doc_id").cast("double").alias("n_corpus")
     )
+    # tf feeds both the df table and the weight join, and w feeds both the
+    # norm aggregate and the unit projection — lazily materialize each
+    # fork point so the corpus explode runs ONCE instead of replaying per
+    # consumer (the agg_count_min_sketch plan lesson).
     tf = (
         fan_out(docs)
         .select("doc_id", F.explode(words_col("text")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     w = (
@@ -1833,6 +1838,7 @@ def dedup_tfidf_cosine(
         .crossJoin(F.broadcast(n_docs))
         .withColumn("idf", F.round(F.log(F.col("n_corpus") / F.col("df")), 6))
         .withColumn("w", F.col("tf") * F.col("idf"))
+        .localCheckpoint(eager=False)
     )
     norms = w.groupBy("doc_id").agg(
         F.sqrt(

@@ -3601,3 +3601,170 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n_days", "n_pairs", "theilsen_slope")
     )
+
+
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by lineitem revenue,
+    classified A while cumulative share <= 80%, B to 95%, C after — the
+    classic Pareto stratification every supply-chain mart publishes.
+
+    Revenue sums and the running total are exact integer CENTS, so the
+    cumulative share is a single deterministic division and class
+    boundaries cannot wobble on float summation order.  The window runs
+    over the PART-level aggregate (catalog-sized, not fact-sized); at
+    true catalog scale the composition switches to a range-partitioned
+    two-phase running sum (the pack_sequences prefix-sum discipline) —
+    the fact table itself never sees a window either way.
+
+    Output: (l_partkey, revenue_cents, cum_share, abc_class)."""
+    li = load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        ).alias("revenue_cents")
+    )
+    total = per_part.agg(
+        F.sum("revenue_cents").alias("total_cents")
+    )
+    w = Window.orderBy(F.col("revenue_cents").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .withColumn("cum_cents", F.sum("revenue_cents").over(w))
+        .select(
+            "l_partkey",
+            "revenue_cents",
+            F.round(F.col("cum_cents") / F.col("total_cents"), 6).alias(
+                "cum_share"
+            ),
+            F.when(
+                F.col("cum_cents") / F.col("total_cents") <= 0.80, "A"
+            )
+            .when(F.col("cum_cents") / F.col("total_cents") <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+
+
+def cdc_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance certification: a per-user aggregate
+    maintained by FOLDING a delta batch into a previously materialized
+    base (full outer merge of partial states) must equal the full
+    recompute — the algebraic property that lets a 100 TB rollup absorb a
+    daily increment without rescanning history, certified per key the
+    same way agg_partial_merge certifies map-side combine.
+
+    Base = events before Jan 26; delta = the rest.  count/sum(cents)
+    partial states merge by addition; the comparison column is computed
+    per user and hashed by the driver, so one broken key flips the row.
+
+    Output: (user_id, n_events, value_cents, maintained_matches)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cut = "2024-01-26"
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").alias("c"),
+        )
+
+    base = agg(ev.where(F.col("ts") < cut)).select(
+        "user_id", F.col("n").alias("n_base"), F.col("c").alias("c_base")
+    )
+    delta = agg(ev.where(F.col("ts") >= cut)).select(
+        "user_id", F.col("n").alias("n_delta"), F.col("c").alias("c_delta")
+    )
+    maintained = (
+        base.join(delta, "user_id", "full")
+        .select(
+            "user_id",
+            (
+                F.coalesce("n_base", F.lit(0)) + F.coalesce("n_delta", F.lit(0))
+            ).alias("n_m"),
+            (
+                F.coalesce("c_base", F.lit(0)) + F.coalesce("c_delta", F.lit(0))
+            ).alias("c_m"),
+        )
+    )
+    full = agg(ev).select(
+        "user_id", F.col("n").alias("n_events"), F.col("c").alias("value_cents")
+    )
+    return (
+        full.join(maintained, "user_id", "full")
+        .select(
+            "user_id",
+            "n_events",
+            "value_cents",
+            (
+                (F.col("n_events") == F.col("n_m"))
+                & (F.col("value_cents") == F.col("c_m"))
+            ).alias("maintained_matches"),
+        )
+    )
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue flowing between two
+    trading nations per direction and ship year — supplier in one
+    nation, customer in the other, 1995-1996 shipments.
+
+    Join-order story: nation (2 rows after the IN filter) broadcasts to
+    both supplier and customer; supplier is broadcast-hinted (always
+    tiny), customer is NOT (the Q5/Q10 semi-fact lesson — AQE decides);
+    lineitem ⋈ orders is the one real shuffle.  The ship-date filter
+    pushes into the lineitem scan.  Revenue is the exact decimal sum."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation").where(
+        F.col("n_nationkey").isin(1, 2)
+    )
+    supp_n = supplier.join(
+        F.broadcast(nation.select(F.col("n_nationkey"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    cust_n = customer.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("cn_key"),
+                F.col("n_name").alias("cust_nation"),
+            )
+        ),
+        F.col("c_nationkey") == F.col("cn_key"),
+    ).select("c_custkey", "cust_nation")
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

@@ -617,3 +617,41 @@ def test_range_search_broadcasts_queries_and_cells(spark):
     df = similarity.similarity_range_search(spark, SF_ORACLE)
     assert plans.broadcast_join_count(df) >= 2, plans.formatted_plan(df)
     plans.assert_no_cartesian_product(df)
+
+
+def test_tfidf_cosine_explodes_corpus_once(spark):
+    """The tf and w fork points are materialized, so the document corpus
+    is exploded/scanned ONCE (not replayed per consumer: df table, norm
+    aggregate, unit projection all read the checkpointed frames); the
+    1-row corpus count broadcasts; no cartesian anywhere."""
+    from simple_land_registry_data_ingestion_spark.operators import dedup
+
+    df = dedup.dedup_tfidf_cosine(spark, SF_ORACLE)
+    plan = plans.formatted_plan(df)
+    assert plan.count("Scan parquet") <= 1, plan
+    plans.assert_no_cartesian_product(df)
+
+
+def test_sq8_broadcasts_dim_bounds_and_never_shuffles_corpus(spark):
+    """The 64-row per-dimension bounds frame must broadcast onto the
+    corpus scan; the encode/reconstruct pass is map-only (the only
+    exchange feeds the dim-stats aggregate, not the corpus output)."""
+    df = similarity.similarity_sq8_error(spark, SF_ORACLE)
+    assert plans.broadcast_join_count(df) >= 1, plans.formatted_plan(df)
+    plans.assert_no_cartesian_product(df)
+
+
+def test_penny_allocation_window_reuses_aggregation_shuffle(spark):
+    """Both windows key on o_orderkey and must share ONE shuffle; the only
+    other hash exchange feeds the per-order sum aggregate (whose result
+    broadcasts back).  So: no nested loop, and at most 2 non-broadcast
+    exchanges in the plan tree."""
+    import re
+
+    from simple_land_registry_data_ingestion_spark.operators import relational
+
+    df = relational.orders_penny_allocation(spark, SF_ORACLE)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    shuffles = re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan)
+    assert len(shuffles) <= 2, (shuffles, plan)
