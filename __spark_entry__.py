@@ -141,6 +141,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_incremental_aggregate": relational.cdc_incremental_aggregate,
     "q7_nation_volume": relational.q7_nation_volume,
     "join_asof_tolerance": asof.join_asof_tolerance,
+    "sql_pipe_syntax": relational.sql_pipe_syntax,
+    "scalar_collation": relational.scalar_collation,
+    "agg_listagg_countif": relational.agg_listagg_countif,
+    "events_time_to_convert": relational.events_time_to_convert,
     # ---- block F: r05 driver rows, aging next-oldest after block B
     # drains (36 round-4 additions certified r05) ----
     "er_sorted_neighborhood": mining.er_sorted_neighborhood,
@@ -3679,8 +3683,12 @@ _ORACLES.update({
     "dedup_tfidf_cosine": r"""
         WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
                    FROM documents),
-        tf AS (SELECT doc_id, t.term, CAST(COUNT(*) AS BIGINT) AS tf
-               FROM d, UNNEST(ws) AS t(term) GROUP BY 1, 2),
+        -- terms = word 3-gram shingles, NON-distinct (tf counts repeats)
+        shm AS (SELECT doc_id,
+                       ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS term
+                FROM d, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM shm GROUP BY 1, 2),
         dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
         n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_corpus
               FROM documents),
@@ -3691,13 +3699,23 @@ _ORACLES.update({
                   FROM w GROUP BY 1),
         unit AS (SELECT w.doc_id, term, df, ROUND(w / nrm, 6) AS u
                  FROM w JOIN norms USING (doc_id) WHERE nrm > 0),
-        p AS (SELECT * FROM unit WHERE df BETWEEN 2 AND 100),
-        pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                         CAST(ROUND(a.u * b.u, 9) AS DECIMAL(18,9)) AS c
-                  FROM p a JOIN p b ON a.term = b.term AND a.doc_id < b.doc_id)
-        SELECT doc_a, doc_b, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS cosine
+        p AS (SELECT * FROM unit WHERE df BETWEEN 2 AND 10),
+        -- candidate = shares >= 2 sub-cap shingles (count over per-term
+        -- matches, mirroring bucket_pairs' per-term emissions)
+        cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM p a JOIN p b
+                   ON a.term = b.term AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        -- lossless verify: FULL cosine over ALL shared terms of each
+        -- candidate (the cap bounds generation, not the score)
+        pairs AS (SELECT c.doc_a, c.doc_b,
+                         CAST(ROUND(a.u * b.u, 9) AS DECIMAL(18,9)) AS v
+                  FROM cand c
+                  JOIN unit a ON a.doc_id = c.doc_a
+                  JOIN unit b ON b.doc_id = c.doc_b AND b.term = a.term)
+        SELECT doc_a, doc_b, ROUND(CAST(SUM(v) AS DOUBLE), 6) AS cosine
         FROM pairs GROUP BY 1, 2
-        HAVING ROUND(CAST(SUM(c) AS DOUBLE), 6) >= 0.30
+        HAVING ROUND(CAST(SUM(v) AS DOUBLE), 6) >= 0.30
     """,
     # vowel-group syllable proxy; ordered integer folds; identical
     # left-associated double expression for both scores
@@ -4043,6 +4061,61 @@ _ORACLES.update({
                           THEN (epoch_us(ts) - epoch_us((lc).c_ts))
                                / 1000000.0 END, 6) AS staleness_s
         FROM e WHERE event_type = 'purchase'
+    """,
+})
+
+_ORACLES.update({
+    # the nested-SELECT form the pipe query compiles to
+    "sql_pipe_syntax": """
+        SELECT l_returnflag,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1
+    """,
+    # collated equality == lower() on both sides
+    "scalar_collation": """
+        WITH m AS (SELECT CASE WHEN o_orderkey % 2 = 0
+                               THEN upper(o_orderpriority)
+                               ELSE lower(o_orderpriority) END AS pri
+                   FROM orders),
+        dim AS (SELECT DISTINCT lower(o_orderpriority) AS priority
+                FROM orders)
+        SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM m JOIN dim ON lower(pri) = priority
+        GROUP BY 1
+    """,
+    # string_agg with explicit ORDER BY is DuckDB's listagg
+    "agg_listagg_countif": """
+        WITH per AS (SELECT event_type,
+                            CAST(count_if(value > 100) AS BIGINT) AS n_high,
+                            bool_or(value > 400) AS any_over_400
+                     FROM events GROUP BY 1),
+        d AS (SELECT DISTINCT event_type,
+                     CAST(CAST(ts AS DATE) AS VARCHAR) AS d
+              FROM events),
+        days AS (SELECT event_type, string_agg(d, ',' ORDER BY d)
+                     AS active_days
+                 FROM d GROUP BY 1)
+        SELECT event_type, n_high, any_over_400, active_days
+        FROM per JOIN days USING (event_type)
+    """,
+    # first view, first at-or-after purchase, exact micros delta
+    "events_time_to_convert": """
+        WITH fv AS (SELECT user_id, MIN(epoch_us(ts)) AS fv_us
+                    FROM events WHERE event_type = 'view' GROUP BY 1),
+        fp AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS fp_us,
+                      MIN(fv_us) AS fv_us
+               FROM events e JOIN fv ON e.user_id = fv.user_id
+               WHERE e.event_type = 'purchase'
+                 AND epoch_us(e.ts) >= fv_us
+               GROUP BY 1)
+        SELECT user_id, ROUND((fp_us - fv_us) / 1000000.0, 6) AS convert_s
+        FROM fp
     """,
 })
 

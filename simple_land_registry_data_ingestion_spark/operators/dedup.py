@@ -1760,7 +1760,9 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_id, n_grams, n_novel, novelty_fraction), zero rows for
     sub-3-word docs kept with fraction 0."""
     docs = load(spark, sf_dir, "documents")
-    sh = shingle_table(docs)
+    # sh feeds two aggregations — materialize the (CPU-bound) shingle
+    # explode+distinct once instead of replaying it per consumer
+    sh = shingle_table(docs).localCheckpoint(eager=False)
     firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     totals = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_grams")
@@ -1789,7 +1791,7 @@ def dedup_tfidf_cosine(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = 0.30,
-    df_cap: int = 100,
+    df_cap: int = 10,
     docs: DataFrame | None = None,
 ) -> DataFrame:
     """Sparse TF-IDF cosine similarity join via an INVERTED INDEX — the
@@ -1798,13 +1800,23 @@ def dedup_tfidf_cosine(
     documents never pair up directly; pair contributions are generated
     per shared term inside that term's posting list and summed.
 
-    Scale discipline mirrors dedup_ngram_jaccard: terms with df > df_cap
-    (stopword-grade postings whose lists would go quadratic) are EXCLUDED
-    from pair generation — deliberately lossy for scoring (documented;
-    high-df terms carry near-zero idf weight anyway) while norms keep
-    every term; the oracle applies the identical cap so the green row
-    certifies the exact semantics as specified.  Hot surviving lists
-    spread through bucket_pairs(distribute_threshold).
+    Terms are word 3-GRAM SHINGLES, not single words (SpotSigs-style):
+    this corpus's word vocabulary is ~30 tokens (every posting list is
+    corpus-sized, so single-word TF-IDF is structurally degenerate — a
+    first cut returned zero pairs at sf0.1), and shingles are also what
+    web-scale near-dup scoring actually weights.
+
+    Scale discipline is candidates-then-verify (the LSH/PPJoin split):
+    pair CANDIDATES are generated only inside posting lists with
+    df in [2, df_cap] (stopword-grade lists would go quadratic), but
+    every candidate is then VERIFIED with its FULL cosine over all
+    shared terms — so the cap bounds the quadratic without biasing the
+    score (a first cut that also dropped capped terms from SCORING went
+    silently to zero matches as the corpus grew: common shared terms
+    carry most of the norm).  Recall rests on a near-dup pair sharing at
+    least one sub-cap term — the same rare-token argument prefix
+    filtering is built on.  Hot surviving lists spread through
+    bucket_pairs(distribute_threshold).
 
     Cross-engine float discipline (the whole design problem here):
     idf is 6-dp quantized (ln may differ by an ulp across libms); per-doc
@@ -1826,9 +1838,8 @@ def dedup_tfidf_cosine(
     # fork point so the corpus explode runs ONCE instead of replaying per
     # consumer (the agg_count_min_sketch plan lesson).
     tf = (
-        fan_out(docs)
-        .select("doc_id", F.explode(words_col("text")).alias("term"))
-        .groupBy("doc_id", "term")
+        shingle_table(docs, distinct=False)
+        .groupBy("doc_id", F.col("shingle").alias("term"))
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         .localCheckpoint(eager=False)
     )
@@ -1859,19 +1870,65 @@ def dedup_tfidf_cosine(
     )
     postings = unit.where((F.col("df") >= 2) & (F.col("df") <= df_cap))
     grouped = postings.groupBy("term").agg(
-        F.array_sort(F.collect_list(F.struct("doc_id", "u"))).alias("ids")
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
     )
-    pairs = bucket_pairs(grouped, distribute_threshold=256)
-    contrib = F.round(F.col("doc_a.u") * F.col("doc_b.u"), 9).cast(
-        "decimal(18,9)"
-    )
-    return (
-        pairs.select(
-            F.col("doc_a.doc_id").alias("doc_a"),
-            F.col("doc_b.doc_id").alias("doc_b"),
-            contrib.alias("c"),
-        )
+    # A candidate must share >= min_shared (2) sub-cap shingles: one
+    # shared medium-df template shingle is how 400k+ false candidates
+    # formed at sf0.1, while genuine near-dups share dozens of rare
+    # shingles.  The count is over bucket_pairs' per-term emissions (one
+    # row per shared term), identical to the oracle's HAVING COUNT(*).
+    min_shared = 2
+    cand = (
+        bucket_pairs(grouped, distribute_threshold=256)
         .groupBy("doc_a", "doc_b")
-        .agg(F.round(F.sum("c").cast("double"), 6).alias("cosine"))
-        .where(F.col("cosine") >= threshold)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+        .select("doc_a", "doc_b")
     )
+    # Verify WITHOUT a per-(pair, term) explode join (the first verify
+    # shape shuffled |cand| x |doc terms| rows — 20M+ at sf0.1): each
+    # doc's sparse vector is collected ONCE as a term->u map plus a
+    # term-sorted entry array (doc-count-sized frame, so AQE broadcasts
+    # it here; at larger corpora the join co-partitions on the doc key),
+    # and the dot product is a row-local fold over one side's entries
+    # with map lookups into the other.  Per-term 9-dp DECIMAL
+    # quantization is identical to the join formulation, and decimal
+    # addition is exact and order-free, so this computes the SAME number
+    # the oracle's join+SUM does.
+    entries = F.array_sort(F.collect_list(F.struct("term", "u")))
+    vecs = unit.groupBy("doc_id").agg(
+        F.map_from_entries(entries).alias("m"), entries.alias("arr")
+    )
+    zero = F.lit(0).cast("decimal(28,9)")
+    dotv = F.aggregate(
+        "arr_b",
+        zero,
+        lambda acc, e: (
+            acc
+            + F.coalesce(
+                F.round(F.try_element_at("ma", e["term"]) * e["u"], 9).cast(
+                    "decimal(18,9)"
+                ),
+                F.lit(0).cast("decimal(18,9)"),
+            )
+        ).cast("decimal(28,9)"),
+    )
+    # fan_out before the fold: the scoring select is an interpreted HOF
+    # (not codegen), so its parallelism must not be capped by AQE's
+    # post-broadcast-join coalescing (measured 5 tasks doing all the work)
+    scored = fan_out(
+        cand.join(
+            vecs.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("ma")),
+            "doc_a",
+        ).join(
+            vecs.select(
+                F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b")
+            ),
+            "doc_b",
+        )
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        F.round(dotv.cast("double"), 6).alias("cosine"),
+    ).where(F.col("cosine") >= threshold)

@@ -3768,3 +3768,119 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.0 SQL PIPE SYNTAX (|>): the Q6-shaped revenue rollup
+    written as a linear dataflow — FROM |> WHERE |> EXTEND |> AGGREGATE
+    |> ORDER BY — the readability surface SQL:2023-adjacent engines
+    (BigQuery pipe syntax, PRQL) converge on.  Catalyst compiles it to
+    the IDENTICAL plan as the nested-SELECT form (the oracle is that
+    form), so the feature is pure syntax: same pushdown, same partial
+    aggregation, decimal-exact revenue."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_pipe_v")
+    return spark.sql(
+        """
+        FROM lineitem_pipe_v
+        |> WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                 AND l_shipdate < TIMESTAMP '1996-01-01'
+        |> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+        |> AGGREGATE
+               CAST(ROUND(SUM(CAST(disc_price AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS revenue,
+               COUNT(*) AS n_rows
+           GROUP BY l_returnflag
+        """
+    ).select("l_returnflag", "revenue", F.col("n_rows").cast("long").alias("n_rows"))
+
+
+def scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.0 COLLATION support: join dirty-cased priority strings to a
+    canonical dimension on UTF8_LCASE equality — the real use of
+    collations (case-insensitive keys WITHOUT lower() rewrites scattered
+    through every predicate; the collation is type-level, so Catalyst
+    still hashes/joins natively).  Case is deliberately mangled
+    per-row first; the oracle lowers both sides explicitly.
+    Output: (priority, n_orders) per canonical priority."""
+    orders = load(spark, sf_dir, "orders")
+    mangled = orders.select(
+        F.when(
+            F.col("o_orderkey") % 2 == 0, F.upper("o_orderpriority")
+        )
+        .otherwise(F.lower("o_orderpriority"))
+        .alias("pri")
+    )
+    dim = (
+        orders.select(F.lower("o_orderpriority").alias("priority"))
+        .distinct()
+    )
+    return (
+        mangled.join(
+            F.broadcast(dim),
+            F.expr("pri COLLATE UTF8_LCASE = priority COLLATE UTF8_LCASE"),
+        )
+        .groupBy("priority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+def agg_listagg_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.0 aggregate-surface corners in one query: listagg WITHIN
+    GROUP (ORDER BY ...) — the SQL:2016 ordered string aggregation that
+    replaces collect_list+array_join — plus count_if and bool_or over
+    the same scan.  Active days are pre-distincted per type so listagg
+    aggregates a bounded day-level frame, and the WITHIN GROUP order
+    makes the concatenation engine-deterministic.
+    Output: (event_type, n_high, any_over_400, active_days)."""
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.expr("count_if(value > 100)").cast("long").alias("n_high"),
+        F.expr("bool_or(value > 400)").alias("any_over_400"),
+    )
+    days = (
+        ev.select("event_type", F.to_date("ts").cast("string").alias("d"))
+        .distinct()
+        .groupBy("event_type")
+        .agg(
+            F.expr("listagg(d, ',') WITHIN GROUP (ORDER BY d)").alias(
+                "active_days"
+            )
+        )
+    )
+    return per_type.join(days, "event_type").select(
+        "event_type", "n_high", "any_over_400", "active_days"
+    )
+
+
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: per user, seconds from the FIRST view to the first
+    purchase at-or-after it — the activation-latency metric growth teams
+    watch.  Two keyed aggregations (first view; first qualifying
+    purchase) joined on user_id; at 100 TB both are map-side-combined
+    single shuffles on the same key and the join is co-partitioned.
+    Non-converters drop out (inner semantics).  The delta is exact
+    integer microseconds; output seconds at 6 dp."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("fv_us"))
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("p_us"))
+        .join(fv, "user_id")
+        .where(F.col("p_us") >= F.col("fv_us"))
+        .groupBy("user_id")
+        .agg(
+            F.min("p_us").alias("fp_us"),
+            F.min("fv_us").alias("fv_us"),
+        )
+    )
+    return fp.select(
+        "user_id",
+        F.round((F.col("fp_us") - F.col("fv_us")) / 1_000_000.0, 6).alias(
+            "convert_s"
+        ),
+    )

@@ -868,7 +868,12 @@ def stream_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stream_two_level_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_two_level_window(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """CHAINED STATEFUL OPERATORS in one streaming query (Spark 3.4+
     multiple-stateful-ops support): a watermarked HOURLY windowed count
     per event type feeds a SECOND windowed aggregation that rolls the
@@ -891,9 +896,13 @@ def stream_two_level_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse the stream before any wide state accumulates; no
     event-level state is ever kept.
 
-    Output: (day_start, event_type, n_events, n_hours)."""
+    Output: (day_start, event_type, n_events, n_hours).  ``glob`` /
+    ``max_files_per_trigger`` let tests replay an ordered multi-file
+    split as real micro-batches."""
     hourly = (
-        events_stream(spark, sf_dir)
+        events_stream(
+            spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+        )
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w1"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -655,3 +655,18 @@ def test_penny_allocation_window_reuses_aggregation_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     shuffles = re.findall(r"(?<!Broadcast)Exchange \(\d+\)", plan)
     assert len(shuffles) <= 2, (shuffles, plan)
+
+
+def test_q7_does_not_force_customer_broadcast(spark):
+    """Same semi-fact discipline as Q5/Q10: the customer join carries no
+    broadcast hint in the logical plan (AQE decides at its real size);
+    the 2-row nation dims and supplier still broadcast physically."""
+    from simple_land_registry_data_ingestion_spark.operators import relational
+
+    df = relational.q7_nation_volume(spark, SF_ORACLE)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in optimized.splitlines():
+        if "broadcast" in line.lower():
+            assert "c_custkey" not in line, line
+    assert plans.broadcast_join_count(df) >= 2, plans.formatted_plan(df)
+    plans.assert_no_cartesian_product(df)

@@ -653,3 +653,95 @@ def test_run_stream_retries_once_on_state_store_race(spark, monkeypatch):
     out = ops.run_stream_to_table(stream, "complete")
     assert calls["n"] == 2
     assert out.count() > 0
+
+
+def test_two_level_window_accumulates_across_triggers(spark, tmp_path):
+    """stream_two_level_window's chained hourly->daily rollup must produce
+    the SAME emitted days when the stream arrives as 4 IN-ORDER
+    micro-batches as the batch two-level cutoff computes — i.e. the
+    second stateful operator accumulates partial hourly emissions across
+    triggers rather than emitting per-trigger fragments.  (The split is
+    time-ordered on purpose: a randomly split replay advances the
+    watermark to end-of-stream on trigger 1 and correctly DROPS the
+    other files as late data — real semantics, but not this test's
+    subject.)"""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    src = str(tmp_path / "ordered_events")
+    os.makedirs(src, exist_ok=True)
+    ev_all = tables.load(spark, SF_SMALL, "events").orderBy("ts", "event_id")
+    rows = ev_all.collect()
+    quarter = (len(rows) + 3) // 4
+    for i in range(4):
+        chunk = rows[i * quarter : (i + 1) * quarter]
+        if not chunk:
+            continue
+        # plain FILES in one flat dir (pathGlobFilter matches leaf names
+        # only; subdirectories are not recursed), epoch nanos -> micros
+        _write_events_file(
+            os.path.join(src, f"events_{i}.parquet"),
+            [
+                (
+                    r["event_id"],
+                    # naive datetime -> epoch nanos without tz ambiguity
+                    int(
+                        (
+                            r["ts"] - __import__("datetime").datetime(1970, 1, 1)
+                        ).total_seconds()
+                        * 1_000_000
+                    )
+                    * 1000,
+                    r["user_id"],
+                    r["event_type"],
+                    r["value"],
+                    r["props"],
+                )
+                for r in chunk
+            ],
+        )
+        # strictly increasing mtimes pin the file-source replay order
+        os.utime(
+            os.path.join(src, f"events_{i}.parquet"),
+            (1_700_000_000 + i, 1_700_000_000 + i),
+        )
+    out = ops.stream_two_level_window(
+        spark, src, glob="events_*.parquet", max_files_per_trigger=1
+    )
+    got = {
+        (r["day_start"], r["event_type"]): (r["n_events"], r["n_hours"])
+        for r in out.collect()
+    }
+
+    ev = ev_all.withColumn("ts", F.col("ts").cast("timestamp"))
+    wm = ev.agg(
+        (SF.max("ts") - SF.expr("INTERVAL 1 HOUR")).alias("w")
+    ).collect()[0]["w"]
+    hours = (
+        ev.groupBy(
+            SF.date_trunc("hour", "ts").alias("hr"), "event_type"
+        )
+        .agg(SF.count(SF.lit(1)).alias("n"))
+        .where(SF.col("hr") + SF.expr("INTERVAL 1 HOUR") <= SF.lit(wm))
+    )
+    want = {
+        (r["day_start"], r["event_type"]): (r["n_events"], r["n_hours"])
+        for r in hours.groupBy(
+            SF.date_trunc("day", "hr").alias("day_start"), "event_type"
+        )
+        .agg(
+            SF.sum("n").cast("long").alias("n_events"),
+            SF.count(SF.lit(1)).cast("long").alias("n_hours"),
+        )
+        .where(SF.col("day_start") + SF.expr("INTERVAL 1 DAY") <= SF.lit(wm))
+        .select(
+            SF.col("day_start").cast("timestamp_ntz").alias("day_start"),
+            "event_type",
+            "n_events",
+            "n_hours",
+        )
+        .collect()
+    }
+    assert got == want
+    assert got, "expected at least one emitted day"

@@ -57,6 +57,10 @@ QUERIES = {
     # text family (documents)
     "text_gopher_filter": text_fns.text_gopher_filter,
     "text_winnowing_fingerprints": text_fns.text_winnowing_fingerprints,
+    # round-6 additions: posting-list cosine join + novelty curve (both
+    # corpus-linear by design — the scaling run checks the claim)
+    "dedup_tfidf_cosine": dedup.dedup_tfidf_cosine,
+    "text_ngram_novelty": dedup.text_ngram_novelty,
     # events family (scaled change stream)
     "sessionize_events": relational.sessionize_events,
     "events_ohlc_candles": relational.events_ohlc_candles,
