@@ -145,6 +145,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scalar_collation": relational.scalar_collation,
     "agg_listagg_countif": relational.agg_listagg_countif,
     "events_time_to_convert": relational.events_time_to_convert,
+    "text_rake_keywords": text_fns.text_rake_keywords,
+    "events_forecast_snaive": relational.events_forecast_snaive,
+    "events_rolling_median": relational.events_rolling_median,
+    "scalar_url_funcs": scalars.scalar_url_funcs,
     # ---- block F: r05 driver rows, aging next-oldest after block B
     # drains (36 round-4 additions certified r05) ----
     "er_sorted_neighborhood": mining.er_sorted_neighborhood,
@@ -4116,6 +4120,98 @@ _ORACLES.update({
                GROUP BY 1)
         SELECT user_id, ROUND((fp_us - fv_us) / 1000000.0, 6) AS convert_s
         FROM fp
+    """,
+})
+
+_ORACLES.update({
+    # same delimiter split, 6-dp DECIMAL word scores -> exact order-free
+    # per-phrase sums
+    "text_rake_keywords": r"""
+        WITH d AS (SELECT regexp_replace(lower(trim(text)),
+                                         '\b(a|the)\b', '|', 'g') AS norm
+                   FROM documents),
+        occ AS (SELECT regexp_replace(trim(p), '\s+', ' ', 'g') AS phrase
+                FROM d, UNNEST(string_split(norm, '|')) AS t(p)
+                WHERE regexp_replace(trim(p), '\s+', ' ', 'g') <> ''),
+        po AS (SELECT phrase, len(string_split(phrase, ' ')) AS plen
+               FROM occ),
+        ws AS (SELECT t.w,
+                      CAST(ROUND(SUM(plen) / COUNT(*), 6) AS DECIMAL(18,6))
+                          AS s
+               FROM po, UNNEST(string_split(phrase, ' ')) AS t(w)
+               GROUP BY 1),
+        dp AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+               FROM po GROUP BY 1),
+        pw AS (SELECT phrase, n_occurrences, t.w
+               FROM dp, UNNEST(string_split(phrase, ' ')) AS t(w)),
+        sc AS (SELECT phrase, n_occurrences,
+                      ROUND(CAST(SUM(s) AS DOUBLE), 6) AS rake_score
+               FROM pw JOIN ws USING (w) GROUP BY 1, 2)
+        SELECT phrase, n_occurrences, rake_score
+        FROM sc ORDER BY rake_score DESC, phrase LIMIT 50
+    """,
+    # integer-cent cells; forecast rounded back to integer cents; WAPE is
+    # one exact integer division
+    "events_forecast_snaive": """
+        WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS d,
+                           EXTRACT(hour FROM ts) AS hr,
+                           CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                           CAST(date_diff('day', DATE '2024-01-01',
+                                          CAST(ts AS DATE)) % 7 AS INT) AS dow
+                    FROM events),
+        train AS (SELECT * FROM ev WHERE d < DATE '2024-01-24'),
+        test AS (SELECT * FROM ev WHERE d >= DATE '2024-01-24'),
+        nd AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days
+               FROM (SELECT DISTINCT d, dow FROM train) GROUP BY 1),
+        trc AS (SELECT event_type, dow, hr,
+                       CAST(SUM(cents) AS BIGINT) AS train_cents
+                FROM train GROUP BY 1, 2, 3),
+        tec AS (SELECT event_type, dow, hr,
+                       CAST(SUM(cents) AS BIGINT) AS actual_cents
+                FROM test GROUP BY 1, 2, 3),
+        cells AS (SELECT tec.event_type, actual_cents,
+                         CAST(ROUND(COALESCE(train_cents, 0) / n_days)
+                              AS BIGINT) AS forecast_cents
+                  FROM tec
+                  LEFT JOIN trc USING (event_type, dow, hr)
+                  JOIN nd USING (dow))
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(actual_cents) AS BIGINT) AS total_actual_cents,
+               CAST(SUM(ABS(actual_cents - forecast_cents)) AS BIGINT)
+                   AS total_abs_err_cents,
+               ROUND(SUM(ABS(actual_cents - forecast_cents))
+                     / SUM(actual_cents), 6) AS wape
+        FROM cells GROUP BY 1
+    """,
+    # frame values sorted per row; shared odd/even midpoint formula
+    "events_rolling_median": """
+        WITH w AS (SELECT event_id, user_id,
+                          list_sort(list(value)
+                              OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN 4 PRECEDING
+                                    AND CURRENT ROW)) AS arr
+                   FROM events)
+        SELECT event_id, user_id,
+               ROUND((arr[CAST(floor((len(arr) - 1) / 2) AS BIGINT) + 1]
+                      + arr[CAST(floor(len(arr) / 2) AS BIGINT) + 1])
+                     / 2.0, 6) AS rolling_median
+        FROM w
+    """,
+    # identical synthesized url, regex-parsed
+    "scalar_url_funcs": """
+        WITH u AS (SELECT doc_id, source,
+                          'https://' || source || '.example.com/docs/'
+                          || CAST(doc_id AS VARCHAR) || '?lang=' || lang
+                          || '&n=' || CAST(n_chars AS VARCHAR) AS url
+                   FROM documents)
+        SELECT doc_id,
+               regexp_extract(url, 'https://([^/]+)', 1) AS host,
+               regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+               regexp_extract(url, '[?&]lang=([^&]*)', 1) AS q_lang,
+               regexp_extract(url, '[?&]n=([^&]*)', 1) AS q_n,
+               TRUE AS decoded_ok
+        FROM u
     """,
 })
 

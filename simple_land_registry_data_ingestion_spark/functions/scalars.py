@@ -225,3 +225,35 @@ def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("missing_path_null"),
         F.to_json(F.col("v")).alias("roundtrip_json"),
     )
+
+
+def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL scalar family (parse_url HOST/PATH/QUERY + url_decode): URLs
+    are synthesized deterministically from document attributes, parsed
+    back, and a percent-encoding roundtrip is verified — the provenance-
+    URL handling (host/domain extraction, query-param mining) every
+    web-crawl pipeline needs at the scan stage.  All codegen'd JVM
+    expressions; the oracle parses with regexes.
+
+    Output: (doc_id, host, path, q_lang, q_n, decoded_ok)."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&n="),
+        F.col("n_chars").cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("n")).alias("q_n"),
+        (
+            F.url_decode(F.url_encode(F.col("source"))) == F.col("source")
+        ).alias("decoded_ok"),
+    )

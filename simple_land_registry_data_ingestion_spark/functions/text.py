@@ -972,3 +972,60 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
         ).alias("fk_grade"),
     )
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): phrases are maximal
+    runs of non-stopword tokens, each word scores deg/freq (degree = sum
+    of the lengths of the phrase occurrences containing it), and a
+    phrase scores the sum of its words' scores — the classic
+    unsupervised keyphrase extractor, here over the whole corpus.
+
+    Relational plan: one scan splits text on the stopword delimiters
+    ('a'/'the' in this corpus) and explodes phrase occurrences; word
+    scores are a vocabulary-sized aggregate; phrase scores join the
+    DISTINCT phrase-word explode against that tiny frame and sum.  Word
+    scores are 6-dp DECIMAL(18,6), so the per-phrase sum is exact and
+    order-free on both engines — no fold-order discipline needed.  Top-k
+    by (score desc, phrase) plans TakeOrderedAndProject.
+
+    Output: (phrase, n_occurrences, rake_score), top ``k``."""
+    docs = load(spark, sf_dir, "documents")
+    delimited = F.regexp_replace(
+        F.lower(F.trim(F.col("text"))), r"\b(a|the)\b", "|"
+    )
+    phrases = (
+        docs.select(F.explode(F.split(delimited, r"\|")).alias("raw"))
+        .select(
+            F.regexp_replace(F.trim(F.col("raw")), r"\s+", " ").alias("phrase")
+        )
+        .where(F.col("phrase") != "")
+    )
+    occ = phrases.withColumn(
+        "plen", F.size(F.split(F.col("phrase"), " "))
+    )
+    word_scores = (
+        occ.select("plen", F.explode(F.split("phrase", " ")).alias("w"))
+        .groupBy("w")
+        .agg(
+            F.round(F.sum("plen") / F.count(F.lit(1)), 6)
+            .cast("decimal(18,6)")
+            .alias("s")
+        )
+    )
+    distinct_ph = occ.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    scored = (
+        distinct_ph.select(
+            "phrase",
+            "n_occurrences",
+            F.explode(F.split("phrase", " ")).alias("w"),
+        )
+        .join(F.broadcast(word_scores), "w")
+        .groupBy("phrase", "n_occurrences")
+        .agg(F.round(F.sum("s").cast("double"), 6).alias("rake_score"))
+    )
+    return scored.orderBy(
+        F.col("rake_score").desc(), F.col("phrase")
+    ).limit(k)

@@ -3884,3 +3884,95 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "convert_s"
         ),
     )
+
+
+def events_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast BACKTEST: forecast each (event type,
+    day-of-week, hour) cell of the final week from the mean of the same
+    cell over the training weeks, then score WAPE per type — the
+    baseline every demand-forecasting pipeline must beat, plus the
+    backtest harness shape (train cutoff, seasonal key join, error
+    rollup) that evaluating any better model needs.
+
+    Deterministic throughout: cell loads are integer cents; the
+    per-cell forecast is round(train_sum / n_train_days_for_that_dow)
+    back to integer cents; absolute errors are integer; WAPE is one
+    exact integer division.  Day-of-week is (days since 2024-01-01) % 7
+    — portable integer arithmetic, no engine dow() convention.
+
+    Output: (event_type, n_cells, total_actual_cents,
+    total_abs_err_cents, wape)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.hour("ts").alias("hr"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).withColumn(
+        "dow", (F.datediff(F.col("d"), F.lit("2024-01-01")) % 7).cast("int")
+    )
+    cut = F.lit("2024-01-24").cast("date")
+    train = ev.where(F.col("d") < cut)
+    test = ev.where(F.col("d") >= cut)
+    n_dow = (
+        train.select("d", "dow")
+        .distinct()
+        .groupBy("dow")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    )
+    tr_cell = train.groupBy("event_type", "dow", "hr").agg(
+        F.sum("cents").alias("train_cents")
+    )
+    te_cell = test.groupBy("event_type", "dow", "hr").agg(
+        F.sum("cents").alias("actual_cents")
+    )
+    cells = (
+        te_cell.join(tr_cell, ["event_type", "dow", "hr"], "left")
+        .join(F.broadcast(n_dow), "dow")
+        .select(
+            "event_type",
+            "actual_cents",
+            F.round(
+                F.coalesce("train_cents", F.lit(0)) / F.col("n_days")
+            )
+            .cast("long")
+            .alias("forecast_cents"),
+        )
+    )
+    return cells.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("actual_cents").alias("total_actual_cents"),
+        F.sum(F.abs(F.col("actual_cents") - F.col("forecast_cents")))
+        .alias("total_abs_err_cents"),
+        F.round(
+            F.sum(F.abs(F.col("actual_cents") - F.col("forecast_cents")))
+            / F.sum("actual_cents"),
+            6,
+        ).alias("wape"),
+    )
+
+
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling MEDIAN of the last 5 values per user — robust windowed
+    smoothing where a rolling mean chases outliers.  No engine exposes a
+    deterministic exact windowed median, so the frame's values are
+    collected and sorted per row (ROWS 4 PRECEDING, bounded state) and
+    the midpoint is computed with the shared odd/even formula — the same
+    engine-exact median discipline as events_theilsen_trend, applied
+    inside a window frame.  One shuffle (user key), one sorted pass.
+
+    Output: (event_id, user_id, rolling_median)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.get(arr, F.floor((n - 1) / 2).cast("int"))
+    hi = F.get(arr, F.floor(n / 2).cast("int"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round((lo + hi) / 2.0, 6).alias("rolling_median"),
+    )
