@@ -149,6 +149,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_forecast_snaive": relational.events_forecast_snaive,
     "events_rolling_median": relational.events_rolling_median,
     "scalar_url_funcs": scalars.scalar_url_funcs,
+    "orders_totals_reconciliation": relational.orders_totals_reconciliation,
+    "users_longest_streak": relational.users_longest_streak,
+    "orders_same_day_repeat": relational.orders_same_day_repeat,
+    "part_prefix_autocomplete": relational.part_prefix_autocomplete,
     # ---- block F: r05 driver rows, aging next-oldest after block B
     # drains (36 round-4 additions certified r05) ----
     "er_sorted_neighborhood": mining.er_sorted_neighborhood,
@@ -4212,6 +4216,87 @@ _ORACLES.update({
                regexp_extract(url, '[?&]n=([^&]*)', 1) AS q_n,
                TRUE AS decoded_ok
         FROM u
+    """,
+})
+
+_ORACLES.update({
+    # integer-cent comparison; the 1% band is integer arithmetic
+    "orders_totals_reconciliation": """
+        WITH h AS (SELECT o_orderkey,
+                          CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                              AS header_cents
+                   FROM orders),
+        det AS (SELECT l_orderkey AS o_orderkey,
+                       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                            AS BIGINT) AS detail_cents
+                FROM lineitem GROUP BY 1),
+        cls AS (SELECT CASE WHEN detail_cents IS NULL THEN 'NO_LINES'
+                            WHEN ABS(header_cents - detail_cents) = 0
+                                 THEN 'EXACT'
+                            WHEN ABS(header_cents - detail_cents) * 100
+                                 <= header_cents THEN 'WITHIN_1PCT'
+                            ELSE 'MISMATCH' END AS recon_class,
+                       header_cents,
+                       COALESCE(detail_cents, 0) AS detail_cents,
+                       ABS(header_cents - COALESCE(detail_cents, 0)) AS drift
+                FROM h LEFT JOIN det USING (o_orderkey))
+        SELECT recon_class, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(header_cents) AS BIGINT) AS total_header_cents,
+               CAST(SUM(detail_cents) AS BIGINT) AS total_detail_cents,
+               CAST(SUM(drift) AS BIGINT) AS total_abs_drift_cents
+        FROM cls GROUP BY 1
+    """,
+    # gaps-and-islands over distinct active days
+    "users_longest_streak": """
+        WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                      FROM events),
+        runs AS (SELECT user_id,
+                        d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                                    ORDER BY d) AS INT)
+                            AS grp
+                 FROM days),
+        st AS (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+               FROM runs GROUP BY 1, 2)
+        SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+               CAST(MAX(len) AS BIGINT) AS longest_streak,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks
+        FROM st GROUP BY 1
+    """,
+    # one (customer, day) aggregation + HAVING; integer cents
+    "orders_same_day_repeat": """
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents,
+               CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    - MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS spread_cents,
+               CAST(MIN(o_orderkey) AS BIGINT) AS first_orderkey,
+               CAST(MAX(o_orderkey) AS BIGINT) AS last_orderkey
+        FROM orders
+        GROUP BY 1, 2
+        HAVING COUNT(*) > 1
+    """,
+    # 2-6 char word prefixes -> top-k parts by exact cent revenue
+    "part_prefix_autocomplete": """
+        WITH rev AS (SELECT l_partkey,
+                            CAST(SUM(CAST(ROUND(l_extendedprice * 100)
+                                          AS BIGINT)) AS BIGINT)
+                                AS revenue_cents
+                     FROM lineitem GROUP BY 1),
+        words AS (SELECT p_partkey AS l_partkey, t.w
+                  FROM part, UNNEST(string_split(lower(p_name), ' ')) AS t(w)
+                  WHERE len(t.w) >= 2),
+        pre AS (SELECT DISTINCT l_partkey, substring(w, 1, i) AS prefix
+                FROM words,
+                     UNNEST(range(2, LEAST(len(w), 6) + 1)) AS t(i)),
+        ranked AS (SELECT prefix, l_partkey, revenue_cents,
+                          ROW_NUMBER() OVER (PARTITION BY prefix
+                              ORDER BY revenue_cents DESC, l_partkey)
+                              AS rank
+                   FROM pre JOIN rev USING (l_partkey))
+        SELECT prefix, CAST(rank AS BIGINT) AS rank, l_partkey, revenue_cents
+        FROM ranked WHERE rank <= 3
     """,
 })
 

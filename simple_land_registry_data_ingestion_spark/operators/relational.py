@@ -3976,3 +3976,160 @@ def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round((lo + hi) / 2.0, 6).alias("rolling_median"),
     )
+
+
+def orders_totals_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way financial reconciliation: the order header total vs the sum
+    of its lineitem extended prices, classified EXACT / WITHIN_1PCT /
+    MISMATCH / NO_LINES — the audit control every billing mart runs
+    between a header feed and a detail feed.  (On THIS corpus the two
+    disagree wholesale — found while building the penny allocator — which
+    is precisely what a reconciliation report exists to surface.)
+
+    All comparisons in integer cents; the 1% band is integer arithmetic
+    (|drift| * 100 <= total) so no float boundary exists.  One fact
+    aggregation + one broadcast-size header join per class row.
+
+    Output: (recon_class, n_orders, total_header_cents,
+    total_detail_cents, total_abs_drift_cents)."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    header = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("header_cents"),
+    )
+    detail = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "detail_cents"
+        )
+    )
+    drift = F.abs(F.col("header_cents") - F.coalesce("detail_cents", F.lit(0)))
+    cls = (
+        F.when(F.col("detail_cents").isNull(), "NO_LINES")
+        .when(drift == 0, "EXACT")
+        .when(drift * 100 <= F.col("header_cents"), "WITHIN_1PCT")
+        .otherwise("MISMATCH")
+    )
+    return (
+        header.join(detail, "o_orderkey", "left")
+        .select(
+            cls.alias("recon_class"),
+            "header_cents",
+            F.coalesce("detail_cents", F.lit(0)).alias("detail_cents"),
+            drift.alias("drift"),
+        )
+        .groupBy("recon_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("header_cents").alias("total_header_cents"),
+            F.sum("detail_cents").alias("total_detail_cents"),
+            F.sum("drift").alias("total_abs_drift_cents"),
+        )
+    )
+
+
+def users_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the retention/
+    gamification metric — via the gaps-and-islands date-minus-row_number
+    trick over DISTINCT active days: day - rn is constant within a
+    consecutive run, so streaks fall out of one groupBy with no self-join
+    and no sequence generation.  Events collapse to distinct (user, day)
+    first, so the window touches days, never events.
+
+    Output: (user_id, n_active_days, longest_streak, n_streaks)."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = days.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = runs.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+    )
+
+
+def orders_same_day_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-day repeat-order screen: every (customer, day) that placed
+    MORE than one order — the double-submit / split-shipment review
+    queue an order-intake audit feeds to ops.  (An exact-amount
+    duplicate-invoice screen was evaluated first and dropped: this
+    corpus's totals are uniform doubles with ZERO identical-cent
+    collisions at any scale, so that query certified nothing.)
+
+    One map-side-combined aggregation on (customer, day) + HAVING —
+    integer cents, min/max order keys as the review pointers, and the
+    amount spread (max-min) to separate split shipments (similar
+    amounts) from unrelated same-day orders.
+
+    Output: (o_custkey, d, n_orders, total_cents, spread_cents,
+    first_orderkey, last_orderkey)."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        orders.groupBy("o_custkey", "d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+            (F.max("cents") - F.min("cents")).alias("spread_cents"),
+            F.min("o_orderkey").alias("first_orderkey"),
+            F.max("o_orderkey").alias("last_orderkey"),
+        )
+        .where(F.col("n_orders") > 1)
+    )
+
+
+def part_prefix_autocomplete(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Search-as-you-type PREFIX INDEX build: for every 2-6 character
+    prefix of every part-name word, the top-k parts by lineitem revenue —
+    the offline artifact an autocomplete service serves from.  Prefix
+    explosion is bounded (<= 5 prefixes per word), revenue is the exact
+    integer-cent aggregate joined once, and per-prefix top-k is a
+    rank-window over the prefix-keyed frame (WindowGroupLimit pushes the
+    cut before the shuffle materializes the full lists).
+
+    Output: (prefix, rank, l_partkey, revenue_cents)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        )
+    )
+    words = part.select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.explode(F.split(F.lower("p_name"), " ")).alias("w"),
+    ).where(F.length("w") >= 2)
+    prefixes = words.select(
+        "l_partkey",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(2), F.least(F.length("w"), F.lit(6))),
+                lambda i: F.col("w").substr(F.lit(1), i),
+            )
+        ).alias("prefix"),
+    ).distinct()
+    scored = prefixes.join(rev, "l_partkey")
+    w_rank = Window.partitionBy("prefix").orderBy(
+        F.col("revenue_cents").desc(), F.col("l_partkey")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= k)
+        .select(
+            "prefix",
+            F.col("rank").cast("long").alias("rank"),
+            "l_partkey",
+            "revenue_cents",
+        )
+    )
