@@ -153,6 +153,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "users_longest_streak": relational.users_longest_streak,
     "orders_same_day_repeat": relational.orders_same_day_repeat,
     "part_prefix_autocomplete": relational.part_prefix_autocomplete,
+    "events_bot_regularity": relational.events_bot_regularity,
+    "inventory_fifo_matching": relational.inventory_fifo_matching,
+    "events_ab_cuped": relational.events_ab_cuped,
+    "agg_bitmap_distinct": sketches.agg_bitmap_distinct,
     # ---- block F: r05 driver rows, aging next-oldest after block B
     # drains (36 round-4 additions certified r05) ----
     "er_sorted_neighborhood": mining.er_sorted_neighborhood,
@@ -4297,6 +4301,114 @@ _ORACLES.update({
                    FROM pre JOIN rev USING (l_partkey))
         SELECT prefix, CAST(rank AS BIGINT) AS rank, l_partkey, revenue_cents
         FROM ranked WHERE rank <= 3
+    """,
+})
+
+_ORACLES.update({
+    # exact integer sufficient stats (sum of squares as DECIMAL);
+    # hand-rolled median midpoint
+    "events_bot_regularity": """
+        WITH t AS (SELECT user_id, epoch_us(ts) AS tu, event_id FROM events),
+        i AS (SELECT user_id,
+                     tu - LAG(tu) OVER (PARTITION BY user_id
+                                        ORDER BY tu, event_id) AS iat
+              FROM t),
+        f AS (SELECT user_id, iat FROM i WHERE iat IS NOT NULL),
+        s AS (SELECT user_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_iat,
+                     CAST(SUM(iat) AS BIGINT) AS s1,
+                     SUM(CAST(iat AS DECIMAL(38,0)) * iat) AS s2,
+                     list_sort(list(iat)) AS arr
+              FROM f GROUP BY 1),
+        c AS (SELECT user_id, n_iat, s1, s2,
+                     (arr[CAST(floor((len(arr) - 1) / 2) AS BIGINT) + 1]
+                      + arr[CAST(floor(len(arr) / 2) AS BIGINT) + 1])
+                     / 2.0 AS med_us,
+                     s1 / n_iat AS mean_us,
+                     CAST(s2 AS DOUBLE) / n_iat
+                         - (s1 / n_iat) * (s1 / n_iat) AS var_us
+              FROM s)
+        SELECT user_id, n_iat,
+               med_us AS median_iat_us,
+               mean_us AS mean_iat_us,
+               ROUND(sqrt(GREATEST(var_us, 0.0)) / mean_us, 6) AS iat_cv,
+               sqrt(GREATEST(var_us, 0.0)) / mean_us < 0.5 AS is_regular
+        FROM c
+    """,
+    # FIFO = pairwise overlap of cumulative-quantity intervals
+    "inventory_fifo_matching": """
+        WITH li AS (SELECT l_partkey, l_orderkey, l_linenumber, l_linestatus,
+                           CAST(l_quantity AS BIGINT) AS qty,
+                           CAST(l_shipdate AS DATE) AS sd
+                    FROM lineitem),
+        r AS (SELECT l_partkey,
+                     l_orderkey AS receipt_order,
+                     CAST(l_linenumber AS BIGINT) AS receipt_line,
+                     CAST(SUM(qty) OVER w AS BIGINT) AS receipt_c1,
+                     CAST(SUM(qty) OVER w - qty AS BIGINT) AS receipt_c0
+              FROM li WHERE l_linestatus = 'F'
+              WINDOW w AS (PARTITION BY l_partkey
+                           ORDER BY sd, l_orderkey, l_linenumber, qty
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)),
+        i AS (SELECT l_partkey,
+                     l_orderkey AS issue_order,
+                     CAST(l_linenumber AS BIGINT) AS issue_line,
+                     CAST(SUM(qty) OVER w AS BIGINT) AS issue_c1,
+                     CAST(SUM(qty) OVER w - qty AS BIGINT) AS issue_c0
+              FROM li WHERE l_linestatus = 'O'
+              WINDOW w AS (PARTITION BY l_partkey
+                           ORDER BY sd, l_orderkey, l_linenumber, qty
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW))
+        SELECT r.l_partkey, receipt_order, receipt_line,
+               issue_order, issue_line,
+               CAST(LEAST(receipt_c1, issue_c1)
+                    - GREATEST(receipt_c0, issue_c0) AS BIGINT)
+                   AS qty_allocated
+        FROM r JOIN i ON r.l_partkey = i.l_partkey
+        WHERE receipt_c0 < issue_c1 AND issue_c0 < receipt_c1
+    """,
+    # closed-form CUPED from exact integer sufficient statistics
+    "events_ab_cuped": """
+        WITH pu AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-08'
+                                 THEN CAST(ROUND(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS pre,
+                   CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-08'
+                                 THEN CAST(ROUND(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS post,
+                   CASE WHEN ('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                                1, 8))::BIGINT % 2 = 0
+                        THEN 'A' ELSE 'B' END AS arm
+            FROM events GROUP BY user_id),
+        pooled AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(pre) AS BIGINT) AS sx,
+                          CAST(SUM(post) AS BIGINT) AS sy,
+                          CAST(SUM(pre * post) AS BIGINT) AS sxy,
+                          CAST(SUM(pre * pre) AS BIGINT) AS sxx
+                   FROM pu),
+        arms AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+                        CAST(SUM(pre) AS BIGINT) AS gx,
+                        CAST(SUM(post) AS BIGINT) AS gy
+                 FROM pu GROUP BY 1)
+        SELECT arm, n_users,
+               ROUND(gy / n_users / 100.0, 6) AS mean_post,
+               ROUND(gx / n_users / 100.0, 6) AS mean_pre,
+               ROUND((gy / n_users
+                      - ((sxy - sx * sy / n) / (sxx - sx * sx / n))
+                        * (gx / n_users - sx / n)) / 100.0, 6)
+                   AS cuped_mean_post
+        FROM arms, pooled
+    """,
+    # bitmap path certified TRUE against the exact distinct join
+    "agg_bitmap_distinct": """
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_bitmap,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_exact,
+               TRUE AS bitmap_matches_exact
+        FROM events GROUP BY 1
     """,
 })
 
