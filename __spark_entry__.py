@@ -157,6 +157,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inventory_fifo_matching": relational.inventory_fifo_matching,
     "events_ab_cuped": relational.events_ab_cuped,
     "agg_bitmap_distinct": sketches.agg_bitmap_distinct,
+    "q4_order_priority": relational.q4_order_priority,
+    "q14_promo_revenue": relational.q14_promo_revenue,
+    "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
+    "q22_global_sales_opportunity": relational.q22_global_sales_opportunity,
+    "customers_woe_binning": relational.customers_woe_binning,
+    "profile_merkle_ranges": relational.profile_merkle_ranges,
     # ---- block F: r05 driver rows, aging next-oldest after block B
     # drains (36 round-4 additions certified r05) ----
     "er_sorted_neighborhood": mining.er_sorted_neighborhood,
@@ -4409,6 +4415,140 @@ _ORACLES.update({
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_exact,
                TRUE AS bitmap_matches_exact
         FROM events GROUP BY 1
+    """,
+    # EXISTS decorrelates to a semi join; late = shipped >60d after order
+    "q4_order_priority": """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY 1
+    """,
+    # identical operation order: (100.0 * pr) / tr on doubles, 6-dp round
+    "q14_promo_revenue": """
+        WITH j AS (SELECT CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6)) AS rev, p_type
+                   FROM lineitem JOIN part ON l_partkey = p_partkey
+                   WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+                     AND l_shipdate < TIMESTAMP '1996-04-01')
+        SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                           THEN rev END) AS DOUBLE)
+                     / CAST(SUM(rev) AS DOUBLE), 6) AS promo_revenue_pct,
+               CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS total_revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lineitems
+        FROM j
+    """,
+    # disjunction evaluated post-join on both engines; decimal-exact sum
+    "q19_disjunctive_revenue": """
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_matched
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#16' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 36)
+    """,
+    # threshold from exact integer cents: (sum/count)/100 double on both
+    "q22_global_sales_opportunity": """
+        WITH ab AS (SELECT (CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                                 AS DOUBLE) / COUNT(*)) / 100.0 AS avg_bal
+                    FROM customer WHERE c_acctbal > 0),
+        recent AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '2000-01-01'),
+        rich AS (SELECT c_custkey, c_nationkey, c_acctbal
+                 FROM customer, ab WHERE c_acctbal > avg_bal)
+        SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               ROUND(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) / 100.0, 2)
+                   AS totacctbal
+        FROM rich r
+        WHERE NOT EXISTS (SELECT 1 FROM recent
+                          WHERE o_custkey = r.c_custkey)
+        GROUP BY 1
+    """,
+    # identical quintile order (acctbal, custkey); woe from exact-integer
+    # ratios, 6-dp ln; iv uses the ROUNDED woe so both engines multiply
+    # the same double
+    "customers_woe_binning": """
+        WITH buyers AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+                        WHERE o_orderpriority = '1-URGENT'),
+        l AS (SELECT c.c_custkey, c.c_acctbal,
+                     CASE WHEN b.c_custkey IS NULL THEN 0 ELSE 1 END
+                         AS is_good
+              FROM customer c LEFT JOIN buyers b USING (c_custkey)),
+        binned AS (SELECT *, NTILE(5) OVER (ORDER BY c_acctbal, c_custkey)
+                              AS bin
+                   FROM l),
+        per_bin AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(is_good) AS BIGINT) AS n_good,
+                           CAST(COUNT(*) - SUM(is_good) AS BIGINT) AS n_bad,
+                           ROUND(MIN(c_acctbal), 2) AS bin_lo,
+                           ROUND(MAX(c_acctbal), 2) AS bin_hi
+                    FROM binned GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_good) AS BIGINT) AS tg,
+                       CAST(SUM(n_bad) AS BIGINT) AS tb
+                FROM per_bin)
+        SELECT CAST(bin AS BIGINT) AS bin, bin_lo, bin_hi, n, n_good, n_bad,
+               ROUND(LN((n_good * tb) / CAST(n_bad * tg AS DOUBLE)), 6)
+                   AS woe,
+               ROUND((n_good / CAST(tg AS DOUBLE)
+                      - n_bad / CAST(tb AS DOUBLE))
+                     * ROUND(LN((n_good * tb)
+                                / CAST(n_bad * tg AS DOUBLE)), 6), 6)
+                   AS iv_contrib
+        FROM per_bin, tot
+    """,
+    # same two-level drill: fine checksums only under mismatched coarse
+    # buckets; (count, sum-mod) commutative fold of 8-hex md5 ints
+    "profile_merkle_ranges": """
+        WITH a AS (SELECT o_orderkey, o_orderstatus FROM orders),
+        b AS (SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 1000 = 7 THEN 'X'
+                          ELSE o_orderstatus END AS o_orderstatus
+              FROM orders WHERE o_orderkey % 1000 <> 13),
+        ra AS (SELECT o_orderkey // 2048 AS coarse,
+                      o_orderkey // 256 AS fine,
+                      ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)
+                                             || '|' || o_orderstatus),
+                                         1, 8))::BIGINT AS h
+               FROM a),
+        rb AS (SELECT o_orderkey // 2048 AS coarse,
+                      o_orderkey // 256 AS fine,
+                      ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)
+                                             || '|' || o_orderstatus),
+                                         1, 8))::BIGINT AS h
+               FROM b),
+        ca AS (SELECT coarse, COUNT(*) AS n,
+                      SUM(h) % 2305843009213693951 AS chk
+               FROM ra GROUP BY 1),
+        cb AS (SELECT coarse, COUNT(*) AS n,
+                      SUM(h) % 2305843009213693951 AS chk
+               FROM rb GROUP BY 1),
+        cd AS (SELECT COALESCE(ca.coarse, cb.coarse) AS coarse
+               FROM ca FULL JOIN cb ON ca.coarse = cb.coarse
+               WHERE ca.chk IS DISTINCT FROM cb.chk
+                  OR ca.n IS DISTINCT FROM cb.n),
+        fa AS (SELECT fine, COUNT(*) AS n,
+                      SUM(h) % 2305843009213693951 AS chk
+               FROM ra JOIN cd USING (coarse) GROUP BY 1),
+        fb AS (SELECT fine, COUNT(*) AS n,
+                      SUM(h) % 2305843009213693951 AS chk
+               FROM rb JOIN cd USING (coarse) GROUP BY 1)
+        SELECT CAST(COALESCE(fa.fine, fb.fine) * 256 AS BIGINT)
+                   AS range_start,
+               CAST((COALESCE(fa.fine, fb.fine) + 1) * 256 - 1 AS BIGINT)
+                   AS range_end,
+               CAST(COALESCE(fa.n, 0) AS BIGINT) AS n_a,
+               CAST(COALESCE(fb.n, 0) AS BIGINT) AS n_b
+        FROM fa FULL JOIN fb ON fa.fine = fb.fine
+        WHERE fa.chk IS DISTINCT FROM fb.chk OR fa.n IS DISTINCT FROM fb.n
     """,
 })
 

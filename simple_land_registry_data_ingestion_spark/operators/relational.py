@@ -4332,3 +4332,346 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cuped_mean_post"),
         )
     )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): orders placed in one
+    quarter with at least one LATE lineitem, counted per priority.  The
+    dataset has no commit/receipt dates, so "late" is shipped more than
+    60 days after the order date — same correlated-EXISTS semantics.
+
+    Scale shape: the EXISTS decorrelates to a LEFT SEMI join on
+    l_orderkey, so each order is tested once against a key-partitioned
+    lineitem stream — never a per-row subquery.  The quarter filter
+    prunes the orders scan before the join; the semi join's output is
+    at most the filtered orders, so the final groupBy aggregates a
+    quarter's orders over 5 priority groups.  Ref semantics: the
+    reference computes one ungrouped aggregate over a date column
+    (main.py:228-230); this is the grouped, join-qualified extension."""
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): the percentage of one month's
+    discounted revenue that came from PROMO-type parts — a conditional
+    aggregate over a fact-to-dimension join, returning ONE row.
+
+    Scale shape: the month filter pushes into the lineitem scan (the
+    fact side shrinks ~1/80 before any join); part joins by partkey with
+    NO forced broadcast — part is 1/30 of lineitem but still scales with
+    SF (the Q5/Q10 semi-fact lesson), so AQE picks broadcast at test SF
+    and shuffle at warehouse SF.  Both sums are exact DECIMAL(18,6)
+    (order-free), divided once at the end; only the ratio is rounded."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-03-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev)).alias("pr"),
+            F.sum(rev).alias("tr"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .select(
+            F.round(
+                F.lit(100.0) * F.col("pr").cast("double")
+                / F.col("tr").cast("double"),
+                6,
+            ).alias("promo_revenue_pct"),
+            F.round(F.col("tr"), 2).cast("double").alias("total_revenue"),
+            "n_lineitems",
+        )
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    revenue from lineitem x part pairs matching ANY of three (brand,
+    size-range, quantity-range) branches — the canonical OR-of-ANDs
+    plan-quality test.  A naive engine evaluates the disjunction after
+    a full join; a good plan pushes the per-side conjuncts derivable
+    from the OR (quantity <= 36, size <= 15 here) into the SCANS and
+    keeps the join on the pure partkey equi-condition.
+
+    Spark's Catalyst extracts exactly those common filters; the
+    remaining mixed-side disjunction rides the join condition.  One row
+    out: exact decimal revenue + matched-pair count."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    branch = (
+        ((b == "Brand#4") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#16") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#19") & s.between(1, 15) & q.between(20, 36))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(part, (F.col("l_partkey") == F.col("p_partkey")) & branch)
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )
+
+
+def q22_global_sales_opportunity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with
+    above-average positive balances and NO RECENT orders (none since
+    2000-01-01 — every customer in this corpus has ordered at least
+    once, so Q22's literal never-ordered predicate is empty), counted
+    and summed per country code (derived c_nationkey % 5 — the schema
+    has no phone column).
+
+    Scale shape: the scalar AVG subquery is one tiny ungrouped
+    aggregate broadcast into the filter; the NOT EXISTS decorrelates to
+    a LEFT ANTI join of the (already balance-filtered) customer slice
+    against the date-pruned orders scan on custkey.  Nothing quadratic:
+    one scan of each table, one key shuffle for the anti join.  The
+    average is computed from exact integer cents (sum long / count) so
+    the comparison threshold is the identical double on both engines;
+    balance cents are summed exactly and divided once for display."""
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    pos_cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    avg_bal = (
+        customer.where(F.col("c_acctbal") > 0)
+        .select(pos_cents.alias("cents"))
+        .agg(
+            (
+                F.sum("cents").cast("double")
+                / F.count(F.lit(1))
+                / 100.0
+            ).alias("avg_bal")
+        )
+    )
+    rich = (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    never_ordered = rich.join(
+        orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+    )
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return (
+        never_ordered.select(
+            (F.col("c_nationkey") % 5).cast("long").alias("cntrycode"), cents.alias("cents")
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("cents") / 100.0, 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+def customers_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value feature screening — the
+    credit-scoring standard for "does this feature separate the
+    classes": bin the feature (acctbal quintiles), then per bin
+    WOE = ln(share-of-goods / share-of-bads) and the IV contribution
+    (share_g - share_b) * WOE.  Label: customer placed >= 1 URGENT
+    order (every customer in this corpus has ordered, so plain
+    has-ordered is degenerate; urgency splits ~85/15 in every bin).
+
+    Scale shape: labels come from ONE anti-join-free aggregation
+    (left join orders pre-aggregated to distinct custkeys); NTILE(5)
+    needs a total order — at warehouse scale the same binning would use
+    approx quantile CUTS instead of a global window, which is why the
+    bin boundaries (not the mechanism) are the only thing that changes
+    at 100 TB.  Tie-broken by custkey, so the quintile assignment is
+    deterministic and engine-identical.  All shares are exact integer
+    ratios; ln is applied once per bin (5 rows) and 6-dp rounded."""
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    buyers = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("is_good", F.lit(1))
+    )
+    labeled = customer.join(buyers, "c_custkey", "left").select(
+        "c_custkey",
+        "c_acctbal",
+        F.coalesce(F.col("is_good"), F.lit(0)).alias("is_good"),
+    )
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    binned = labeled.withColumn("bin", F.ntile(5).over(w))
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("is_good").cast("long").alias("n_good"),
+        (F.count(F.lit(1)) - F.sum("is_good")).cast("long").alias("n_bad"),
+        F.round(F.min("c_acctbal"), 2).alias("bin_lo"),
+        F.round(F.max("c_acctbal"), 2).alias("bin_hi"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_good").alias("tg"), F.sum("n_bad").alias("tb")
+    )
+    woe = F.round(
+        F.log(
+            (F.col("n_good") * F.col("tb"))
+            / (F.col("n_bad") * F.col("tg"))
+        ),
+        6,
+    )
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "bin_lo",
+            "bin_hi",
+            "n",
+            "n_good",
+            "n_bad",
+            woe.alias("woe"),
+            F.round(
+                (
+                    F.col("n_good") / F.col("tg")
+                    - F.col("n_bad") / F.col("tb")
+                )
+                * woe,
+                6,
+            ).alias("iv_contrib"),
+        )
+        .orderBy("bin")
+    )
+
+
+def profile_merkle_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style snapshot reconciliation: find WHICH key ranges differ
+    between two table snapshots by comparing hierarchical order-free
+    bucket checksums, drilling into fine buckets ONLY under coarse
+    buckets that mismatch — anti-entropy repair's localization step
+    (Dynamo/Cassandra), expressed relationally.
+
+    Snapshots are simulated from orders: B flips the status of keys
+    ≡ 7 (mod 1000) and drops keys ≡ 13 (mod 1000).  Coarse buckets are
+    orderkey div 2048, fine div 256 (8 fine per coarse).  A bucket's
+    checksum is the commutative (count, sum-mod) fold of per-row md5
+    ints — the profile_table_checksum discipline, so it is scan-order
+    free on both engines.
+
+    Scale shape: two scans (one per snapshot) x two grouped aggregates,
+    all map-side-combinable; the fine level is computed only for rows
+    whose coarse bucket mismatched, via an inner join against the
+    (tiny, mismatches-only) coarse diff — the data-proportional cost is
+    ~rows-in-damaged-ranges, exactly the Merkle promise.  Output: one
+    row per differing FINE range with both sides' counts."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    snap_a = orders
+    snap_b = orders.where(F.col("o_orderkey") % 1000 != 13).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 1000 == 7, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    mod = F.lit(2305843009213693951)
+
+    def buckets(df: DataFrame, level_div: int, bucket_col: str) -> DataFrame:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("o_orderstatus"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (
+            df.select(
+                (F.col("o_orderkey") / level_div)
+                .cast("long")
+                .alias(bucket_col),
+                h.alias("h"),
+            )
+            .groupBy(bucket_col)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.pmod(F.sum("h"), mod).cast("long").alias("chk"),
+            )
+        )
+
+    coarse_a = buckets(snap_a, 2048, "coarse")
+    coarse_b = buckets(snap_b, 2048, "coarse")
+    coarse_diff = (
+        coarse_a.alias("a")
+        .join(coarse_b.alias("b"), "coarse", "full")
+        .where(
+            ~(F.col("a.chk").eqNullSafe(F.col("b.chk")))
+            | ~(F.col("a.n").eqNullSafe(F.col("b.n")))
+        )
+        .select("coarse")
+    )
+    damaged = F.broadcast(coarse_diff)
+    fine_a = buckets(
+        snap_a.join(
+            damaged, (F.col("o_orderkey") / 2048).cast("long") == F.col("coarse")
+        ),
+        256,
+        "fine",
+    )
+    fine_b = buckets(
+        snap_b.join(
+            damaged, (F.col("o_orderkey") / 2048).cast("long") == F.col("coarse")
+        ),
+        256,
+        "fine",
+    )
+    return (
+        fine_a.alias("a")
+        .join(fine_b.alias("b"), "fine", "full")
+        .where(
+            ~(F.col("a.chk").eqNullSafe(F.col("b.chk")))
+            | ~(F.col("a.n").eqNullSafe(F.col("b.n")))
+        )
+        .select(
+            (F.col("fine") * 256).alias("range_start"),
+            ((F.col("fine") + 1) * 256 - 1).alias("range_end"),
+            F.coalesce(F.col("a.n"), F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce(F.col("b.n"), F.lit(0)).cast("long").alias("n_b"),
+        )
+        .orderBy("range_start")
+    )
