@@ -163,6 +163,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_global_sales_opportunity": relational.q22_global_sales_opportunity,
     "customers_woe_binning": relational.customers_woe_binning,
     "profile_merkle_ranges": relational.profile_merkle_ranges,
+    "er_edit_distance": mining.er_edit_distance,
+    "text_bm25_topk": text_fns.text_bm25_topk,
+    "sample_temperature_mix": relational.sample_temperature_mix,
+    "join_range_binned": relational.join_range_binned,
+    "stream_upsert_latest": stream_ops.stream_upsert_latest,
     # ---- block F: r05 driver rows, aging next-oldest after block B
     # drains (36 round-4 additions certified r05) ----
     "er_sorted_neighborhood": mining.er_sorted_neighborhood,
@@ -4549,6 +4554,113 @@ _ORACLES.update({
                CAST(COALESCE(fb.n, 0) AS BIGINT) AS n_b
         FROM fa FULL JOIN fb ON fa.fine = fb.fine
         WHERE fa.chk IS DISTINCT FROM fb.chk OR fa.n IS DISTINCT FROM fb.n
+    """,
+    # same lossless length prune + (noun, brand) block; standard unit-cost
+    # Levenshtein on both engines
+    "er_edit_distance": """
+        WITH p AS (SELECT p_partkey, lower(p_name) AS nm, p_brand AS brand,
+                          regexp_extract(p_name, ' ([a-z]+)$', 1) AS noun,
+                          length(p_name) AS ln
+                   FROM part),
+        pairs AS (SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
+                  FROM p a JOIN p b ON a.noun = b.noun AND a.brand = b.brand
+                  WHERE a.p_partkey < b.p_partkey
+                    AND abs(a.ln - b.ln) <= 1
+                    AND levenshtein(a.nm, b.nm) <= 1),
+        sym AS (SELECT key_a AS p_partkey, key_b AS nbr FROM pairs
+                UNION ALL SELECT key_b, key_a FROM pairs)
+        SELECT p_partkey, CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+               MIN(nbr) AS min_neighbor
+        FROM sym GROUP BY 1
+    """,
+    # identical left-to-right double expressions; (1.2 + 1.0) computed
+    # IN-ENGINE on both sides (a 2.2 literal is NOT the same double as
+    # the IEEE sum); per-term 9-dp DECIMAL so the per-doc sum is exact
+    "text_bm25_topk": r"""
+        WITH tok AS (SELECT doc_id,
+                            UNNEST(string_split_regex(lower(trim(text)),
+                                                      '\s+')) AS token
+                     FROM documents),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+               FROM tok GROUP BY 1),
+        stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                         CAST(COUNT(*) AS DOUBLE) AS n_docs
+                  FROM dl),
+        tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM tok WHERE token IN ('join', 'hash', 'window')
+               GROUP BY 1, 2),
+        dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+                FROM tf GROUP BY 1),
+        contrib AS (SELECT tf.doc_id,
+                           CAST(ROUND(
+                               LN(CAST(1.0 AS DOUBLE)
+                                  + (n_docs - df + CAST(0.5 AS DOUBLE))
+                                    / (df + CAST(0.5 AS DOUBLE)))
+                               * (tf * (CAST(1.2 AS DOUBLE)
+                                        + CAST(1.0 AS DOUBLE)))
+                               / (tf + CAST(1.2 AS DOUBLE)
+                                       * (CAST(1.0 AS DOUBLE)
+                                          - CAST(0.75 AS DOUBLE)
+                                          + CAST(0.75 AS DOUBLE)
+                                            * (dl.dl / avgdl))), 9)
+                               AS DECIMAL(18,9)) AS c
+                    FROM tf JOIN dfq USING (token)
+                    JOIN dl ON tf.doc_id = dl.doc_id, stats)
+        SELECT doc_id, ROUND(CAST(SUM(c) AS DOUBLE), 6) AS bm25,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+        FROM contrib GROUP BY 1
+        ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+    # p from exact integer token ratios; p^alpha 9-dp quantized before the
+    # order-free decimal normalizing sum — identical on both engines
+    "sample_temperature_mix": r"""
+        WITH d AS (SELECT source,
+                          CAST(len(string_split_regex(lower(trim(text)),
+                                                      '\s+')) AS BIGINT)
+                              AS n_tokens
+                   FROM documents),
+        per_src AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+                           CAST(COUNT(*) AS BIGINT) AS n_docs
+                    FROM d GROUP BY 1),
+        tot AS (SELECT CAST(SUM(tokens) AS DOUBLE) AS tot FROM per_src),
+        w AS (SELECT source, tokens, n_docs, tokens / tot AS p,
+                     CAST(ROUND(POWER(tokens / tot,
+                                      CAST(0.3 AS DOUBLE)), 9)
+                          AS DECIMAL(18,9)) AS q_raw
+              FROM per_src, tot),
+        z AS (SELECT CAST(SUM(q_raw) AS DOUBLE) AS z FROM w)
+        SELECT source, tokens, n_docs,
+               ROUND(p, 6) AS natural_share,
+               ROUND(CAST(q_raw AS DOUBLE) / z, 6) AS alpha_share,
+               ROUND((CAST(q_raw AS DOUBLE) / z) / p, 6) AS upsample_factor
+        FROM w, z
+    """,
+    # the oracle is the direct theta join the binned equi-join replaces
+    "join_range_binned": """
+        WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+                           epoch_us(ts) // 3600000000 AS bin
+                    FROM events),
+        w AS (SELECT DISTINCT bin AS h FROM ev WHERE bin % 17 = 0)
+        SELECT make_timestamp(h * 3600000000) AS window_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM ev JOIN w ON us >= h * 3600000000
+                      AND us < h * 3600000000 + 5400000000
+        GROUP BY 1
+    """,
+    # batch twin of the foreachBatch upsert: global latest per user by the
+    # same zero-padded (epoch-micros, event_id) data-derived order key
+    "stream_upsert_latest": """
+        WITH e AS (SELECT user_id, event_type, value, ts,
+                          printf('%020d-%012d', epoch_us(ts), event_id)
+                              AS ord
+                   FROM events)
+        SELECT user_id,
+               arg_max(event_type, ord) AS last_event_type,
+               ROUND(arg_max(value, ord), 6) AS last_value,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               arg_max(ts, ord) AS last_ts
+        FROM e GROUP BY 1
     """,
 })
 

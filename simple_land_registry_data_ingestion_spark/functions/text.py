@@ -1029,3 +1029,73 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFra
     return scored.orderBy(
         F.col("rake_score").desc(), F.col("phrase")
     ).limit(k)
+
+
+def text_bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """BM25 retrieval scoring — the search-engine ranking function
+    (Robertson/Spärck Jones; Lucene's default) over the documents table
+    for a fixed 3-term query, returning the top-k hits.  Completes the
+    retrieval surface next to TF-IDF salience (text_tfidf_topk) and the
+    cosine join (dedup_tfidf_cosine): BM25 adds the tf saturation (k1)
+    and length normalization (b) that raw TF-IDF lacks.
+
+    Scale shape: one explode -> (doc, term) tf aggregation restricted to
+    the 3 query terms (the isin filter prunes BEFORE the shuffle, so the
+    aggregate carries query-matching postings only); df and the global
+    (n_docs, avgdl) ride broadcast 1-row/3-row joins; the final top-k is
+    an orderBy+limit — TakeOrderedAndProject per-task heaps, never a
+    global sort.
+
+    Float discipline: per-(doc, term) contributions are 9-dp DECIMAL so
+    the per-doc sum is exact and order-free; idf/lengths use the same
+    left-to-right expression on both engines; final score rounds 6-dp
+    before ranking, tie-broken by doc_id — a total order."""
+    query_terms = ["join", "hash", "window"]
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(words_col("text")).alias("token")
+    )
+    doclen = tokens.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    stats = doclen.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+    )
+    tf = (
+        tokens.where(F.col("token").isin(query_terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * (F.col("tf") * F.lit(k1 + 1.0)) / denom, 9)
+            .cast("decimal(18,9)")
+            .alias("c"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.round(F.sum("c").cast("double"), 6).alias("bm25"),
+        F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+    )
+    return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(k)

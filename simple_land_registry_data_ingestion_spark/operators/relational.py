@@ -4675,3 +4675,118 @@ def profile_merkle_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("range_start")
     )
+
+
+def sample_temperature_mix(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.3
+) -> DataFrame:
+    """Temperature-scaled source sampling (the multilingual pretraining
+    recipe, mC4/XLM-R style): sampling probability q_i ∝ p_i^alpha where
+    p_i is a source's natural token share — alpha < 1 flattens the mix,
+    upweighting tail sources without drowning the head.  Complements
+    sample_token_budget_mix (which CUTS to a budget) by producing the
+    closed-form DISTRIBUTION a weighted sampler would draw from.
+
+    Scale shape: one token-count aggregation per source (map-side
+    combinable), then everything runs on the sources-sized frame (tiny
+    by definition) with the two global scalars riding broadcast 1-row
+    joins.  Float discipline: p_i from exact integer token ratios;
+    p^alpha is 9-dp quantized to DECIMAL before the normalizing sum
+    (exact, order-free — a raw double sum over sources would be
+    partition-order-dependent); final shares round 6-dp."""
+    from simple_land_registry_data_ingestion_spark.functions.text import token_count_col
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", token_count_col("text").alias("n_tokens")
+    )
+    per_src = docs.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tot = per_src.agg(F.sum("tokens").cast("double").alias("tot"))
+    weighted = (
+        per_src.crossJoin(F.broadcast(tot))
+        .withColumn("p", F.col("tokens") / F.col("tot"))
+        .withColumn(
+            "q_raw",
+            F.round(F.pow(F.col("p"), F.lit(alpha)), 9).cast(
+                "decimal(18,9)"
+            ),
+        )
+    )
+    z = weighted.agg(F.sum("q_raw").cast("double").alias("z"))
+    return (
+        weighted.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "tokens",
+            "n_docs",
+            F.round(F.col("p"), 6).alias("natural_share"),
+            F.round(F.col("q_raw").cast("double") / F.col("z"), 6).alias(
+                "alpha_share"
+            ),
+            F.round(
+                (F.col("q_raw").cast("double") / F.col("z")) / F.col("p"), 6
+            ).alias("upsample_factor"),
+        )
+        .orderBy("source")
+    )
+
+
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINNED interval join — the technique that makes point-in-interval
+    joins scale when NEITHER side is broadcastable (Databricks' range
+    join optimization, implemented manually): intervals are exploded
+    into the fixed-width BINS they cover, points carry their single
+    bin, and the join becomes an EQUI-join on bin plus a residual exact
+    containment filter.  Cost drops from |points| x |intervals| (the
+    broadcast-nested-loop join_range_nonequi uses, only sane for a tiny
+    side) to |points| + sum of interval spans — data-proportional.
+
+    Here: 90-minute "maintenance windows" anchored at every 17th hour
+    observed in the stream, matched against every event timestamp.
+    Each window covers exactly 2 one-hour bins, so the expansion factor
+    is bounded by ceil(span/bin)+1 — the knob to size bins with.  Exact
+    integer microseconds end to end; no floats anywhere."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+        .withColumn("bin", F.expr("us div 3600000000"))
+    )
+    windows = (
+        ev.select(F.col("bin").alias("h"))
+        .distinct()
+        .where(F.col("h") % 17 == 0)
+        .select(
+            F.col("h"),
+            (F.col("h") * 3600000000).alias("start_us"),
+            (F.col("h") * 3600000000 + 5400000000).alias("end_us"),
+        )
+    )
+    expanded = windows.select(
+        "h",
+        "start_us",
+        "end_us",
+        F.explode(F.sequence(F.col("h"), F.col("h") + 1)).alias("bin"),
+    )
+    return (
+        ev.join(expanded, "bin")
+        .where((F.col("us") >= F.col("start_us")) & (F.col("us") < F.col("end_us")))
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .select(
+            F.timestamp_micros(F.col("h") * 3600000000)
+            .cast("timestamp_ntz")
+            .alias("window_start"),
+            "n_events",
+            "n_users",
+        )
+        .orderBy("window_start")
+    )

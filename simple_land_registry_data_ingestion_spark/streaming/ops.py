@@ -923,3 +923,101 @@ def stream_two_level_window(
         "n_events",
         "n_hours",
     )
+
+
+def stream_upsert_latest(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming UPSERT into an at-rest table via foreachBatch — the
+    production CDC-sink shape (keep the LATEST row per key) without a
+    transactional table format: each micro-batch is first compacted to
+    its batch-local latest-per-user (map-side shrink: state never holds
+    raw events), then written to its own ``batch_id=N`` directory with
+    mode=overwrite, so a REPLAYED batch (failure between write and
+    checkpoint commit) overwrites itself instead of duplicating —
+    idempotent exactly-once on top of the file source's at-least-once
+    redelivery (the same staging discipline as sinks.py's
+    one-transaction swap, reference main.py:196-251).
+
+    The at-rest table is the UNION of batch deltas; readers reconcile
+    with one argmax per key over deltas — each delta is already one row
+    per (user x batch), so reconciliation cost scales with keys x
+    batches, not with raw events.  (With Delta/Iceberg the per-batch
+    write becomes MERGE and the read-side argmax disappears; the
+    dataflow — compact, idempotent write, key-resolve — is identical.)
+
+    Ordering is the data-derived zero-padded (epoch-micros, event_id)
+    key, so the result is independent of arrival order and micro-batch
+    boundaries — which is exactly what the batch DuckDB twin certifies.
+    ``glob`` / ``max_files_per_trigger`` let tests replay an ordered
+    multi-file split as real micro-batches."""
+    import shutil
+    import tempfile
+
+    ordkey = F.format_string(
+        "%020d-%012d", F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    target = tempfile.mkdtemp(prefix="upsert_target_")
+    ckpt = tempfile.mkdtemp(prefix="upsert_ckpt_")
+
+    def _upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        compacted = (
+            batch_df.withColumn("ord", ordkey)
+            .groupBy("user_id")
+            .agg(
+                F.max("ord").alias("ord"),
+                F.max_by("event_type", ordkey).alias("last_event_type"),
+                F.max_by("value", ordkey).alias("last_value"),
+                F.count(F.lit(1)).cast("long").alias("n_in_batch"),
+            )
+        )
+        compacted.write.mode("overwrite").parquet(
+            os.path.join(target, f"batch_id={batch_id}")
+        )
+
+    try:
+        q = (
+            events_stream(
+                spark,
+                sf_dir,
+                glob=glob,
+                max_files_per_trigger=max_files_per_trigger,
+            )
+            .writeStream.foreachBatch(_upsert_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        deltas = spark.read.option("basePath", target).parquet(target)
+        resolved = (
+            deltas.groupBy("user_id")
+            .agg(
+                F.max_by("last_event_type", F.col("ord")).alias(
+                    "last_event_type"
+                ),
+                F.round(F.max_by("last_value", F.col("ord")), 6).alias(
+                    "last_value"
+                ),
+                F.sum("n_in_batch").cast("long").alias("n_events"),
+                F.max("ord").alias("ord"),
+            )
+            .select(
+                "user_id",
+                "last_event_type",
+                "last_value",
+                "n_events",
+                F.timestamp_micros(
+                    F.split(F.col("ord"), "-").getItem(0).cast("long")
+                )
+                .cast("timestamp_ntz")
+                .alias("last_ts"),
+            )
+        )
+        return resolved.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(target, ignore_errors=True)

@@ -745,3 +745,48 @@ def test_two_level_window_accumulates_across_triggers(spark, tmp_path):
     }
     assert got == want
     assert got, "expected at least one emitted day"
+
+
+def test_upsert_latest_composes_across_micro_batches(spark, tmp_path):
+    """foreachBatch upsert: per-batch compaction + read-side argmax must
+    equal the single-batch result regardless of micro-batch boundaries —
+    the user's latest row may arrive in ANY batch, and an earlier batch's
+    delta must LOSE to a later one (and vice versa when the late file
+    carries the older timestamp)."""
+    import os
+
+    from simple_land_registry_data_ingestion_spark.streaming.ops import stream_upsert_latest
+
+    h = 3_600_000_000_000  # ns
+    rows_a = [
+        (1, 1 * h, 10, "click", 1.0, "{}"),
+        (2, 2 * h, 10, "view", 2.0, "{}"),
+        (3, 1 * h, 20, "click", 3.0, "{}"),
+    ]
+    rows_b = [
+        (4, 5 * h, 10, "purchase", 4.0, "{}"),  # newer -> wins for user 10
+        (5, 0, 20, "view", 5.0, "{}"),          # older -> loses for user 20
+    ]
+    d = tmp_path / "replay"
+    d.mkdir()
+    _write_events_file(str(d / "0.parquet"), rows_a)
+    _write_events_file(str(d / "1.parquet"), rows_b)
+    os.utime(str(d / "0.parquet"), (1000, 1000))
+    os.utime(str(d / "1.parquet"), (2000, 2000))
+
+    multi = {
+        tuple(r)
+        for r in stream_upsert_latest(
+            spark, str(d), glob="*.parquet", max_files_per_trigger=1
+        ).collect()
+    }
+    single = {
+        tuple(r)
+        for r in stream_upsert_latest(
+            spark, str(d), glob="*.parquet", max_files_per_trigger=None
+        ).collect()
+    }
+    assert multi == single
+    by_user = {r[0]: r for r in multi}
+    assert by_user[10][1] == "purchase" and by_user[10][3] == 3  # n_events
+    assert by_user[20][1] == "click" and by_user[20][3] == 2
