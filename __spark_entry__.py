@@ -168,6 +168,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_temperature_mix": relational.sample_temperature_mix,
     "join_range_binned": relational.join_range_binned,
     "stream_upsert_latest": stream_ops.stream_upsert_latest,
+    "events_session_window_batch": relational.events_session_window_batch,
+    "agg_transpose_summary": relational.agg_transpose_summary,
+    "sql_group_order_by_all": relational.sql_group_order_by_all,
     # ---- block F: r05 driver rows, aging next-oldest after block B
     # drains (36 round-4 additions certified r05) ----
     "er_sorted_neighborhood": mining.er_sorted_neighborhood,
@@ -4661,6 +4664,66 @@ _ORACLES.update({
                CAST(COUNT(*) AS BIGINT) AS n_events,
                arg_max(ts, ord) AS last_ts
         FROM e GROUP BY 1
+    """,
+    # gaps-and-islands twin of the built-in merging session_window: a gap
+    # of exactly 30 min starts a NEW session on both paths; end = last+gap
+    "events_session_window_batch": """
+        WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us,
+                          CAST(ROUND(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        m AS (SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+                              OR us - LAG(us) OVER w >= 1800000000
+                             THEN 1 ELSE 0 END AS ns
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        s AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY us
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM m)
+        SELECT user_id, MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(cents) AS BIGINT) AS value_cents
+        FROM s GROUP BY user_id, sid
+    """,
+    # the transposed layout rebuilt row-wise; exact-integer metrics only
+    "agg_transpose_summary": """
+        WITH s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                               AS BIGINT) AS value_cents
+                   FROM events GROUP BY 1)
+        SELECT 'n_events' AS key,
+               MAX(CASE WHEN event_type = 'click' THEN n_events END) AS click,
+               MAX(CASE WHEN event_type = 'error' THEN n_events END) AS error,
+               MAX(CASE WHEN event_type = 'purchase' THEN n_events END) AS purchase,
+               MAX(CASE WHEN event_type = 'signup' THEN n_events END) AS signup,
+               MAX(CASE WHEN event_type = 'view' THEN n_events END) AS view
+        FROM s
+        UNION ALL
+        SELECT 'n_users',
+               MAX(CASE WHEN event_type = 'click' THEN n_users END),
+               MAX(CASE WHEN event_type = 'error' THEN n_users END),
+               MAX(CASE WHEN event_type = 'purchase' THEN n_users END),
+               MAX(CASE WHEN event_type = 'signup' THEN n_users END),
+               MAX(CASE WHEN event_type = 'view' THEN n_users END)
+        FROM s
+        UNION ALL
+        SELECT 'value_cents',
+               MAX(CASE WHEN event_type = 'click' THEN value_cents END),
+               MAX(CASE WHEN event_type = 'error' THEN value_cents END),
+               MAX(CASE WHEN event_type = 'purchase' THEN value_cents END),
+               MAX(CASE WHEN event_type = 'signup' THEN value_cents END),
+               MAX(CASE WHEN event_type = 'view' THEN value_cents END)
+        FROM s
+    """,
+    # explicit form of GROUP BY ALL / ORDER BY ALL
+    "sql_group_order_by_all": """
+        SELECT c.c_mktsegment,
+               o.o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
     """,
 })
 

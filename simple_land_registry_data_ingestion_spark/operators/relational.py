@@ -4790,3 +4790,92 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+def events_session_window_batch(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """The BUILT-IN session_window aggregate in batch mode — Spark's
+    native merging-interval operator (each event opens [ts, ts+gap);
+    overlapping intervals merge), complementing the hand-rolled
+    lag/cumsum sessionize_events: same session boundaries (a gap of
+    exactly ``gap_minutes`` starts a NEW session on both paths), but
+    expressed as ONE aggregation the engine merges internally — no
+    window function, no running sum, and the same operator runs
+    unchanged as a streaming query.
+
+    Scale shape: one keyed shuffle on (user_id) with in-partition
+    interval merging — the merge is sort-based within each key group,
+    never quadratic.  Output: one row per session with its span and
+    exact integer-cent value total."""
+    events = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.groupBy(
+            F.session_window(
+                F.col("ts").cast("timestamp"), f"{gap_minutes} minutes"
+            ).alias("sw"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents).cast("long").alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+def agg_transpose_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (Spark 4.0): flip a per-type metrics summary so
+    METRICS become rows and event types become columns — the
+    report-layout pivot that previously needed collect + pandas.  The
+    transposed schema derives from the index column's VALUES, so this is
+    only sane after an aggregation has reduced the frame to a known,
+    bounded key set (5 event types here); the transpose itself is a
+    driver-side relayout of an already-tiny frame — the heavy lifting
+    (the groupBy) stays distributed.
+
+    Metrics are exact integers (counts / distinct users / integer
+    cents), so the transposed LONG columns are engine-identical."""
+    events = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    summary = (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(cents).cast("long").alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )
+    return summary.transpose("event_type")
+
+
+def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL + ORDER BY ALL through the SQL frontend (Spark 3.4 /
+    4.0 surface): every non-aggregate select item becomes a grouping
+    key, then the full select list orders the result — the exploratory
+    shorthand that removes the classic copy-the-select-list failure
+    mode.  Resolves to the identical Aggregate + Sort plan as the
+    explicit form (same one keyed shuffle), which the DuckDB twin
+    certifies with explicit GROUP BY."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_ga")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_ga")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment,
+               o.o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders_ga o JOIN customer_ga c ON o.o_custkey = c.c_custkey
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
