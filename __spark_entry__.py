@@ -4558,17 +4558,14 @@ _ORACLES.update({
         FROM fa FULL JOIN fb ON fa.fine = fb.fine
         WHERE fa.chk IS DISTINCT FROM fb.chk OR fa.n IS DISTINCT FROM fb.n
     """,
-    # same lossless length prune + (noun, brand) block; standard unit-cost
-    # Levenshtein on both engines
+    # the oracle is the UNPRUNED all-pairs join (length prefilter is
+    # lossless: ed >= length difference) — a green hash certifies the
+    # FastSS deletion-variant candidates are COMPLETE for ed <= 1
     "er_edit_distance": """
-        WITH p AS (SELECT p_partkey, lower(p_name) AS nm, p_brand AS brand,
-                          regexp_extract(p_name, ' ([a-z]+)$', 1) AS noun,
-                          length(p_name) AS ln
-                   FROM part),
+        WITH p AS (SELECT p_partkey, lower(p_name) AS nm FROM part),
         pairs AS (SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
-                  FROM p a JOIN p b ON a.noun = b.noun AND a.brand = b.brand
-                  WHERE a.p_partkey < b.p_partkey
-                    AND abs(a.ln - b.ln) <= 1
+                  FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+                  WHERE abs(length(a.nm) - length(b.nm)) <= 1
                     AND levenshtein(a.nm, b.nm) <= 1),
         sym AS (SELECT key_a AS p_partkey, key_b AS nbr FROM pairs
                 UNION ALL SELECT key_b, key_a FROM pairs)
