@@ -42,7 +42,7 @@ SCALED = "/root/repo/.scratch/sf1"
 COPIES = 10
 
 from simple_land_registry_data_ingestion_spark.functions import text as text_fns
-from simple_land_registry_data_ingestion_spark.operators import relational, similarity
+from simple_land_registry_data_ingestion_spark.operators import mining, relational, similarity
 
 QUERIES = {
     # dedup family (documents)
@@ -65,6 +65,16 @@ QUERIES = {
     "sessionize_events": relational.sessionize_events,
     "events_ohlc_candles": relational.events_ohlc_candles,
     "events_lateness_audit": relational.events_lateness_audit,
+    # round-6 late wave: FastSS ER (part vocab constant at 10x parts ->
+    # name-level work FLAT, expansion linear), binned interval join
+    # (events 10x, same 42 windows), BM25 (corpus-linear postings),
+    # built-in session_window (10x users), Merkle localization (damage
+    # grows with keyspace; fine level bounded by damaged coarse buckets)
+    "er_edit_distance": mining.er_edit_distance,
+    "join_range_binned": relational.join_range_binned,
+    "text_bm25_topk": text_fns.text_bm25_topk,
+    "events_session_window_batch": relational.events_session_window_batch,
+    "profile_merkle_ranges": relational.profile_merkle_ranges,
 }
 
 
@@ -120,6 +130,35 @@ def build_scaled(spark: SparkSession) -> None:
             (F.col("ts") + F.expr(f"INTERVAL {c} SECOND")).alias("ts"),
             (F.col("user_id") + off).alias("user_id"),
             "event_type", "value", "props"))
+    part = load(spark, BASE, "part")
+    pparts = []
+    for c in range(COPIES):
+        off = F.lit(c * 10_000_000).cast("long")
+        # names stay VERBATIM: the part vocabulary is SF-invariant (64
+        # distinct names), which is exactly the er_edit_distance scale
+        # claim the run checks (name-level work flat, expansion linear)
+        pparts.append(part.select(
+            (F.col("p_partkey") + off).alias("p_partkey"),
+            "p_name", "p_brand", "p_type", "p_size", "p_retailprice"))
+    pout = pparts[0]
+    for p in pparts[1:]:
+        pout = pout.unionByName(p)
+    pout.coalesce(4).write.mode("overwrite").parquet(f"{SCALED}/part.parquet")
+
+    orders = load(spark, BASE, "orders")
+    oparts = []
+    for c in range(COPIES):
+        off = F.lit(c * 10_000_000).cast("long")
+        oparts.append(orders.select(
+            (F.col("o_orderkey") + off).alias("o_orderkey"),
+            (F.col("o_custkey") + off).alias("o_custkey"),
+            "o_orderstatus", "o_totalprice", "o_orderdate",
+            "o_orderpriority"))
+    oout = oparts[0]
+    for p in oparts[1:]:
+        oout = oout.unionByName(p)
+    oout.coalesce(4).write.mode("overwrite").parquet(f"{SCALED}/orders.parquet")
+
     vout = vparts[0]
     for p in vparts[1:]:
         vout = vout.unionByName(p)
