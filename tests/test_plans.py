@@ -670,3 +670,73 @@ def test_q7_does_not_force_customer_broadcast(spark):
             assert "c_custkey" not in line, line
     assert plans.broadcast_join_count(df) >= 2, plans.formatted_plan(df)
     plans.assert_no_cartesian_product(df)
+
+
+def test_q4_exists_decorrelates_to_semi_join(spark):
+    """The correlated EXISTS must plan as a LEFT SEMI hash join (one
+    pass over lineitem), never a per-row subquery; the quarter filter
+    reaches the orders scan."""
+    from simple_land_registry_data_ingestion_spark.operators import relational
+
+    df = relational.q4_order_priority(spark, SF_ORACLE)
+    p = plans.formatted_plan(df)
+    assert "LeftSemi" in p, p
+    assert any("o_orderdate" in f for f in plans.pushed_filters(df))
+    plans.assert_no_cartesian_product(df)
+
+
+def test_q19_pushes_disjunction_into_both_scans(spark):
+    """The OR-of-ANDs must reach BOTH parquet scans as a pushed Or(...)
+    filter (Catalyst extracts the per-side disjunction from the join
+    condition) — the whole point of the Q19 shape: filter at the scan,
+    join on the pure partkey equi-condition."""
+    from simple_land_registry_data_ingestion_spark.operators import relational
+
+    df = relational.q19_disjunctive_revenue(spark, SF_ORACLE)
+    pushed = plans.pushed_filters(df)
+    or_scans = [f for f in pushed if "Or(" in f]
+    assert len(or_scans) >= 2, pushed
+    assert any("l_quantity" in f for f in or_scans)
+    assert any("p_brand" in f for f in or_scans)
+    plans.assert_no_cartesian_product(df)
+
+
+def test_q22_anti_join_with_date_pruned_probe(spark):
+    """NOT EXISTS plans as a LEFT ANTI join and the recency predicate is
+    pushed into the orders scan (the probe side never reads old
+    orders); the scalar AVG rides a 1-row broadcast."""
+    from simple_land_registry_data_ingestion_spark.operators import relational
+
+    df = relational.q22_global_sales_opportunity(spark, SF_ORACLE)
+    p = plans.formatted_plan(df)
+    assert "LeftAnti" in p, p
+    assert any(
+        "o_orderdate" in f and "GreaterThanOrEqual" in f
+        for f in plans.pushed_filters(df)
+    )
+    plans.assert_no_cartesian_product(df)
+
+
+def test_binned_range_join_is_equi_not_nested_loop(spark):
+    """THE claim of join_range_binned: the interval join executes as an
+    EQUI hash join on the bin key (plus a residual filter), never as the
+    broadcast-nested-loop theta join it replaces."""
+    from simple_land_registry_data_ingestion_spark.operators import relational
+
+    df = relational.join_range_binned(spark, SF_ORACLE)
+    p = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p), p
+
+
+def test_er_edit_distance_quadratic_confined_to_name_table(spark):
+    """FastSS factoring: the candidate self-join runs on the deletion-
+    variant expansion of the DISTINCT-NAME table; the part table itself
+    is never nested-loop- or cartesian-joined."""
+    from simple_land_registry_data_ingestion_spark.operators import mining
+
+    df = mining.er_edit_distance(spark, SF_ORACLE)
+    p = plans.formatted_plan(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
