@@ -171,6 +171,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_session_window_batch": relational.events_session_window_batch,
     "agg_transpose_summary": relational.agg_transpose_summary,
     "sql_group_order_by_all": relational.sql_group_order_by_all,
+    "text_pii_scan": text_fns.text_pii_scan,
+    "events_quantile_normalize": relational.events_quantile_normalize,
+    "join_spatial_grid": relational.join_spatial_grid,
+    "dedup_link_prediction": dedup.dedup_link_prediction,
     # ---- block F: r05 driver rows, aging next-oldest after block B
     # drains (36 round-4 additions certified r05) ----
     "er_sorted_neighborhood": mining.er_sorted_neighborhood,
@@ -4722,7 +4726,111 @@ _ORACLES.update({
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY 1, 2
     """,
+    # generic-regex PII detection over per-doc planted contact blocks
+    "text_pii_scan": r"""
+        WITH blob AS (
+          SELECT source,
+                 text || ' contact user' || CAST(doc_id % 97 AS VARCHAR) || '@mail'
+                      || CAST(doc_id % 13 AS VARCHAR) || '.net tel +44 7'
+                      || lpad(CAST((doc_id * 7919 + 13) % 10000000 AS VARCHAR), 7, '0')
+                      || ' ip ' || CAST((doc_id * 3 + 7) % 223 + 1 AS VARCHAR)
+                      || '.' || CAST((doc_id * 5 + 11) % 256 AS VARCHAR)
+                      || '.' || CAST((doc_id * 7 + 17) % 256 AS VARCHAR)
+                      || '.' || CAST((doc_id * 11 + 19) % 254 + 1 AS VARCHAR) AS t
+          FROM documents),
+        red AS (
+          SELECT source, t,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+                                    '[EMAIL]', 'g'),
+                     '\+[0-9]{2} [0-9]{8}', '[PHONE]', 'g'),
+                   '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g') AS r,
+                 len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS ne,
+                 len(regexp_extract_all(t, '\+[0-9]{2} [0-9]{8}')) AS np,
+                 len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS ni
+          FROM blob)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(ne) AS BIGINT) AS n_emails,
+               CAST(SUM(np) AS BIGINT) AS n_phones,
+               CAST(SUM(ni) AS BIGINT) AS n_ips,
+               CAST(SUM(len(t) - len(r)) AS BIGINT) AS chars_redacted
+        FROM red GROUP BY source
+    """,
+    # exact-rank quantile normalization; min/max are picked parquet doubles
+    "events_quantile_normalize": """
+        WITH ev AS (SELECT event_type, value, event_id FROM events),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ev),
+        ranked AS (SELECT event_type, value, event_id,
+                          CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                                  ORDER BY value, event_id) AS BIGINT) AS r,
+                          CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nt
+                   FROM ev),
+        gv AS (SELECT value,
+                      CAST(ROW_NUMBER() OVER (ORDER BY value, event_id) AS BIGINT) AS g
+               FROM ev),
+        mapped AS (SELECT event_type, 1 + ((r - 1) * (n - 1)) // (nt - 1) AS tgt, n
+                   FROM ranked, tot WHERE nt > 1),
+        norm AS (SELECT event_type, tgt, n, gv.value AS nv
+                 FROM mapped JOIN gv ON gv.g = mapped.tgt)
+        SELECT event_type,
+               CAST(LEAST(9, ((tgt - 1) * 10) // n) AS BIGINT) AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(nv) AS min_norm, MAX(nv) AS max_norm
+        FROM norm GROUP BY 1, 2
+    """,
+    # oracle is the DIRECT theta join the grid binning replaces
+    "join_spatial_grid": """
+        WITH c AS (SELECT c_custkey,
+                          (c_custkey * 2654435761) % 1000000 AS cx,
+                          (c_custkey * 40503 + 77) % 1000000 AS cy
+                   FROM customer),
+             s AS (SELECT s_suppkey,
+                          (s_suppkey * 97911 + 123) % 1000000 AS sx,
+                          (s_suppkey * 31337 + 456) % 1000000 AS sy
+                   FROM supplier)
+        SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_within,
+               CAST(MIN((cx - sx) * (cx - sx) + (cy - sy) * (cy - sy)) AS BIGINT)
+                   AS min_dist2
+        FROM c JOIN s
+          ON (cx - sx) * (cx - sx) + (cy - sy) * (cy - sy) <= 625000000
+        GROUP BY s_suppkey
+    """,
 })
+
+# common-neighbor link prediction over the verified simhash pair graph
+_ORACLES["dedup_link_prediction"] = f"""
+    WITH {_SIMHASH_CTE},
+    bands AS (
+        SELECT doc_id,
+               CAST(b AS VARCHAR) || ':' || substring(simhash, b * 4 + 1, 4) AS band_key
+        FROM fp, UNNEST(range(0, 4)) AS t(b)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    e AS (
+        SELECT doc_a, doc_b FROM cand
+        JOIN fp fa ON doc_a = fa.doc_id
+        JOIN fp fb ON doc_b = fb.doc_id
+        WHERE {_SIMHASH_DIST} <= 3),
+    adj AS (SELECT doc_a AS n, doc_b AS nbr FROM e
+            UNION ALL SELECT doc_b, doc_a FROM e),
+    deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY n),
+    wedge AS (SELECT a.nbr AS u, b.nbr AS w, CAST(COUNT(*) AS BIGINT) AS common
+              FROM adj a JOIN adj b ON a.n = b.n AND a.nbr < b.nbr
+              GROUP BY 1, 2),
+    nonedge AS (SELECT u, w, common FROM wedge
+                WHERE NOT EXISTS (SELECT 1 FROM e
+                                  WHERE doc_a = u AND doc_b = w))
+    SELECT u, w, common,
+           CAST(du.d + dw.d - common AS BIGINT) AS union_size,
+           ROUND(common / (du.d + dw.d - common), 6) AS nbr_jaccard
+    FROM nonedge
+    JOIN deg du ON du.n = u
+    JOIN deg dw ON dw.n = w
+    ORDER BY common DESC, u, w LIMIT 50
+"""
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1099,3 +1099,69 @@ def text_bm25_topk(
         F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
     )
     return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(k)
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction scan
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{2} [0-9]{8}"
+PII_IP_RE = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction audit — the compliance scan every
+    LLM-training corpus runs before release (emails, phone numbers, IP
+    addresses detected by pattern, replaced by class placeholders, with
+    per-source counts proving the redactor caught everything).
+
+    The synthetic corpus carries no PII, so each document gets a
+    deterministic contact block synthesized from ``doc_id`` arithmetic
+    (same integer expressions on both engines — the scalar_url_funcs
+    pattern); detection then runs GENERIC regexes over the combined text,
+    so the green hash certifies that pattern-based detection finds exactly
+    the planted instances (one email + one phone + one IP per doc) and
+    that redaction length accounting is exact.
+
+    Scale: pure scan-stage work — regexp_count/regexp_replace are
+    codegen'd JVM expressions evaluated once per row, followed by ONE
+    map-side-combined aggregation on the low-cardinality source key.  At
+    100 TB this is the shape you want: no shuffle until the 20-row
+    per-source rollup.  All outputs are BIGINT.
+
+    Output: (source, n_docs, n_emails, n_phones, n_ips, chars_redacted).
+    """
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    blob = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), (d % 97).cast("string"),
+        F.lit("@mail"), (d % 13).cast("string"), F.lit(".net tel +44 7"),
+        F.lpad(((d * 7919 + 13) % 10000000).cast("string"), 7, "0"),
+        F.lit(" ip "), ((d * 3 + 7) % 223 + 1).cast("string"),
+        F.lit("."), ((d * 5 + 11) % 256).cast("string"),
+        F.lit("."), ((d * 7 + 17) % 256).cast("string"),
+        F.lit("."), ((d * 11 + 19) % 254 + 1).cast("string"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), F.lit(PII_EMAIL_RE), F.lit("[EMAIL]")),
+            F.lit(PII_PHONE_RE), F.lit("[PHONE]"),
+        ),
+        F.lit(PII_IP_RE), F.lit("[IP]"),
+    )
+    scanned = docs.select("source", blob.alias("t")).select(
+        "source",
+        F.regexp_count(F.col("t"), F.lit(PII_EMAIL_RE)).alias("ne"),
+        F.regexp_count(F.col("t"), F.lit(PII_PHONE_RE)).alias("np"),
+        F.regexp_count(F.col("t"), F.lit(PII_IP_RE)).alias("ni"),
+        (F.length("t") - F.length(redacted)).alias("delta"),
+    )
+    return scanned.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ne").cast("long").alias("n_emails"),
+        F.sum("np").cast("long").alias("n_phones"),
+        F.sum("ni").cast("long").alias("n_ips"),
+        F.sum("delta").cast("long").alias("chars_redacted"),
+    )

@@ -1932,3 +1932,79 @@ def dedup_tfidf_cosine(
         "doc_b",
         F.round(dotv.cast("double"), 6).alias("cosine"),
     ).where(F.col("cosine") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Link prediction on the near-duplicate candidate graph (round 6)
+# ---------------------------------------------------------------------------
+
+def dedup_link_prediction(
+    spark: SparkSession, sf_dir: str, k: int = 50
+) -> DataFrame:
+    """Common-neighbor link prediction over the SimHash candidate graph —
+    the "probable missed duplicate" triage queue: two documents that are
+    NOT a verified near-dup pair but share many verified neighbors are
+    exactly where banding recall losses hide (transitive near-dups whose
+    pairwise distance straddles the verify threshold).  Classic
+    common-neighbors + neighborhood-Jaccard scoring (Liben-Nowell &
+    Kleinberg 2003).
+
+    Dataflow: verified pairs (dedup_simhash_pairs, nibble distance <= 3)
+    -> symmetric adjacency -> wedge enumeration by a self-equi-join on the
+    SHARED endpoint (quadratic strictly per node, bounded by the candidate
+    graph's degree — the triangle_stats cost model) -> anti-join removes
+    existing edges -> degree join turns common counts into neighborhood
+    Jaccard.  All counts are BIGINT; the one division is a single int/int
+    double, rounded at 6 dp — engine-exact.  Top-k by (common desc, u, w)
+    plans TakeOrderedAndProject.
+
+    At 100 TB the candidate graph is orders of magnitude smaller than the
+    corpus (it is the LSH OUTPUT), and wedge work is sum-of-deg² over that
+    graph; a distribute_threshold-style degree cap bounds hub blowup the
+    same way bucket_pairs does for banding.
+
+    Output: (u, w, common, union_size, nbr_jaccard), top ``k``.
+    """
+    edges = (
+        dedup_simhash_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    adj = edges.select(
+        F.col("doc_a").alias("n"), F.col("doc_b").alias("nbr")
+    ).unionAll(
+        edges.select(F.col("doc_b").alias("n"), F.col("doc_a").alias("nbr"))
+    )
+    a = adj.alias("a")
+    b = adj.alias("b")
+    wedges = (
+        a.join(b, (F.col("a.n") == F.col("b.n")) & (F.col("a.nbr") < F.col("b.nbr")))
+        .groupBy(
+            F.col("a.nbr").alias("u"), F.col("b.nbr").alias("w")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    non_edges = wedges.join(
+        edges,
+        (wedges.u == edges.doc_a) & (wedges.w == edges.doc_b),
+        "left_anti",
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("deg_u"))
+    dw = deg.select(F.col("n").alias("w"), F.col("deg").alias("deg_w"))
+    scored = (
+        non_edges.join(du, "u")
+        .join(dw, "w")
+        .select(
+            "u",
+            "w",
+            "common",
+            (F.col("deg_u") + F.col("deg_w") - F.col("common"))
+            .cast("long").alias("union_size"),
+        )
+        .withColumn(
+            "nbr_jaccard",
+            F.round(F.col("common") / F.col("union_size"), 6),
+        )
+    )
+    return scored.orderBy(F.col("common").desc(), "u", "w").limit(k)

@@ -4879,3 +4879,130 @@ def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization across sources (round 6)
+# ---------------------------------------------------------------------------
+
+def events_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of ``value`` across event types — the
+    cross-source score-calibration step (microarray normalization,
+    genomics; equally the recipe for making heterogeneous quality scores
+    comparable across crawl sources before a global quality cut): each
+    value is replaced by the GLOBAL value at the same within-type rank
+    position, so every type ends up with an identical distribution.
+
+    Exact-rank formulation: within-type rank r of n_t (deterministic
+    (value, event_id) order) maps to global index 1 + (r-1)(N-1) div
+    (n_t-1) — pure BIGINT arithmetic, then an equi-join against the
+    globally indexed value list pulls the normalized value.  min/max per
+    cell are parquet doubles PICKED, not computed, so both engines hash
+    identically.
+
+    Scale: the within-type window and the grouped rollup are one keyed
+    shuffle each.  The GLOBAL row_number is the one single-partition step;
+    at 100 TB it becomes the two-phase global rank (per-partition counts →
+    prefix offsets) or an approx-quantile grid — the mapping mechanism
+    changes, the rank→value contract does not (the customers_woe_binning
+    precedent).
+
+    Output: (event_type, decile, n_rows, min_norm, max_norm), 5x10 rows.
+    """
+    ev = load(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    n_total = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wt = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        F.row_number().over(wt).cast("long").alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        .cast("long").alias("nt"),
+    ).crossJoin(F.broadcast(n_total))
+    gv = ev.select(
+        "value",
+        F.row_number().over(Window.orderBy("value", "event_id"))
+        .cast("long").alias("g"),
+    )
+    mapped = ranked.where(F.col("nt") > 1).select(
+        "event_type",
+        "n",
+        F.expr("1 + ((r - 1) * (n - 1)) div (nt - 1)").alias("tgt"),
+    )
+    norm = mapped.join(gv, mapped.tgt == gv.g)
+    return (
+        norm.select(
+            "event_type",
+            F.least(F.lit(9), F.expr("((tgt - 1) * 10) div n"))
+            .cast("long").alias("decile"),
+            F.col("value").alias("nv"),
+        )
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("nv").alias("min_norm"),
+            F.max("nv").alias("max_norm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grid-binned spatial join (round 6)
+# ---------------------------------------------------------------------------
+
+def join_spatial_grid(
+    spark: SparkSession, sf_dir: str, radius: int = 25_000
+) -> DataFrame:
+    """Spatial radius join via grid binning — the 2-D extension of
+    join_range_binned and the standard distributed-geospatial technique
+    (Sedona/GeoMesa grid partitioning): points land in radius-sized square
+    cells, each probe point expands to its 3x3 cell neighborhood, candidates
+    form by CELL EQUI-JOIN, and an exact distance predicate keeps true
+    neighbors.  |A| x |B| becomes |A| + 9|B| + output — neither side is
+    broadcast or sorted, so the shape survives two 100 TB point sets.
+
+    Coordinates are synthesized deterministically from the keys into an
+    integer micro-degree plane (same multiply-mod expressions on both
+    engines), and the radius predicate is SQUARED EUCLIDEAN in BIGINT —
+    no doubles anywhere, so the hash gate certifies candidate completeness
+    against the oracle's direct theta join (3x3 neighborhood covers every
+    pair within ``radius`` by construction: axis offsets beyond one cell
+    exceed the cell width).
+
+    Output: (s_suppkey, n_within, min_dist2) for suppliers with >= 1
+    customer inside the radius.
+    """
+    r2 = radius * radius
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") * 2654435761 % 1000000).alias("cx"),
+        ((F.col("c_custkey") * 40503 + 77) % 1000000).alias("cy"),
+    ).select(
+        "c_custkey", "cx", "cy",
+        F.expr("cx div " + str(radius)).alias("gx"),
+        F.expr("cy div " + str(radius)).alias("gy"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 97911 + 123) % 1000000).alias("sx"),
+        ((F.col("s_suppkey") * 31337 + 456) % 1000000).alias("sy"),
+    )
+    probe = supp.select(
+        "s_suppkey", "sx", "sy",
+        F.explode(F.array([F.lit(d) for d in (-1, 0, 1)])).alias("dx"),
+    ).select(
+        "s_suppkey", "sx", "sy", "dx",
+        F.explode(F.array([F.lit(d) for d in (-1, 0, 1)])).alias("dy"),
+    ).select(
+        "s_suppkey", "sx", "sy",
+        (F.expr("sx div " + str(radius)) + F.col("dx")).alias("gx"),
+        (F.expr("sy div " + str(radius)) + F.col("dy")).alias("gy"),
+    )
+    dist2 = (
+        (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx"))
+        + (F.col("cy") - F.col("sy")) * (F.col("cy") - F.col("sy"))
+    )
+    pairs = probe.join(cust, ["gx", "gy"]).where(dist2 <= F.lit(r2))
+    return pairs.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_within"),
+        F.min(dist2.cast("long")).alias("min_dist2"),
+    )

@@ -740,3 +740,38 @@ def test_er_edit_distance_quadratic_confined_to_name_table(spark):
     p = plans.formatted_plan(df)
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_spatial_grid_is_cell_equi_join(spark):
+    """THE claim of join_spatial_grid: the radius join executes as an
+    EQUI join on the (gx, gy) cell key plus a residual BIGINT distance
+    filter — never the nested-loop theta join the oracle runs."""
+    df = relational.join_spatial_grid(spark, SF_ORACLE)
+    p = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p), p
+
+
+def test_pii_scan_is_single_scan_single_shuffle(spark):
+    """PII detection is scan-stage work: one documents scan, one
+    map-side-combined aggregation shuffle on the source key, nothing
+    else (no join, no window, no second scan)."""
+    from simple_land_registry_data_ingestion_spark.functions import text as text_fns
+
+    df = text_fns.text_pii_scan(spark, SF_ORACLE)
+    p = plans.formatted_plan(df)
+    # one scan node (each node appears twice in formatted output: tree + detail)
+    assert p.count("InMemoryFileIndex") == 1, p
+    assert plans.shuffle_count(df) == 1, p
+    assert "partial_count" in p, p  # map-side combine before the exchange
+
+
+def test_link_prediction_wedge_join_is_equi(spark):
+    """Wedge enumeration joins the adjacency list to itself on the SHARED
+    endpoint (an equi key); the anti-join against known edges is an equi
+    LeftAnti.  No cartesian anywhere in the composed plan."""
+    df = dedup.dedup_link_prediction(spark, SF_ORACLE)
+    plans.assert_no_cartesian_product(df)
+    p = plans.formatted_plan(df)
+    assert "LeftAnti" in p, p
