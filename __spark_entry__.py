@@ -175,6 +175,15 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_quantile_normalize": relational.events_quantile_normalize,
     "join_spatial_grid": relational.join_spatial_grid,
     "dedup_link_prediction": dedup.dedup_link_prediction,
+    "q8_market_share": relational.q8_market_share,
+    "q13_customer_distribution": relational.q13_customer_distribution,
+    "q15_top_supplier": relational.q15_top_supplier,
+    "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+    "q18_large_volume_customer": relational.q18_large_volume_customer,
+    "q21_suppliers_kept_waiting": relational.q21_suppliers_kept_waiting,
+    "events_hourly_acf": relational.events_hourly_acf,
+    "similarity_matryoshka_error": similarity.similarity_matryoshka_error,
+    "search_rank_fusion": text_fns.search_rank_fusion,
     # ---- block F: r05 driver rows, aging next-oldest after block B
     # drains (36 round-4 additions certified r05) ----
     "er_sorted_neighborhood": mining.er_sorted_neighborhood,
@@ -4830,6 +4839,228 @@ _ORACLES["dedup_link_prediction"] = f"""
     JOIN deg du ON du.n = u
     JOIN deg dw ON dw.n = w
     ORDER BY common DESC, u, w LIMIT 50
+"""
+
+_ORACLES.update({
+    # deepest star join: share numerator/denominator are exact decimal sums
+    "q8_market_share": """
+        WITH vol AS (
+          SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                 CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                     AS volume,
+                 sn.n_name AS supp_nation
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01')
+        SELECT o_year,
+               ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                                   ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                     / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share,
+               CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS total_volume,
+               CAST(COUNT(*) AS BIGINT) AS n_lineitems
+        FROM vol GROUP BY o_year
+    """,
+    # left-outer + double aggregation; COUNT(o_orderkey) keeps the zeros
+    "q13_customer_distribution": """
+        WITH co AS (
+          SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey
+           AND o_orderpriority <> '4-NOT SPECIFIED'
+          GROUP BY c_custkey)
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM co GROUP BY c_count
+    """,
+    # scalar MAX subquery compared on the EXACT decimal sum
+    "q15_top_supplier": """
+        WITH rev AS (
+          SELECT l_suppkey AS supplier_no,
+                 SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(18,6))) AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY 1)
+        SELECT s_suppkey, s_name,
+               CAST(ROUND(total_rev, 2) AS DOUBLE) AS total_revenue
+        FROM rev JOIN supplier ON s_suppkey = supplier_no
+        WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+    # correlated AVG decorrelated to groupBy + re-join; integral doubles
+    # make AVG and the 0.2x threshold float-exact on both engines
+    "q17_small_quantity_revenue": """
+        WITH pk AS (SELECT p_partkey FROM part
+                    WHERE p_brand = 'Brand#3' AND p_size < 15),
+        li AS (SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem
+               WHERE l_partkey IN (SELECT p_partkey FROM pk)),
+        agg AS (SELECT l_partkey AS a_partkey,
+                       CAST(0.2 AS DOUBLE) * AVG(l_quantity) AS small_qty
+                FROM li GROUP BY 1)
+        SELECT CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                               AS DOUBLE) / CAST(7.0 AS DOUBLE), 2) AS DOUBLE)
+                   AS avg_yearly,
+               CAST(COUNT(*) AS BIGINT) AS n_small
+        FROM li JOIN agg ON l_partkey = a_partkey
+        WHERE l_quantity < small_qty
+    """,
+    # group-by-HAVING-IN decorrelated to aggregate-then-join; exact sums
+    "q18_large_volume_customer": """
+        WITH big AS (
+          SELECT l_orderkey AS bok, SUM(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 200)
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               sum_qty
+        FROM big JOIN orders ON bok = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    # EXISTS + NOT EXISTS double correlation (returnflag stands in for
+    # the missing receipt/commit dates)
+    "q21_suppliers_kept_waiting": """
+        WITH l AS (SELECT l_orderkey, l_suppkey, l_returnflag FROM lineitem),
+        l1 AS (
+          SELECT l.l_orderkey, l.l_suppkey, s_name
+          FROM l
+          JOIN orders ON o_orderkey = l.l_orderkey AND o_orderstatus = 'F'
+          JOIN supplier ON s_suppkey = l.l_suppkey
+          JOIN nation ON n_nationkey = s_nationkey AND n_regionkey = 2
+          WHERE l.l_returnflag = 'R')
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM l1
+        WHERE EXISTS (SELECT 1 FROM l l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM l l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+    # Pearson r from BIGINT sums; the one double expression is written
+    # identically on both engines
+    "events_hourly_acf": """
+        WITH cnt AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+                            CAST(COUNT(*) AS BIGINT) AS c
+                     FROM events GROUP BY 1),
+        bounds AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM cnt),
+        spine AS (SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR))
+                             AS hr
+                  FROM bounds),
+        ser AS (SELECT spine.hr, COALESCE(c, 0) AS c
+                FROM spine LEFT JOIN cnt ON cnt.hr = spine.hr),
+        lags AS (SELECT UNNEST([1, 2, 3, 6, 12, 24]) AS lag),
+        pairs AS (SELECT lag, a.c AS x, b.c AS y
+                  FROM ser a JOIN lags ON TRUE
+                  JOIN ser b ON b.hr = a.hr + INTERVAL 1 HOUR * lag),
+        s AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                     CAST(SUM(x) AS BIGINT) AS sx,
+                     CAST(SUM(y) AS BIGINT) AS sy,
+                     CAST(SUM(x * y) AS BIGINT) AS sxy,
+                     CAST(SUM(x * x) AS BIGINT) AS sxx,
+                     CAST(SUM(y * y) AS BIGINT) AS syy
+              FROM pairs GROUP BY lag)
+        SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+               ROUND(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))),
+                     6) AS acf
+        FROM s
+    """,
+})
+
+# truncated-prefix cosine re-ranking vs the full ranking; outputs are
+# pure BIGINT so the hash gate carries no float aggregation
+_ORACLES["similarity_matryoshka_error"] = f"""
+    WITH {_VEC_CTE},
+    q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+    b AS (SELECT UNNEST([8, 16, 32, 64]) AS budget),
+    scored AS (
+      SELECT b.budget, v.vec_id,
+             list_dot_product(list_slice(v.e, 1, b.budget),
+                              list_slice(q.qe, 1, b.budget))
+               / (sqrt(list_dot_product(list_slice(v.e, 1, b.budget),
+                                        list_slice(v.e, 1, b.budget)))
+                  * sqrt(list_dot_product(list_slice(q.qe, 1, b.budget),
+                                          list_slice(q.qe, 1, b.budget))))
+                 AS ct,
+             {_COS.format(a='v.e', b='q.qe')} AS cf
+      FROM v, q, b WHERE v.vec_id <> 0),
+    ranked AS (
+      SELECT budget, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY budget
+                                ORDER BY cf DESC, vec_id) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY budget
+                                ORDER BY ct DESC, vec_id) AS rt
+      FROM scored)
+    SELECT CAST(budget AS BIGINT) AS budget,
+           CAST(SUM(CASE WHEN rf <= 10 AND rt <= 10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS overlap_at_k,
+           CAST(SUM(CASE WHEN rf <= 10 THEN ABS(rt - rf) ELSE 0 END)
+                AS BIGINT) AS topk_rank_displacement
+    FROM ranked GROUP BY 1
+"""
+
+# one postings pass feeds both rankers; RRF adds the two reciprocal terms
+# in fixed written order
+_ORACLES["search_rank_fusion"] = r"""
+    WITH tok AS (SELECT doc_id,
+                        UNNEST(string_split_regex(lower(trim(text)),
+                                                  '\s+')) AS token
+                 FROM documents),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM tok GROUP BY 1),
+    stats AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                     CAST(COUNT(*) AS DOUBLE) AS n_docs
+              FROM dl),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok WHERE token IN ('join', 'hash', 'window')
+           GROUP BY 1, 2),
+    dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tf GROUP BY 1),
+    contrib AS (SELECT tf.doc_id,
+                       CAST(ROUND(
+                           LN(CAST(1.0 AS DOUBLE)
+                              + (n_docs - df + CAST(0.5 AS DOUBLE))
+                                / (df + CAST(0.5 AS DOUBLE)))
+                           * (tf * (CAST(1.2 AS DOUBLE)
+                                    + CAST(1.0 AS DOUBLE)))
+                           / (tf + CAST(1.2 AS DOUBLE)
+                                   * (CAST(1.0 AS DOUBLE)
+                                      - CAST(0.75 AS DOUBLE)
+                                      + CAST(0.75 AS DOUBLE)
+                                        * (dl.dl / avgdl))), 9)
+                           AS DECIMAL(18,9)) AS cb,
+                       CAST(ROUND(tf * (LN((n_docs + 1) / (df + 1)) + 1), 9)
+                           AS DECIMAL(18,9)) AS ct
+                FROM tf JOIN dfq USING (token)
+                JOIN dl ON tf.doc_id = dl.doc_id, stats),
+    scored AS (SELECT doc_id,
+                      ROUND(CAST(SUM(cb) AS DOUBLE), 6) AS bm25,
+                      ROUND(CAST(SUM(ct) AS DOUBLE), 6) AS tfidf
+               FROM contrib GROUP BY 1),
+    rb AS (SELECT doc_id AS doc_bm25,
+                  CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                       AS BIGINT) AS rank_bm25
+           FROM scored QUALIFY rank_bm25 <= 50),
+    rt2 AS (SELECT doc_id AS doc_tfidf,
+                   CAST(ROW_NUMBER() OVER (ORDER BY tfidf DESC, doc_id)
+                        AS BIGINT) AS rank_tfidf
+            FROM scored QUALIFY rank_tfidf <= 50)
+    SELECT COALESCE(doc_bm25, doc_tfidf) AS doc_id, rank_bm25, rank_tfidf,
+           ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + rank_bm25),
+                          CAST(0.0 AS DOUBLE))
+                 + COALESCE(CAST(1.0 AS DOUBLE) / (60 + rank_tfidf),
+                            CAST(0.0 AS DOUBLE)), 6) AS rrf
+    FROM rb FULL OUTER JOIN rt2 ON doc_bm25 = doc_tfidf
+    ORDER BY rrf DESC, doc_id LIMIT 20
 """
 
 

@@ -1165,3 +1165,119 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ni").cast("long").alias("n_ips"),
         F.sum("delta").cast("long").alias("chars_redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of two lexical rankers (round 6)
+# ---------------------------------------------------------------------------
+
+def search_rank_fusion(
+    spark: SparkSession,
+    sf_dir: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_per_ranker: int = 50,
+    k: int = 20,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.) of two rankers over the
+    same 3-term query: BM25 (text_bm25_topk's scorer) and summed TF-IDF
+    (text_tfidf_topk's salience formula) — the standard hybrid-retrieval
+    combiner (Elasticsearch/OpenSearch ship exactly this RRF), scored as
+    Σ 1/(rrf_k + rank_i) over the rankers that retrieved the doc.
+
+    Both scorers share ONE postings pass: the query-term isin filter
+    prunes before the (doc, term) tf shuffle, then df/doclen/global
+    stats join back exactly as in text_bm25_topk.  Per-ranker scores are
+    9-dp DECIMAL per-term contributions summed exactly, rounded 6dp, and
+    ranked with a doc_id tiebreak — a total order, so each ranker's
+    top-N list is engine-identical.  The fusion join is a FULL OUTER of
+    two N-row lists (docs retrieved by only one ranker keep the other
+    contribution at 0 via coalesce); the two 1/(rrf_k+rank) terms are
+    added in fixed written order and rounded 6dp.
+
+    Scale shape: rank-then-fuse touches the corpus once; the two top-N
+    lists and the fusion are O(N) regardless of corpus size.  At 100 TB
+    the per-ranker windows become TakeOrdered passes; RRF itself never
+    sees more than 2N rows."""
+    query_terms = ["join", "hash", "window"]
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select("doc_id", F.explode(words_col("text")).alias("token"))
+    doclen = tokens.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    stats = doclen.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+    )
+    tf = (
+        tokens.where(F.col("token").isin(query_terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    bm25_idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    bm25_denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * (F.col("dl") / F.col("avgdl"))
+    )
+    tfidf_c = F.col("tf") * (
+        F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(bm25_idf * (F.col("tf") * F.lit(k1 + 1.0)) / bm25_denom, 9)
+            .cast("decimal(18,9)")
+            .alias("cb"),
+            F.round(tfidf_c, 9).cast("decimal(18,9)").alias("ct"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.round(F.sum("cb").cast("double"), 6).alias("bm25"),
+        F.round(F.sum("ct").cast("double"), 6).alias("tfidf"),
+    )
+    top_bm25 = (
+        scored.select(
+            F.col("doc_id").alias("doc_bm25"),
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+            .cast("long")
+            .alias("rank_bm25"),
+        )
+        .where(F.col("rank_bm25") <= n_per_ranker)
+    )
+    top_tfidf = (
+        scored.select(
+            F.col("doc_id").alias("doc_tfidf"),
+            F.row_number()
+            .over(Window.orderBy(F.col("tfidf").desc(), F.col("doc_id")))
+            .cast("long")
+            .alias("rank_tfidf"),
+        )
+        .where(F.col("rank_tfidf") <= n_per_ranker)
+    )
+    fused = top_bm25.join(
+        top_tfidf,
+        F.col("doc_bm25") == F.col("doc_tfidf"),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("doc_bm25"), F.col("doc_tfidf")).alias("doc_id"),
+        "rank_bm25",
+        "rank_tfidf",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_bm25")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_tfidf")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(k)

@@ -5006,3 +5006,331 @@ def join_spatial_grid(
         F.count(F.lit(1)).cast("long").alias("n_within"),
         F.min(dist2.cast("long")).alias("min_dist2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes wave 3 (round 6): Q8 / Q13 / Q15 / Q17 / Q18 / Q21
+# ---------------------------------------------------------------------------
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): of the revenue from PROMO
+    parts sold to ASIA-region customers in 1995-1996, the share supplied
+    by NATION_3, per order year — the deepest star join in the registry
+    (lineitem ⋈ part ⋈ orders ⋈ customer ⋈ nation ⋈ region ⋈ supplier
+    ⋈ nation).
+
+    Scale shape: the date filter prunes orders BEFORE the fact join;
+    the p_type filter prunes part; region⋈nation collapses to a 5-row
+    broadcast filter on the customer side; supplier⋈nation broadcasts
+    (supplier is always the smallest dim — the q7 rule); customer and
+    part carry NO hint (the Q5/Q10 semi-fact lesson — they scale with
+    SF, AQE decides).  Numerator and denominator are exact DECIMAL sums
+    conditioned on the same rows, divided once as doubles.
+
+    Ref semantics: grouped share-of-total extension of the reference's
+    single ungrouped aggregate (main.py:228-230)."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia_nations = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("an_key"))
+    cust_asia = customer.join(
+        F.broadcast(asia_nations), F.col("c_nationkey") == F.col("an_key")
+    ).select("c_custkey")
+    supp_n = supplier.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_asia, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(zero)
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(vol), 2).cast("double").alias("total_volume"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): how many
+    customers placed 0, 1, 2, … qualifying orders — THE left-outer-join
+    + double-aggregation shape (customers with zero orders must appear,
+    so an inner join is wrong by construction).  The original excludes
+    comment-matched orders; this dataset has no o_comment, so the stand-in
+    predicate excludes '4-NOT SPECIFIED' priorities — same decorrelation.
+
+    Scale shape: the orders filter prunes before the join; the LEFT join
+    shuffles on custkey once; the first aggregate rides that same
+    partitioning (no second exchange — groupBy key == join key); the
+    second aggregate reduces |customers| rows to ~40 count groups, a
+    trivial shuffle.  COUNT(o_orderkey) (not COUNT(*)) keeps the
+    zero-order customers at 0."""
+    customer = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the supplier(s) with maximum
+    quarterly revenue — a scalar MAX subquery over a derived aggregate,
+    answered WITHOUT ranking the whole table.
+
+    Scale shape: one shuffle builds the per-supplier revenue aggregate
+    from the date-pruned lineitem scan; the ungrouped MAX of that
+    aggregate is a 1-row frame that broadcasts back as an equality
+    filter (never a sort); the supplier name join is a broadcast.  The
+    equality compares the EXACT decimal sums — no epsilon, no rounding,
+    so ties (multiple max suppliers) are handled exactly as the SQL
+    subquery form does.  Rounding to 2dp happens only on output."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("total_rev")
+        )
+    )
+    max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(max_rev), F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("s_suppkey"),
+            "s_name",
+            F.round(F.col("total_rev"), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): yearly revenue
+    lost if orders below 20% of a part's average quantity were not
+    filled, for one brand's small parts — THE correlated-aggregate
+    decorrelation: avg(l_quantity) per part becomes a groupBy + re-join
+    instead of a per-row subquery.
+
+    Scale shape: the part filter (brand + size) prunes FIRST and
+    semi-joins the fact scan, so the per-part average aggregates only
+    the qualifying parts' lineitems (never all parts); the average
+    re-joins on the same partkey partitioning.  l_quantity is integral
+    (1..50 stored as double), so SUM/COUNT — and therefore AVG and the
+    0.2x threshold — are float-EXACT and engine-identical; revenue is
+    an exact DECIMAL sum divided by 7.0 once at the end."""
+    part_f = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") < 15)
+    ).select("p_partkey")
+    li = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("small_qty")
+    )
+    return (
+        li.join(per_part, F.col("l_partkey") == F.col("a_partkey"))
+        .where(F.col("l_quantity") < F.col("small_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+                / F.lit(7.0),
+                2,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    quantity exceeds 200, with their customer — the group-by-HAVING-IN
+    shape, decorrelated to aggregate-then-join.
+
+    Scale shape: the qualifying-order aggregate is ONE shuffle on
+    l_orderkey with the HAVING applied at the aggregate (874 of 15k
+    orders survive at sf0.01 — the join input shrinks ~17x before
+    touching orders/customer); orders joins the survivors on orderkey,
+    customer joins with no hint (semi-fact).  SUM(l_quantity) over
+    integral doubles is exact, so the >200 cut and the output value are
+    engine-identical.  Top-100 by (o_totalprice DESC, o_orderkey) plans
+    TakeOrderedAndProject."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("bok"))
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 200)
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("bok") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for finalized
+    multi-supplier orders, the ASIA-region suppliers whose line was the
+    ONLY one returned — the EXISTS + NOT-EXISTS double correlation.  The
+    dataset has no receipt/commit dates, so "kept waiting" is
+    l_returnflag = 'R' (same two correlated predicates: another supplier
+    participated; no other supplier's line was returned).
+
+    Scale shape: both correlated subqueries decorrelate to LEFT SEMI /
+    LEFT ANTI joins on l_orderkey — the SAME shuffle key three times, so
+    AQE coalesces into one exchange lineage; orders' status filter
+    semi-joins the fact scan first; the region-filtered supplier side is
+    a broadcast.  Per-row counting (not DISTINCT) matches the SQL
+    semantics exactly."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    fin = load(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    nation = load(spark, sf_dir, "nation").where(F.col("n_regionkey") == 2)
+    supp = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    l1 = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(fin, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("x_orderkey"),
+        F.col("l_suppkey").alias("x_suppkey"),
+        F.col("l_returnflag").alias("x_returnflag"),
+    )
+    waited = l1.join(
+        other,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey")),
+        "left_semi",
+    ).join(
+        other.where(F.col("x_returnflag") == "R"),
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey")),
+        "left_anti",
+    )
+    return (
+        waited.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly event-count series at lags
+    1/2/3/6/12/24 — the first thing a forecaster computes (is there
+    daily seasonality? how fast does correlation decay?), feeding
+    directly into the seasonal-naive backtest (events_forecast_snaive).
+
+    The series is CALENDAR-COMPLETE: a generated hour spine between the
+    observed min and max left-joins the counts with 0-fill, so silent
+    gaps do not splice non-adjacent hours together.  Pearson r comes
+    from the textbook integer-sum identity — n, Σx, Σy, Σxy, Σx², Σy²
+    are all BIGINT (counts of events, exact on any engine); the ONE
+    double expression (n·Σxy − ΣxΣy) / (√(n·Σx²−Σx²)·√(n·Σy²−Σy²)) is
+    written identically on both engines and rounded 6dp.
+
+    Scale shape: the hourly aggregate reduces the raw stream to
+    |hours| rows — after that everything (spine, 6-lag self-join,
+    per-lag sums) is tiny regardless of corpus size; the only full-data
+    shuffle is the first count-by-hour."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hr")
+    )
+    cnt = ev.groupBy("hr").agg(F.count(F.lit(1)).alias("c"))
+    bounds = cnt.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr")
+    )
+    ser = spine.join(cnt, "hr", "left_outer").select(
+        "hr", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+    )
+    lags = spark.createDataFrame(
+        [(lag,) for lag in (1, 2, 3, 6, 12, 24)], "lag long"
+    )
+    lagged = ser.select(
+        F.col("hr").alias("hr_y"), F.col("c").alias("y")
+    )
+    pairs = (
+        ser.crossJoin(F.broadcast(lags))
+        .withColumn("hr_y", F.col("hr") + F.col("lag") * F.expr("INTERVAL 1 HOUR"))
+        .join(lagged, ["hr_y"])
+        .select("lag", F.col("c").alias("x"), "y")
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select("lag", "n_pairs", F.round(num / den, 6).alias("acf"))

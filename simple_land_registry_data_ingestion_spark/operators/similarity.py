@@ -1227,3 +1227,92 @@ def similarity_sq8_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("max_abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka dimension-truncation quality sweep (round 6)
+# ---------------------------------------------------------------------------
+
+def similarity_matryoshka_error(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    budgets: tuple[int, ...] = (8, 16, 32, 64),
+    query_vec_id: int = QUERY_VEC_ID,
+) -> DataFrame:
+    """Matryoshka / dimension-truncation retrieval-quality sweep: for
+    each prefix-dimension budget d, how much of the FULL-vector top-k
+    does cosine over only the first d dimensions recover, and how far do
+    the true top-k items drift in the truncated ranking?  This is the
+    certification you run before shipping truncated embeddings (MRL-style
+    prefix truncation is the standard storage/latency lever) — it turns
+    "64 dims is probably enough" into measured overlap@k per budget.
+
+    Both rankings are EXACT and engine-deterministic: the truncated
+    cosine folds ``slice(vec, 1, d)`` left-to-right exactly like the full
+    cosine (same sequential dot product on both engines), ranks are
+    row_number with a vec_id tiebreak, and the outputs — overlap@k and
+    the summed rank displacement of the true top-k — are pure BIGINT, so
+    the hash gate carries no float aggregation at all.
+
+    Scale shape: ONE candidate scan fanned out |budgets| times via an
+    exploded literal array (a projection, not a join); each budget's two
+    rankings are windows over the budget partition.  At 100 TB the
+    windows become per-budget top-k TakeOrdered passes; the certification
+    output stays |budgets| rows regardless of corpus size."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = _query_side(emb, query_vec_id)
+    scored = (
+        fan_out(emb.where(F.col("vec_id") != query_vec_id))
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.explode(F.array([F.lit(d) for d in budgets])).alias("budget"),
+            F.col("embedding").alias("e"),
+            F.col("q_vec"),
+            F.col("q_norm"),
+        )
+        .select(
+            "budget",
+            "vec_id",
+            (
+                dot(F.slice("e", 1, F.col("budget")), F.slice("q_vec", 1, F.col("budget")))
+                / (
+                    norm(F.slice("e", 1, F.col("budget")))
+                    * norm(F.slice("q_vec", 1, F.col("budget")))
+                )
+            ).alias("cos_trunc"),
+            (dot(F.col("e"), F.col("q_vec")) / (norm(F.col("e")) * F.col("q_norm"))).alias(
+                "cos_full"
+            ),
+        )
+    )
+    w_full = Window.partitionBy("budget").orderBy(
+        F.col("cos_full").desc(), F.col("vec_id")
+    )
+    w_trunc = Window.partitionBy("budget").orderBy(
+        F.col("cos_trunc").desc(), F.col("vec_id")
+    )
+    ranked = scored.select(
+        F.col("budget").cast("long").alias("budget"),
+        "vec_id",
+        F.row_number().over(w_full).cast("long").alias("rank_full"),
+        F.row_number().over(w_trunc).cast("long").alias("rank_trunc"),
+    )
+    return ranked.groupBy("budget").agg(
+        F.sum(
+            F.when(
+                (F.col("rank_full") <= k) & (F.col("rank_trunc") <= k), F.lit(1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("overlap_at_k"),
+        F.sum(
+            F.when(
+                F.col("rank_full") <= k,
+                F.abs(F.col("rank_trunc") - F.col("rank_full")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("topk_rank_displacement"),
+    )

@@ -775,3 +775,51 @@ def test_link_prediction_wedge_join_is_equi(spark):
     plans.assert_no_cartesian_product(df)
     p = plans.formatted_plan(df)
     assert "LeftAnti" in p, p
+
+
+def test_q8_semi_fact_sides_not_force_broadcast(spark):
+    """Q8 keeps the Q5/Q10 lesson: supplier+nation broadcasts (hinted),
+    the ASIA customer filter is a LEFT SEMI, and the plan carries no
+    cartesian; customer/part join however AQE decides."""
+    df = relational.q8_market_share(spark, SF_ORACLE)
+    p = plans.formatted_plan(df)
+    assert "CartesianProduct" not in p, p
+    assert "LeftSemi" in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_q15_max_filter_is_broadcast_not_sort(spark):
+    """The scalar-MAX subquery must come back as a 1-row broadcast
+    equality filter — never a global Sort of the revenue aggregate."""
+    df = relational.q15_top_supplier(spark, SF_ORACLE)
+    p = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in p, p
+    assert "Sort " not in p and "SortExec" not in p, p
+
+
+def test_q18_topk_plans_take_ordered(spark):
+    df = relational.q18_large_volume_customer(spark, SF_ORACLE)
+    p = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_q21_double_correlation_is_semi_plus_anti(spark):
+    """EXISTS/NOT-EXISTS must decorrelate to LeftSemi + LeftAnti equi
+    joins on l_orderkey — never per-row subqueries or a cartesian."""
+    df = relational.q21_suppliers_kept_waiting(spark, SF_ORACLE)
+    p = plans.formatted_plan(df)
+    assert "CartesianProduct" not in p, p
+    assert "LeftSemi" in p, p
+    assert "LeftAnti" in p, p
+
+
+def test_rank_fusion_plans_take_ordered(spark):
+    """RRF output is a fixed-k list: the final orderBy+limit must plan
+    TakeOrderedAndProject, and the query-term filter must prune the
+    postings BEFORE the (doc, term) aggregate shuffle."""
+    from simple_land_registry_data_ingestion_spark.functions import text as text_fns
+
+    df = text_fns.search_rank_fusion(spark, SF_ORACLE)
+    p = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p, p
