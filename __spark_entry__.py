@@ -19,6 +19,7 @@ from simple_land_registry_data_ingestion_spark.functions import text as text_fns
 from simple_land_registry_data_ingestion_spark.operators import (
     asof,
     dedup,
+    evaluation,
     mining,
     multimodal,
     packing,
@@ -184,6 +185,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly_acf": relational.events_hourly_acf,
     "similarity_matryoshka_error": similarity.similarity_matryoshka_error,
     "search_rank_fusion": text_fns.search_rank_fusion,
+    "eval_auc_rank": evaluation.eval_auc_rank,
+    "eval_calibration_bins": evaluation.eval_calibration_bins,
+    "similarity_mips_transform": similarity.similarity_mips_transform,
     # ---- block F: r05 driver rows, aging next-oldest after block B
     # drains (36 round-4 additions certified r05) ----
     "er_sorted_neighborhood": mining.er_sorted_neighborhood,
@@ -5061,6 +5065,99 @@ _ORACLES["search_rank_fusion"] = r"""
                             CAST(0.0 AS DOUBLE)), 6) AS rrf
     FROM rb FULL OUTER JOIN rt2 ON doc_bm25 = doc_tfidf
     ORDER BY rrf DESC, doc_id LIMIT 20
+"""
+
+_ORACLES.update({
+    # Mann-Whitney rank-sum AUC; everything before the one division is
+    # BIGINT (doubled midranks so .5s never materialize)
+    "eval_auc_rank": """
+        WITH ev AS (SELECT event_id, value,
+                           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                               AS y
+                    FROM events),
+        ranked AS (SELECT y,
+                          CAST(RANK() OVER (ORDER BY value) AS BIGINT)
+                              AS rank_min,
+                          CAST(COUNT(*) OVER (PARTITION BY value) AS BIGINT)
+                              AS ties
+                   FROM ev),
+        agg AS (SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+                       CAST(SUM(1 - y) AS BIGINT) AS n_neg,
+                       CAST(SUM(CASE WHEN y = 1
+                                     THEN 2 * rank_min + (ties - 1)
+                                     ELSE 0 END) AS BIGINT) AS r_pos_x2
+                FROM ranked)
+        SELECT n_pos, n_neg, r_pos_x2,
+               ROUND((CAST(r_pos_x2 AS DOUBLE) / CAST(2.0 AS DOUBLE)
+                      - CAST(n_pos AS DOUBLE) * CAST(n_pos + 1 AS DOUBLE)
+                        / CAST(2.0 AS DOUBLE))
+                     / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)),
+                     6) AS auc
+        FROM agg
+    """,
+    # planted score; p quantized DECIMAL(9,6), Brier terms DECIMAL(18,12)
+    "eval_calibration_bins": """
+        WITH ev AS (SELECT event_id,
+                           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                               AS y
+                    FROM events),
+        s AS (SELECT y,
+                     CAST(ROUND(CAST(CASE WHEN y = 1
+                                          THEN 450 + (event_id * 2654435761
+                                                      + 13) % 549
+                                          ELSE (event_id * 2654435761
+                                                + 13) % 700 END AS DOUBLE)
+                                / CAST(999.0 AS DOUBLE), 6)
+                          AS DECIMAL(9,6)) AS p
+              FROM ev),
+        b AS (SELECT y, p,
+                     LEAST(9, CAST(FLOOR(CAST(p AS DOUBLE) * 10) AS BIGINT))
+                         AS bin
+              FROM s),
+        bt AS (SELECT bin, y, p,
+                      CAST(ROUND((CAST(p AS DOUBLE) - y)
+                                 * (CAST(p AS DOUBLE) - y), 12)
+                           AS DECIMAL(18,12)) AS bterm
+               FROM b)
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               ROUND(CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS avg_p,
+               ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS frac_pos,
+               ROUND(CAST(SUM(bterm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS brier
+        FROM bt GROUP BY bin
+    """,
+})
+
+# MIPS -> cosine norm-augmentation: rank agreement certified on the
+# 6-dp-rounded scores both engines share bit-for-bit
+_ORACLES["similarity_mips_transform"] = f"""
+    WITH {_VEC_CTE},
+    q AS (SELECT e AS qe, sqrt(list_dot_product(e, e)) AS qn
+          FROM v WHERE vec_id = 0),
+    m AS (SELECT MAX(list_dot_product(e, e)) AS m2
+          FROM v WHERE vec_id <> 0),
+    scored AS (
+      SELECT v.vec_id,
+             ROUND(list_dot_product(v.e, q.qe), 6) AS dot_score,
+             ROUND(list_dot_product(v.e, q.qe)
+                   / (sqrt(list_dot_product(v.e, v.e)
+                           + sqrt(m2 - list_dot_product(v.e, v.e))
+                             * sqrt(m2 - list_dot_product(v.e, v.e)))
+                      * q.qn), 6) AS cos_aug
+      FROM v, q, m WHERE v.vec_id <> 0),
+    ranked AS (SELECT vec_id, dot_score, cos_aug,
+                      CAST(ROW_NUMBER() OVER (ORDER BY dot_score DESC, vec_id)
+                           AS BIGINT) AS rank_dot,
+                      CAST(ROW_NUMBER() OVER (ORDER BY cos_aug DESC, vec_id)
+                           AS BIGINT) AS rank_cos
+               FROM scored)
+    SELECT rank_dot, vec_id, dot_score, cos_aug, rank_cos,
+           CAST(CASE WHEN rank_dot = rank_cos THEN 1 ELSE 0 END AS INTEGER)
+               AS agree
+    FROM ranked WHERE rank_dot <= 10 ORDER BY rank_dot
 """
 
 

@@ -1316,3 +1316,94 @@ def similarity_matryoshka_error(
         .cast("long")
         .alias("topk_rank_displacement"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MIPS -> cosine norm-augmentation certification (round 6)
+# ---------------------------------------------------------------------------
+
+def similarity_mips_transform(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    query_vec_id: int = QUERY_VEC_ID,
+) -> DataFrame:
+    """Maximum-inner-product search reduced to cosine search via the
+    norm-augmentation transform (Bachrach et al. / Shrivastava-Li): each
+    candidate x gains one dimension sqrt(M² − ‖x‖²) where M = max ‖x‖,
+    the query gains 0 — then ‖x'‖ = M for every candidate, so cosine
+    order over the augmented vectors IS inner-product order over the
+    originals.  This is how a cosine-only ANN index (all the sign-LSH /
+    IVF machinery in this module) serves dot-product retrieval; the
+    query certifies rank agreement between the two orderings.
+
+    Exactness: M² is an ungrouped MAX of the sequential-fold SQUARED
+    norms (a 1-row broadcast — see the inline note on why max(<x,x>),
+    not max(‖x‖)²); both scores are the same deterministic fold on
+    both engines; ranks use the (score desc, vec_id) total order after
+    6-dp rounding, so agreement is certified on the rounded scores the
+    engines share bit-for-bit.
+
+    Scale shape: one candidate scan + a 1-row broadcast for M and a
+    1-row broadcast for the query; both rankings are global windows that
+    become per-heap TakeOrdered passes at scale; output is k rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = _query_side(emb, query_vec_id)
+    # MAX of the SQUARED norms (not max(norm)**2): the sqrt round-trip
+    # would leave m**2 - <x,x> a few ulps NEGATIVE for the argmax vector
+    # itself; with m2 = max(<x,x>) the residual is exactly 0.0 there.
+    m = (
+        emb.where(F.col("vec_id") != query_vec_id)
+        .select(dot(F.col("embedding"), F.col("embedding")).alias("nx2"))
+        .agg(F.max("nx2").alias("m2"))
+    )
+    scored = (
+        fan_out(emb.where(F.col("vec_id") != query_vec_id))
+        .join(F.broadcast(q))
+        .join(F.broadcast(m))
+        .select(
+            "vec_id",
+            F.round(dot(F.col("embedding"), F.col("q_vec")), 6).alias("dot_score"),
+            F.round(
+                dot(F.col("embedding"), F.col("q_vec"))
+                / (
+                    F.sqrt(
+                        dot(F.col("embedding"), F.col("embedding"))
+                        + (
+                            F.sqrt(
+                                F.col("m2")
+                                - dot(F.col("embedding"), F.col("embedding"))
+                            )
+                            * F.sqrt(
+                                F.col("m2")
+                                - dot(F.col("embedding"), F.col("embedding"))
+                            )
+                        )
+                    )
+                    * F.col("q_norm")
+                ),
+                6,
+            ).alias("cos_aug"),
+        )
+    )
+    w_dot = Window.orderBy(F.col("dot_score").desc(), F.col("vec_id"))
+    w_cos = Window.orderBy(F.col("cos_aug").desc(), F.col("vec_id"))
+    ranked = scored.select(
+        "vec_id",
+        "dot_score",
+        "cos_aug",
+        F.row_number().over(w_dot).cast("long").alias("rank_dot"),
+        F.row_number().over(w_cos).cast("long").alias("rank_cos"),
+    )
+    return (
+        ranked.where(F.col("rank_dot") <= k)
+        .select(
+            "rank_dot",
+            "vec_id",
+            "dot_score",
+            "cos_aug",
+            "rank_cos",
+            (F.col("rank_dot") == F.col("rank_cos")).cast("int").alias("agree"),
+        )
+        .orderBy("rank_dot")
+    )

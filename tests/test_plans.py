@@ -823,3 +823,25 @@ def test_rank_fusion_plans_take_ordered(spark):
     p = plans.formatted_plan(df)
     assert "TakeOrderedAndProject" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_calibration_is_single_scan_single_shuffle(spark):
+    """Calibration binning is scan-stage arithmetic + one map-side
+    combined aggregation on the 10-value bin key — no join, no window,
+    no second scan."""
+    from simple_land_registry_data_ingestion_spark.operators import evaluation
+
+    df = evaluation.eval_calibration_bins(spark, SF_ORACLE)
+    p = plans.formatted_plan(df)
+    assert p.count("InMemoryFileIndex") == 1, p
+    assert plans.shuffle_count(df) == 1, p
+    assert "partial_count" in p, p
+
+
+def test_mips_transform_broadcasts_scalars(spark):
+    """The MIPS certification joins only two 1-row frames (query, M2):
+    both must be broadcasts; no cartesian over candidates."""
+    df = similarity.similarity_mips_transform(spark, SF_ORACLE)
+    p = plans.formatted_plan(df)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p
