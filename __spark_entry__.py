@@ -188,6 +188,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_auc_rank": evaluation.eval_auc_rank,
     "eval_calibration_bins": evaluation.eval_calibration_bins,
     "similarity_mips_transform": similarity.similarity_mips_transform,
+    "dedup_kcore_peel": dedup.dedup_kcore_peel,
     # ---- block F: r05 driver rows, aging next-oldest after block B
     # drains (36 round-4 additions certified r05) ----
     "er_sorted_neighborhood": mining.er_sorted_neighborhood,
@@ -4811,7 +4812,9 @@ _ORACLES.update({
     """,
 })
 
-# common-neighbor link prediction over the verified simhash pair graph
+# common-neighbor link prediction over the STRICTLY-verified simhash pair
+# graph (nibble distance <= 2, one notch tighter than the dedup verify —
+# the prediction targets are the pairs the loose threshold would admit)
 _ORACLES["dedup_link_prediction"] = f"""
     WITH {_SIMHASH_CTE},
     bands AS (
@@ -4826,7 +4829,7 @@ _ORACLES["dedup_link_prediction"] = f"""
         SELECT doc_a, doc_b FROM cand
         JOIN fp fa ON doc_a = fa.doc_id
         JOIN fp fb ON doc_b = fb.doc_id
-        WHERE {_SIMHASH_DIST} <= 3),
+        WHERE {_SIMHASH_DIST} <= 2),
     adj AS (SELECT doc_a AS n, doc_b AS nbr FROM e
             UNION ALL SELECT doc_b, doc_a FROM e),
     deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY n),
@@ -5158,6 +5161,67 @@ _ORACLES["similarity_mips_transform"] = f"""
            CAST(CASE WHEN rank_dot = rank_cos THEN 1 ELSE 0 END AS INTEGER)
                AS agree
     FROM ranked WHERE rank_dot <= 10 ORDER BY rank_dot
+"""
+
+# unrolled 3-round k=2 peel; degree-at-decision recorded, isolated
+# remaining nodes count as degree 0 (the LEFT JOIN + COALESCE)
+_ORACLES["dedup_kcore_peel"] = f"""
+    WITH {_SIMHASH_CTE},
+    bands AS (
+        SELECT doc_id,
+               CAST(b AS VARCHAR) || ':' || substring(simhash, b * 4 + 1, 4) AS band_key
+        FROM fp, UNNEST(range(0, 4)) AS t(b)),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    e AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM cand
+        JOIN fp fa ON doc_a = fa.doc_id
+        JOIN fp fb ON doc_b = fb.doc_id
+        WHERE {_SIMHASH_DIST} <= 3),
+    adj0 AS MATERIALIZED (SELECT doc_a AS n, doc_b AS nbr FROM e
+             UNION ALL SELECT doc_b, doc_a FROM e),
+    nodes0 AS MATERIALIZED (SELECT DISTINCT n AS doc_id FROM adj0),
+    deg1 AS MATERIALIZED (SELECT doc_id, CAST(COALESCE(cnt, 0) AS BIGINT) AS d
+             FROM nodes0 LEFT JOIN (SELECT n, COUNT(*) AS cnt
+                                    FROM adj0 GROUP BY 1) g
+               ON g.n = doc_id),
+    rm1 AS (SELECT doc_id, d FROM deg1 WHERE d < 2),
+    nodes1 AS MATERIALIZED (SELECT doc_id FROM deg1 WHERE d >= 2),
+    adj1 AS MATERIALIZED (SELECT a.n, a.nbr FROM adj0 a
+             JOIN nodes1 x ON a.n = x.doc_id
+             JOIN nodes1 y ON a.nbr = y.doc_id),
+    deg2 AS MATERIALIZED (SELECT doc_id, CAST(COALESCE(cnt, 0) AS BIGINT) AS d
+             FROM nodes1 LEFT JOIN (SELECT n, COUNT(*) AS cnt
+                                    FROM adj1 GROUP BY 1) g
+               ON g.n = doc_id),
+    rm2 AS (SELECT doc_id, d FROM deg2 WHERE d < 2),
+    nodes2 AS MATERIALIZED (SELECT doc_id FROM deg2 WHERE d >= 2),
+    adj2 AS MATERIALIZED (SELECT a.n, a.nbr FROM adj1 a
+             JOIN nodes2 x ON a.n = x.doc_id
+             JOIN nodes2 y ON a.nbr = y.doc_id),
+    deg3 AS MATERIALIZED (SELECT doc_id, CAST(COALESCE(cnt, 0) AS BIGINT) AS d
+             FROM nodes2 LEFT JOIN (SELECT n, COUNT(*) AS cnt
+                                    FROM adj2 GROUP BY 1) g
+               ON g.n = doc_id),
+    rm3 AS (SELECT doc_id, d FROM deg3 WHERE d < 2),
+    nodes3 AS MATERIALIZED (SELECT doc_id FROM deg3 WHERE d >= 2),
+    adj3 AS MATERIALIZED (SELECT a.n, a.nbr FROM adj2 a
+             JOIN nodes3 x ON a.n = x.doc_id
+             JOIN nodes3 y ON a.nbr = y.doc_id),
+    degf AS (SELECT doc_id, CAST(COALESCE(cnt, 0) AS BIGINT) AS d
+             FROM nodes3 LEFT JOIN (SELECT n, COUNT(*) AS cnt
+                                    FROM adj3 GROUP BY 1) g
+               ON g.n = doc_id)
+    SELECT doc_id, CAST(1 AS BIGINT) AS peeled_round, d AS last_degree
+    FROM rm1
+    UNION ALL
+    SELECT doc_id, CAST(2 AS BIGINT), d FROM rm2
+    UNION ALL
+    SELECT doc_id, CAST(3 AS BIGINT), d FROM rm3
+    UNION ALL
+    SELECT doc_id, CAST(0 AS BIGINT), d FROM degf
 """
 
 

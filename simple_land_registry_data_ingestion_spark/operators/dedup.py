@@ -1939,7 +1939,7 @@ def dedup_tfidf_cosine(
 # ---------------------------------------------------------------------------
 
 def dedup_link_prediction(
-    spark: SparkSession, sf_dir: str, k: int = 50
+    spark: SparkSession, sf_dir: str, k: int = 50, verify_distance: int = 2
 ) -> DataFrame:
     """Common-neighbor link prediction over the SimHash candidate graph —
     the "probable missed duplicate" triage queue: two documents that are
@@ -1949,7 +1949,13 @@ def dedup_link_prediction(
     common-neighbors + neighborhood-Jaccard scoring (Liben-Nowell &
     Kleinberg 2003).
 
-    Dataflow: verified pairs (dedup_simhash_pairs, nibble distance <= 3)
+    Dataflow: STRICTLY-verified pairs (dedup_simhash_pairs at nibble
+    distance <= ``verify_distance`` = 2 — one notch TIGHTER than the
+    dedup threshold, deliberately: the prediction targets are exactly
+    the pairs the loose threshold would have admitted, and wedge cost is
+    Σdeg² over the graph, which the tighter verify cuts ~4x on a
+    template-heavy corpus where the loose graph degenerates toward one
+    near-clique whose common-neighbor scores are uninformative)
     -> symmetric adjacency -> wedge enumeration by a self-equi-join on the
     SHARED endpoint (quadratic strictly per node, bounded by the candidate
     graph's degree — the triangle_stats cost model) -> anti-join removes
@@ -1966,7 +1972,7 @@ def dedup_link_prediction(
     Output: (u, w, common, union_size, nbr_jaccard), top ``k``.
     """
     edges = (
-        dedup_simhash_pairs(spark, sf_dir)
+        dedup_simhash_pairs(spark, sf_dir, max_nibble_distance=verify_distance)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
@@ -2008,3 +2014,95 @@ def dedup_link_prediction(
         )
     )
     return scored.orderBy(F.col("common").desc(), "u", "w").limit(k)
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling over the candidate graph (round 6)
+# ---------------------------------------------------------------------------
+
+def dedup_kcore_peel(
+    spark: SparkSession, sf_dir: str, k: int = 2, rounds: int = 3
+) -> DataFrame:
+    """k-core decomposition (bounded peel) of the SimHash candidate graph
+    — the third graph-structure lens next to triangle_stats (clique vs
+    star) and dedup_link_prediction (missed edges): nodes that survive
+    k-core peeling sit in DENSE duplicate clusters (template farms,
+    mirror sets) while early-peeled nodes are incidental pairs.  The
+    peel-round number is the standard "coreness" triage signal for
+    deciding which clusters deserve transitive-closure dedup.
+
+    Semantics: ``rounds`` synchronized peel iterations at threshold
+    ``k`` — each round computes every remaining node's degree (0 for
+    nodes whose neighbors all peeled), removes those below ``k``
+    recording (round, degree-at-decision), and restricts the adjacency
+    to survivors.  The loop is UNROLLED (fixed round count, same as the
+    oracle's CTE chain), not run to fixpoint: at scale each extra round
+    is one more degree-aggregate + two semi joins, and convergence is
+    typically <5 rounds for LSH-output graphs; the bounded form keeps
+    the plan deterministic and the oracle expressible.
+
+    Scale shape: the graph is the LSH OUTPUT (orders smaller than the
+    corpus); per round ONE groupBy degree shuffle + two LEFT SEMI
+    restrictions on the same node key; the verified-pair subtree is
+    localCheckpoint'd once so the per-round lineage stays flat.
+
+    Output: (doc_id, peeled_round, last_degree) — peeled_round 1..R, or
+    0 for survivors (last_degree = degree in the final graph)."""
+    edges = (
+        dedup_simhash_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    adj = edges.select(
+        F.col("doc_a").alias("n"), F.col("doc_b").alias("nbr")
+    ).unionAll(
+        edges.select(F.col("doc_b").alias("n"), F.col("doc_a").alias("nbr"))
+    )
+    remaining = adj.select(F.col("n").alias("doc_id")).distinct()
+    cur_adj = adj
+    peeled_parts = []
+    for r in range(1, rounds + 1):
+        cnt = cur_adj.groupBy("n").agg(F.count(F.lit(1)).alias("cnt"))
+        # materialize each round's degree frame: it feeds BOTH the peeled
+        # branch and the survivor set, and the final union references
+        # every round — without the checkpoint Spark re-executes round
+        # r's restriction joins once per downstream branch (measured 16 s
+        # -> ~7 s at sf0.1).  The frames are node-sized, so the
+        # checkpoint cost is negligible; this is the same per-iteration
+        # checkpoint discipline as connected_components/pagerank.
+        deg = (
+            remaining.join(cnt, remaining.doc_id == cnt.n, "left_outer")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        peeled_parts.append(
+            deg.where(F.col("d") < k).select(
+                "doc_id",
+                F.lit(r).cast("long").alias("peeled_round"),
+                F.col("d").alias("last_degree"),
+            )
+        )
+        remaining = deg.where(F.col("d") >= k).select("doc_id")
+        # no broadcast hint on the survivor set: round 1's survivors are
+        # ~the whole node set, which scales with the corpus (the Q5/Q10
+        # semi-fact lesson) — AQE picks broadcast at test SF
+        cur_adj = cur_adj.join(
+            remaining.withColumnRenamed("doc_id", "n"), "n", "left_semi"
+        ).join(
+            remaining.withColumnRenamed("doc_id", "nbr"), "nbr", "left_semi"
+        ).localCheckpoint(eager=True)
+    final_cnt = cur_adj.groupBy("n").agg(F.count(F.lit(1)).alias("cnt"))
+    survivors = remaining.join(
+        final_cnt, remaining.doc_id == final_cnt.n, "left_outer"
+    ).select(
+        "doc_id",
+        F.lit(0).cast("long").alias("peeled_round"),
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("last_degree"),
+    )
+    out = peeled_parts[0]
+    for p in peeled_parts[1:]:
+        out = out.unionAll(p)
+    return out.unionAll(survivors)

@@ -42,7 +42,12 @@ SCALED = "/root/repo/.scratch/sf1"
 COPIES = 10
 
 from simple_land_registry_data_ingestion_spark.functions import text as text_fns
-from simple_land_registry_data_ingestion_spark.operators import mining, relational, similarity
+from simple_land_registry_data_ingestion_spark.operators import (
+    evaluation,
+    mining,
+    relational,
+    similarity,
+)
 
 QUERIES = {
     # dedup family (documents)
@@ -75,6 +80,23 @@ QUERIES = {
     "text_bm25_topk": text_fns.text_bm25_topk,
     "events_session_window_batch": relational.events_session_window_batch,
     "profile_merkle_ranges": relational.profile_merkle_ranges,
+    # round-6 second addendum: the hourly ACF reduces to |hours| rows
+    # after one shuffle (flat); AUC's global rank is the stress case
+    # (10x rows through one sort lineage); calibration is scan+10-key agg
+    # (flat); PII scan is scan-stage (linear); quantile normalization
+    # carries two global row_numbers (the documented two-phase-rank
+    # upgrade path — the run measures what the single-window form costs);
+    # rank fusion is postings-linear; matryoshka/MIPS are candidate-scan
+    # linear; link prediction is wedge-quadratic over the LSH output
+    "events_hourly_acf": relational.events_hourly_acf,
+    "eval_auc_rank": evaluation.eval_auc_rank,
+    "eval_calibration_bins": evaluation.eval_calibration_bins,
+    "text_pii_scan": text_fns.text_pii_scan,
+    "events_quantile_normalize": relational.events_quantile_normalize,
+    "search_rank_fusion": text_fns.search_rank_fusion,
+    "similarity_matryoshka_error": similarity.similarity_matryoshka_error,
+    "similarity_mips_transform": similarity.similarity_mips_transform,
+    "dedup_link_prediction": dedup.dedup_link_prediction,
 }
 
 
