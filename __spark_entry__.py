@@ -189,6 +189,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_calibration_bins": evaluation.eval_calibration_bins,
     "similarity_mips_transform": similarity.similarity_mips_transform,
     "dedup_kcore_peel": dedup.dedup_kcore_peel,
+    "events_holt_pandas": udfs.events_holt_pandas,
     # ---- block F: r05 driver rows, aging next-oldest after block B
     # drains (36 round-4 additions certified r05) ----
     "er_sorted_neighborhood": mining.er_sorted_neighborhood,
@@ -5222,6 +5223,40 @@ _ORACLES["dedup_kcore_peel"] = f"""
     SELECT doc_id, CAST(3 AS BIGINT), d FROM rm3
     UNION ALL
     SELECT doc_id, CAST(0 AS BIGINT), d FROM degf
+"""
+
+# Holt recursion replayed as a recursive CTE; arithmetic order pinned to
+# the pandas fold ((a*x) + ((1-a)*(l+t)); (b*(l'-l)) + ((1-b)*t)); the
+# one-step error squares into sse BEFORE the update
+_ORACLES["events_holt_pandas"] = """
+    WITH RECURSIVE cnt AS (
+        SELECT event_type,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+               CAST(COUNT(*) AS DOUBLE) AS c
+        FROM events GROUP BY 1, 2),
+    o AS (SELECT event_type, c,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr)
+                     AS rn
+          FROM cnt),
+    h(event_type, rn, l, t, sse) AS (
+        SELECT event_type, rn, c, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT e.event_type, e.rn,
+               (CAST(0.5 AS DOUBLE) * e.c)
+                 + (CAST(0.5 AS DOUBLE) * (h.l + h.t)),
+               (CAST(0.3 AS DOUBLE)
+                  * (((CAST(0.5 AS DOUBLE) * e.c)
+                      + (CAST(0.5 AS DOUBLE) * (h.l + h.t))) - h.l))
+                 + (CAST(0.7 AS DOUBLE) * h.t),
+               h.sse + ((e.c - (h.l + h.t)) * (e.c - (h.l + h.t)))
+        FROM h JOIN o e
+          ON e.event_type = h.event_type AND e.rn = h.rn + 1)
+    SELECT event_type, CAST(rn AS BIGINT) AS n_hours,
+           ROUND(l, 6) AS level, ROUND(t, 6) AS trend,
+           ROUND(l + t, 6) AS forecast_next, ROUND(sse, 6) AS sse
+    FROM h
+    QUALIFY rn = MAX(rn) OVER (PARTITION BY event_type)
 """
 
 

@@ -296,3 +296,86 @@ def events_cusum_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "value"
     )
     return ev.groupBy("user_id").applyInPandas(_cusum_group, _CUSUM_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Holt linear (double exponential) smoothing via applyInPandas (round 6)
+# ---------------------------------------------------------------------------
+
+_HOLT_SCHEMA = (
+    "event_type string, n_hours long, level double, trend double, "
+    "forecast_next double, sse double"
+)
+
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
+
+
+def _holt_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Sequential Holt fold over one event type's ordered hourly counts.
+
+    Initialization l_1 = x_1, t_1 = 0 (documented; the two-point trend
+    init would differ for 1-hour groups).  Arithmetic order is pinned to
+    the oracle's recursion exactly:
+        l' = (a*x) + ((1-a)*(l+t));  t' = (b*(l'-l)) + ((1-b)*t)
+    with the one-step error (x - (l+t)) squared into sse BEFORE the
+    update — a float recursion the driver hashes bit-for-bit."""
+    pdf = pdf.sort_values("hr")
+    level = None
+    trend = 0.0
+    sse = 0.0
+    n = 0
+    for x in pdf["c"]:
+        x = float(x)
+        n += 1
+        if level is None:
+            level = x
+            trend = 0.0
+            continue
+        pred = level + trend
+        err = x - pred
+        sse = sse + (err * err)
+        # complements written as literals (0.5 / 0.7), matching the
+        # oracle's CAST(0.7 AS DOUBLE) — never 1.0-beta at runtime
+        l_new = (_HOLT_ALPHA * x) + (0.5 * (level + trend))
+        trend = (_HOLT_BETA * (l_new - level)) + (0.7 * trend)
+        level = l_new
+    return pd.DataFrame(
+        {
+            "event_type": [str(pdf["event_type"].iloc[0])],
+            "n_hours": [n],
+            "level": [round(level, 6)],
+            "trend": [round(trend, 6)],
+            "forecast_next": [round(level + trend, 6)],
+            "sse": [round(sse, 6)],
+        }
+    )
+
+
+def events_holt_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend (double exponential) smoothing per event type
+    over the hourly count series — the second sequential-recursion
+    certification next to events_cusum_pandas: level AND trend each
+    depend on the previous smoothed state, so no window frame expresses
+    it; ``applyInPandas`` is the legitimate Python row path for
+    per-entity imperative state.
+
+    alpha = 0.5, beta = 0.3 (both written as the same double literal on
+    both engines); the one-step-ahead SSE accumulates INSIDE the same
+    fold, so even the error sum is order-pinned.  The DuckDB twin
+    replays the identical recursion as a recursive CTE over row-numbered
+    hours; the driver hash-compares the float recursion bit-for-bit.
+
+    Scale shape: the hourly pre-aggregate is the only full-data shuffle
+    (raw events -> |types|x|hours| rows); the Arrow group fold is
+    O(hours) per type with O(1) state.  Output: one row per event type
+    (level / trend / one-step forecast / SSE)."""
+    cnt = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    return cnt.groupBy("event_type").applyInPandas(_holt_group, _HOLT_SCHEMA)
