@@ -190,6 +190,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_mips_transform": similarity.similarity_mips_transform,
     "dedup_kcore_peel": dedup.dedup_kcore_peel,
     "events_holt_pandas": udfs.events_holt_pandas,
+    "stream_full_outer_interval_join": stream_ops.stream_full_outer_interval_join,
     # ---- block F: r05 driver rows, aging next-oldest after block B
     # drains (36 round-4 additions certified r05) ----
     "er_sorted_neighborhood": mining.er_sorted_neighborhood,
@@ -5257,6 +5258,38 @@ _ORACLES["events_holt_pandas"] = """
            ROUND(l + t, 6) AS forecast_next, ROUND(sse, 6) AS sse
     FROM h
     QUALIFY rn = MAX(rn) OVER (PARTITION BY event_type)
+"""
+
+# full-outer stream-stream interval join: null-click rows gated by the
+# purchase's own event time vs the final watermark, null-purchase rows by
+# the click's match-window upper bound (c_ts + 30 min)
+_ORACLES["stream_full_outer_interval_join"] = """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+               FROM events),
+    c AS (SELECT user_id AS c_user, ts AS c_ts, event_id AS c_event
+          FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id AS p_user, ts AS p_ts, event_id AS p_event
+          FROM e WHERE event_type = 'purchase'),
+    wm AS (SELECT LEAST((SELECT MAX(c_ts) FROM c),
+                        (SELECT MAX(p_ts) FROM p)) - INTERVAL 1 HOUR AS w),
+    j AS (SELECT p.p_user, p.p_ts, p.p_event, c.c_user, c.c_ts, c.c_event
+          FROM p FULL OUTER JOIN c
+           ON p_user = c_user
+          AND c_ts < p_ts
+          AND c_ts >= p_ts - INTERVAL 30 MINUTE),
+    filt AS (SELECT j.* FROM j, wm
+             WHERE (c_event IS NOT NULL AND p_event IS NOT NULL)
+                OR (c_event IS NULL AND p_ts <= wm.w)
+                OR (p_event IS NULL AND c_ts + INTERVAL 30 MINUTE <= wm.w))
+    SELECT COALESCE(p_user, c_user) AS user_id,
+           CAST(COUNT(DISTINCT p_event) AS BIGINT) AS n_purchases_emitted,
+           CAST(SUM(CASE WHEN c_event IS NOT NULL AND p_event IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed_pairs,
+           CAST(SUM(CASE WHEN c_event IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unmatched_purchases,
+           CAST(SUM(CASE WHEN p_event IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unmatched_clicks
+    FROM filt GROUP BY 1
 """
 
 

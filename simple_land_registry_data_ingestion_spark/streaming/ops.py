@@ -1021,3 +1021,73 @@ def stream_upsert_latest(
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(target, ignore_errors=True)
+
+
+def stream_full_outer_interval_join(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """FULL-OUTER stream-stream interval join — the audit-complete
+    attribution shape: every purchase emits (matched or null-click once
+    the watermark proves no click can still arrive) AND every click
+    emits (matched or null-purchase once the watermark passes the last
+    purchase time it could have matched).  This is the join both sides'
+    state eviction runs on: purchases expire when the global watermark
+    passes their own event time, clicks when it passes c_ts + 30 min
+    (their match window's upper bound) — memory stays bounded by
+    interval + delay on BOTH buffers.
+
+    End-of-stream semantics (availableNow): matched rows equal the
+    batch full-join's matched rows; null-click rows appear only for
+    purchases with p_ts <= final watermark; null-purchase rows only for
+    clicks with c_ts + 30 min <= final watermark.  The DuckDB twin
+    applies both final-watermark filters explicitly."""
+    clicks = (
+        events_stream(spark, sf_dir, glob, max_files_per_trigger)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_event"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events_stream(spark, sf_dir, glob, max_files_per_trigger)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_event"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "fullOuter",
+    )
+    out = run_stream_to_table(joined, "append")
+    return out.groupBy(
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id")
+    ).agg(
+        F.count_distinct("p_event").alias("n_purchases_emitted"),
+        F.sum(
+            F.when(
+                F.col("c_event").isNotNull() & F.col("p_event").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_attributed_pairs"),
+        F.sum(F.when(F.col("c_event").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unmatched_purchases"),
+        F.sum(F.when(F.col("p_event").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unmatched_clicks"),
+    )
