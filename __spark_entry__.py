@@ -58,74 +58,12 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessio
 #:             by tests/test_oracle_parity.py, which runs ALL entries).
 #: Rotate each round so no query's newest driver row ages past 2 rounds.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- r06 block A: code CHANGED this round (1) — the PPJoin LENGTH
-    # filter gained the same 1e-9 float-ceil slack as the alpha bound
-    # (r05 ADVICE); output provably unchanged (oracle is still the
-    # unpruned brute-force join) but the predicate differs, so it
-    # re-earns its driver row first ----
-    "dedup_jaccard_prefix": dedup.dedup_jaccard_prefix,
-    # ---- r06 block B: last driver evidence is ROUND 2 (33) — the oldest
-    # rows in the registry; the r05 close mandated they lead this
-    # window ----
-    "multimodal_binary_metadata": multimodal.multimodal_binary_metadata,
-    "multimodal_decode_features": multimodal.multimodal_decode_features,
-    "text_fingerprint": text_fns.text_fingerprint,
-    "text_stats_pandas_udf": text_fns.text_stats_pandas_udf,
-    "grouped_zscore_pandas": udfs.grouped_zscore_pandas,
-    "udtf_chunk_documents": udfs.udtf_chunk_documents,
-    "agg_approx_distinct": relational.agg_approx_distinct,
-    "agg_collect_sorted": relational.agg_collect_sorted,
-    "agg_distinct_counts": relational.agg_distinct_counts,
-    "agg_percentiles": relational.agg_percentiles,
-    "case_when_bucketing": relational.case_when_bucketing,
-    "cdc_snapshot_diff": relational.cdc_snapshot_diff,
-    "distinct_rows": relational.distinct_rows,
-    "filter_project": relational.filter_project,
-    "ingest_max_date": relational.ingest_max_date,
-    "ingest_run_summary": relational.ingest_run_summary,
-    "profile_columns": relational.profile_columns,
-    "q1_pricing_summary": relational.q1_pricing_summary,
-    "q6_revenue_filter": relational.q6_revenue_filter,
-    "sample_hash_deterministic": relational.sample_hash_deterministic,
-    "sample_stratified_fixed": relational.sample_stratified_fixed,
-    "sessionize_events": relational.sessionize_events,
-    "stream_dedup_within_watermark": stream_ops.stream_dedup_within_watermark,
-    "stream_session_window": stream_ops.stream_session_window,
-    "stream_sliding_window": stream_ops.stream_sliding_window,
-    "stream_stateful_user_stats": stream_ops.stream_stateful_user_stats,
-    "stream_stream_interval_join": stream_ops.stream_stream_interval_join,
-    "stream_tumbling_append_watermark": stream_ops.stream_tumbling_append_watermark,
-    "stream_tumbling_window": stream_ops.stream_tumbling_window,
-    "text_tfidf_topk": text_fns.text_tfidf_topk,
-    "text_vocab_topk": text_fns.text_vocab_topk,
-    "unpivot_measures": relational.unpivot_measures,
-    "window_rank_family": relational.window_rank_family,
-    # ---- r06 block C: round-5 additions taking their FIRST driver rows
-    # (15).  dedup_minhash_error's ORACLE changed this round (drives from
-    # cand with LEFT JOIN inter + COALESCE per r05 ADVICE) and
-    # similarity_range_search was refactored (diagnostics accessor split
-    # out), so their first rows also certify the new code ----
-    "agg_count_min_sketch": sketches.agg_count_min_sketch,
-    "dedup_minhash_error": dedup.dedup_minhash_error,
-    "text_chunk_dedup_fraction": text_fns.text_chunk_dedup_fraction,
-    "er_golden_record": mining.er_golden_record,
-    "similarity_range_search": similarity.similarity_range_search,
-    "cdc_scd2_build": relational.cdc_scd2_build,
-    "events_adoption_wilson": relational.events_adoption_wilson,
-    "text_bigram_kn_perplexity": text_fns.text_bigram_kn_perplexity,
-    "dedup_lsh_scurve": dedup.dedup_lsh_scurve,
-    "sample_importance_reweight": relational.sample_importance_reweight,
-    "agg_partial_merge": relational.agg_partial_merge,
-    "text_jsd_source_drift": text_fns.text_jsd_source_drift,
-    "events_ohlc_candles": relational.events_ohlc_candles,
-    "events_lateness_audit": relational.events_lateness_audit,
-    "stream_ohlc_candles": stream_ops.stream_ohlc_candles,
-    # ---- r06 block D: oldest round-3 row, padding the window to 50 ----
-    "scalar_variant_funcs": scalars.scalar_variant_funcs,
-    # ================= 50-slot driver-window boundary =================
-    # ---- block E: round-6 ADDITIONS (no driver evidence; locally
-    # oracle-proven by tests/test_oracle_parity.py) — they MUST lead the
-    # r07 window together with the remaining round-3 rows below ----
+    # ---- r07 window (50 slots): round-6 additions taking their FIRST
+    # ---- driver rows; the four round-6 ADVICE-touched queries lead ----
+    "events_quantile_normalize": relational.events_quantile_normalize,
+    "dedup_kcore_peel": dedup.dedup_kcore_peel,
+    "events_holt_pandas": udfs.events_holt_pandas,
+    "stream_full_outer_interval_join": stream_ops.stream_full_outer_interval_join,
     "text_ngram_novelty": dedup.text_ngram_novelty,
     "dedup_tfidf_cosine": dedup.dedup_tfidf_cosine,
     "text_readability": text_fns.text_readability,
@@ -172,8 +110,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_session_window_batch": relational.events_session_window_batch,
     "agg_transpose_summary": relational.agg_transpose_summary,
     "sql_group_order_by_all": relational.sql_group_order_by_all,
+    # ---- r07 overflow: remaining round-6 additions (queued with block
+    # ---- G below to lead the r08 window) ----
     "text_pii_scan": text_fns.text_pii_scan,
-    "events_quantile_normalize": relational.events_quantile_normalize,
     "join_spatial_grid": relational.join_spatial_grid,
     "dedup_link_prediction": dedup.dedup_link_prediction,
     "q8_market_share": relational.q8_market_share,
@@ -188,63 +127,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_auc_rank": evaluation.eval_auc_rank,
     "eval_calibration_bins": evaluation.eval_calibration_bins,
     "similarity_mips_transform": similarity.similarity_mips_transform,
-    "dedup_kcore_peel": dedup.dedup_kcore_peel,
-    "events_holt_pandas": udfs.events_holt_pandas,
-    "stream_full_outer_interval_join": stream_ops.stream_full_outer_interval_join,
-    # ---- block F: r05 driver rows, aging next-oldest after block B
-    # drains (36 round-4 additions certified r05) ----
-    "er_sorted_neighborhood": mining.er_sorted_neighborhood,
-    "events_attribution_last_touch": relational.events_attribution_last_touch,
-    "text_collocations_pmi": text_fns.text_collocations_pmi,
-    "text_feature_hashing": text_fns.text_feature_hashing,
-    "events_activity_islands": relational.events_activity_islands,
-    "customers_target_encoding": relational.customers_target_encoding,
-    "events_cumulative_distinct_users": relational.events_cumulative_distinct_users,
-    "profile_benford_deviation": relational.profile_benford_deviation,
-    "events_user_entropy": relational.events_user_entropy,
-    "events_mutual_information": relational.events_mutual_information,
-    "join_null_safe": relational.join_null_safe,
-    "scan_file_metadata": relational.scan_file_metadata,
-    "events_mean_shift_detect": relational.events_mean_shift_detect,
-    "sample_mix_diversity": relational.sample_mix_diversity,
-    "parts_pareto_frontier": relational.parts_pareto_frontier,
-    "set_ops_all": relational.set_ops_all,
-    "scalar_try_funcs": relational.scalar_try_funcs,
-    "agg_bitwise": relational.agg_bitwise,
-    "events_winsorized_stats": relational.events_winsorized_stats,
-    "profile_k_anonymity": relational.profile_k_anonymity,
-    "sample_shard_routing": relational.sample_shard_routing,
-    "profile_dp_noisy_counts": relational.profile_dp_noisy_counts,
-    "events_seasonality": relational.events_seasonality,
-    "orders_cohort_revenue": relational.orders_cohort_revenue,
-    "events_path_trigrams": relational.events_path_trigrams,
-    "supplier_otif_scorecard": relational.supplier_otif_scorecard,
-    "events_regr_builtin": relational.events_regr_builtin,
-    "orders_open_backlog": relational.orders_open_backlog,
-    "compliance_erasure_simulation": relational.compliance_erasure_simulation,
-    "profile_table_checksum": relational.profile_table_checksum,
-    "events_recency_features": relational.events_recency_features,
-    "q5_local_supplier_volume": relational.q5_local_supplier_volume,
-    "q10_returned_items": relational.q10_returned_items,
-    "events_linear_trend": relational.events_linear_trend,
-    "events_chi_square": relational.events_chi_square,
-    "agg_histogram_2d": relational.agg_histogram_2d,
-    # (13 more r05-certified rows — the former round-2 padding batch)
-    "dedup_exact_documents": dedup.dedup_exact_documents,
-    "cdc_latest_per_key": dedup.cdc_latest_per_key,
-    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
-    "dedup_jaccard_lsh": dedup.dedup_jaccard_lsh,
-    "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
-    "dedup_simhash": dedup.dedup_simhash,
-    "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
-    "dedup_cluster_assignments": dedup.dedup_cluster_assignments,
-    "similarity_topk_bruteforce": similarity.similarity_topk_bruteforce,
-    "similarity_ann_lsh": similarity.similarity_ann_lsh,
-    "similarity_ann_ivf": similarity.similarity_ann_ivf,
-    "similarity_ann_lsh_multiprobe": similarity.similarity_ann_lsh_multiprobe,
-    "similarity_bucket_histogram": similarity.similarity_bucket_histogram,
-    # ---- block G: remaining round-3 driver rows — with the round-6
-    # additions of block E, these lead the r07 window ----
+    # ---- round-3 driver rows — oldest evidence; lead r08 with the
+    # ---- overflow above ----
     "events_heavy_hitters": sketches.events_heavy_hitters,
     "sample_token_budget_mix": relational.sample_token_budget_mix,
     "events_anomaly_mad": relational.events_anomaly_mad,
@@ -294,7 +178,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_left_outer": relational.join_left_outer,
     "join_left_semi": relational.join_left_semi,
     "join_left_anti": relational.join_left_anti,
-    # ---- block F: round-4 driver rows (freshest evidence) ----
+    # ---- round-4 driver rows (next-oldest) ----
     "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
     "stream_user_topk": stream_ops.stream_user_topk,
@@ -344,6 +228,108 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_count": text_fns.text_token_count,
     "text_quality_score": text_fns.text_quality_score,
     "text_lang_id": text_fns.text_lang_id,
+    # ---- round-5 driver rows ----
+    "er_sorted_neighborhood": mining.er_sorted_neighborhood,
+    "events_attribution_last_touch": relational.events_attribution_last_touch,
+    "text_collocations_pmi": text_fns.text_collocations_pmi,
+    "text_feature_hashing": text_fns.text_feature_hashing,
+    "events_activity_islands": relational.events_activity_islands,
+    "customers_target_encoding": relational.customers_target_encoding,
+    "events_cumulative_distinct_users": relational.events_cumulative_distinct_users,
+    "profile_benford_deviation": relational.profile_benford_deviation,
+    "events_user_entropy": relational.events_user_entropy,
+    "events_mutual_information": relational.events_mutual_information,
+    "join_null_safe": relational.join_null_safe,
+    "scan_file_metadata": relational.scan_file_metadata,
+    "events_mean_shift_detect": relational.events_mean_shift_detect,
+    "sample_mix_diversity": relational.sample_mix_diversity,
+    "parts_pareto_frontier": relational.parts_pareto_frontier,
+    "set_ops_all": relational.set_ops_all,
+    "scalar_try_funcs": relational.scalar_try_funcs,
+    "agg_bitwise": relational.agg_bitwise,
+    "events_winsorized_stats": relational.events_winsorized_stats,
+    "profile_k_anonymity": relational.profile_k_anonymity,
+    "sample_shard_routing": relational.sample_shard_routing,
+    "profile_dp_noisy_counts": relational.profile_dp_noisy_counts,
+    "events_seasonality": relational.events_seasonality,
+    "orders_cohort_revenue": relational.orders_cohort_revenue,
+    "events_path_trigrams": relational.events_path_trigrams,
+    "supplier_otif_scorecard": relational.supplier_otif_scorecard,
+    "events_regr_builtin": relational.events_regr_builtin,
+    "orders_open_backlog": relational.orders_open_backlog,
+    "compliance_erasure_simulation": relational.compliance_erasure_simulation,
+    "profile_table_checksum": relational.profile_table_checksum,
+    "events_recency_features": relational.events_recency_features,
+    "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+    "q10_returned_items": relational.q10_returned_items,
+    "events_linear_trend": relational.events_linear_trend,
+    "events_chi_square": relational.events_chi_square,
+    "agg_histogram_2d": relational.agg_histogram_2d,
+    "dedup_exact_documents": dedup.dedup_exact_documents,
+    "cdc_latest_per_key": dedup.cdc_latest_per_key,
+    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+    "dedup_jaccard_lsh": dedup.dedup_jaccard_lsh,
+    "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
+    "dedup_simhash": dedup.dedup_simhash,
+    "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
+    "dedup_cluster_assignments": dedup.dedup_cluster_assignments,
+    "similarity_topk_bruteforce": similarity.similarity_topk_bruteforce,
+    "similarity_ann_lsh": similarity.similarity_ann_lsh,
+    "similarity_ann_ivf": similarity.similarity_ann_ivf,
+    "similarity_ann_lsh_multiprobe": similarity.similarity_ann_lsh_multiprobe,
+    "similarity_bucket_histogram": similarity.similarity_bucket_histogram,
+    # ---- round-6 driver rows (freshest evidence; re-proven locally each
+    # ---- round by tests/test_oracle_parity.py) ----
+    "dedup_jaccard_prefix": dedup.dedup_jaccard_prefix,
+    "multimodal_binary_metadata": multimodal.multimodal_binary_metadata,
+    "multimodal_decode_features": multimodal.multimodal_decode_features,
+    "text_fingerprint": text_fns.text_fingerprint,
+    "text_stats_pandas_udf": text_fns.text_stats_pandas_udf,
+    "grouped_zscore_pandas": udfs.grouped_zscore_pandas,
+    "udtf_chunk_documents": udfs.udtf_chunk_documents,
+    "agg_approx_distinct": relational.agg_approx_distinct,
+    "agg_collect_sorted": relational.agg_collect_sorted,
+    "agg_distinct_counts": relational.agg_distinct_counts,
+    "agg_percentiles": relational.agg_percentiles,
+    "case_when_bucketing": relational.case_when_bucketing,
+    "cdc_snapshot_diff": relational.cdc_snapshot_diff,
+    "distinct_rows": relational.distinct_rows,
+    "filter_project": relational.filter_project,
+    "ingest_max_date": relational.ingest_max_date,
+    "ingest_run_summary": relational.ingest_run_summary,
+    "profile_columns": relational.profile_columns,
+    "q1_pricing_summary": relational.q1_pricing_summary,
+    "q6_revenue_filter": relational.q6_revenue_filter,
+    "sample_hash_deterministic": relational.sample_hash_deterministic,
+    "sample_stratified_fixed": relational.sample_stratified_fixed,
+    "sessionize_events": relational.sessionize_events,
+    "stream_dedup_within_watermark": stream_ops.stream_dedup_within_watermark,
+    "stream_session_window": stream_ops.stream_session_window,
+    "stream_sliding_window": stream_ops.stream_sliding_window,
+    "stream_stateful_user_stats": stream_ops.stream_stateful_user_stats,
+    "stream_stream_interval_join": stream_ops.stream_stream_interval_join,
+    "stream_tumbling_append_watermark": stream_ops.stream_tumbling_append_watermark,
+    "stream_tumbling_window": stream_ops.stream_tumbling_window,
+    "text_tfidf_topk": text_fns.text_tfidf_topk,
+    "text_vocab_topk": text_fns.text_vocab_topk,
+    "unpivot_measures": relational.unpivot_measures,
+    "window_rank_family": relational.window_rank_family,
+    "agg_count_min_sketch": sketches.agg_count_min_sketch,
+    "dedup_minhash_error": dedup.dedup_minhash_error,
+    "text_chunk_dedup_fraction": text_fns.text_chunk_dedup_fraction,
+    "er_golden_record": mining.er_golden_record,
+    "similarity_range_search": similarity.similarity_range_search,
+    "cdc_scd2_build": relational.cdc_scd2_build,
+    "events_adoption_wilson": relational.events_adoption_wilson,
+    "text_bigram_kn_perplexity": text_fns.text_bigram_kn_perplexity,
+    "dedup_lsh_scurve": dedup.dedup_lsh_scurve,
+    "sample_importance_reweight": relational.sample_importance_reweight,
+    "agg_partial_merge": relational.agg_partial_merge,
+    "text_jsd_source_drift": text_fns.text_jsd_source_drift,
+    "events_ohlc_candles": relational.events_ohlc_candles,
+    "events_lateness_audit": relational.events_lateness_audit,
+    "stream_ohlc_candles": stream_ops.stream_ohlc_candles,
+    "scalar_variant_funcs": scalars.scalar_variant_funcs,
 }
 
 #: Shared SQL fragments for the oracle twins below.
@@ -4785,7 +4771,8 @@ _ORACLES.update({
         gv AS (SELECT value,
                       CAST(ROW_NUMBER() OVER (ORDER BY value, event_id) AS BIGINT) AS g
                FROM ev),
-        mapped AS (SELECT event_type, 1 + ((r - 1) * (n - 1)) // (nt - 1) AS tgt, n
+        mapped AS (SELECT event_type,
+                          1 + (CAST(r - 1 AS HUGEINT) * (n - 1)) // (nt - 1) AS tgt, n
                    FROM ranked, tot WHERE nt > 1),
         norm AS (SELECT event_type, tgt, n, gv.value AS nv
                  FROM mapped JOIN gv ON gv.g = mapped.tgt)
@@ -5278,9 +5265,13 @@ _ORACLES["stream_full_outer_interval_join"] = """
           AND c_ts < p_ts
           AND c_ts >= p_ts - INTERVAL 30 MINUTE),
     filt AS (SELECT j.* FROM j, wm
+             -- boundary semantics measured on Spark 4.1 (tests/test_streaming.py
+             -- ::test_full_outer_interval_join_watermark_boundary): the purchase
+             -- side emits its null row when p_ts <= wm (INCLUSIVE), the click
+             -- side only when c_ts + 30min < wm (STRICT)
              WHERE (c_event IS NOT NULL AND p_event IS NOT NULL)
                 OR (c_event IS NULL AND p_ts <= wm.w)
-                OR (p_event IS NULL AND c_ts + INTERVAL 30 MINUTE <= wm.w))
+                OR (p_event IS NULL AND c_ts + INTERVAL 30 MINUTE < wm.w))
     SELECT COALESCE(p_user, c_user) AS user_id,
            CAST(COUNT(DISTINCT p_event) AS BIGINT) AS n_purchases_emitted,
            CAST(SUM(CASE WHEN c_event IS NOT NULL AND p_event IS NOT NULL

@@ -309,6 +309,13 @@ _HOLT_SCHEMA = (
 
 _HOLT_ALPHA = 0.5
 _HOLT_BETA = 0.3
+# Complements are PINNED literals (not computed 1.0-x at runtime) so the
+# float recursion matches the oracle's CAST literals bit-for-bit; the
+# asserts keep them in sync if alpha/beta are ever edited.
+_HOLT_ALPHA_C = 0.5
+_HOLT_BETA_C = 0.7
+assert _HOLT_ALPHA + _HOLT_ALPHA_C == 1.0
+assert _HOLT_BETA + _HOLT_BETA_C == 1.0
 
 
 def _holt_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -335,10 +342,10 @@ def _holt_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pred = level + trend
         err = x - pred
         sse = sse + (err * err)
-        # complements written as literals (0.5 / 0.7), matching the
+        # pinned complement constants (see module head), matching the
         # oracle's CAST(0.7 AS DOUBLE) — never 1.0-beta at runtime
-        l_new = (_HOLT_ALPHA * x) + (0.5 * (level + trend))
-        trend = (_HOLT_BETA * (l_new - level)) + (0.7 * trend)
+        l_new = (_HOLT_ALPHA * x) + (_HOLT_ALPHA_C * (level + trend))
+        trend = (_HOLT_BETA * (l_new - level)) + (_HOLT_BETA_C * trend)
         level = l_new
     return pd.DataFrame(
         {

@@ -2048,6 +2048,8 @@ def dedup_kcore_peel(
 
     Output: (doc_id, peeled_round, last_degree) — peeled_round 1..R, or
     0 for survivors (last_degree = degree in the final graph)."""
+    if rounds < 1:
+        raise ValueError(f"dedup_kcore_peel requires rounds >= 1, got {rounds}")
     edges = (
         dedup_simhash_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")

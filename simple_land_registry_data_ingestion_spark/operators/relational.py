@@ -4895,8 +4895,10 @@ def events_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact-rank formulation: within-type rank r of n_t (deterministic
     (value, event_id) order) maps to global index 1 + (r-1)(N-1) div
-    (n_t-1) — pure BIGINT arithmetic, then an equi-join against the
-    globally indexed value list pulls the normalized value.  min/max per
+    (n_t-1) — the product runs in DECIMAL(38,0) (Spark) / HUGEINT
+    (DuckDB) because (r-1)*(N-1) exceeds BIGINT once N passes ~3e9 rows
+    and Spark would WRAP silently; ``div`` on the wide type returns the
+    exact BIGINT quotient (quotient <= N always fits).  min/max per
     cell are parquet doubles PICKED, not computed, so both engines hash
     identically.
 
@@ -4926,7 +4928,9 @@ def events_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapped = ranked.where(F.col("nt") > 1).select(
         "event_type",
         "n",
-        F.expr("1 + ((r - 1) * (n - 1)) div (nt - 1)").alias("tgt"),
+        F.expr(
+            "1 + (CAST(r - 1 AS DECIMAL(38,0)) * (n - 1)) div (nt - 1)"
+        ).alias("tgt"),
     )
     norm = mapped.join(gv, mapped.tgt == gv.g)
     return (

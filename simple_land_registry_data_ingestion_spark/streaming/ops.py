@@ -1042,9 +1042,13 @@ def stream_full_outer_interval_join(
 
     End-of-stream semantics (availableNow): matched rows equal the
     batch full-join's matched rows; null-click rows appear only for
-    purchases with p_ts <= final watermark; null-purchase rows only for
-    clicks with c_ts + 30 min <= final watermark.  The DuckDB twin
-    applies both final-watermark filters explicitly."""
+    purchases with p_ts <= final watermark (boundary INCLUSIVE), and
+    null-purchase rows only for clicks with c_ts + 30 min STRICTLY
+    below the final watermark — the asymmetry is Spark's measured
+    eviction behavior at exact-boundary event times, pinned by
+    tests/test_streaming.py::test_full_outer_interval_join_watermark_boundary.
+    The DuckDB twin applies both final-watermark filters explicitly
+    with the same inclusivity."""
     clicks = (
         events_stream(spark, sf_dir, glob, max_files_per_trigger)
         .where(F.col("event_type") == "click")

@@ -790,3 +790,54 @@ def test_upsert_latest_composes_across_micro_batches(spark, tmp_path):
     by_user = {r[0]: r for r in multi}
     assert by_user[10][1] == "purchase" and by_user[10][3] == 3  # n_events
     assert by_user[20][1] == "click" and by_user[20][3] == 2
+
+
+def test_full_outer_interval_join_watermark_boundary(spark, tmp_path):
+    """Pin the EXACT-boundary eviction semantics of the full-outer
+    interval join (round-6 ADVICE): with final watermark wm =
+    least(max c_ts, max p_ts) - 1h, Spark 4.1 emits the null-click row
+    for a purchase whose p_ts == wm (INCLUSIVE) but withholds the
+    null-purchase row for a click whose c_ts + 30min == wm (STRICT).
+    The DuckDB oracle twin applies the same asymmetric filters; this
+    test is the measured evidence for that choice."""
+    import datetime as dt
+
+    def ns(h, m):
+        t = dt.datetime(2024, 1, 1, h, m, tzinfo=dt.timezone.utc)
+        return int(t.timestamp() * 1_000_000_000)
+
+    rows = [
+        # watermark anchors: max c_ts = max p_ts = 12:00 -> wm = 11:00
+        (1000, ns(12, 0), 99, "click", 1.0, "{}"),
+        (1001, ns(12, 0), 98, "purchase", 1.0, "{}"),
+        # boundary purchase: p_ts == wm exactly, no matching click
+        (1, ns(11, 0), 1, "purchase", 5.0, "{}"),
+        # boundary click: c_ts + 30min == wm exactly, no matching purchase
+        (2, ns(10, 30), 2, "click", 2.0, "{}"),
+        # clearly-inside unmatched purchase / click (control rows)
+        (3, ns(10, 0), 3, "purchase", 7.0, "{}"),
+        (4, ns(9, 0), 4, "click", 3.0, "{}"),
+        # matched pair (always emitted)
+        (5, ns(8, 0), 5, "click", 1.0, "{}"),
+        (6, ns(8, 10), 5, "purchase", 9.0, "{}"),
+    ]
+    d = tmp_path / "boundary"
+    d.mkdir()
+    _write_events_file(str(d / "0.parquet"), rows)
+
+    out = {
+        r["user_id"]: r
+        for r in ops.stream_full_outer_interval_join(
+            spark, str(d), glob="*.parquet"
+        ).collect()
+    }
+    # boundary purchase (p_ts == wm): emitted — INCLUSIVE side
+    assert out[1]["n_unmatched_purchases"] == 1
+    # boundary click (c_ts + 30min == wm): withheld — STRICT side
+    assert 2 not in out
+    # controls
+    assert out[3]["n_unmatched_purchases"] == 1
+    assert out[4]["n_unmatched_clicks"] == 1
+    assert out[5]["n_attributed_pairs"] == 1
+    # anchors beyond the watermark stay withheld
+    assert 98 not in out and 99 not in out
