@@ -330,6 +330,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_lateness_audit": relational.events_lateness_audit,
     "stream_ohlc_candles": stream_ops.stream_ohlc_candles,
     "scalar_variant_funcs": scalars.scalar_variant_funcs,
+    # ---- round-7 additions (no driver evidence yet; queue behind the
+    # r08 leaders above, locally proven by tests/test_oracle_parity.py) ----
+    "eval_ndcg_at_k": evaluation.eval_ndcg_at_k,
+    "eval_rank_correlation": evaluation.eval_rank_correlation,
+    "eval_cohens_kappa": evaluation.eval_cohens_kappa,
+    "item_item_cf": mining.item_item_cf,
+    "search_phrase_positional": text_fns.search_phrase_positional,
 }
 
 #: Shared SQL fragments for the oracle twins below.
@@ -5287,3 +5294,179 @@ _ORACLES["stream_full_outer_interval_join"] = """
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI twins for each ``queries()`` entry."""
     return dict(_ORACLES)
+
+# ---- round-7 oracle twins ----
+
+_ORACLES["eval_ndcg_at_k"] = """
+    WITH ev AS (
+      SELECT user_id, event_id, value,
+             CASE event_type WHEN 'purchase' THEN 3 WHEN 'click' THEN 2
+                  WHEN 'view' THEN 1 ELSE 0 END AS rel
+      FROM events),
+    model AS (
+      SELECT user_id, rel,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS pos
+      FROM ev),
+    ideal AS (
+      SELECT user_id, rel,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY rel DESC, value DESC, event_id) AS pos
+      FROM ev),
+    dcg AS (
+      SELECT user_id,
+             SUM(CAST(ROUND((POWER(2, rel) - 1) / LOG2(pos + 1), 12)
+                      AS DECIMAL(28,12))) AS dcg,
+             CAST(COUNT(*) AS BIGINT) AS n_ranked
+      FROM model WHERE pos <= 10 GROUP BY 1),
+    idcg AS (
+      SELECT user_id,
+             SUM(CAST(ROUND((POWER(2, rel) - 1) / LOG2(pos + 1), 12)
+                      AS DECIMAL(28,12))) AS idcg
+      FROM ideal WHERE pos <= 10 GROUP BY 1)
+    SELECT d.user_id, d.n_ranked,
+           CAST(d.dcg AS DOUBLE) AS dcg,
+           CAST(i.idcg AS DOUBLE) AS idcg,
+           CASE WHEN i.idcg > 0
+                THEN ROUND(CAST(d.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 6)
+                ELSE 0.0 END AS ndcg_at_k
+    FROM dcg d JOIN idcg i USING (user_id)
+"""
+
+_ORACLES["eval_rank_correlation"] = """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS rev
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT event_type, hr, cnt, rev,
+             2 * CAST(RANK() OVER (PARTITION BY event_type ORDER BY cnt)
+                      AS BIGINT)
+               + CAST(COUNT(*) OVER (PARTITION BY event_type, cnt) AS BIGINT)
+               - 1 AS rx,
+             2 * CAST(RANK() OVER (PARTITION BY event_type ORDER BY rev)
+                      AS BIGINT)
+               + CAST(COUNT(*) OVER (PARTITION BY event_type, rev) AS BIGINT)
+               - 1 AS ry
+      FROM hourly),
+    sp AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+             CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+             CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+             CAST(SUM(ry * ry) AS BIGINT) AS syy
+      FROM ranked GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN sign(CAST(a.cnt - b.cnt AS DOUBLE))
+                              * sign(CAST(a.rev - b.rev AS DOUBLE)) > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+             CAST(SUM(CASE WHEN sign(CAST(a.cnt - b.cnt AS DOUBLE))
+                              * sign(CAST(a.rev - b.rev AS DOUBLE)) < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+             CAST(SUM(CASE WHEN a.cnt = b.cnt AND a.rev <> b.rev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+             CAST(SUM(CASE WHEN a.rev = b.rev AND a.cnt <> b.cnt
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+             CAST(SUM(CASE WHEN a.cnt = b.cnt AND a.rev = b.rev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS txy
+      FROM ranked a JOIN ranked b
+        ON a.event_type = b.event_type AND a.hr < b.hr
+      GROUP BY 1)
+    SELECT sp.event_type, sp.n_hours, pairs.conc, pairs.disc,
+           ROUND((CAST(n_hours AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / SQRT((CAST(n_hours AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n_hours AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS spearman_rho,
+           ROUND(CAST(conc - disc AS DOUBLE)
+                 / SQRT(CAST(conc + disc + tx + ty + txy - tx - txy AS DOUBLE)
+                        * CAST(conc + disc + tx + ty + txy - ty - txy
+                               AS DOUBLE)),
+                 6) AS kendall_tau_b
+    FROM sp JOIN pairs USING (event_type)
+"""
+
+_ORACLES["eval_cohens_kappa"] = """
+    WITH docs AS (
+      SELECT n_chars,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_distinct(string_split(text, ' '))) AS n_uniq
+      FROM documents),
+    labeled AS (
+      SELECT CASE WHEN n_chars < 200 THEN 0
+                  WHEN n_chars < 350 THEN 1 ELSE 2 END AS a,
+             CASE WHEN (n_uniq * 1000) // n_tok < 560 THEN 0
+                  WHEN (n_uniq * 1000) // n_tok < 700 THEN 1
+                  ELSE 2 END AS b
+      FROM docs),
+    cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+              FROM labeled GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+                       AS agree
+            FROM cells),
+    ma AS (SELECT a, CAST(SUM(c) AS BIGINT) AS na FROM cells GROUP BY 1),
+    mb AS (SELECT b AS a, CAST(SUM(c) AS BIGINT) AS nb FROM cells GROUP BY 1),
+    chance AS (SELECT CAST(SUM(COALESCE(na, 0) * COALESCE(nb, 0)) AS BIGINT)
+                          AS sum_prod
+               FROM ma FULL OUTER JOIN mb USING (a))
+    SELECT n, agree, sum_prod,
+           ROUND(agree / CAST(n AS DOUBLE), 6) AS p_observed,
+           ROUND(sum_prod / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+               AS p_expected,
+           ROUND((agree / CAST(n AS DOUBLE)
+                  - sum_prod / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 / (1.0 - sum_prod / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))),
+                 6) AS kappa
+    FROM tot, chance
+"""
+
+_ORACLES["item_item_cf"] = """
+    WITH items AS (SELECT DISTINCT l_orderkey AS order_id,
+                                   l_partkey AS part_id
+                   FROM lineitem),
+    io AS (SELECT part_id, CAST(COUNT(*) AS BIGINT) AS n_orders
+           FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.part_id AS part_a, b.part_id AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS cooc
+      FROM items a JOIN items b
+        ON a.order_id = b.order_id AND a.part_id < b.part_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+    sym AS (SELECT part_a, part_b, cooc FROM pairs
+            UNION ALL
+            SELECT part_b AS part_a, part_a AS part_b, cooc FROM pairs),
+    scored AS (
+      SELECT sym.part_a AS part_id, sym.part_b AS neighbor_id, cooc,
+             ROUND(cooc / SQRT(CAST(na.n_orders * nb.n_orders AS DOUBLE)), 6)
+                 AS cosine
+      FROM sym JOIN io na ON na.part_id = sym.part_a
+               JOIN io nb ON nb.part_id = sym.part_b)
+    SELECT part_id, neighbor_id, cooc, cosine, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY part_id
+                                       ORDER BY cosine DESC, cooc DESC,
+                                                neighbor_id) AS rk
+          FROM scored)
+    WHERE rk <= 3
+"""
+
+_ORACLES["search_phrase_positional"] = """
+    WITH postings AS (
+      SELECT doc_id, lang,
+             unnest(string_split(text, ' ')) AS term,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents),
+    p1 AS (SELECT doc_id, lang, CAST(pos AS BIGINT) AS pos_a
+           FROM postings WHERE term = 'fast'),
+    p2 AS (SELECT doc_id AS doc_b, CAST(pos AS BIGINT) AS pos_b
+           FROM postings WHERE term = 'table')
+    SELECT doc_id, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(pos_a) AS BIGINT) AS first_pos
+    FROM p1 JOIN p2 ON doc_id = doc_b AND pos_b = pos_a + 1
+    GROUP BY 1, 2
+"""

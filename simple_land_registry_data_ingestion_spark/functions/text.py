@@ -1281,3 +1281,57 @@ def search_rank_fusion(
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(k)
+
+
+def search_phrase_positional(
+    spark: SparkSession,
+    sf_dir: str,
+    phrase: str = "fast table",
+) -> DataFrame:
+    """Positional phrase search over a distributed inverted index — the
+    exact-phrase retrieval primitive BM25 can't express (bag-of-words
+    scoring loses adjacency): build (doc, term, position) postings with
+    ``posexplode``, keep ONLY the phrase's terms (the filter reaches the
+    scan before any shuffle — the index for a 2-term phrase is two
+    posting lists, not the corpus), then adjacency is an equi-join on
+    (doc, pos+1): term2's posting at position p+1 next to term1's at p.
+    N-term phrases chain the same join n-1 times.
+
+    Plan at scale: tokenize + filter are scan-stage; the postings for
+    the two phrase terms shuffle ON THE DOC KEY once; the position join
+    is within-doc.  Posting volume is corpus-linear ONLY in the phrase
+    terms' document frequency — the standard positional-index cost
+    (Manning IR ch.2) — so a rare-term-first planner note applies but
+    the join order here is fixed and correct for any df.
+
+    Output: (doc_id, lang, n_occurrences, first_pos) per matching doc."""
+    terms = phrase.split(" ")
+    assert len(terms) == 2, "two-term phrase demo"
+    postings = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "term"),
+        )
+        .where(F.col("term").isin(terms))
+        .select(
+            "doc_id", "lang", "term",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+        )
+    )
+    p1 = postings.where(F.col("term") == terms[0]).select(
+        "doc_id", "lang", F.col("pos").alias("pos_a")
+    )
+    p2 = postings.where(F.col("term") == terms[1]).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    hits = p1.join(
+        p2,
+        (F.col("doc_id") == F.col("doc_b"))
+        & (F.col("pos_b") == F.col("pos_a") + 1),
+    )
+    return hits.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.min("pos_a").cast("long").alias("first_pos"),
+    )

@@ -139,3 +139,234 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("brier"),
         )
     )
+
+
+def eval_ndcg_at_k(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Per-user NDCG@k of "value ranks engagement" — the standard
+    ranking-quality metric for a retrieval / recommendation model,
+    computed the distributed way: ONE window per ordering, no per-query
+    collect.  Graded relevance comes from the event type
+    (purchase=3, click=2, view=1, error=0); the model order is value
+    DESC (event_id tie-break), the ideal order is relevance DESC.
+
+    Float discipline: gains (2^rel − 1) are INTEGER; each position term
+    gain / log2(pos+1) is one double division rounded 12dp into
+    DECIMAL(28,12) so the per-user sums are exact and order-free; the
+    final ndcg = dcg/idcg is a single double division rounded 6dp.
+
+    Scale shape: two windows partitioned BY USER (parallel across the
+    key, never global), filtered to the top k rows each, then one
+    groupBy(user) aggregate — at 100 TB this is two keyed shuffles on
+    the same key, AQE-coalesced.  Output is one row per user with >= 1
+    event (bounded by the user dimension, not the event count)."""
+    rel = (
+        F.when(F.col("event_type") == "purchase", 3)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "view", 1)
+        .otherwise(0)
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", rel.alias("rel")
+    )
+    gain = F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0)
+    term = F.round(
+        gain / F.log2(F.col("pos").cast("double") + F.lit(1.0)), 12
+    ).cast("decimal(28,12)")
+    w_model = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), "event_id"
+    )
+    w_ideal = Window.partitionBy("user_id").orderBy(
+        F.col("rel").desc(), F.col("value").desc(), "event_id"
+    )
+    dcg = (
+        ev.withColumn("pos", F.row_number().over(w_model).cast("long"))
+        .where(F.col("pos") <= k)
+        .select("user_id", term.alias("t"))
+        .groupBy("user_id")
+        .agg(F.sum("t").alias("dcg"), F.count(F.lit(1)).cast("long").alias("n_ranked"))
+    )
+    idcg = (
+        ev.withColumn("pos", F.row_number().over(w_ideal).cast("long"))
+        .where(F.col("pos") <= k)
+        .select("user_id", term.alias("t"))
+        .groupBy("user_id")
+        .agg(F.sum("t").alias("idcg"))
+    )
+    return dcg.join(idcg, "user_id").select(
+        "user_id",
+        "n_ranked",
+        F.col("dcg").cast("double").alias("dcg"),
+        F.col("idcg").cast("double").alias("idcg"),
+        F.when(F.col("idcg") > 0,
+               F.round(F.col("dcg").cast("double") / F.col("idcg").cast("double"), 6)
+        ).otherwise(F.lit(0.0)).alias("ndcg_at_k"),
+    )
+
+
+def eval_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rho AND Kendall tau-b between hourly event volume and
+    hourly revenue, per event type — the drift / sanity check that two
+    rankings of time buckets agree (volume-ordered vs value-ordered
+    hours), with BOTH classical rank statistics certified in one query.
+
+    Everything runs on the HOURLY ROLLUP (720 rows per type here;
+    bounded by the calendar, not the event count — 100 TB of events
+    still rolls up to <= 8.8k hours/year/type), so the O(n^2) Kendall
+    pair join is a bounded self-join on the aggregate, never on raw
+    events.  Both inputs are exact: hourly count (BIGINT) and hourly
+    2dp-DECIMAL value sum, so ranks agree across engines bit-for-bit.
+
+    Spearman uses DOUBLED midranks (2*rank_min + ties − 1: the .5
+    midranks never materialize as floats) and the Pearson-on-ranks
+    identity — scale-invariant, so the doubling cancels; all five
+    moment sums are BIGINT (bounded by n^3 ~ 7e8 per type).  Kendall
+    tau-b counts concordant/discordant/tied pairs as integers over the
+    hr_a < hr_b half-join; both coefficients are single double
+    expressions rounded 6dp."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hr"),
+        F.round(F.col("value"), 2).cast("decimal(18,2)").alias("v"),
+    )
+    hourly = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("v").alias("rev"),
+    ).localCheckpoint(eager=True)
+    wt = Window.partitionBy("event_type")
+
+    def dranks(col: str) -> F.Column:
+        rank_min = F.rank().over(wt.orderBy(col)).cast("long")
+        ties = F.count(F.lit(1)).over(wt.partitionBy("event_type", col)).cast("long")
+        return 2 * rank_min + ties - 1
+
+    ranked = hourly.select(
+        "event_type", "hr", "cnt", "rev",
+        dranks("cnt").alias("rx"),
+        dranks("rev").alias("ry"),
+    )
+    spearman = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
+    )
+    a = ranked.select(
+        "event_type", F.col("hr").alias("hr_a"),
+        F.col("cnt").alias("cnt_a"), F.col("rev").alias("rev_a"),
+    )
+    b = ranked.select(
+        "event_type", F.col("hr").alias("hr_b"),
+        F.col("cnt").alias("cnt_b"), F.col("rev").alias("rev_b"),
+    )
+    sgn_x = F.signum((F.col("cnt_a") - F.col("cnt_b")).cast("double"))
+    sgn_y = F.signum(
+        (F.col("rev_a") - F.col("rev_b")).cast("double")
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .where(F.col("hr_a") < F.col("hr_b"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(sgn_x * sgn_y > 0, 1).otherwise(0)).cast("long").alias("conc"),
+            F.sum(F.when(sgn_x * sgn_y < 0, 1).otherwise(0)).cast("long").alias("disc"),
+            F.sum(F.when((sgn_x == 0) & (sgn_y != 0), 1).otherwise(0)).cast("long").alias("tx"),
+            F.sum(F.when((sgn_y == 0) & (sgn_x != 0), 1).otherwise(0)).cast("long").alias("ty"),
+            F.sum(F.when((sgn_x == 0) & (sgn_y == 0), 1).otherwise(0)).cast("long").alias("txy"),
+        )
+    )
+    joined = spearman.join(pairs, "event_type")
+    n = F.col("n_hours").cast("double")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    den = F.sqrt(
+        (n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        * (n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+    )
+    n0 = F.col("conc") + F.col("disc") + F.col("tx") + F.col("ty") + F.col("txy")
+    tau_den = F.sqrt(
+        (n0 - F.col("tx") - F.col("txy")).cast("double")
+        * (n0 - F.col("ty") - F.col("txy")).cast("double")
+    )
+    return joined.select(
+        "event_type",
+        "n_hours",
+        "conc",
+        "disc",
+        F.round(num / den, 6).alias("spearman_rho"),
+        F.round(
+            (F.col("conc") - F.col("disc")).cast("double") / tau_den, 6
+        ).alias("kendall_tau_b"),
+    )
+
+
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two independent document QUALITY RATERS —
+    the agreement statistic a labeling pipeline reports before trusting
+    heuristic labels (kappa corrects raw agreement for chance, which
+    matters exactly when class priors are skewed, as quality labels
+    are).  Rater A buckets on document length, rater B on type-token
+    ratio; both are 3-class (0/1/2), derived from the text by identical
+    integer/decimal expressions on both engines.
+
+    kappa = (p_o − p_e) / (1 − p_e) with p_o from the diagonal and p_e
+    from the marginal products — every input to the final expression is
+    a BIGINT count (the 3x3 confusion matrix + marginals), so the one
+    double expression rounds 6dp identically.
+
+    Scale shape: scan-stage label derivation, ONE 9-cell aggregate, a
+    1-row result — the whole query is map-side combine; at 100 TB the
+    only shuffle is 9 rows."""
+    toks = F.split(F.col("text"), " ")
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("n_chars"),
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+    )
+    rater_a = (
+        F.when(F.col("n_chars") < 200, 0)
+        .when(F.col("n_chars") < 350, 1)
+        .otherwise(2)
+    )
+    # type-token ratio in exact per-mille (integer div — no doubles)
+    ttr_pm = F.expr("(n_uniq * 1000) div n_tok")
+    rater_b = (
+        F.when(ttr_pm < F.lit(560), 0)
+        .when(ttr_pm < F.lit(700), 1)
+        .otherwise(2)
+    )
+    labeled = docs.select(
+        rater_a.cast("long").alias("a"),
+        rater_b.cast("long").alias("b"),
+    )
+    cells = labeled.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cells.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    ma = cells.groupBy("a").agg(F.sum("c").cast("long").alias("na"))
+    mb = cells.groupBy(F.col("b").alias("a")).agg(
+        F.sum("c").cast("long").alias("nb")
+    )
+    chance = (
+        ma.join(mb, "a", "full_outer")
+        .select(
+            (F.coalesce(F.col("na"), F.lit(0)) * F.coalesce(F.col("nb"), F.lit(0))).alias("prod")
+        )
+        .agg(F.sum("prod").cast("long").alias("sum_prod"))
+    )
+    n = F.col("n").cast("double")
+    po = F.col("agree").cast("double") / n
+    pe = F.col("sum_prod").cast("double") / (n * n)
+    return tot.crossJoin(F.broadcast(chance)).select(
+        "n",
+        "agree",
+        "sum_prod",
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
