@@ -337,6 +337,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_cohens_kappa": evaluation.eval_cohens_kappa,
     "item_item_cf": mining.item_item_cf,
     "search_phrase_positional": text_fns.search_phrase_positional,
+    "eval_mrr_hit_rate": evaluation.eval_mrr_hit_rate,
+    "eval_ips_offpolicy": evaluation.eval_ips_offpolicy,
+    "events_bootstrap_ci": relational.events_bootstrap_ci,
+    "sample_negative_pairs": relational.sample_negative_pairs,
+    "audit_referential_integrity": relational.audit_referential_integrity,
+    "text_dictionary_tagging": text_fns.text_dictionary_tagging,
 }
 
 #: Shared SQL fragments for the oracle twins below.
@@ -5468,5 +5474,192 @@ _ORACLES["search_phrase_positional"] = """
            CAST(COUNT(*) AS BIGINT) AS n_occurrences,
            CAST(MIN(pos_a) AS BIGINT) AS first_pos
     FROM p1 JOIN p2 ON doc_id = doc_b AND pos_b = pos_a + 1
+    GROUP BY 1, 2
+"""
+
+_ORACLES["eval_mrr_hit_rate"] = """
+    WITH ev AS (
+      SELECT user_id, event_id, value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events),
+    topk AS (
+      SELECT user_id, y, pos FROM (
+        SELECT user_id, y,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS pos
+        FROM ev)
+      WHERE pos <= 10),
+    pu AS (SELECT user_id,
+                  MIN(CASE WHEN y = 1 THEN pos END) AS first_rel
+           FROM topk GROUP BY 1),
+    rr AS (SELECT first_rel,
+                  CAST(CASE WHEN first_rel IS NOT NULL
+                            THEN ROUND(CAST(1 AS DOUBLE) / first_rel, 12)
+                            ELSE 0.0 END AS DECIMAL(28,12)) AS rr
+           FROM pu)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           ROUND(CAST(SUM(rr) AS DOUBLE) / COUNT(*), 6) AS mrr_at_k,
+           ROUND(SUM(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS hit_rate_at_k
+    FROM rr
+"""
+
+_ORACLES["eval_ips_offpolicy"] = """
+    WITH ev AS (
+      SELECT event_type,
+             (event_id * 2654435761 + 13) AS mixed,
+             CAST(ROUND(value, 2) AS DECIMAL(18,2)) AS r
+      FROM events),
+    sc AS (
+      SELECT event_type, r,
+             CAST(ROUND(CAST(200 + (mixed % 500) AS DOUBLE)
+                        / CAST(1000 AS DOUBLE), 6) AS DECIMAL(9,6)) AS p_log,
+             CAST(ROUND(CASE WHEN event_type = 'purchase'
+                             THEN CAST(500 + (mixed % 499) AS DOUBLE)
+                             ELSE CAST(100 + (mixed % 400) AS DOUBLE) END
+                        / CAST(1000 AS DOUBLE), 6) AS DECIMAL(9,6)) AS p_tgt
+      FROM ev),
+    wt AS (
+      SELECT event_type,
+             CAST(ROUND(LEAST(CAST(10 AS DOUBLE),
+                              CAST(p_tgt AS DOUBLE) / CAST(p_log AS DOUBLE)),
+                        12) AS DECIMAL(28,12)) AS w,
+             CAST(ROUND(LEAST(CAST(10 AS DOUBLE),
+                              CAST(p_tgt AS DOUBLE) / CAST(p_log AS DOUBLE))
+                        * CAST(r AS DOUBLE), 12) AS DECIMAL(28,12)) AS wr
+      FROM sc)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(w) AS DOUBLE), 6) AS sum_w,
+           ROUND(CAST(SUM(wr) AS DOUBLE) / COUNT(*), 6) AS ips_value,
+           ROUND(CAST(SUM(wr) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6)
+               AS snips_value
+    FROM wt GROUP BY 1
+"""
+
+_ORACLES["events_bootstrap_ci"] = """
+    WITH ev AS (SELECT event_type, event_id,
+                       CAST(ROUND(value, 2) AS DECIMAL(18,2)) AS v
+                FROM events),
+    ex AS (SELECT event_type, v, b,
+                  (event_id * 2654435761 + b * 97911 + 13) % 1000 AS u
+           FROM ev, UNNEST(range(0, 32)) AS t(b)),
+    wgt AS (SELECT event_type, v, b,
+                   CAST(CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1
+                             WHEN u < 920 THEN 2 WHEN u < 981 THEN 3
+                             WHEN u < 996 THEN 4 ELSE 5 END AS BIGINT) AS w
+            FROM ex),
+    reps AS (SELECT event_type, b,
+                    CAST(SUM(w * v) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+                        AS mean_b
+             FROM wgt GROUP BY 1, 2),
+    stats AS (SELECT event_type,
+                     MAX(CASE WHEN rk = 2 THEN mean_b END) AS lo,
+                     MAX(CASE WHEN rk = 31 THEN mean_b END) AS hi
+              FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                                 ORDER BY mean_b) AS rk
+                    FROM reps)
+              GROUP BY 1),
+    pt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(v) AS DOUBLE) / COUNT(*) AS pm
+           FROM ev GROUP BY 1)
+    SELECT pt.event_type, n,
+           ROUND(pm, 6) AS point_mean,
+           ROUND(lo, 6) AS ci_lo,
+           ROUND(hi, 6) AS ci_hi
+    FROM pt JOIN stats USING (event_type)
+"""
+
+_ORACLES["sample_negative_pairs"] = """
+    WITH pos AS (SELECT DISTINCT o_custkey AS custkey, l_partkey AS partkey
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    np AS (SELECT CAST(MAX(p_partkey) + 1 AS BIGINT) AS np FROM part),
+    cand AS (SELECT DISTINCT custkey,
+                    (custkey * 2654435761 + j * 40503 + partkey * 97911 + 7)
+                        % np AS cand_part
+             FROM pos, np, UNNEST(range(0, 2)) AS t(j)),
+    neg AS (SELECT c.custkey, c.cand_part FROM cand c
+            LEFT JOIN pos p
+              ON p.custkey = c.custkey AND p.partkey = c.cand_part
+            WHERE p.partkey IS NULL),
+    a AS (SELECT custkey, CAST(COUNT(*) AS BIGINT) AS n_pos
+          FROM pos GROUP BY 1),
+    b AS (SELECT custkey, CAST(COUNT(*) AS BIGINT) AS n_cand
+          FROM cand GROUP BY 1),
+    c2 AS (SELECT custkey, CAST(COUNT(*) AS BIGINT) AS n_neg
+           FROM neg GROUP BY 1)
+    SELECT a.custkey, n_pos, n_cand,
+           CAST(COALESCE(n_neg, 0) AS BIGINT) AS n_neg
+    FROM a JOIN b USING (custkey) LEFT JOIN c2 USING (custkey)
+"""
+
+_ORACLES["audit_referential_integrity"] = """
+    WITH e AS (
+      SELECT 'lineitem.orderkey->orders' AS fk_name,
+             CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows,
+             CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+                   (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+                  AS BIGINT) AS n_orphans
+      UNION ALL
+      SELECT 'lineitem.partkey->part',
+             CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+                   (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem.suppkey->supplier',
+             CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+                   (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'orders.custkey->customer',
+             CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+                   (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'customer.nationkey->nation',
+             CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+                   (SELECT 1 FROM nation n
+                    WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+      UNION ALL
+      SELECT 'supplier.nationkey->nation',
+             CAST((SELECT COUNT(*) FROM supplier) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM supplier s WHERE NOT EXISTS
+                   (SELECT 1 FROM nation n
+                    WHERE n.n_nationkey = s.s_nationkey)) AS BIGINT)
+      UNION ALL
+      SELECT 'nation.regionkey->region',
+             CAST((SELECT COUNT(*) FROM nation) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM nation n WHERE NOT EXISTS
+                   (SELECT 1 FROM region r
+                    WHERE r.r_regionkey = n.n_regionkey)) AS BIGINT)
+      UNION ALL
+      SELECT 'events.user_id->customer',
+             CAST((SELECT COUNT(*) FROM events) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM events e2 WHERE NOT EXISTS
+                   (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = e2.user_id)) AS BIGINT))
+    SELECT fk_name, n_rows, n_orphans,
+           (n_orphans * 1000000) // n_rows AS orphan_ppm
+    FROM e
+"""
+
+_ORACLES["text_dictionary_tagging"] = """
+    WITH dict(term, category) AS (VALUES
+      ('fast','perf'), ('slow','perf'), ('big','perf'), ('small','perf'),
+      ('table','sql'), ('join','sql'), ('scan','sql'), ('filter','sql'),
+      ('agg','sql'), ('query','sql'),
+      ('spark','infra'), ('stream','infra'), ('batch','infra')),
+    toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents)
+    SELECT doc_id, category,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(COUNT(DISTINCT term) AS BIGINT) AS n_distinct_terms
+    FROM toks JOIN dict USING (term)
     GROUP BY 1, 2
 """

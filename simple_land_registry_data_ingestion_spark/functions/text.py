@@ -1335,3 +1335,45 @@ def search_phrase_positional(
         F.count(F.lit(1)).cast("long").alias("n_occurrences"),
         F.min("pos_a").cast("long").alias("first_pos"),
     )
+
+
+#: Inline gazetteer for dictionary tagging: term -> category.  A real
+#: deployment loads this from a file; the mechanism (broadcast dictionary
+#: joined against scan-stage postings) is what the operator certifies.
+_TAG_DICT = [
+    ("fast", "perf"), ("slow", "perf"), ("big", "perf"), ("small", "perf"),
+    ("table", "sql"), ("join", "sql"), ("scan", "sql"), ("filter", "sql"),
+    ("agg", "sql"), ("query", "sql"),
+    ("spark", "infra"), ("stream", "infra"), ("batch", "infra"),
+]
+
+
+def text_dictionary_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary / gazetteer tagging — the Aho-Corasick-shaped primitive
+    of entity tagging, PII-term matching, and topic labeling, expressed
+    distributively: tokenize at the scan, equi-join tokens against a
+    BROADCAST dictionary (the dictionary is small by definition; the
+    corpus never re-shuffles), aggregate hits per (doc, category).
+
+    For multi-word dictionary entries this composes with
+    search_phrase_positional's adjacency join; single-token terms keep
+    the demo plan minimal: tokenize -> broadcast hash join -> one keyed
+    groupBy.  At 100 TB the only shuffle is the (doc, category) rollup,
+    and it carries ONLY matched tokens (the join drops the rest at the
+    scan stage).
+
+    Output: (doc_id, category, n_hits, n_distinct_terms) for every doc x
+    category with >= 1 hit."""
+    dict_df = spark.createDataFrame(_TAG_DICT, ["term", "category"])
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+    )
+    return (
+        toks.join(F.broadcast(dict_df), "term")
+        .groupBy("doc_id", "category")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.count_distinct("term").cast("long").alias("n_distinct_terms"),
+        )
+    )

@@ -370,3 +370,112 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("p_expected"),
         F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
     )
+
+
+def eval_mrr_hit_rate(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """MRR@k and HitRate@k for the same "value ranks engagement" model
+    eval_ndcg_at_k grades — the binary-relevance pair of metrics every
+    recommender eval reports next to NDCG.  Relevant = purchase events;
+    the model order is value DESC (event_id tie-break).
+
+    Float discipline: each user's reciprocal rank 1/first_pos is ONE
+    double division rounded 12dp into DECIMAL(28,12); the corpus MRR is
+    the exact decimal sum divided once (order-free), so the single-row
+    result hashes identically.
+
+    Scale shape: one user-partitioned window (same shuffle key as the
+    NDCG query — a shared-scan candidate), a per-user min, one global
+    1-row aggregate."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value",
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    topk = (
+        ev.withColumn("pos", F.row_number().over(w).cast("long"))
+        .where(F.col("pos") <= k)
+    )
+    per_user = topk.groupBy("user_id").agg(
+        F.min(F.when(F.col("y") == 1, F.col("pos"))).alias("first_rel")
+    )
+    rr = F.when(
+        F.col("first_rel").isNotNull(),
+        F.round(F.lit(1.0) / F.col("first_rel").cast("double"), 12),
+    ).otherwise(F.lit(0.0)).cast("decimal(28,12)")
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("first_rel").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hits"),
+        F.round(
+            F.sum(rr).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mrr_at_k"),
+        F.round(
+            F.sum(F.when(F.col("first_rel").isNotNull(), 1).otherwise(0))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hit_rate_at_k"),
+    )
+
+
+def eval_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation with IPS and SNIPS — "what would the new
+    ranking policy have earned on the logged traffic?" computed from the
+    log alone: each logged action is reweighted by the
+    target/logging-propensity ratio; SNIPS divides by the weight sum
+    instead of n to cut variance (the estimator pair every bandit /
+    recsys replay eval reports).
+
+    The corpus logs no propensities, so both are PLANTED
+    deterministically from event_id arithmetic (the calibration-bins
+    pattern): p_log in [0.2, 0.7), the target policy up-weights
+    purchases — so the estimate is non-trivially different from the
+    on-policy mean and the green hash certifies weighting, clipping
+    (w <= 10), and both normalizations exactly.
+
+    Float discipline: p_log/p_tgt are DECIMAL(9,6)-quantized at
+    creation; the per-row weighted reward rounds 12dp into
+    DECIMAL(28,12) before the sum; final ratios are single double
+    divisions rounded 6dp.
+
+    Scale shape: scan-stage arithmetic, ONE map-side-combined aggregate
+    per event type."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.round(F.col("value"), 2).cast("decimal(18,2)").alias("r"),
+    )
+    mixed = (F.col("event_id") * 2654435761 + 13).cast("long")
+    p_log = F.round(
+        (F.lit(200) + (mixed % 500)).cast("double") / F.lit(1000.0), 6
+    ).cast("decimal(9,6)")
+    p_tgt = F.round(
+        F.when(
+            F.col("event_type") == "purchase",
+            (F.lit(500) + (mixed % 499)).cast("double"),
+        )
+        .otherwise((F.lit(100) + (mixed % 400)).cast("double"))
+        / F.lit(1000.0),
+        6,
+    ).cast("decimal(9,6)")
+    w = F.least(
+        F.lit(10.0),
+        p_tgt.cast("double") / p_log.cast("double"),
+    )
+    scored = ev.select(
+        "event_type",
+        F.round(w, 12).cast("decimal(28,12)").alias("w"),
+        F.round(w * F.col("r").cast("double"), 12)
+        .cast("decimal(28,12)")
+        .alias("wr"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("w").cast("double"), 6).alias("sum_w"),
+        F.round(
+            F.sum("wr").cast("double") / F.count(F.lit(1)), 6
+        ).alias("ips_value"),
+        F.round(
+            F.sum("wr").cast("double") / F.sum("w").cast("double"), 6
+        ).alias("snips_value"),
+    )

@@ -5338,3 +5338,222 @@ def events_hourly_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
     )
     return s.select("lag", "n_pairs", F.round(num / den, 6).alias("acf"))
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence intervals (round 7)
+# ---------------------------------------------------------------------------
+
+def events_bootstrap_ci(
+    spark: SparkSession, sf_dir: str, n_reps: int = 32
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean event value per
+    event type — THE distributed bootstrap (each replicate reweights
+    every row by an independent Poisson(1) draw, so resampling needs no
+    global row index and runs in ONE pass; the classic resample-by-index
+    bootstrap is undistributable at 100 TB because it needs n draws WITH
+    replacement from a global address space).
+
+    Determinism: the Poisson(1) draw for (row, replicate b) comes from a
+    hash of (event_id, b) reduced mod 1000 and inverted through the
+    integer-threshold CDF (368/736/920/981/996 ~ cumulative Poisson(1)
+    pmf) — the same arithmetic on both engines, no RNG.  Replicate means
+    are exact-decimal sums over 2dp values divided once; the CI bounds
+    are ORDER STATISTICS of the 32 replicate means (2nd and 31st — the
+    2.5/97.5 percentile ranks for B=32), picked by a window over the
+    replicate key, so no float interpolation enters the hash.
+
+    Scale shape: explode x32 happens AT THE SCAN (map-side), the only
+    shuffle is the (event_type, rep) groupBy — map-side combined to
+    5 x 32 partial rows; the order-statistic window runs on 160 rows."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value"), 2).cast("decimal(18,2)").alias("v"),
+    )
+    u = (
+        (F.col("event_id") * 2654435761 + F.col("b") * 97911 + 13) % 1000
+    )
+    # integer-threshold inverse CDF of Poisson(1) on the 0..999 hash
+    w = (
+        F.when(u < 368, 0)
+        .when(u < 736, 1)
+        .when(u < 920, 2)
+        .when(u < 981, 3)
+        .when(u < 996, 4)
+        .otherwise(5)
+        .cast("long")
+    )
+    exploded = ev.select(
+        "event_type", "v",
+        F.explode(F.sequence(F.lit(0), F.lit(n_reps - 1))).alias("b"),
+        F.col("event_id"),
+    ).select("event_type", "v", "b", w.alias("w"))
+    reps = exploded.groupBy("event_type", "b").agg(
+        (F.sum(F.col("w") * F.col("v")).cast("double")
+         / F.sum("w").cast("double")).alias("mean_b")
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("mean_b")
+    stats = (
+        reps.withColumn("rk", F.row_number().over(w_ord))
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("rk") == 2, F.col("mean_b"))).alias("lo"),
+            F.max(
+                F.when(F.col("rk") == n_reps - 1, F.col("mean_b"))
+            ).alias("hi"),
+        )
+    )
+    point = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("pm"),
+    )
+    return point.join(stats, "event_type").select(
+        "event_type",
+        "n",
+        F.round(F.col("pm"), 6).alias("point_mean"),
+        F.round(F.col("lo"), 6).alias("ci_lo"),
+        F.round(F.col("hi"), 6).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling for contrastive pairs (round 7)
+# ---------------------------------------------------------------------------
+
+def sample_negative_pairs(
+    spark: SparkSession, sf_dir: str, k: int = 2
+) -> DataFrame:
+    """Negative sampling for contrastive training pairs — the step that
+    turns an interaction log into (anchor, positive, negative) triples:
+    for every observed (customer, part) purchase pair, generate k
+    deterministic candidate parts by hash, then ANTI-JOIN the positives
+    so no accidental positive survives (rejection step).  The same
+    recipe samples hard negatives for embedding training at corpus
+    scale.
+
+    Plan at scale: positives = one distinct over the order join (keyed
+    shuffle); candidate generation is SCAN-STAGE arithmetic (hash mod
+    |catalog| — no sampling state, no RNG service); the rejection
+    anti-join shuffles on the same (customer, part) key the positives
+    already have; the part-count scalar rides a 1-row broadcast.  No
+    step touches |customers| x |catalog|.
+
+    Output per customer: n_pos, n_cand (distinct generated), n_neg
+    (survivors) — the collision rate n_cand - n_neg certifies the
+    rejection step numerically."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n_parts = load(spark, sf_dir, "part").agg(
+        (F.max("p_partkey") + 1).cast("long").alias("np")
+    )
+    pos = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cand = (
+        pos.crossJoin(F.broadcast(n_parts))
+        .select(
+            "custkey",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+            "partkey",
+            "np",
+        )
+        .select(
+            "custkey",
+            (
+                (F.col("custkey") * 2654435761
+                 + F.col("j") * 40503
+                 + F.col("partkey") * 97911
+                 + 7) % F.col("np")
+            ).cast("long").alias("cand_part"),
+        )
+        .distinct()
+    )
+    neg = cand.join(
+        pos.select(
+            F.col("custkey"), F.col("partkey").alias("cand_part")
+        ),
+        ["custkey", "cand_part"],
+        "left_anti",
+    )
+    n_pos = pos.groupBy("custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pos")
+    )
+    n_cand = cand.groupBy("custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cand")
+    )
+    n_neg = neg.groupBy("custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_neg")
+    )
+    return (
+        n_pos.join(n_cand, "custkey")
+        .join(n_neg, "custkey", "left_outer")
+        .select(
+            "custkey",
+            "n_pos",
+            "n_cand",
+            F.coalesce(F.col("n_neg"), F.lit(0)).cast("long").alias("n_neg"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (round 7)
+# ---------------------------------------------------------------------------
+
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across every FK edge of the schema — the
+    data-contract check an ingestion pipeline runs before publishing a
+    snapshot (the relational counterpart of the expectations suite): for
+    each edge, count child rows whose key has no parent.
+
+    Plan at scale: each edge is ONE left-anti join; the parent side is
+    always the smaller dimension (region/nation/customer/supplier/part)
+    and broadcasts under AQE's threshold — no edge shuffles the fact
+    table twice.  The per-edge results are 1-row aggregates unioned at
+    the end (8 rows total).
+
+    Output: (fk_name, n_rows, n_orphans, orphan_ppm) with exact
+    parts-per-million as BIGINT (no float ratio in the hash)."""
+    def edge(name, child, ckey, parent, pkey):
+        c = load(spark, sf_dir, child).select(F.col(ckey).alias("k"))
+        p = load(spark, sf_dir, parent).select(F.col(pkey).alias("k"))
+        n = c.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        orph = c.join(p, "k", "left_anti").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orphans")
+        )
+        return n.crossJoin(orph).select(
+            F.lit(name).alias("fk_name"),
+            "n_rows",
+            "n_orphans",
+            F.expr("(n_orphans * 1000000) div n_rows").alias("orphan_ppm"),
+        )
+
+    edges = [
+        edge("lineitem.orderkey->orders", "lineitem", "l_orderkey",
+             "orders", "o_orderkey"),
+        edge("lineitem.partkey->part", "lineitem", "l_partkey",
+             "part", "p_partkey"),
+        edge("lineitem.suppkey->supplier", "lineitem", "l_suppkey",
+             "supplier", "s_suppkey"),
+        edge("orders.custkey->customer", "orders", "o_custkey",
+             "customer", "c_custkey"),
+        edge("customer.nationkey->nation", "customer", "c_nationkey",
+             "nation", "n_nationkey"),
+        edge("supplier.nationkey->nation", "supplier", "s_nationkey",
+             "nation", "n_nationkey"),
+        edge("nation.regionkey->region", "nation", "n_regionkey",
+             "region", "r_regionkey"),
+        edge("events.user_id->customer", "events", "user_id",
+             "customer", "c_custkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionAll(e)
+    return out
