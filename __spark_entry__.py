@@ -343,6 +343,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_negative_pairs": relational.sample_negative_pairs,
     "audit_referential_integrity": relational.audit_referential_integrity,
     "text_dictionary_tagging": text_fns.text_dictionary_tagging,
+    "events_global_rank_two_phase": relational.events_global_rank_two_phase,
+    "agg_weighted_median": relational.agg_weighted_median,
+    "eval_conformal_interval": evaluation.eval_conformal_interval,
+    "agg_join_size_sketch": sketches.agg_join_size_sketch,
 }
 
 #: Shared SQL fragments for the oracle twins below.
@@ -5662,4 +5666,100 @@ _ORACLES["text_dictionary_tagging"] = """
            CAST(COUNT(DISTINCT term) AS BIGINT) AS n_distinct_terms
     FROM toks JOIN dict USING (term)
     GROUP BY 1, 2
+"""
+
+_ORACLES["events_global_rank_two_phase"] = """
+    WITH ev AS (SELECT event_id,
+                       CAST(ROUND(value, 2) AS DECIMAL(18,2)) AS v
+                FROM events),
+    ranked AS (SELECT v,
+                      CAST(ROW_NUMBER() OVER (ORDER BY v, event_id) AS BIGINT)
+                          AS global_rank
+               FROM ev),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ev)
+    SELECT ((global_rank - 1) * 10) // n AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(global_rank) AS BIGINT) AS sum_rank,
+           MIN(v) AS min_v, MAX(v) AS max_v
+    FROM ranked, tot GROUP BY 1
+"""
+
+_ORACLES["agg_weighted_median"] = """
+    WITH li AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+                       l_extendedprice AS price, l_orderkey, l_linenumber
+                FROM lineitem),
+    cum AS (SELECT l_returnflag, q, price,
+                   CAST(SUM(q) OVER (PARTITION BY l_returnflag
+                                     ORDER BY price, l_orderkey, l_linenumber
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT) AS cumw,
+                   CAST(SUM(q) OVER (PARTITION BY l_returnflag) AS BIGINT)
+                       AS total_qty,
+                   CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT)
+                       AS n_lines
+            FROM li)
+    SELECT l_returnflag, MAX(total_qty) AS total_qty,
+           MIN(price) AS median_price, MAX(n_lines) AS n_lines
+    FROM cum WHERE 2 * cumw >= total_qty GROUP BY 1
+"""
+
+_ORACLES["eval_conformal_interval"] = """
+    WITH ev AS (SELECT event_type, event_id,
+                       CAST(ROUND(value, 2) AS DECIMAL(18,2)) AS v,
+                       ((event_id * 2654435761 + 13) % 1000) < 500 AS is_calib
+                FROM events),
+    model AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_calib,
+                     CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mu
+              FROM ev WHERE is_calib GROUP BY 1),
+    scored AS (SELECT e.event_type, e.event_id, m.n_calib,
+                      ABS(CAST(e.v AS DOUBLE) - m.mu) AS s
+               FROM ev e JOIN model m USING (event_type) WHERE e.is_calib),
+    q AS (SELECT event_type, k, s AS q_hat FROM (
+            SELECT event_type, n_calib,
+                   ((n_calib + 1) * 900 + 999) // 1000 AS k,
+                   s,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY s, event_id) AS rk
+            FROM scored)
+          WHERE rk = LEAST(k, n_calib)),
+    cov AS (SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_test,
+                   CAST(SUM(CASE WHEN ABS(CAST(e.v AS DOUBLE) - m.mu)
+                                      <= q.q_hat
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+            FROM ev e JOIN model m USING (event_type)
+                      JOIN q USING (event_type)
+            WHERE NOT e.is_calib GROUP BY 1)
+    SELECT m.event_type, m.n_calib, c.n_test,
+           CAST(q.k AS BIGINT) AS k_rank,
+           ROUND(m.mu, 6) AS mu,
+           ROUND(q.q_hat, 6) AS q_hat,
+           ROUND(c.n_covered / CAST(c.n_test AS DOUBLE), 6) AS coverage
+    FROM model m JOIN q USING (event_type) JOIN cov c USING (event_type)
+"""
+
+_ORACLES["agg_join_size_sketch"] = """
+    WITH o AS (SELECT o_custkey AS k FROM orders),
+    e AS (SELECT user_id AS k FROM events),
+    params(row_i, a, b) AS (VALUES (0, 2654435761, 13), (1, 97911, 101),
+                                   (2, 40503, 7), (3, 31337, 29)),
+    so AS (SELECT CAST(row_i AS BIGINT) AS row_i,
+                  ((k * a + b) % 2147483647) % 64 AS bucket,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM o, params GROUP BY 1, 2),
+    se AS (SELECT CAST(row_i AS BIGINT) AS row_i,
+                  ((k * a + b) % 2147483647) % 64 AS bucket,
+                  CAST(COUNT(*) AS BIGINT) AS c2
+           FROM e, params GROUP BY 1, 2),
+    er AS (SELECT so.row_i, CAST(SUM(c * c2) AS BIGINT) AS est
+           FROM so JOIN se USING (row_i, bucket) GROUP BY 1),
+    est AS (SELECT CAST(MIN(est) AS BIGINT) AS est_size,
+                   CAST(MAX(est) AS BIGINT) AS est_max FROM er),
+    fo AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS f1 FROM o GROUP BY 1),
+    fe AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS f2 FROM e GROUP BY 1),
+    ex AS (SELECT CAST(SUM(f1 * f2) AS BIGINT) AS exact_size
+           FROM fo JOIN fe USING (k))
+    SELECT exact_size, est_size, est_max,
+           ((est_size - exact_size) * 1000000) // exact_size
+               AS overestimate_ppm
+    FROM ex, est
 """

@@ -479,3 +479,91 @@ def eval_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("wr").cast("double") / F.sum("w").cast("double"), 6
         ).alias("snips_value"),
     )
+
+
+def eval_conformal_interval(
+    spark: SparkSession, sf_dir: str, alpha_permille: int = 100
+) -> DataFrame:
+    """Split-conformal prediction intervals with measured coverage — the
+    distribution-free way to attach honest error bars to ANY point
+    model (Vovk; the method every modern uncertainty pipeline ships):
+    hold out a calibration split, take the ceil((n+1)(1−α))-th smallest
+    nonconformity score as the radius q_hat, and the interval
+    prediction ± q_hat covers new points with probability >= 1−α.
+
+    Everything is exact: the calib/test split is event_id-hash
+    deterministic; the point model is the per-type calibration mean
+    (exact 2dp-decimal sum, one double division); nonconformity
+    |v − mu| is identical double arithmetic on both engines; q_hat is a
+    PICKED order statistic (rank k via a per-type window — no
+    interpolation); coverage is an integer count ratio.  The one
+    at-scale shuffle is the per-type score window (same two-phase rank
+    upgrade path as events_global_rank_two_phase when a type's calib
+    set outgrows a task).
+
+    Output per event_type: (n_calib, n_test, k_rank, mu, q_hat,
+    coverage) — coverage >= ~0.9 certifies the guarantee empirically."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value"), 2).cast("decimal(18,2)").alias("v"),
+        ((F.col("event_id") * 2654435761 + 13) % 1000 < 500).alias("is_calib"),
+    )
+    calib = ev.where(F.col("is_calib"))
+    test = ev.where(~F.col("is_calib"))
+    model = calib.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_calib"),
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mu"),
+    )
+    scored = calib.join(F.broadcast(model), "event_type").select(
+        "event_type",
+        "event_id",
+        "n_calib",
+        F.abs(F.col("v").cast("double") - F.col("mu")).alias("s"),
+    )
+    # k = ceil((n+1) * (1 - alpha)) with alpha in permille; ceiling via
+    # (a + 999) div 1000 (operands positive on both engines)
+    k = F.expr(
+        f"((n_calib + 1) * (1000 - {alpha_permille}) + 999) div 1000"
+    ).cast("long")
+    q_hat = (
+        scored.withColumn("k", k)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("s", "event_id")
+            ).cast("long"),
+        )
+        .where(F.col("rk") == F.least(F.col("k"), F.col("n_calib")))
+        .select("event_type", "k", F.col("s").alias("q_hat"))
+    )
+    covered = (
+        test.join(F.broadcast(model.select("event_type", "mu")), "event_type")
+        .join(F.broadcast(q_hat), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("v").cast("double") - F.col("mu"))
+                    <= F.col("q_hat"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_covered"),
+        )
+    )
+    return (
+        model.join(q_hat, "event_type")
+        .join(covered, "event_type")
+        .select(
+            "event_type",
+            "n_calib",
+            "n_test",
+            F.col("k").alias("k_rank"),
+            F.round(F.col("mu"), 6).alias("mu"),
+            F.round(F.col("q_hat"), 6).alias("q_hat"),
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_test"), 6
+            ).alias("coverage"),
+        )
+    )

@@ -5513,22 +5513,27 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot (the relational counterpart of the expectations suite): for
     each edge, count child rows whose key has no parent.
 
-    Plan at scale: each edge is ONE left-anti join; the parent side is
-    always the smaller dimension (region/nation/customer/supplier/part)
-    and broadcasts under AQE's threshold — no edge shuffles the fact
-    table twice.  The per-edge results are 1-row aggregates unioned at
-    the end (8 rows total).
+    Plan at scale: each edge is ONE left-outer probe join (parent keys
+    are primary keys, so the join never fans out) counting rows and
+    null-parent rows in the SAME aggregate — the child scans once, and
+    the small dimensions broadcast under AQE's threshold with no forced
+    hint (the Q5/Q10 lesson: orders is a parent here and must stay
+    shuffle-joinable).  The per-edge results are 1-row aggregates
+    unioned at the end (8 rows total).
 
     Output: (fk_name, n_rows, n_orphans, orphan_ppm) with exact
     parts-per-million as BIGINT (no float ratio in the hash)."""
     def edge(name, child, ckey, parent, pkey):
         c = load(spark, sf_dir, child).select(F.col(ckey).alias("k"))
-        p = load(spark, sf_dir, parent).select(F.col(pkey).alias("k"))
-        n = c.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
-        orph = c.join(p, "k", "left_anti").agg(
-            F.count(F.lit(1)).cast("long").alias("n_orphans")
+        p = load(spark, sf_dir, parent).select(
+            F.col(pkey).alias("k"), F.lit(1).alias("hit")
         )
-        return n.crossJoin(orph).select(
+        return c.join(p, "k", "left").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        ).select(
             F.lit(name).alias("fk_name"),
             "n_rows",
             "n_orphans",
@@ -5557,3 +5562,138 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for e in edges[1:]:
         out = out.unionAll(e)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Two-phase distributed global rank (round 7)
+# ---------------------------------------------------------------------------
+
+def events_global_rank_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TWO-PHASE GLOBAL RANK — the upgrade path this repo's global
+    window queries (quantile normalize, rank-sum AUC, range-sorted
+    export) name for 100 TB, now implemented and certified: a global
+    ``row_number() OVER (ORDER BY ...)`` forces one task; the two-phase
+    form never does.
+
+    Phase 1: each row lands in an ORDER-PRESERVING range bucket (here
+    ``floor(value)`` — at scale the bucket bounds come from
+    ``approx_quantile`` range sampling, same contract); per-bucket
+    counts (a tiny aggregate) turn into exclusive prefix offsets with a
+    window over the BUCKET TABLE (hundreds of rows, not the corpus).
+    Phase 2: rank within each bucket by a PARTITIONED window, add the
+    broadcast offset — global_rank == the single-task row_number, with
+    full cluster parallelism; this is exactly how Spark's own
+    SparkRangePartitioner + zipWithIndex pipelines derive global order.
+
+    Certification: the oracle computes the SAME ranks with a plain
+    global ROW_NUMBER and rolls both up per rank-decile — sum of ranks,
+    min/max value per decile: any off-by-one anywhere shifts sum_rank
+    and breaks the hash.
+
+    Output: (decile, n_rows, sum_rank, min_v, max_v), 10 rows."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value"), 2).cast("decimal(18,2)").alias("v"),
+    )
+    bucketed = ev.select(
+        "event_id", "v", F.floor(F.col("v")).cast("long").alias("b")
+    )
+    counts = bucketed.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    offsets = counts.select(
+        "b",
+        (
+            F.sum("cnt").over(
+                Window.orderBy("b").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("cnt")
+        ).cast("long").alias("off"),
+    )
+    ranked = (
+        bucketed.join(F.broadcast(offsets), "b")
+        .select(
+            "v",
+            (
+                F.row_number()
+                .over(Window.partitionBy("b").orderBy("v", "event_id"))
+                .cast("long")
+                + F.col("off")
+            ).alias("global_rank"),
+        )
+    )
+    n_total = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_total))
+        .select(
+            F.expr("((global_rank - 1) * 10) div n").alias("decile"),
+            "global_rank",
+            "v",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("global_rank").cast("long").alias("sum_rank"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median (round 7)
+# ---------------------------------------------------------------------------
+
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median unit price per return flag — the
+    robust aggregate percentile_approx can't give exactly and plain
+    median gets wrong whenever rows carry different weights (a 50-unit
+    line should pull the median 50x harder than a 1-unit line).
+
+    Definition (lower weighted median): the first value, in price
+    order, whose INCLUSIVE cumulative weight reaches half the total —
+    all-integer comparisons (2*cumw >= W, quantities are integral), so
+    the pick is engine-exact with no interpolation.
+
+    Plan at scale: one keyed window (partition by flag, order by price)
+    for the running weight — the same shuffle the groupBy needs anyway
+    — then the crossing row per group via a min-filter.  No global
+    sort, no collect; at 100 TB this is the standard weighted-quantile
+    shape (partition by group key, single pass).
+
+    Output: (l_returnflag, total_qty, median_price, n_lines)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("q"),
+        F.col("l_extendedprice").alias("price"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "price", "l_orderkey", "l_linenumber"
+    )
+    cum = li.select(
+        "l_returnflag",
+        "q",
+        "price",
+        F.sum("q").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long").alias("cumw"),
+        F.sum("q").over(Window.partitionBy("l_returnflag"))
+        .cast("long")
+        .alias("total_qty"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag"))
+        .cast("long")
+        .alias("n_lines"),
+    )
+    crossing = cum.where(2 * F.col("cumw") >= F.col("total_qty"))
+    return (
+        crossing.groupBy("l_returnflag")
+        .agg(
+            F.max("total_qty").alias("total_qty"),
+            F.min("price").alias("median_price"),
+            F.max("n_lines").alias("n_lines"),
+        )
+    )

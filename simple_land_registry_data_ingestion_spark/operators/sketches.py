@@ -433,3 +433,74 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bitmap_matches_exact"
         ),
     )
+
+
+def agg_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from COUNT-MIN sketches, certified
+    against the exact answer — the optimizer-statistics primitive: the
+    size of ``orders ⋈ events ON custkey = user_id`` is the
+    frequency-vector inner product Σ_k fO(k)·fE(k), and the CM inner
+    product Σ_b cO[i,b]·cE[i,b], minimized over d independent hash rows,
+    estimates it with one-sided error <= ε·N₁·N₂ (Cormode-Muthukrishnan
+    §4.2) while each side's sketch is a FIXED d x w counter grid.
+
+    Both the estimate and the exact join size are computed and emitted
+    together: the gap (overestimate_ppm, always >= 0 — one-sided) is the
+    certification, the same self-certifying pattern as the HLL and Bloom
+    queries.
+
+    Plan at scale: each sketch is a map-side-combinable
+    groupBy((row, bucket)) over scan-stage hash arithmetic — state d·w
+    = 256 cells per side regardless of key cardinality; the exact side
+    is one frequency groupBy per input + an equi-join of the two
+    frequency tables (keys, not rows).  At 100 TB you'd keep only the
+    sketch; the exact pass exists here to certify it.
+
+    Output: 1 row (exact_size, est_size = min over rows, est_row0..3,
+    overestimate_ppm)."""
+    d, w = 4, 64
+    # pairwise-independent-ish integer hash rows (a_i, b_i), mod prime
+    params = [(2654435761, 13), (97911, 101), (40503, 7), (31337, 29)]
+    p = 2147483647
+
+    def sketch(df: DataFrame, key: str) -> DataFrame:
+        rows = []
+        for i, (a, b) in enumerate(params):
+            rows.append(
+                df.select(
+                    F.lit(i).alias("row_i"),
+                    (((F.col(key) * a + b) % p) % w).cast("long").alias("bucket"),
+                )
+            )
+        allrows = rows[0]
+        for r in rows[1:]:
+            allrows = allrows.unionAll(r)
+        return allrows.groupBy("row_i", "bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    e = load(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    so = sketch(o, "k")
+    se = sketch(e, "k").withColumnRenamed("c", "c2")
+    est_rows = (
+        so.join(se, ["row_i", "bucket"])
+        .groupBy("row_i")
+        .agg(F.sum(F.col("c") * F.col("c2")).cast("long").alias("est"))
+    )
+    est = est_rows.agg(
+        F.min("est").cast("long").alias("est_size"),
+        F.max("est").cast("long").alias("est_max"),
+    )
+    fo = o.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("f1"))
+    fe = e.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("f2"))
+    exact = fo.join(fe, "k").agg(
+        F.sum(F.col("f1") * F.col("f2")).cast("long").alias("exact_size")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_size",
+        "est_size",
+        "est_max",
+        F.expr("((est_size - exact_size) * 1000000) div exact_size")
+        .alias("overestimate_ppm"),
+    )
