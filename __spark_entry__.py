@@ -347,6 +347,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_weighted_median": relational.agg_weighted_median,
     "eval_conformal_interval": evaluation.eval_conformal_interval,
     "agg_join_size_sketch": sketches.agg_join_size_sketch,
+    "eval_map_at_k": evaluation.eval_map_at_k,
+    "sample_neyman_allocation": relational.sample_neyman_allocation,
+    "events_changepoint_binseg": relational.events_changepoint_binseg,
+    "events_diff_in_diff": relational.events_diff_in_diff,
+    "stream_state_inspect": stream_ops.stream_state_inspect,
+    "text_bpe_word_merges": text_fns.text_bpe_word_merges,
 }
 
 #: Shared SQL fragments for the oracle twins below.
@@ -5762,4 +5768,204 @@ _ORACLES["agg_join_size_sketch"] = """
            ((est_size - exact_size) * 1000000) // exact_size
                AS overestimate_ppm
     FROM ex, est
+"""
+
+_ORACLES["eval_map_at_k"] = """
+    WITH ev AS (SELECT user_id, event_id, value,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+                FROM events),
+    rt AS (SELECT user_id, CAST(SUM(y) AS BIGINT) AS r_total
+           FROM ev GROUP BY 1),
+    topk AS (SELECT user_id, y, pos FROM (
+               SELECT user_id, y,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY value DESC, event_id) AS pos
+               FROM ev) WHERE pos <= 10),
+    hits AS (SELECT user_id, pos,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY pos) AS hit_rank
+             FROM topk WHERE y = 1),
+    pu AS (SELECT user_id,
+                  SUM(CAST(ROUND(CAST(hit_rank AS DOUBLE)
+                                 / CAST(pos AS DOUBLE), 12)
+                           AS DECIMAL(28,12))) AS sum_prec,
+                  CAST(COUNT(*) AS BIGINT) AS n_hits
+           FROM hits GROUP BY 1),
+    ap AS (SELECT rt.user_id,
+                  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+                  CAST(ROUND(COALESCE(CAST(sum_prec AS DOUBLE), 0.0)
+                             / CAST(LEAST(r_total, 10) AS DOUBLE), 12)
+                       AS DECIMAL(28,12)) AS ap
+           FROM rt LEFT JOIN pu USING (user_id) WHERE r_total > 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users_eval,
+           CAST(SUM(n_hits) AS BIGINT) AS sum_hits,
+           ROUND(CAST(SUM(ap) AS DOUBLE) / COUNT(*), 6) AS map_at_k
+    FROM ap
+"""
+
+_ORACLES["sample_neyman_allocation"] = """
+    WITH ev AS (SELECT event_type,
+                       CAST(ROUND(value, 2) AS DECIMAL(18,2)) AS v
+                FROM events),
+    per AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_h,
+                   SUM(v) AS sv, SUM(v * v) AS svv
+            FROM ev GROUP BY 1),
+    wtd AS (SELECT event_type, n_h, sv,
+                   CAST(ROUND(CAST(n_h AS DOUBLE)
+                              * SQRT((CAST(svv AS DOUBLE)
+                                      - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+                                        / CAST(n_h AS DOUBLE))
+                                     / CAST(n_h - 1 AS DOUBLE)), 6)
+                        AS DECIMAL(28,6)) AS nhsh,
+                   ROUND(SQRT((CAST(svv AS DOUBLE)
+                               - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+                                 / CAST(n_h AS DOUBLE))
+                              / CAST(n_h - 1 AS DOUBLE)), 6) AS s_h
+            FROM per),
+    tot AS (SELECT SUM(nhsh) AS sum_nhsh FROM wtd)
+    SELECT event_type, n_h,
+           ROUND(CAST(sv AS DOUBLE) / n_h, 6) AS mean_v,
+           s_h,
+           CAST(FLOOR(CAST(1000 AS DOUBLE) * CAST(nhsh AS DOUBLE)
+                      / CAST(sum_nhsh AS DOUBLE)) AS BIGINT) AS alloc
+    FROM wtd, tot
+"""
+
+_ORACLES["events_changepoint_binseg"] = """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    pref AS (
+      SELECT event_type, hr,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr)
+                  AS BIGINT) AS t,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY hr
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT) AS ps,
+             CAST(SUM(c * c) OVER (PARTITION BY event_type ORDER BY hr
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT) AS pss,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS ts_,
+             CAST(SUM(c * c) OVER (PARTITION BY event_type) AS BIGINT) AS tss
+      FROM hourly),
+    scored AS (
+      SELECT event_type, hr, n,
+             CAST(tss AS DOUBLE)
+               - CAST(ts_ AS DOUBLE) * CAST(ts_ AS DOUBLE)
+                 / CAST(n AS DOUBLE) AS sse_all,
+             (CAST(pss AS DOUBLE)
+                - CAST(ps AS DOUBLE) * CAST(ps AS DOUBLE)
+                  / CAST(t AS DOUBLE))
+             + (CAST(tss - pss AS DOUBLE)
+                - CAST(ts_ - ps AS DOUBLE) * CAST(ts_ - ps AS DOUBLE)
+                  / CAST(n - t AS DOUBLE)) AS sse_split
+      FROM pref WHERE t < n)
+    SELECT event_type,
+           n AS n_hours,
+           hr AS split_hr,
+           ROUND(sse_all, 6) AS sse_total,
+           ROUND(sse_split, 6) AS sse_split,
+           ROUND(sse_all - sse_split, 6) AS gain
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY sse_split, hr) AS rk
+          FROM scored)
+    WHERE rk = 1
+"""
+
+_ORACLES["events_diff_in_diff"] = """
+    WITH ev AS (SELECT CAST(ROUND(value, 2) AS DECIMAL(18,2)) AS v,
+                       ((user_id * 2654435761 + 13) % 1000) < 500 AS treat,
+                       CAST(ts AS TIMESTAMP)
+                           >= TIMESTAMP '2024-01-16 00:00:00' AS post
+                FROM events),
+    agg AS (SELECT
+      CAST(SUM(CASE WHEN treat AND NOT post THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_t_pre,
+      CAST(SUM(CASE WHEN treat AND post THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_t_post,
+      CAST(SUM(CASE WHEN NOT treat AND NOT post THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_c_pre,
+      CAST(SUM(CASE WHEN NOT treat AND post THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_c_post,
+      SUM(CASE WHEN treat AND NOT post THEN v
+               ELSE CAST(0 AS DECIMAL(18,2)) END) AS s_t_pre,
+      SUM(CASE WHEN treat AND post THEN v
+               ELSE CAST(0 AS DECIMAL(18,2)) END) AS s_t_post,
+      SUM(CASE WHEN NOT treat AND NOT post THEN v
+               ELSE CAST(0 AS DECIMAL(18,2)) END) AS s_c_pre,
+      SUM(CASE WHEN NOT treat AND post THEN v
+               ELSE CAST(0 AS DECIMAL(18,2)) END) AS s_c_post
+      FROM ev)
+    SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+           ROUND(CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE), 6)
+               AS mean_t_pre,
+           ROUND(CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE), 6)
+               AS mean_t_post,
+           ROUND(CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE), 6)
+               AS mean_c_pre,
+           ROUND(CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE), 6)
+               AS mean_c_post,
+           ROUND((CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+                  - CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
+                 - (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+                    - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE)),
+                 6) AS did
+    FROM agg
+"""
+
+_ORACLES["stream_state_inspect"] = """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+"""
+
+_ORACLES["text_bpe_word_merges"] = """
+    WITH d0 AS (SELECT doc_id,
+                       ' ' || replace(text, ' ', '  ') || ' ' AS work
+                FROM documents),
+    tk0 AS (SELECT doc_id,
+                   unnest(string_split(trim(work), '  ')) AS tok,
+                   generate_subscripts(string_split(trim(work), '  '), 1)
+                       AS pos
+            FROM d0),
+    pr0 AS (SELECT a.tok AS x, b.tok AS y, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM tk0 a JOIN tk0 b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            GROUP BY 1, 2),
+    b0 AS (SELECT x, y, cnt FROM pr0 ORDER BY cnt DESC, x, y LIMIT 1),
+    d1 AS (SELECT doc_id,
+                  replace(work, ' ' || x || '  ' || y || ' ',
+                                ' ' || x || '@' || y || ' ') AS work
+           FROM d0, b0),
+    tk1 AS (SELECT doc_id,
+                   unnest(string_split(trim(work), '  ')) AS tok,
+                   generate_subscripts(string_split(trim(work), '  '), 1)
+                       AS pos
+            FROM d1),
+    pr1 AS (SELECT a.tok AS x, b.tok AS y, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM tk1 a JOIN tk1 b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            GROUP BY 1, 2),
+    b1 AS (SELECT x, y, cnt FROM pr1 ORDER BY cnt DESC, x, y LIMIT 1),
+    d2 AS (SELECT doc_id,
+                  replace(work, ' ' || x || '  ' || y || ' ',
+                                ' ' || x || '@' || y || ' ') AS work
+           FROM d1, b1),
+    tk2 AS (SELECT doc_id,
+                   unnest(string_split(trim(work), '  ')) AS tok,
+                   generate_subscripts(string_split(trim(work), '  '), 1)
+                       AS pos
+            FROM d2),
+    pr2 AS (SELECT a.tok AS x, b.tok AS y, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM tk2 a JOIN tk2 b
+              ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            GROUP BY 1, 2),
+    b2 AS (SELECT x, y, cnt FROM pr2 ORDER BY cnt DESC, x, y LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS iter, x AS left_tok, y AS right_tok,
+           cnt AS n_occurrences FROM b0
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), x, y, cnt FROM b1
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), x, y, cnt FROM b2
 """

@@ -1377,3 +1377,88 @@ def text_dictionary_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("term").cast("long").alias("n_distinct_terms"),
         )
     )
+
+
+def text_bpe_word_merges(
+    spark: SparkSession, sf_dir: str, iters: int = 3
+) -> DataFrame:
+    """BPE-style merge learning, distributed — the vocabulary-induction
+    loop at the heart of every modern tokenizer (Sennrich et al.), run
+    at WORD level over the corpus (the same algorithm word2phrase uses
+    for collocation mining): each iteration counts all adjacent symbol
+    pairs, takes the global argmax, and rewrites the corpus with the
+    merged symbol — which then participates in later merges.
+
+    Rewrite determinism: the working text is DOUBLE-space separated and
+    space-padded, so the merge pattern ``' x  y '`` owns its boundary
+    spaces on both sides and plain left-to-right ``replace`` merges
+    every non-overlapping occurrence identically on both engines
+    (overlapping chains ``a a a`` merge their first pair only — the BPE
+    convention).  The argmax tie-breaks (count desc, pair asc).
+
+    Plan at scale, per iteration: ONE doc-keyed shuffle builds
+    positional postings, the adjacency equi-join on (doc, pos+1) is
+    within-key, the pair count map-side combines, and the 1-row argmax
+    broadcasts back into a scan-stage rewrite; the corpus frame is
+    ``localCheckpoint``-materialized per round (the CC/PageRank
+    iteration discipline).  Real BPE runs thousands of merges — the
+    loop shape is the same, only ``iters`` grows.
+
+    Output: (iter, left_tok, right_tok, n_occurrences) — one row per
+    learned merge."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(" "),
+            F.replace(F.col("text"), F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        ).alias("work"),
+    ).localCheckpoint(eager=True)
+    merge_rows = []
+    for i in range(iters):
+        toks = docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.trim(F.col("work")), "  ")).alias(
+                "pos", "tok"
+            ),
+        )
+        a = toks.select("doc_id", F.col("pos").alias("pa"), F.col("tok").alias("x"))
+        b = toks.select(
+            F.col("doc_id").alias("db"),
+            F.col("pos").alias("pb"),
+            F.col("tok").alias("y"),
+        )
+        pairs = (
+            a.join(b, (F.col("doc_id") == F.col("db")) & (F.col("pb") == F.col("pa") + 1))
+            .groupBy("x", "y")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.col("cnt").desc(), "x", "y")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        merge_rows.append(
+            best.select(
+                F.lit(i + 1).cast("long").alias("iter"),
+                F.col("x").alias("left_tok"),
+                F.col("y").alias("right_tok"),
+                F.col("cnt").alias("n_occurrences"),
+            )
+        )
+        docs = (
+            docs.crossJoin(F.broadcast(best))
+            .select(
+                "doc_id",
+                F.replace(
+                    F.col("work"),
+                    F.concat(F.lit(" "), F.col("x"), F.lit("  "), F.col("y"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("x"), F.lit("@"), F.col("y"), F.lit(" ")),
+                ).alias("work"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionAll(m)
+    return out

@@ -567,3 +567,67 @@ def eval_conformal_interval(
             ).alias("coverage"),
         )
     )
+
+
+def eval_map_at_k(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """MAP@k — mean average precision, completing the IR metric suite
+    (NDCG X162 = graded position-discounted, MRR X167 = first hit, MAP =
+    all hits' precision averaged): AP@k sums precision-at-each-hit over
+    the top k and divides by min(R, k) where R is the user's TOTAL
+    relevant count; MAP averages over users with R > 0 (the trec_eval
+    convention).
+
+    Exactness: precision@pos = hit_rank/pos is one double division
+    rounded 12dp into DECIMAL(28,12); per-user AP divides the exact sum
+    by an INTEGER min(R, k); the corpus mean divides the exact AP sum
+    once.  Same scan + user window as the NDCG/MRR queries.
+
+    Output: 1 row (n_users_eval, sum_hits, map_at_k)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value",
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    r_total = ev.groupBy("user_id").agg(
+        F.sum("y").cast("long").alias("r_total")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    topk = (
+        ev.withColumn("pos", F.row_number().over(w).cast("long"))
+        .where(F.col("pos") <= k)
+    )
+    hits = topk.where(F.col("y") == 1).select(
+        "user_id",
+        "pos",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("pos"))
+        .cast("long")
+        .alias("hit_rank"),
+    )
+    prec = F.round(
+        F.col("hit_rank").cast("double") / F.col("pos").cast("double"), 12
+    ).cast("decimal(28,12)")
+    ap = (
+        hits.groupBy("user_id")
+        .agg(
+            F.sum(prec).alias("sum_prec"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+        )
+        .join(r_total, "user_id", "right_outer")
+        .where(F.col("r_total") > 0)
+        .select(
+            "user_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("sum_prec").cast("double"), F.lit(0.0))
+                / F.least(F.col("r_total"), F.lit(k)).cast("double"),
+                12,
+            ).cast("decimal(28,12)").alias("ap"),
+        )
+    )
+    return ap.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users_eval"),
+        F.sum("n_hits").cast("long").alias("sum_hits"),
+        F.round(
+            F.sum("ap").cast("double") / F.count(F.lit(1)), 6
+        ).alias("map_at_k"),
+    )

@@ -5697,3 +5697,202 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_lines").alias("n_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman-optimal stratified allocation (round 7)
+# ---------------------------------------------------------------------------
+
+def sample_neyman_allocation(
+    spark: SparkSession, sf_dir: str, budget: int = 1000
+) -> DataFrame:
+    """Neyman-optimal allocation of a sampling budget across strata —
+    the survey-sampling answer to "how many rows should each stratum
+    contribute": n_h ∝ N_h·S_h, so high-variance strata get
+    proportionally more than their row share (versus the proportional
+    allocation a naive stratified sampler uses).  This is the sizing
+    step BEFORE the stratified/priority samplers this repo already has.
+
+    Exactness: per-stratum moments Σv and Σv² are exact DECIMAL sums
+    (v is 2dp, v² is 4dp); the sample variance, sigma, and the
+    allocation ratio are single double expressions; the final floor()
+    lands on identical doubles on both engines.
+
+    Scale: one map-side-combined aggregate over the stratum key, then
+    arithmetic on the 5-row stratum table against a broadcast 1-row
+    total."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value"), 2).cast("decimal(18,2)").alias("v"),
+    )
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    )
+    s_h = F.sqrt(
+        (
+            F.col("svv").cast("double")
+            - F.col("sv").cast("double") * F.col("sv").cast("double")
+            / F.col("n_h").cast("double")
+        )
+        / (F.col("n_h") - F.lit(1)).cast("double")
+    )
+    # quantize N_h*S_h to 6dp DECIMAL before totalling: the stratum total
+    # is a sum of doubles otherwise, and float addition order differs
+    # between engines
+    weighted = per.select(
+        "event_type", "n_h", "sv", "svv",
+        F.round(F.col("n_h").cast("double") * s_h, 6)
+        .cast("decimal(28,6)")
+        .alias("nhsh"),
+        F.round(s_h, 6).alias("s_h"),
+    )
+    tot = weighted.agg(F.sum("nhsh").alias("sum_nhsh"))
+    return weighted.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_h",
+        F.round(F.col("sv").cast("double") / F.col("n_h"), 6).alias("mean_v"),
+        "s_h",
+        F.floor(
+            F.lit(float(budget))
+            * F.col("nhsh").cast("double")
+            / F.col("sum_nhsh").cast("double")
+        ).cast("long").alias("alloc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Binary-segmentation changepoint (round 7)
+# ---------------------------------------------------------------------------
+
+def events_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline changepoint detection by binary segmentation (first
+    split) on the hourly volume series per event type — the batch
+    counterpart of the streaming CUSUM (X110): choose the split that
+    minimizes total within-segment SSE, computed for EVERY candidate
+    split from prefix sums (the O(n) scheme that makes binseg viable on
+    long series; the naive per-split re-aggregation is O(n²)).
+
+    SSE decomposes as (Σc² − (Σc)²/m) per segment; prefix sums Σc, Σc²
+    are exact BIGINTs from one ordered window over the CALENDAR-BOUNDED
+    hourly rollup, so every candidate's score is the same double on
+    both engines; argmin tie-breaks on the earlier hour.
+
+    Output per event_type: (n_hours, split_hr, sse_total, sse_split,
+    gain) — gain = variance explained by the single break."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hr"),
+    )
+    hourly = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("event_type")
+    pref = hourly.select(
+        "event_type",
+        "hr",
+        F.row_number().over(w).cast("long").alias("t"),
+        F.sum("c").over(wcum).cast("long").alias("ps"),
+        F.sum(F.col("c") * F.col("c")).over(wcum).cast("long").alias("pss"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+        F.sum("c").over(wall).cast("long").alias("ts_"),
+        F.sum(F.col("c") * F.col("c")).over(wall).cast("long").alias("tss"),
+    )
+    cand = pref.where(F.col("t") < F.col("n"))
+    sse_left = (
+        F.col("pss").cast("double")
+        - F.col("ps").cast("double") * F.col("ps").cast("double")
+        / F.col("t").cast("double")
+    )
+    sse_right = (
+        (F.col("tss") - F.col("pss")).cast("double")
+        - (F.col("ts_") - F.col("ps")).cast("double")
+        * (F.col("ts_") - F.col("ps")).cast("double")
+        / (F.col("n") - F.col("t")).cast("double")
+    )
+    sse_total = (
+        F.col("tss").cast("double")
+        - F.col("ts_").cast("double") * F.col("ts_").cast("double")
+        / F.col("n").cast("double")
+    )
+    scored = cand.select(
+        "event_type", "hr", "n",
+        sse_total.alias("sse_all"),
+        (sse_left + sse_right).alias("sse_split"),
+    )
+    best = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("sse_split", "hr")
+        ),
+    ).where(F.col("rk") == 1)
+    return best.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.col("hr").alias("split_hr"),
+        F.round(F.col("sse_all"), 6).alias("sse_total"),
+        F.round(F.col("sse_split"), 6).alias("sse_split"),
+        F.round(F.col("sse_all") - F.col("sse_split"), 6).alias("gain"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences (round 7)
+# ---------------------------------------------------------------------------
+
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator — the workhorse quasi-
+    experimental design when a feature launches for a cohort mid-period:
+    DiD = (treat_post − treat_pre) − (ctrl_post − ctrl_pre) nets out
+    both the cohort's level difference and the common time trend.
+
+    Treatment is a deterministic user-hash cohort, the launch boundary
+    a fixed date literal (2024-01-16); the four cell means come from
+    exact 2dp-decimal sums in ONE conditional aggregate (no per-cell
+    scans), and the estimate is a single double expression over the
+    eight exact inputs, rounded 6dp.
+
+    Scale: one scan, one ungrouped map-side-combined aggregate — the
+    2x2 design needs no shuffle wider than 8 numbers."""
+    ev = load(spark, sf_dir, "events").select(
+        F.round(F.col("value"), 2).cast("decimal(18,2)").alias("v"),
+        ((F.col("user_id") * 2654435761 + 13) % 1000 < 500).alias("treat"),
+        (
+            F.col("ts").cast("timestamp")
+            >= F.lit("2024-01-16 00:00:00").cast("timestamp")
+        ).alias("post"),
+    )
+
+    def cell(t: bool, p: bool, what: str):
+        cond = (F.col("treat") == t) & (F.col("post") == p)
+        if what == "n":
+            return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+        return F.sum(F.when(cond, F.col("v")).otherwise(F.lit(0).cast("decimal(18,2)")))
+
+    agg = ev.agg(
+        cell(True, False, "n").alias("n_t_pre"),
+        cell(True, True, "n").alias("n_t_post"),
+        cell(False, False, "n").alias("n_c_pre"),
+        cell(False, True, "n").alias("n_c_post"),
+        cell(True, False, "s").alias("s_t_pre"),
+        cell(True, True, "s").alias("s_t_post"),
+        cell(False, False, "s").alias("s_c_pre"),
+        cell(False, True, "s").alias("s_c_post"),
+    )
+    m = {
+        k: F.col(f"s_{k}").cast("double") / F.col(f"n_{k}").cast("double")
+        for k in ["t_pre", "t_post", "c_pre", "c_post"]
+    }
+    return agg.select(
+        "n_t_pre", "n_t_post", "n_c_pre", "n_c_post",
+        F.round(m["t_pre"], 6).alias("mean_t_pre"),
+        F.round(m["t_post"], 6).alias("mean_t_post"),
+        F.round(m["c_pre"], 6).alias("mean_c_pre"),
+        F.round(m["c_post"], 6).alias("mean_c_post"),
+        F.round(
+            (m["t_post"] - m["t_pre"]) - (m["c_post"] - m["c_pre"]), 6
+        ).alias("did"),
+    )

@@ -1095,3 +1095,55 @@ def stream_full_outer_interval_join(
         .cast("long")
         .alias("n_unmatched_clicks"),
     )
+
+
+def stream_state_inspect(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Spark 4 STATE STORE READER certification — operational
+    observability for stateful streaming: after a per-user streaming
+    count drains (availableNow), read the aggregation's state store
+    back with ``spark.read.format("statestore")`` and return the live
+    per-key state.  This is how production debugs "what does the query
+    believe right now" without adding a probe sink; the green hash
+    certifies that the persisted state equals the batch answer.
+
+    The checkpoint must outlive the (lazy) statestore scan, so the
+    result is ``localCheckpoint(eager=True)``-materialized before the
+    temp checkpoint is removed — the same discipline as the upsert
+    sink's staging swap.
+
+    Scale: the state read is partition-parallel over the state store's
+    own layout (one task per store partition); nothing rescans the
+    input."""
+    import shutil
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="state_inspect_ckpt_")
+    try:
+        counts = (
+            events_stream(spark, sf_dir, glob, max_files_per_trigger)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        q = (
+            counts.writeStream.outputMode("update")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        state = spark.read.format("statestore").load(ckpt)
+        # the state value struct carries the PHYSICAL agg-buffer field
+        # name ("count"), not the logical alias
+        out = state.select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("value.count").cast("long").alias("n_events"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
