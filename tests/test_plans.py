@@ -845,3 +845,84 @@ def test_mips_transform_broadcasts_scalars(spark):
     p = plans.formatted_plan(df)
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" in p, p
+
+
+def test_phrase_search_term_filter_reaches_scan(spark):
+    """The phrase's term filter must prune postings BEFORE any shuffle:
+    the generated-column filter can't push into parquet (it guards the
+    exploded tokens), but the plan must show the IN-filter applied at
+    the scan stage with exactly one doc-keyed shuffle for the rollup
+    (the adjacency join shares it)."""
+    from simple_land_registry_data_ingestion_spark.functions import text as text_fns
+
+    df = text_fns.search_phrase_positional(spark, SF_ORACLE)
+    plan = plans.formatted_plan(df)
+    assert "fast" in plan and "table" in plan  # term filter present
+    # postings shuffle on doc key shared by join + rollup; no extra pass
+    assert plans.shuffle_count(df) <= 3, plans.formatted_plan(df)
+
+
+def test_item_item_cf_broadcasts_norms_not_pairs(spark):
+    """The per-item order-count (norm) joins must broadcast; the pair
+    table itself must NOT be forced broadcast (it scales with the
+    catalog's co-occurrence density)."""
+    from simple_land_registry_data_ingestion_spark.operators import mining
+
+    df = mining.item_item_cf(spark, SF_ORACLE)
+    assert plans.broadcast_join_count(df) >= 2
+    plans.assert_no_cartesian_product(df)
+
+
+def test_two_phase_rank_has_no_global_window(spark):
+    """The whole point: no single-partition exchange over the ROW data.
+    The only SinglePartition exchange allowed is the 1-row total-count
+    broadcast; the rank window must be hash-partitioned by bucket."""
+    df = relational.events_global_rank_two_phase(spark, SF_ORACLE)
+    plan = plans.formatted_plan(df)
+    import re
+
+    single = [
+        ln for ln in plan.splitlines()
+        if "SinglePartition" in ln and "Exchange" not in ln
+    ] + [ln for ln in plan.splitlines() if "Arguments: SinglePartition" in ln]
+    # the row-level window must be partitioned by the bucket key: the
+    # formatted Window node prints "...], [b#NL], [v#..." for partition
+    # spec [b]
+    assert re.search(r"row_number\(\) windowspecdefinition\(b#\d+L,", plan), plan
+    # at most the two small-side single-partition exchanges (bucket offsets
+    # + 1-row count); never more — i.e. the ROW window never collapses to
+    # one task
+    assert len([ln for ln in plan.splitlines()
+                if "Arguments: SinglePartition" in ln]) <= 2, plan
+
+
+def test_bootstrap_ci_explode_is_map_side(spark):
+    """The 32x replicate explode must happen in the scan stage (no
+    shuffle between the parquet scan and the explode), and the replicate
+    aggregation must be the plan's one real shuffle."""
+    df = relational.events_bootstrap_ci(spark, SF_ORACLE)
+    plan = plans.formatted_plan(df)
+    assert "Generate" in plan and "explode" in plan, plan
+    # the Generate (explode) node must sit in the scan stage: no Exchange
+    # may appear between the second parquet scan and the Generate
+    import re
+
+    ops = re.findall(r"^\((\d+)\) (\w+)", plan, re.M)
+    gen_idx = next(int(i) for i, name in ops if name == "Generate")
+    scan_idxs = [int(i) for i, name in ops if name == "Scan"]
+    prev_scan = max(s for s in scan_idxs if s < gen_idx)
+    between = [name for i, name in ops if prev_scan < int(i) < gen_idx]
+    assert "Exchange" not in between, (prev_scan, gen_idx, between)
+    # (type, rep) agg + point agg + tiny order-stat window exchanges only
+    assert plans.shuffle_count(df) <= 4, plan
+
+
+def test_fk_audit_never_forces_fact_broadcast(spark):
+    """Every edge must stay a plain join: no forced broadcast hint means
+    AQE picks broadcast for small parents at runtime; statically the plan
+    must at least avoid broadcasting any FACT side (orders/lineitem/
+    events parents)."""
+    df = relational.audit_referential_integrity(spark, SF_ORACLE)
+    plans.assert_no_cartesian_product(df)
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan
