@@ -353,6 +353,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_diff_in_diff": relational.events_diff_in_diff,
     "stream_state_inspect": stream_ops.stream_state_inspect,
     "text_bpe_word_merges": text_fns.text_bpe_word_merges,
+    "sales_hierarchy_share": relational.sales_hierarchy_share,
+    "text_heaps_law": relational.text_heaps_law,
+    "eval_multiclass_prf": evaluation.eval_multiclass_prf,
 }
 
 #: Shared SQL fragments for the oracle twins below.
@@ -5968,4 +5971,97 @@ _ORACLES["text_bpe_word_merges"] = """
     SELECT CAST(2 AS BIGINT), x, y, cnt FROM b1
     UNION ALL
     SELECT CAST(3 AS BIGINT), x, y, cnt FROM b2
+"""
+
+_ORACLES["sales_hierarchy_share"] = """
+    WITH rev AS (SELECT r_name AS region, n_name AS nation,
+                        CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) AS price
+                 FROM orders JOIN customer ON o_custkey = c_custkey
+                      JOIN nation ON c_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey),
+    rolled AS (SELECT region, nation, SUM(price) AS revenue,
+                      CAST(GROUPING(region, nation) AS BIGINT) AS gid
+               FROM rev GROUP BY ROLLUP(region, nation)),
+    wp AS (SELECT *,
+                  CASE WHEN gid = 0
+                       THEN MAX(CASE WHEN gid = 1 THEN revenue END)
+                            OVER (PARTITION BY region)
+                       WHEN gid = 1
+                       THEN MAX(CASE WHEN gid = 3 THEN revenue END) OVER ()
+                       ELSE revenue END AS parent
+           FROM rolled)
+    SELECT CAST(CASE WHEN gid = 3 THEN 0 WHEN gid = 1 THEN 1
+                     ELSE 2 END AS BIGINT) AS lvl,
+           COALESCE(region, 'ALL') AS region,
+           COALESCE(nation, 'ALL') AS nation,
+           CAST(revenue AS DOUBLE) AS revenue,
+           ROUND(CAST(revenue AS DOUBLE) / CAST(parent AS DOUBLE), 6)
+               AS pct_of_parent
+    FROM wp
+"""
+
+_ORACLES["text_heaps_law"] = """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+    td AS (SELECT (doc_id * 10) // nd AS decile,
+                  CAST(COUNT(*) AS BIGINT) AS n_tokens
+           FROM toks, nd GROUP BY 1),
+    fo AS (SELECT term, MIN(doc_id) AS first_doc FROM toks GROUP BY 1),
+    nt AS (SELECT (first_doc * 10) // nd AS decile,
+                  CAST(COUNT(*) AS BIGINT) AS new_terms
+           FROM fo, nd GROUP BY 1)
+    SELECT td.decile, n_tokens,
+           CAST(SUM(n_tokens) OVER (ORDER BY td.decile
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens,
+           CAST(COALESCE(new_terms, 0) AS BIGINT) AS new_terms,
+           CAST(SUM(COALESCE(new_terms, 0))
+                OVER (ORDER BY td.decile
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_vocab
+    FROM td LEFT JOIN nt USING (decile)
+"""
+
+_ORACLES["eval_multiclass_prf"] = """
+    WITH docs AS (SELECT n_chars,
+                         len(string_split(text, ' ')) AS n_tok,
+                         len(list_distinct(string_split(text, ' ')))
+                             AS n_uniq
+                  FROM documents),
+    lab AS (SELECT CASE WHEN n_chars < 200 THEN 0
+                        WHEN n_chars < 350 THEN 1 ELSE 2 END AS truth,
+                   CASE WHEN (n_uniq * 1000) // n_tok < 560 THEN 0
+                        WHEN (n_uniq * 1000) // n_tok < 700 THEN 1
+                        ELSE 2 END AS pred
+            FROM docs),
+    cells AS (SELECT truth, pred, CAST(COUNT(*) AS BIGINT) AS c
+              FROM lab GROUP BY 1, 2),
+    cls AS (SELECT * FROM (VALUES (0), (1), (2)) t(cls)),
+    tpfn AS (SELECT truth AS cls,
+                    CAST(SUM(CASE WHEN pred = truth THEN c ELSE 0 END)
+                         AS BIGINT) AS tp,
+                    CAST(SUM(CASE WHEN pred <> truth THEN c ELSE 0 END)
+                         AS BIGINT) AS fn
+             FROM cells GROUP BY 1),
+    fps AS (SELECT pred AS cls, CAST(SUM(c) AS BIGINT) AS fp
+            FROM cells WHERE pred <> truth GROUP BY 1),
+    st AS (SELECT CAST(cls.cls AS BIGINT) AS cls,
+                  CAST(COALESCE(tp, 0) AS BIGINT) AS tp,
+                  CAST(COALESCE(fp, 0) AS BIGINT) AS fp,
+                  CAST(COALESCE(fn, 0) AS BIGINT) AS fn
+           FROM cls LEFT JOIN tpfn USING (cls) LEFT JOIN fps USING (cls))
+    SELECT cls, tp, fp, fn,
+           ROUND(CASE WHEN tp + fp > 0
+                      THEN tp / CAST(tp + fp AS DOUBLE)
+                      ELSE 0.0 END, 6) AS "precision",
+           ROUND(CASE WHEN tp + fn > 0
+                      THEN tp / CAST(tp + fn AS DOUBLE)
+                      ELSE 0.0 END, 6) AS recall,
+           ROUND(CASE WHEN 2 * tp + fp + fn > 0
+                      THEN CAST(2 AS DOUBLE) * tp
+                           / CAST(2 * tp + fp + fn AS DOUBLE)
+                      ELSE 0.0 END, 6) AS f1
+    FROM st
 """

@@ -631,3 +631,86 @@ def eval_map_at_k(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
             F.sum("ap").cast("double") / F.count(F.lit(1)), 6
         ).alias("map_at_k"),
     )
+
+
+def eval_multiclass_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 for the 3-class document
+    quality raters of eval_cohens_kappa (rater A = reference, rater B =
+    prediction) — the standard classification report, computed from ONE
+    confusion-matrix aggregate: TP/FP/FN per class are integer sums over
+    the 9 cells, each ratio is a single double division rounded 6dp
+    (0-denominator classes report 0.0, the sklearn zero_division=0
+    convention).
+
+    Scale: identical to the kappa query — scan-stage label derivation,
+    one 9-cell aggregate; the per-class report is arithmetic on 9
+    numbers."""
+    toks = F.split(F.col("text"), " ")
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("n_chars"),
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+    )
+    rater_a = (
+        F.when(F.col("n_chars") < 200, 0)
+        .when(F.col("n_chars") < 350, 1)
+        .otherwise(2)
+    )
+    ttr_pm = F.expr("(n_uniq * 1000) div n_tok")
+    rater_b = (
+        F.when(ttr_pm < F.lit(560), 0)
+        .when(ttr_pm < F.lit(700), 1)
+        .otherwise(2)
+    )
+    cells = (
+        docs.select(
+            rater_a.cast("long").alias("truth"),
+            rater_b.cast("long").alias("pred"),
+        )
+        .groupBy("truth", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    classes = spark.range(3).select(F.col("id").cast("long").alias("cls"))
+    stats = classes.join(
+        cells.groupBy(F.col("truth").alias("cls")).agg(
+            F.sum(F.when(F.col("pred") == F.col("truth"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("tp"),
+            F.sum(F.when(F.col("pred") != F.col("truth"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("fn"),
+        ),
+        "cls",
+        "left_outer",
+    ).join(
+        cells.where(F.col("pred") != F.col("truth"))
+        .groupBy(F.col("pred").alias("cls"))
+        .agg(F.sum("c").cast("long").alias("fp")),
+        "cls",
+        "left_outer",
+    ).select(
+        "cls",
+        F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),
+        F.coalesce(F.col("fp"), F.lit(0)).cast("long").alias("fp"),
+        F.coalesce(F.col("fn"), F.lit(0)).cast("long").alias("fn"),
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(
+        2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+        F.lit(2.0) * F.col("tp").cast("double")
+        / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return stats.select(
+        "cls", "tp", "fp", "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )

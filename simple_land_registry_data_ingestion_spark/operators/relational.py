@@ -5896,3 +5896,141 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (m["t_post"] - m["t_pre"]) - (m["c_post"] - m["c_pre"]), 6
         ).alias("did"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical share-of-parent (round 7)
+# ---------------------------------------------------------------------------
+
+def sales_hierarchy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent across the region -> nation hierarchy — the
+    analytic layer on top of ROLLUP that every OLAP drill-down shows
+    (each node's % of its parent, not just its absolute value): nation
+    rows divide by their region, region rows by the grand total.
+
+    One ROLLUP aggregate produces all three levels in a single shuffle
+    (exact 2dp-decimal revenue sums); the parent lookup is a WINDOW over
+    the rollup result itself — parent revenue = the level-up row's value
+    within the same region partition (grouping_id distinguishes levels),
+    so no self-join re-aggregates anything.
+
+    Output: (lvl, region, nation, revenue, pct_of_parent) — lvl 0 =
+    grand total (pct 1.0), 1 = region, 2 = nation."""
+    rev = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_name", "n_regionkey"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.round(F.col("o_totalprice"), 2)
+            .cast("decimal(18,2)")
+            .alias("price"),
+        )
+    )
+    rolled = rev.rollup("region", "nation").agg(
+        F.sum("price").alias("revenue"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+    # gid: 0 = (region, nation), 1 = (region, total), 3 = grand total
+    total = Window.partitionBy(F.lit(1))
+    region_w = Window.partitionBy("region")
+    parent = (
+        F.when(
+            F.col("gid") == 0,
+            F.max(F.when(F.col("gid") == 1, F.col("revenue"))).over(region_w),
+        )
+        .when(
+            F.col("gid") == 1,
+            F.max(F.when(F.col("gid") == 3, F.col("revenue"))).over(total),
+        )
+        .otherwise(F.col("revenue"))
+    )
+    return rolled.select(
+        F.when(F.col("gid") == 3, 0)
+        .when(F.col("gid") == 1, 1)
+        .otherwise(2)
+        .cast("long")
+        .alias("lvl"),
+        F.coalesce(F.col("region"), F.lit("ALL")).alias("region"),
+        F.coalesce(F.col("nation"), F.lit("ALL")).alias("nation"),
+        F.col("revenue").cast("double").alias("revenue"),
+        F.round(
+            F.col("revenue").cast("double") / parent.cast("double"), 6
+        ).alias("pct_of_parent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth (round 7)
+# ---------------------------------------------------------------------------
+
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve — the corpus statistic that
+    tells a tokenizer/vocab team how vocabulary scales with data
+    (V ~ k·N^b): cumulative distinct terms vs cumulative tokens at each
+    corpus-prefix decile, computed WITHOUT re-scanning per prefix.
+
+    The trick is first-occurrence attribution: a term enters the
+    vocabulary at its MINIMUM doc_id, so per-decile new-term counts are
+    one groupBy(term) -> min(doc) -> groupBy(decile), and the cumulative
+    curve is a 10-row running sum — versus the naive per-prefix distinct
+    count, which scans the corpus 10 times and shuffles the full token
+    table each pass.
+
+    Output: (decile, n_tokens, cum_tokens, new_terms, cum_vocab) — all
+    BIGINT, one corpus scan."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+    )
+    n_docs = load(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("long").alias("nd")
+    )
+    tok_dec = (
+        toks.crossJoin(F.broadcast(n_docs))
+        .select(F.expr("(doc_id * 10) div nd").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    )
+    first = toks.groupBy("term").agg(F.min("doc_id").alias("first_doc"))
+    new_terms = (
+        first.crossJoin(F.broadcast(n_docs))
+        .select(F.expr("(first_doc * 10) div nd").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_terms"))
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        tok_dec.join(new_terms, "decile", "left_outer")
+        .select(
+            "decile",
+            "n_tokens",
+            F.coalesce(F.col("new_terms"), F.lit(0)).cast("long").alias("new_terms"),
+        )
+        .select(
+            "decile",
+            "n_tokens",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            "new_terms",
+            F.sum("new_terms").over(w).cast("long").alias("cum_vocab"),
+        )
+    )
