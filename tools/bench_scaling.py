@@ -47,6 +47,7 @@ from simple_land_registry_data_ingestion_spark.operators import (
     mining,
     relational,
     similarity,
+    sketches,
 )
 
 QUERIES = {
@@ -97,6 +98,28 @@ QUERIES = {
     "similarity_matryoshka_error": similarity.similarity_matryoshka_error,
     "similarity_mips_transform": similarity.similarity_mips_transform,
     "dedup_link_prediction": dedup.dedup_link_prediction,
+    # round-7 additions: bootstrap explodes 32x at the scan (linear);
+    # two-phase rank is the distributed-rank pattern itself (the claim:
+    # NO single-task collapse, so ~linear on fixed cores); BPE is 3x
+    # (postings join + argmax + rewrite), each corpus-linear; phrase
+    # search is postings-linear in the two terms' df (the phrase exists
+    # only in copy 0, so rows stay flat while the scan is 10x); CF pair
+    # expansion is basket-bounded; negative sampling is positives-linear
+    # (hash-mod keyspace is 10x sparser at 10x — timing-valid, catalog
+    # validity not asserted); CM sketch state is FIXED 4x64 (the claim);
+    # NDCG/conformal are user-keyed windows; heaps is one scan + one
+    # term groupBy
+    "events_bootstrap_ci": relational.events_bootstrap_ci,
+    "events_global_rank_two_phase": relational.events_global_rank_two_phase,
+    "text_bpe_word_merges": text_fns.text_bpe_word_merges,
+    "search_phrase_positional": text_fns.search_phrase_positional,
+    "item_item_cf": mining.item_item_cf,
+    "sample_negative_pairs": relational.sample_negative_pairs,
+    "agg_join_size_sketch": sketches.agg_join_size_sketch,
+    "eval_ndcg_at_k": evaluation.eval_ndcg_at_k,
+    "eval_conformal_interval": evaluation.eval_conformal_interval,
+    "events_changepoint_binseg": relational.events_changepoint_binseg,
+    "text_heaps_law": relational.text_heaps_law,
 }
 
 
@@ -187,6 +210,25 @@ def build_scaled(spark: SparkSession) -> None:
     vout.coalesce(8).write.mode("overwrite").parquet(f"{SCALED}/events.parquet")
 
 
+def build_lineitem(spark: SparkSession) -> None:
+    """Round-7 extension: lineitem copies (keys offset per copy, values
+    verbatim) for the CF / negative-sampling scaling rows."""
+    li = load(spark, BASE, "lineitem")
+    parts = []
+    for c in range(COPIES):
+        off = F.lit(c * 10_000_000).cast("long")
+        parts.append(li.select(
+            (F.col("l_orderkey") + off).alias("l_orderkey"),
+            (F.col("l_partkey") + off).alias("l_partkey"),
+            (F.col("l_suppkey") + off).alias("l_suppkey"),
+            "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+            "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.coalesce(8).write.mode("overwrite").parquet(f"{SCALED}/lineitem.parquet")
+
+
 def time_query(fn, spark, sf_dir, passes=2) -> tuple[float, int]:
     best, rows = float("inf"), -1
     for _ in range(passes):
@@ -207,6 +249,9 @@ def main() -> None:
         t0 = time.monotonic()
         build_scaled(spark)
         print(f"built 10x corpus in {time.monotonic() - t0:.1f}s", file=sys.stderr)
+    if not Path(f"{SCALED}/lineitem.parquet").exists():
+        build_lineitem(spark)
+        print("built 10x lineitem", file=sys.stderr)
 
     result = {"base": BASE, "scaled": SCALED, "copies": COPIES, "queries": {}}
     for name, fn in QUERIES.items():
