@@ -356,6 +356,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sales_hierarchy_share": relational.sales_hierarchy_share,
     "text_heaps_law": relational.text_heaps_law,
     "eval_multiclass_prf": evaluation.eval_multiclass_prf,
+    "eval_pinball_loss": evaluation.eval_pinball_loss,
+    "graph_degree_powerlaw": mining.graph_degree_powerlaw,
+    "join_asof_nearest": asof.join_asof_nearest,
+    "sample_kcenter_coreset": similarity.sample_kcenter_coreset,
+    "events_power_analysis": relational.events_power_analysis,
 }
 
 #: Shared SQL fragments for the oracle twins below.
@@ -6064,4 +6069,196 @@ _ORACLES["eval_multiclass_prf"] = """
                            / CAST(2 * tp + fp + fn AS DOUBLE)
                       ELSE 0.0 END, 6) AS f1
     FROM st
+"""
+
+_ORACLES["eval_pinball_loss"] = """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    calib AS (SELECT * FROM hourly
+              WHERE hr < TIMESTAMP '2024-01-16 00:00:00'),
+    test AS (SELECT * FROM hourly
+             WHERE hr >= TIMESTAMP '2024-01-16 00:00:00'),
+    nc AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_calib
+           FROM calib GROUP BY 1),
+    ranked AS (SELECT calib.event_type, c, n_calib,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY calib.event_type
+                                              ORDER BY c, hr) AS BIGINT)
+                          AS rk,
+                      (n_calib * 900 + 999) // 1000 AS k
+               FROM calib JOIN nc USING (event_type)),
+    q AS (SELECT event_type, n_calib, c AS q_hat
+          FROM ranked WHERE rk = k)
+    SELECT test.event_type,
+           MAX(n_calib) AS n_calib,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           MAX(q_hat) AS q_hat,
+           CAST(SUM(CASE WHEN c >= q_hat THEN 9 * (c - q_hat)
+                         ELSE 1 * (q_hat - c) END) AS BIGINT)
+               AS sum_pinball_x10,
+           ROUND(SUM(CASE WHEN c <= q_hat THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS frac_covered
+    FROM test JOIN q USING (event_type)
+    GROUP BY 1
+"""
+
+_ORACLES["graph_degree_powerlaw"] = """
+    WITH items AS (SELECT DISTINCT l_orderkey AS order_id,
+                                   l_partkey AS part_id
+                   FROM lineitem),
+    edges AS (SELECT DISTINCT a.part_id AS pa, b.part_id AS pb
+              FROM items a JOIN items b
+                ON a.order_id = b.order_id AND a.part_id < b.part_id),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+              SELECT pa AS node FROM edges
+              UNION ALL SELECT pb FROM edges) GROUP BY 1),
+    hist AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS freq
+             FROM deg GROUP BY 1),
+    pt AS (SELECT
+             CAST(ROUND(ln(CAST(d AS DOUBLE)), 12) AS DECIMAL(28,12)) AS x,
+             CAST(ROUND(ln(CAST(freq AS DOUBLE)), 12) AS DECIMAL(28,12)) AS y,
+             CAST(ROUND(ln(CAST(d AS DOUBLE)) * ln(CAST(d AS DOUBLE)), 12)
+                  AS DECIMAL(28,12)) AS xx,
+             CAST(ROUND(ln(CAST(d AS DOUBLE)) * ln(CAST(freq AS DOUBLE)), 12)
+                  AS DECIMAL(28,12)) AS xy
+           FROM hist),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(xx) AS sxx, SUM(xy) AS sxy
+            FROM pt),
+    cnts AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+                    (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes)
+    SELECT n_nodes, n_edges, n_points,
+           ROUND((CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - ((CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n_points AS DOUBLE), 6) AS intercept
+    FROM cnts, tot
+"""
+
+_ORACLES["join_asof_nearest"] = """
+    WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                       event_type
+                FROM events WHERE event_type IN ('click', 'purchase')),
+    marked AS (SELECT user_id, ts, event_type,
+                      MAX(CASE WHEN event_type = 'click' THEN ts END)
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS back_ts,
+                      MIN(CASE WHEN event_type = 'click' THEN ts END)
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 1 FOLLOWING
+                                     AND UNBOUNDED FOLLOWING) AS fwd_ts
+               FROM ev),
+    p AS (SELECT user_id,
+                 epoch_us(ts) - epoch_us(back_ts) AS gap_back,
+                 epoch_us(fwd_ts) - epoch_us(ts) AS gap_fwd
+          FROM marked WHERE event_type = 'purchase')
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN gap_back IS NOT NULL
+                          AND (gap_fwd IS NULL OR gap_back <= gap_fwd)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_back,
+           CAST(SUM(CASE WHEN gap_fwd IS NOT NULL
+                          AND (gap_back IS NULL OR gap_fwd < gap_back)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_fwd,
+           CAST(SUM(CASE WHEN gap_back IS NULL AND gap_fwd IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_none,
+           CAST(SUM(CASE WHEN gap_back IS NOT NULL
+                          AND (gap_fwd IS NULL OR gap_back <= gap_fwd)
+                         THEN gap_back
+                         WHEN gap_fwd IS NOT NULL
+                          AND (gap_back IS NULL OR gap_fwd < gap_back)
+                         THEN gap_fwd
+                         ELSE 0 END) AS BIGINT) AS sum_gap_us
+    FROM p GROUP BY 1
+"""
+
+_ORACLES["sample_kcenter_coreset"] = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    n AS (SELECT vec_id, e, list_dot_product(e, e) AS n2 FROM v),
+    c0 AS (SELECT vec_id, e, n2 FROM n WHERE vec_id = 0),
+    s1 AS (SELECT a.vec_id,
+                  MIN(ROUND(a.n2 + c.n2 - 2 * list_dot_product(a.e, c.e), 12))
+                      AS dist2
+           FROM n a, c0 c
+           WHERE a.vec_id <> c.vec_id
+             AND a.vec_id NOT IN (SELECT vec_id FROM c0)
+           GROUP BY 1),
+    b1 AS (SELECT s1.vec_id, dist2, e, n2 FROM s1 JOIN n USING (vec_id)
+           ORDER BY dist2 DESC, s1.vec_id LIMIT 1),
+    ch1 AS (SELECT vec_id, e, n2 FROM c0
+            UNION ALL SELECT vec_id, e, n2 FROM b1),
+    s2 AS (SELECT a.vec_id,
+                  MIN(ROUND(a.n2 + c.n2 - 2 * list_dot_product(a.e, c.e), 12))
+                      AS dist2
+           FROM n a, ch1 c
+           WHERE a.vec_id <> c.vec_id
+             AND a.vec_id NOT IN (SELECT vec_id FROM ch1)
+           GROUP BY 1),
+    b2 AS (SELECT s2.vec_id, dist2, e, n2 FROM s2 JOIN n USING (vec_id)
+           ORDER BY dist2 DESC, s2.vec_id LIMIT 1),
+    ch2 AS (SELECT vec_id, e, n2 FROM ch1
+            UNION ALL SELECT vec_id, e, n2 FROM b2),
+    s3 AS (SELECT a.vec_id,
+                  MIN(ROUND(a.n2 + c.n2 - 2 * list_dot_product(a.e, c.e), 12))
+                      AS dist2
+           FROM n a, ch2 c
+           WHERE a.vec_id <> c.vec_id
+             AND a.vec_id NOT IN (SELECT vec_id FROM ch2)
+           GROUP BY 1),
+    b3 AS (SELECT s3.vec_id, dist2, e, n2 FROM s3 JOIN n USING (vec_id)
+           ORDER BY dist2 DESC, s3.vec_id LIMIT 1),
+    ch3 AS (SELECT vec_id, e, n2 FROM ch2
+            UNION ALL SELECT vec_id, e, n2 FROM b3),
+    s4 AS (SELECT a.vec_id,
+                  MIN(ROUND(a.n2 + c.n2 - 2 * list_dot_product(a.e, c.e), 12))
+                      AS dist2
+           FROM n a, ch3 c
+           WHERE a.vec_id <> c.vec_id
+             AND a.vec_id NOT IN (SELECT vec_id FROM ch3)
+           GROUP BY 1),
+    b4 AS (SELECT s4.vec_id, dist2 FROM s4
+           ORDER BY dist2 DESC, s4.vec_id LIMIT 1)
+    SELECT CAST(0 AS BIGINT) AS round, vec_id, 0.0 AS dist2_to_set FROM c0
+    UNION ALL SELECT CAST(1 AS BIGINT), vec_id, ROUND(dist2, 6) FROM b1
+    UNION ALL SELECT CAST(2 AS BIGINT), vec_id, ROUND(dist2, 6) FROM b2
+    UNION ALL SELECT CAST(3 AS BIGINT), vec_id, ROUND(dist2, 6) FROM b3
+    UNION ALL SELECT CAST(4 AS BIGINT), vec_id, ROUND(dist2, 6) FROM b4
+"""
+
+_ORACLES["events_power_analysis"] = """
+    WITH ev AS (SELECT event_type,
+                       CAST(ROUND(value, 2) AS DECIMAL(18,2)) AS v
+                FROM events),
+    per AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+                   SUM(v) AS sv, SUM(v * v) AS svv
+            FROM ev GROUP BY 1)
+    SELECT event_type, n_obs,
+           ROUND(CAST(sv AS DOUBLE) / CAST(n_obs AS DOUBLE), 6) AS mean_v,
+           ROUND((CAST(svv AS DOUBLE)
+                  - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+                    / CAST(n_obs AS DOUBLE))
+                 / CAST(n_obs - 1 AS DOUBLE), 6) AS var_v,
+           CAST(CEIL(CAST(2 AS DOUBLE)
+                     * ((CAST(svv AS DOUBLE)
+                         - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+                           / CAST(n_obs AS DOUBLE))
+                        / CAST(n_obs - 1 AS DOUBLE))
+                     * 7.848878512225001
+                     / ((CAST(0.02 AS DOUBLE)
+                         * (CAST(sv AS DOUBLE) / CAST(n_obs AS DOUBLE)))
+                        * (CAST(0.02 AS DOUBLE)
+                           * (CAST(sv AS DOUBLE) / CAST(n_obs AS DOUBLE)))))
+                AS BIGINT) AS n_per_arm
+    FROM per
 """

@@ -203,3 +203,71 @@ def join_asof_tolerance(
             ),
         )
     )
+
+
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with direction='nearest' (the third merge_asof
+    direction next to backward [join_asof_rates] and tolerance
+    [join_asof_tolerance]): each purchase picks its nearest click in
+    TIME — before or after — tie preferring backward, the attribution
+    rule when "closest touchpoint" beats "last touchpoint".
+
+    One interleaved window pass, no pair join: in (user, ts, event_id)
+    order, the running MAX over preceding rows of click timestamps gives
+    the backward candidate and the running MIN over following rows the
+    forward candidate; the chooser is pure integer microsecond
+    arithmetic.  Same one-shuffle shape as the tolerance variant — at
+    100 TB this is a single keyed sort, never |purchases| x |clicks|.
+
+    Output per user: (n_purchases, n_back, n_fwd, n_none,
+    sum_gap_us of the chosen direction) — all BIGINT."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "event_type",
+    ).where(F.col("event_type").isin("click", "purchase"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.max(click_ts).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ).alias("back_ts"),
+        F.min(click_ts).over(
+            w.rowsBetween(1, Window.unboundedFollowing)
+        ).alias("fwd_ts"),
+    )
+    p = marked.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("back_ts"))).alias(
+            "gap_back"
+        ),
+        (F.unix_micros(F.col("fwd_ts")) - F.unix_micros(F.col("ts"))).alias(
+            "gap_fwd"
+        ),
+    )
+    pick_back = F.col("gap_back").isNotNull() & (
+        F.col("gap_fwd").isNull() | (F.col("gap_back") <= F.col("gap_fwd"))
+    )
+    pick_fwd = F.col("gap_fwd").isNotNull() & (
+        F.col("gap_back").isNull() | (F.col("gap_fwd") < F.col("gap_back"))
+    )
+    return p.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum(F.when(pick_back, 1).otherwise(0)).cast("long").alias("n_back"),
+        F.sum(F.when(pick_fwd, 1).otherwise(0)).cast("long").alias("n_fwd"),
+        F.sum(
+            F.when(F.col("gap_back").isNull() & F.col("gap_fwd").isNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_none"),
+        F.sum(
+            F.when(pick_back, F.col("gap_back"))
+            .when(pick_fwd, F.col("gap_fwd"))
+            .otherwise(0)
+        ).cast("long").alias("sum_gap_us"),
+    )

@@ -714,3 +714,72 @@ def eval_multiclass_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+def eval_pinball_loss(
+    spark: SparkSession, sf_dir: str, q_permille: int = 900
+) -> DataFrame:
+    """Quantile-forecast evaluation with pinball (quantile) loss — the
+    scoring rule that makes a q-quantile forecast honest (expected loss
+    is minimized exactly at the true quantile): forecast the 0.9
+    quantile of hourly volume per event type from the first half of the
+    calendar, score it on the second half.
+
+    ENTIRELY INTEGER: the forecast is the PICKED ceil(q·n)-th order
+    statistic of calibration hourly counts; the per-hour pinball term is
+    carried x10 (q=0.9 -> over-forecast residuals weigh 1, under weigh
+    9, both integers), so the summed loss crosses the hash gate as
+    BIGINT with zero float anywhere except the final coverage ratio.
+
+    Scale: hourly rollup (calendar-bounded) -> per-type order-statistic
+    window -> one test-half aggregate."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hr"),
+    )
+    hourly = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=True)
+    boundary = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    calib = hourly.where(F.col("hr") < boundary)
+    test = hourly.where(F.col("hr") >= boundary)
+    n_calib = calib.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_calib")
+    )
+    ranked = (
+        calib.join(n_calib, "event_type")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("c", "hr")
+            ).cast("long"),
+        )
+        .withColumn(
+            "k", F.expr(f"(n_calib * {q_permille} + 999) div 1000").cast("long")
+        )
+    )
+    q_hat = ranked.where(F.col("rk") == F.col("k")).select(
+        "event_type", "n_calib", F.col("c").alias("q_hat")
+    )
+    scored = test.join(F.broadcast(q_hat), "event_type")
+    under = F.col("c") >= F.col("q_hat")
+    return scored.groupBy("event_type").agg(
+        F.max("n_calib").alias("n_calib"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.max("q_hat").alias("q_hat"),
+        F.sum(
+            F.when(
+                under,
+                F.lit(q_permille // 100) * (F.col("c") - F.col("q_hat")),
+            ).otherwise(
+                F.lit((1000 - q_permille) // 100)
+                * (F.col("q_hat") - F.col("c"))
+            )
+        ).cast("long").alias("sum_pinball_x10"),
+        F.round(
+            F.sum(F.when(F.col("c") <= F.col("q_hat"), 1).otherwise(0))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("frac_covered"),
+    )

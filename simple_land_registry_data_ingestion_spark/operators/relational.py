@@ -6034,3 +6034,51 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("new_terms").over(w).cast("long").alias("cum_vocab"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B test power analysis (round 7)
+# ---------------------------------------------------------------------------
+
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-size calculation from observed variance — the planning
+    step before every A/B test (and the missing sibling of the CUPED /
+    DiD / A-ES analyzers already here): per event type, the n per arm
+    needed to detect a 2% relative lift at alpha=0.05 / power=0.80 is
+
+        n = 2 sigma^2 (z_{a/2} + z_b)^2 / delta^2
+
+    with (z_{a/2}+z_b)^2 as the PINNED literal 7.848878512225001 (both
+    engines read the same decimal text — computing the square at runtime
+    could differ in the last ulp between pow implementations) and
+    delta = 0.02 * mean.  Variance comes from exact decimal moments
+    (Σv, Σv² over 2dp/4dp decimals), so the one double expression is
+    engine-identical; n rounds UP (ceil on an identical double).
+
+    Scale: one map-side-combined aggregate per type — the entire query
+    moves 5 rows."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value"), 2).cast("decimal(18,2)").alias("v"),
+    )
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    )
+    mean = F.col("sv").cast("double") / F.col("n_obs").cast("double")
+    var = (
+        F.col("svv").cast("double")
+        - F.col("sv").cast("double") * F.col("sv").cast("double")
+        / F.col("n_obs").cast("double")
+    ) / (F.col("n_obs") - F.lit(1)).cast("double")
+    z_sum_sq = F.lit(7.848878512225001)
+    delta = F.lit(0.02) * mean
+    n_required = F.ceil(F.lit(2.0) * var * z_sum_sq / (delta * delta))
+    return per.select(
+        "event_type",
+        "n_obs",
+        F.round(mean, 6).alias("mean_v"),
+        F.round(var, 6).alias("var_v"),
+        n_required.cast("long").alias("n_per_arm"),
+    )

@@ -1407,3 +1407,88 @@ def similarity_mips_transform(
         )
         .orderBy("rank_dot")
     )
+
+
+def sample_kcenter_coreset(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez farthest-point) over
+    the embedding table — the diversity-sampling primitive for training
+    data ("pick the k most mutually distant exemplars"), with the
+    standard 2-approximation guarantee: seed with vec 0, then k−1
+    rounds of "add the point farthest from the chosen set".
+
+    Distributed shape per round: the chosen set (r vectors) BROADCASTS;
+    every candidate's distance-to-set is a scan-stage min over <= k
+    broadcast vectors (squared euclidean via the norm identity
+    ‖v‖²+‖c‖²−2v·c, norms precomputed once); the argmax is a 1-row
+    TakeOrderedAndProject.  The corpus is never pairwise-joined — cost
+    is k scans, the textbook trade for coreset quality.
+
+    Determinism: distances round 12dp before the argmax (dot products
+    are float folds whose last-ulp may differ across engines) and ties
+    break on vec_id; the output distance rounds 6dp.
+
+    Output: (round, vec_id, dist2_to_set) — k rows, round 0 = seed."""
+    from simple_land_registry_data_ingestion_spark.functions import vectors
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    emb = emb.withColumn("n2", vectors.dot(F.col("e"), F.col("e"))).localCheckpoint(
+        eager=True
+    )
+    chosen = emb.where(F.col("vec_id") == 0).select(
+        F.lit(0).cast("long").alias("round"),
+        "vec_id",
+        F.lit(0.0).alias("dist2_to_set"),
+        F.col("e").alias("ce"),
+        F.col("n2").alias("cn2"),
+    ).localCheckpoint(eager=True)
+    out_rows = [chosen.select("round", "vec_id", "dist2_to_set")]
+    for r in range(1, k):
+        cand = emb.join(
+            F.broadcast(chosen.select("ce", "cn2", F.col("vec_id").alias("cid"))),
+            F.col("vec_id") != F.col("cid"),
+        )
+        d2 = F.round(
+            F.col("n2") + F.col("cn2") - 2.0 * vectors.dot(F.col("e"), F.col("ce")),
+            12,
+        )
+        min_d = (
+            cand.select("vec_id", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("dist2"))
+            .join(
+                F.broadcast(chosen.select(F.col("vec_id").alias("cid"))),
+                F.col("vec_id") == F.col("cid"),
+                "left_anti",
+            )
+        )
+        best = (
+            min_d.orderBy(F.col("dist2").desc(), "vec_id")
+            .limit(1)
+            .join(emb, "vec_id")
+            .localCheckpoint(eager=True)
+        )
+        out_rows.append(
+            best.select(
+                F.lit(r).cast("long").alias("round"),
+                "vec_id",
+                F.round(F.col("dist2"), 6).alias("dist2_to_set"),
+            )
+        )
+        chosen = chosen.unionByName(
+            best.select(
+                F.lit(r).cast("long").alias("round"),
+                "vec_id",
+                F.round(F.col("dist2"), 6).alias("dist2_to_set"),
+                F.col("e").alias("ce"),
+                F.col("n2").alias("cn2"),
+            )
+        ).localCheckpoint(eager=True)
+    out = out_rows[0]
+    for o in out_rows[1:]:
+        out = out.unionAll(o)
+    return out
