@@ -37,6 +37,15 @@ _EXECUTES_ON_CALL = {
     "dedup_simhash_pairs",        # eager fingerprint checkpoint
     "split_leakage_free",         # runs cluster assignment
     "dedup_canonical_by_quality", # runs cluster assignment
+    # round-7 eager-checkpoint ops (argmax/selection loops materialize
+    # per round at call time; their scale shapes are pinned in
+    # tests/test_plans.py or by construction notes)
+    "text_bpe_word_merges",       # 3 merge rounds, per-round checkpoint
+    "sample_kcenter_coreset",     # k-1 farthest-point rounds
+    "graph_degree_powerlaw",      # eager edge checkpoint
+    "eval_multiclass_prf",        # eager confusion-cell checkpoint
+    "eval_rank_correlation",      # eager hourly-rollup checkpoint
+    "eval_pinball_loss",          # eager hourly-rollup checkpoint
 }
 
 
