@@ -361,6 +361,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_asof_nearest": asof.join_asof_nearest,
     "sample_kcenter_coreset": similarity.sample_kcenter_coreset,
     "events_power_analysis": relational.events_power_analysis,
+    "eval_qini_uplift": evaluation.eval_qini_uplift,
 }
 
 #: Shared SQL fragments for the oracle twins below.
@@ -6261,4 +6262,50 @@ _ORACLES["events_power_analysis"] = """
                            * (CAST(sv AS DOUBLE) / CAST(n_obs AS DOUBLE)))))
                 AS BIGINT) AS n_per_arm
     FROM per
+"""
+
+_ORACLES["eval_qini_uplift"] = """
+    WITH ev AS (SELECT event_id, value,
+                       ((user_id * 2654435761 + 13) % 1000) < 500 AS treat,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                           AS y
+                FROM events),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ev),
+    ranked AS (SELECT treat, y,
+                      CAST(ROW_NUMBER() OVER (ORDER BY value DESC, event_id)
+                           AS BIGINT) AS rk
+               FROM ev),
+    per_dec AS (SELECT ((rk - 1) * 10) // n AS decile,
+                       CAST(SUM(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_t,
+                       CAST(SUM(CASE WHEN NOT treat THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_c,
+                       CAST(SUM(CASE WHEN treat THEN y ELSE 0 END) AS BIGINT)
+                           AS y_t,
+                       CAST(SUM(CASE WHEN NOT treat THEN y ELSE 0 END)
+                            AS BIGINT) AS y_c
+                FROM ranked, tot GROUP BY 1),
+    cum AS (SELECT decile, n_t, n_c,
+                   CAST(SUM(n_t) OVER (ORDER BY decile
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS BIGINT)
+                       AS cn_t,
+                   CAST(SUM(n_c) OVER (ORDER BY decile
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS BIGINT)
+                       AS cn_c,
+                   CAST(SUM(y_t) OVER (ORDER BY decile
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS BIGINT)
+                       AS cum_resp_t,
+                   CAST(SUM(y_c) OVER (ORDER BY decile
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW) AS BIGINT)
+                       AS cum_resp_c
+            FROM per_dec)
+    SELECT decile, n_t, n_c, cum_resp_t, cum_resp_c,
+           ROUND(CAST(cum_resp_t AS DOUBLE)
+                 - CAST(cum_resp_c AS DOUBLE) * CAST(cn_t AS DOUBLE)
+                   / CAST(cn_c AS DOUBLE), 6) AS qini
+    FROM cum
 """

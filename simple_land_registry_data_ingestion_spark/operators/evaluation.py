@@ -783,3 +783,83 @@ def eval_pinball_loss(
             6,
         ).alias("frac_covered"),
     )
+
+
+def eval_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve for uplift evaluation — the decile-wise incremental
+    gains audit every targeting model ships with: rank units by the
+    model score, then per cumulative decile compare treated conversions
+    against the control conversions SCALED to the treated population:
+
+        Qini(k) = Y_t(k) − Y_c(k) · N_t(k) / N_c(k)
+
+    Treatment is the same deterministic hash cohort as
+    events_diff_in_diff (so true uplift ~ 0 and the curve certifies the
+    COMPUTATION, hovering near zero rather than painting a fake win);
+    the score is the event value, ranked by the global (value, id)
+    order — the decile assignment reuses the rank-decile mapping whose
+    distributed form is events_global_rank_two_phase.
+
+    Everything before the final scaling ratio is BIGINT (cumulative
+    conversion/population counts via a 10-row running-sum window); the
+    Qini value is one double expression rounded 6dp.
+
+    Output: (decile, n_t, n_c, cum_resp_t, cum_resp_c, qini)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        ((F.col("user_id") * 2654435761 + 13) % 1000 < 500).alias("treat"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    n_total = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = ev.withColumn(
+        "rk",
+        F.row_number()
+        .over(Window.orderBy(F.col("value").desc(), "event_id"))
+        .cast("long"),
+    )
+    per_dec = (
+        ranked.crossJoin(F.broadcast(n_total))
+        .select(
+            F.expr("((rk - 1) * 10) div n").alias("decile"),
+            "treat",
+            "y",
+        )
+        .groupBy("decile")
+        .agg(
+            F.sum(F.when(F.col("treat"), 1).otherwise(0)).cast("long").alias("n_t"),
+            F.sum(F.when(~F.col("treat"), 1).otherwise(0)).cast("long").alias("n_c"),
+            F.sum(F.when(F.col("treat"), F.col("y")).otherwise(0))
+            .cast("long")
+            .alias("y_t"),
+            F.sum(F.when(~F.col("treat"), F.col("y")).otherwise(0))
+            .cast("long")
+            .alias("y_c"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_dec.select(
+        "decile",
+        "n_t",
+        "n_c",
+        F.sum("n_t").over(w).cast("long").alias("cn_t"),
+        F.sum("n_c").over(w).cast("long").alias("cn_c"),
+        F.sum("y_t").over(w).cast("long").alias("cum_resp_t"),
+        F.sum("y_c").over(w).cast("long").alias("cum_resp_c"),
+    )
+    return cum.select(
+        "decile",
+        "n_t",
+        "n_c",
+        "cum_resp_t",
+        "cum_resp_c",
+        F.round(
+            F.col("cum_resp_t").cast("double")
+            - F.col("cum_resp_c").cast("double")
+            * F.col("cn_t").cast("double")
+            / F.col("cn_c").cast("double"),
+            6,
+        ).alias("qini"),
+    )
