@@ -450,8 +450,10 @@ def agg_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries.
 
     Plan at scale: each sketch is a map-side-combinable
-    groupBy((row, bucket)) over scan-stage hash arithmetic — state d·w
-    = 256 cells per side regardless of key cardinality; the exact side
+    groupBy((row, bucket)) over scan-stage hash arithmetic, the d hash
+    rows riding ONE exploded literal array per scan (never d scans of
+    the input) — state d·w = 256 cells per side regardless of key
+    cardinality; the exact side
     is one frequency groupBy per input + an equi-join of the two
     frequency tables (keys, not rows).  At 100 TB you'd keep only the
     sketch; the exact pass exists here to certify it.
@@ -464,20 +466,26 @@ def agg_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = 2147483647
 
     def sketch(df: DataFrame, key: str) -> DataFrame:
-        rows = []
-        for i, (a, b) in enumerate(params):
-            rows.append(
-                df.select(
-                    F.lit(i).alias("row_i"),
-                    (((F.col(key) * a + b) % p) % w).cast("long").alias("bucket"),
+        # ONE scan: the d hash rows ride an exploded literal array (a
+        # union of per-row selects would scan the input d times)
+        hashed = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("row_i"),
+                            (((F.col(key) * a + b) % p) % w)
+                            .cast("long")
+                            .alias("bucket"),
+                        )
+                        for i, (a, b) in enumerate(params)
+                    ]
                 )
-            )
-        allrows = rows[0]
-        for r in rows[1:]:
-            allrows = allrows.unionAll(r)
-        return allrows.groupBy("row_i", "bucket").agg(
-            F.count(F.lit(1)).cast("long").alias("c")
+            ).alias("cell")
         )
+        return hashed.select("cell.row_i", "cell.bucket").groupBy(
+            "row_i", "bucket"
+        ).agg(F.count(F.lit(1)).cast("long").alias("c"))
 
     o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
     e = load(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
