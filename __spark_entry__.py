@@ -5758,11 +5758,11 @@ _ORACLES["agg_join_size_sketch"] = """
     params(row_i, a, b) AS (VALUES (0, 2654435761, 13), (1, 97911, 101),
                                    (2, 40503, 7), (3, 31337, 29)),
     so AS (SELECT CAST(row_i AS BIGINT) AS row_i,
-                  ((k * a + b) % 2147483647) % 64 AS bucket,
+                  ((k * a + b) % 2147483647) % 1024 AS bucket,
                   CAST(COUNT(*) AS BIGINT) AS c
            FROM o, params GROUP BY 1, 2),
     se AS (SELECT CAST(row_i AS BIGINT) AS row_i,
-                  ((k * a + b) % 2147483647) % 64 AS bucket,
+                  ((k * a + b) % 2147483647) % 1024 AS bucket,
                   CAST(COUNT(*) AS BIGINT) AS c2
            FROM e, params GROUP BY 1, 2),
     er AS (SELECT so.row_i, CAST(SUM(c * c2) AS BIGINT) AS est

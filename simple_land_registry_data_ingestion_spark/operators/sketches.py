@@ -452,15 +452,16 @@ def agg_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan at scale: each sketch is a map-side-combinable
     groupBy((row, bucket)) over scan-stage hash arithmetic, the d hash
     rows riding ONE exploded literal array per scan (never d scans of
-    the input) — state d·w = 256 cells per side regardless of key
-    cardinality; the exact side
+    the input) — state d·w = 4096 cells per side regardless of key
+    cardinality (w sized ~ distinct-key order to keep collision inflation
+    small; the certification row MEASURES the inflation either way); the exact side
     is one frequency groupBy per input + an equi-join of the two
     frequency tables (keys, not rows).  At 100 TB you'd keep only the
     sketch; the exact pass exists here to certify it.
 
     Output: 1 row (exact_size, est_size = min over rows, est_row0..3,
     overestimate_ppm)."""
-    d, w = 4, 64
+    d, w = 4, 1024
     # pairwise-independent-ish integer hash rows (a_i, b_i), mod prime
     params = [(2654435761, 13), (97911, 101), (40503, 7), (31337, 29)]
     p = 2147483647

@@ -106,7 +106,7 @@ QUERIES = {
     # only in copy 0, so rows stay flat while the scan is 10x); CF pair
     # expansion is basket-bounded; negative sampling is positives-linear
     # (hash-mod keyspace is 10x sparser at 10x — timing-valid, catalog
-    # validity not asserted); CM sketch state is FIXED 4x64 (the claim);
+    # validity not asserted); CM sketch state is FIXED 4x1024 (the claim);
     # NDCG/conformal are user-keyed windows; heaps is one scan + one
     # term groupBy
     "events_bootstrap_ci": relational.events_bootstrap_ci,
