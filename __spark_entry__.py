@@ -362,6 +362,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_kcenter_coreset": similarity.sample_kcenter_coreset,
     "events_power_analysis": relational.events_power_analysis,
     "eval_qini_uplift": evaluation.eval_qini_uplift,
+    "events_fourier_strength": relational.events_fourier_strength,
+    "graph_assortativity": mining.graph_assortativity,
 }
 
 #: Shared SQL fragments for the oracle twins below.
@@ -6308,4 +6310,67 @@ _ORACLES["eval_qini_uplift"] = """
                  - CAST(cum_resp_c AS DOUBLE) * CAST(cn_t AS DOUBLE)
                    / CAST(cn_c AS DOUBLE), 6) AS qini
     FROM cum
+"""
+
+# the Fourier oracle shares the operator's Python-precomputed trig table
+# verbatim (no engine-native trig in the hash gate)
+_FOURIER_VALUES = ", ".join(
+    f"({p}, {relational._FOURIER_COS[p]!r}, {relational._FOURIER_SIN[p]!r})"
+    for p in range(24)
+)
+
+_ORACLES["events_fourier_strength"] = f"""
+    WITH phases(phase, cosv, sinv) AS (VALUES {_FOURIER_VALUES}),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    fanned AS (
+      SELECT event_type, c, m,
+             (CAST(extract(hour FROM hr) AS BIGINT) * m) % 24 AS phase
+      FROM hourly, UNNEST([1, 2, 3]) AS t(m)),
+    terms AS (
+      SELECT event_type, m, c,
+             CAST(ROUND(CAST(c AS DOUBLE) * cosv, 12) AS DECIMAL(28,12))
+                 AS ac,
+             CAST(ROUND(CAST(c AS DOUBLE) * sinv, 12) AS DECIMAL(28,12))
+                 AS bs
+      FROM fanned JOIN phases USING (phase))
+    SELECT event_type,
+           CAST(m AS BIGINT) AS harmonic,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(c) AS BIGINT) AS total_events,
+           ROUND((CAST(SUM(ac) AS DOUBLE) * CAST(SUM(ac) AS DOUBLE)
+                  + CAST(SUM(bs) AS DOUBLE) * CAST(SUM(bs) AS DOUBLE))
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS power
+    FROM terms GROUP BY 1, 2
+"""
+
+_ORACLES["graph_assortativity"] = """
+    WITH items AS (SELECT DISTINCT l_orderkey AS order_id,
+                                   l_partkey AS part_id
+                   FROM lineitem),
+    edges AS (SELECT DISTINCT a.part_id AS pa, b.part_id AS pb
+              FROM items a JOIN items b
+                ON a.order_id = b.order_id AND a.part_id < b.part_id),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+              SELECT pa AS node FROM edges
+              UNION ALL SELECT pb FROM edges) GROUP BY 1),
+    oriented AS (SELECT pa, pb FROM edges
+                 UNION ALL SELECT pb AS pa, pa AS pb FROM edges),
+    j AS (SELECT da.d AS da, db.d AS db
+          FROM oriented JOIN deg da ON da.node = oriented.pa
+                        JOIN deg db ON db.node = oriented.pb),
+    mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+                   CAST(SUM(da) AS BIGINT) AS sa,
+                   CAST(SUM(da * da) AS BIGINT) AS saa,
+                   CAST(SUM(da * db) AS BIGINT) AS sab
+            FROM j)
+    SELECT m2, sa, saa, sab,
+           ROUND((CAST(m2 AS DOUBLE) * CAST(sab AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                 / (CAST(m2 AS DOUBLE) * CAST(saa AS DOUBLE)
+                    - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)), 6)
+               AS assortativity
+    FROM mom
 """

@@ -6082,3 +6082,97 @@ def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var, 6).alias("var_v"),
         n_required.cast("long").alias("n_per_arm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fourier seasonal strength (round 7)
+# ---------------------------------------------------------------------------
+
+#: Python-precomputed daily-phase trig table (phase = hour-of-day):
+#: the SAME doubles are injected into the Spark plan and the DuckDB
+#: oracle, so no engine-native trig enters the hash gate.
+import math as _math
+
+_FOURIER_COS = [_math.cos(2.0 * _math.pi * p / 24.0) for p in range(24)]
+_FOURIER_SIN = [_math.sin(2.0 * _math.pi * p / 24.0) for p in range(24)]
+
+
+def events_fourier_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral seasonality check — DFT power at the daily harmonic and
+    its first two multiples over the hourly volume series, per event
+    type: the frequency-domain complement to the lag-domain ACF (X153);
+    dominant daily-period power is the signature of diurnal seasonality.
+
+    The angle set is CALENDAR-based (phase = hour-of-day, period 24 h),
+    so there are exactly 24 distinct angles per harmonic — and their
+    cos/sin values come from a PYTHON-precomputed 24-row table that is
+    injected verbatim into BOTH engines (a broadcast literal frame here,
+    a VALUES list in the oracle).  Engine-native trig never runs:
+    JVM Math.cos and libm cos can disagree in the last ulp, and with
+    ~10k quantized product terms even 12dp rounding would flip
+    boundaries; sharing the literal table removes the risk entirely.
+
+    Per (type, harmonic): a = Σ c·cos_p, b = Σ c·sin_p with per-row
+    products rounded 12dp into DECIMAL(28,12) (exact order-free sums),
+    power = (a² + b²)/n as one double expression.
+
+    Scale: hourly rollup (calendar-bounded) -> 3x explode -> broadcast
+    phase-table join -> one (type, harmonic) aggregate."""
+    phase_rows = [
+        (p, _FOURIER_COS[p], _FOURIER_SIN[p]) for p in range(24)
+    ]
+    phases = F.broadcast(
+        spark.createDataFrame(phase_rows, "phase long, cosv double, sinv double")
+    )
+    hourly = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    fanned = hourly.select(
+        "event_type",
+        "c",
+        F.hour(F.col("hr")).cast("long").alias("hod"),
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("m"),
+    ).select(
+        "event_type", "c", "m",
+        ((F.col("hod") * F.col("m")) % 24).alias("phase"),
+    )
+    terms = fanned.join(phases, "phase").select(
+        "event_type",
+        "m",
+        "c",
+        F.round(F.col("c").cast("double") * F.col("cosv"), 12)
+        .cast("decimal(28,12)")
+        .alias("ac"),
+        F.round(F.col("c").cast("double") * F.col("sinv"), 12)
+        .cast("decimal(28,12)")
+        .alias("bs"),
+    )
+    return (
+        terms.groupBy("event_type", "m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum("ac").alias("a_k"),
+            F.sum("bs").alias("b_k"),
+            F.sum("c").cast("long").alias("total_events"),
+        )
+        .select(
+            "event_type",
+            F.col("m").cast("long").alias("harmonic"),
+            "n_hours",
+            "total_events",
+            F.round(
+                (
+                    F.col("a_k").cast("double") * F.col("a_k").cast("double")
+                    + F.col("b_k").cast("double") * F.col("b_k").cast("double")
+                )
+                / F.col("n_hours").cast("double"),
+                6,
+            ).alias("power"),
+        )
+    )

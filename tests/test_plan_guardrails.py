@@ -46,6 +46,7 @@ _EXECUTES_ON_CALL = {
     "eval_multiclass_prf",        # eager confusion-cell checkpoint
     "eval_rank_correlation",      # eager hourly-rollup checkpoint
     "eval_pinball_loss",          # eager hourly-rollup checkpoint
+    "graph_assortativity",        # eager edge checkpoint
 }
 
 
