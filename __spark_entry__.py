@@ -364,6 +364,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_qini_uplift": evaluation.eval_qini_uplift,
     "events_fourier_strength": relational.events_fourier_strength,
     "graph_assortativity": mining.graph_assortativity,
+    "graph_modularity": dedup.graph_modularity,
 }
 
 #: Shared SQL fragments for the oracle twins below.
@@ -6373,4 +6374,28 @@ _ORACLES["graph_assortativity"] = """
                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)), 6)
                AS assortativity
     FROM mom
+"""
+
+_ORACLES["graph_modularity"] = f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_CLUSTER_CTE},
+    comp AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+             FROM reach GROUP BY node),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM cand),
+    deg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS d FROM (
+              SELECT doc_a AS doc_id FROM cand
+              UNION ALL SELECT doc_b FROM cand) GROUP BY 1),
+    cdeg AS (SELECT c.cluster_id,
+                    CAST(SUM(deg.d) AS BIGINT) AS degree_sum,
+                    CAST(COUNT(*) AS BIGINT) AS n_nodes
+             FROM deg JOIN comp c USING (doc_id) GROUP BY 1),
+    cedge AS (SELECT c.cluster_id,
+                     CAST(COUNT(*) AS BIGINT) AS intra_edges
+              FROM cand JOIN comp c ON cand.doc_a = c.doc_id GROUP BY 1)
+    SELECT cdeg.cluster_id, n_nodes, degree_sum, intra_edges,
+           ROUND(CAST(intra_edges AS DOUBLE) / CAST(m_edges AS DOUBLE)
+                 - (CAST(degree_sum AS DOUBLE) / (2 * m_edges))
+                   * (CAST(degree_sum AS DOUBLE) / (2 * m_edges)), 6)
+               AS q_contrib
+    FROM cdeg JOIN cedge USING (cluster_id), m
 """

@@ -2108,3 +2108,79 @@ def dedup_kcore_peel(
     for p in peeled_parts[1:]:
         out = out.unionAll(p)
     return out.unionAll(survivors)
+
+
+# ---------------------------------------------------------------------------
+# Community modularity of the duplicate-cluster partition (round 7)
+# ---------------------------------------------------------------------------
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity contribution per duplicate cluster — the quality
+    score OF the clustering itself, closing the graph-analytics loop:
+    connected components (dedup_cluster_assignments) says WHICH docs group
+    together, k-core/triangles say how dense the groups are, and
+    modularity says whether the partition concentrates edges inside
+    clusters relative to a degree-preserving random graph (Newman &
+    Girvan 2004).  Q_c = L_c/m - (D_c/(2m))^2; clusters whose
+    contribution is near the (D_c/2m)^2 null are banding artifacts, high
+    contributors are real template farms.
+
+    Under a connected-components partition every edge is intra-cluster by
+    construction, so Sigma L_c = m and total Q = 1 - Sigma (D_c/(2m))^2 —
+    the output keeps L_c explicit anyway so the identity is visible and
+    the formula stays correct for any other partition column.
+
+    EVERY aggregate is BIGINT (edge counts, degree sums); the only
+    doubles are the final two divisions and one multiply, identical
+    operation order in both engines, rounded 6dp.  Singleton clusters
+    (degree-0 nodes) contribute exactly 0 and are excluded by the
+    degree join.
+
+    Scale shape: edges are the LSH OUTPUT (orders smaller than the
+    corpus); CC is the O(log n)-capable label-prop used everywhere else;
+    then one degree aggregate, two cluster-keyed aggregates, and a
+    broadcast 1-row edge-count join.  No quadratic anywhere.
+
+    Output: (cluster_id, n_nodes, degree_sum, intra_edges, q_contrib)
+    for every non-singleton cluster."""
+    docs = load(spark, sf_dir, "documents")
+    edges = minhash_candidate_pairs(docs).localCheckpoint(eager=True)
+    comp = connected_components(
+        docs.select("doc_id"), edges, node_col="doc_id",
+        src_col="doc_a", dst_col="doc_b",
+    ).select(F.col("id").alias("doc_id"), F.col("component").alias("cluster_id"))
+    m = edges.agg(F.count(F.lit(1)).cast("long").alias("m_edges"))
+    deg = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(edges.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    # inner join restricts to nodes with edges — singletons drop here; no
+    # broadcast hint on comp (node-count-sized, the Q5/Q10 lesson)
+    cdeg = deg.join(comp, "doc_id").groupBy("cluster_id").agg(
+        F.sum("d").cast("long").alias("degree_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+    )
+    # both endpoints share the cluster under a CC partition — doc_a's is
+    # canonical
+    cedge = (
+        edges.join(comp.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    md = F.col("m_edges").cast("double")
+    half = F.col("degree_sum").cast("double") / (F.lit(2).cast("long") * F.col("m_edges"))
+    return (
+        cdeg.join(cedge, "cluster_id")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "cluster_id",
+            "n_nodes",
+            "degree_sum",
+            "intra_edges",
+            F.round(
+                F.col("intra_edges").cast("double") / md - half * half, 6
+            ).alias("q_contrib"),
+        )
+    )
