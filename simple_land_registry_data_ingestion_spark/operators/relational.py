@@ -370,15 +370,16 @@ def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inner equi-join fact->dim + re-aggregation.
 
-    ``customer`` is the small side: explicitly broadcast, so the join is a
-    shuffle-free BroadcastHashJoin over the orders scan.  At 100 TB of orders
-    and ~15M customers the broadcast still fits (<1 GiB) — were it not, AQE
-    falls back to sort-merge with the same plan text.
+    ``customer`` carries NO broadcast hint: it is customer-count-sized (a
+    TPC-H semi-fact that scales with the corpus — the Q5/Q10 lesson), so
+    the hint would force a multi-GB broadcast at 100x scale.  Under the
+    threshold AQE still picks BroadcastHashJoin at test SF; above it the
+    join degrades gracefully to sort-merge.
     """
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -392,9 +393,10 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, revenue per nation.
 
     Join order matters at scale: dims (region, nation) broadcast onto
-    customer, the enriched customer dim broadcasts onto orders, and only
-    the orders<->lineitem equi-join shuffles — one exchange on the fact
-    tables' shared key instead of five.
+    customer; the enriched customer dim is customer-count-sized (semi-fact,
+    the Q5/Q10 lesson) so it carries no hint — AQE broadcasts it under the
+    threshold, sort-merges above — and only the orders<->lineitem equi-join
+    always shuffles, one exchange on the fact tables' shared key.
     """
     region = load(spark, sf_dir, "region")
     nation = load(spark, sf_dir, "nation")
@@ -410,7 +412,7 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust_dim), orders.o_custkey == cust_dim.c_custkey)
+        .join(cust_dim, orders.o_custkey == cust_dim.c_custkey)
         .groupBy("r_name", "n_name")
         .agg(
             F.round(
@@ -1696,8 +1698,10 @@ def customers_target_encoding(
     engine-portable); 6-dp round on the double mean."""
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
+    # no hint on the customer keyset (customer-count-sized semi-fact — the
+    # Q5/Q10 lesson); AQE broadcasts it at test SF
     seg_orders = orders.join(
-        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        customer.select("c_custkey", "c_mktsegment"),
         F.col("o_custkey") == F.col("c_custkey"),
     ).select(
         "c_mktsegment",
@@ -3378,7 +3382,8 @@ def orders_mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
     and order-free); shares and rates are single deterministic divisions
     of those integers; effects are products/differences of 6-dp-rounded
     operands so the final rounding cannot sit on a libm boundary.  Plan:
-    orders joined to the broadcast customer-segment dim (narrow columns),
+    orders joined to the customer-segment dim (narrow columns, no hint —
+    customer-count-sized semi-fact, AQE decides),
     ONE groupBy (segment, year), then a 10-row self-pivot — the decades-of
     -data version aggregates per (segment, period) first and the
     decomposition never touches the fact table again."""
@@ -3386,7 +3391,7 @@ def orders_mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     per = (
         orders.where(F.year("o_orderdate").isin(1995, 1996))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(
             F.col("c_mktsegment").alias("segment"),
             F.year("o_orderdate").alias("yr"),

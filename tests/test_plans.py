@@ -43,12 +43,37 @@ def test_q1_is_one_shuffle_with_pushed_date_filter(spark):
 
 
 def test_multiway_join_broadcasts_dimensions(spark):
-    """region/nation/customer/orders all fit under the broadcast threshold at
-    test scale: the only shuffle left is the final aggregation's."""
+    """region/nation broadcast as true dims; the enriched customer dim is a
+    semi-fact and carries NO hint (the Q5/Q10 rule) — statically it plans a
+    shuffle join that AQE converts to broadcast while it fits the
+    threshold, so the static shuffle budget is fact-fact + customer +
+    final agg."""
     df = relational.join_multiway(spark, SF_ORACLE)
-    assert plans.broadcast_join_count(df) >= 3
-    assert plans.shuffle_count(df) <= 2
+    assert plans.broadcast_join_count(df) >= 2
+    assert plans.shuffle_count(df) <= 4
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in optimized.splitlines():
+        if "broadcast" in line.lower():
+            assert "c_custkey" not in line, line
     plans.assert_no_cartesian_product(df)
+
+
+def test_customer_joins_carry_no_broadcast_hint(spark):
+    """The round-4 verdict rule generalized: EVERY query joining the
+    customer semi-fact must leave the customer side unhinted so AQE can
+    shuffle it past the threshold — the hint-free logical plan is the
+    contract."""
+    for fn in (
+        relational.join_customer_orders,
+        relational.customers_target_encoding,
+        relational.orders_mix_shift_decomposition,
+    ):
+        df = fn(spark, SF_ORACLE)
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in optimized.splitlines():
+            if "broadcast" in line.lower():
+                assert "c_custkey" not in line, (fn.__name__, line)
+        plans.assert_no_cartesian_product(df)
 
 
 def test_topk_plans_take_ordered_not_global_sort(spark):
