@@ -1430,6 +1430,8 @@ def sample_kcenter_coreset(
     break on vec_id; the output distance rounds 6dp.
 
     Output: (round, vec_id, dist2_to_set) — k rows, round 0 = seed."""
+    if k < 1:
+        raise ValueError(f"sample_kcenter_coreset requires k >= 1, got {k}")
     from simple_land_registry_data_ingestion_spark.functions import vectors
 
     emb = load(spark, sf_dir, "embeddings").select(

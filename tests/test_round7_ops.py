@@ -76,3 +76,12 @@ def test_conformal_k_is_ceiling_form():
 
     for n in range(1, 2000):
         assert ((n + 1) * 900 + 999) // 1000 == math.ceil(0.9 * (n + 1))
+
+
+def test_kcenter_coreset_rejects_zero_k(spark):
+    """Same guard discipline as kcore: k=0 used to silently return the
+    seed row while the docstring promises k rows."""
+    from simple_land_registry_data_ingestion_spark.operators import similarity
+
+    with pytest.raises(ValueError, match="k >= 1"):
+        similarity.sample_kcenter_coreset(spark, SF_ORACLE, k=0)
