@@ -365,6 +365,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_fourier_strength": relational.events_fourier_strength,
     "graph_assortativity": mining.graph_assortativity,
     "graph_modularity": dedup.graph_modularity,
+    "events_ks_test": relational.events_ks_test,
+    "events_mann_whitney": relational.events_mann_whitney,
+    "events_psi_drift": relational.events_psi_drift,
+    "orders_simpson_paradox": relational.orders_simpson_paradox,
+    "profile_l_diversity": relational.profile_l_diversity,
 }
 
 #: Shared SQL fragments for the oracle twins below.
@@ -6398,4 +6403,179 @@ _ORACLES["graph_modularity"] = f"""
                    * (CAST(degree_sum AS DOUBLE) / (2 * m_edges)), 6)
                AS q_contrib
     FROM cdeg JOIN cedge USING (cluster_id), m
+"""
+
+_ORACLES["events_ks_test"] = """
+    WITH ev AS (SELECT event_type,
+                       CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                       ((user_id * 2654435761 + 13) % 1000) < 500 AS in_a
+                FROM events),
+    g AS (SELECT event_type, cents,
+                 CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                 CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+          FROM ev GROUP BY 1, 2),
+    d AS (SELECT event_type, cents,
+                 CAST(SUM(ca) OVER w AS DECIMAL(38,0)) AS cuma,
+                 CAST(SUM(cb) OVER w AS DECIMAL(38,0)) AS cumb,
+                 CAST(SUM(ca) OVER wp AS DECIMAL(38,0)) AS n_a,
+                 CAST(SUM(cb) OVER wp AS DECIMAL(38,0)) AS n_b
+          FROM g
+          WINDOW w AS (PARTITION BY event_type ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wp AS (PARTITION BY event_type)),
+    dd AS (SELECT *,
+                  ABS(n_b * cuma - n_a * cumb) AS diff,
+                  MAX(ABS(n_b * cuma - n_a * cumb))
+                      OVER (PARTITION BY event_type) AS max_diff
+           FROM d)
+    SELECT event_type,
+           CAST(MIN(n_a) AS BIGINT) AS n_a,
+           CAST(MIN(n_b) AS BIGINT) AS n_b,
+           ROUND(CAST(MIN(max_diff) AS DOUBLE)
+                 / CAST(MIN(n_a * n_b) AS DOUBLE), 12) AS ks_d,
+           ROUND(CAST(MIN(cents) AS DOUBLE) / 100.0, 2) AS ks_at_value
+    FROM dd WHERE diff = max_diff
+    GROUP BY event_type
+"""
+
+_ORACLES["events_mann_whitney"] = """
+    WITH ev AS (SELECT event_type,
+                       CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                       ((user_id * 2654435761 + 13) % 1000) < 500 AS in_a
+                FROM events),
+    g AS (SELECT event_type, cents,
+                 CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                 CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+          FROM ev GROUP BY 1, 2),
+    d AS (SELECT event_type, ca, cb, ca + cb AS t,
+                 CAST(COALESCE(SUM(ca + cb) OVER (
+                     PARTITION BY event_type ORDER BY cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS cum_prev
+          FROM g),
+    m AS (SELECT event_type,
+                 CAST(SUM(ca) AS DECIMAL(38,0)) AS n_a,
+                 CAST(SUM(cb) AS DECIMAL(38,0)) AS n_b,
+                 CAST(SUM(CAST(ca AS DECIMAL(38,0))
+                          * CAST(2 * cum_prev + t + 1 AS DECIMAL(38,0)))
+                      AS DECIMAL(38,0)) AS r2,
+                 CAST(SUM(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))
+                          * CAST(t AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0)))
+                      AS DECIMAL(38,0)) AS tie3
+          FROM d GROUP BY event_type)
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(r2 - n_a * (n_a + 1) AS DECIMAL(38,0)) AS u1_x2,
+           ROUND((CAST(r2 - n_a * (n_a + 1) AS DOUBLE)
+                  - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                 / SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 3.0
+                        * ((CAST(n_a + n_b AS DOUBLE) + 1)
+                           - CAST(tie3 AS DOUBLE)
+                             / (CAST(n_a + n_b AS DOUBLE)
+                                * (CAST(n_a + n_b AS DOUBLE) - 1)))), 6)
+               AS z_score,
+           ROUND(CAST(r2 - n_a * (n_a + 1) AS DOUBLE)
+                 / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 12)
+               AS auc_effect
+    FROM m
+"""
+
+_ORACLES["events_psi_drift"] = """
+    WITH ev AS (SELECT event_type,
+                       CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                       CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+                           AS is_ref
+                FROM events),
+    g AS (SELECT event_type, cents,
+                 CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+                 CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS nc
+          FROM ev GROUP BY 1, 2),
+    cum AS (SELECT event_type, cents,
+                   SUM(nr) OVER (PARTITION BY event_type ORDER BY cents
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum,
+                   SUM(nr) OVER (PARTITION BY event_type) AS n_ref
+            FROM g WHERE nr > 0),
+    edges AS (SELECT event_type, i, MIN(cents) AS edge
+              FROM cum CROSS JOIN (SELECT UNNEST(range(1, 10)) AS i)
+              WHERE cum >= CEIL(i * n_ref / 10.0)
+              GROUP BY 1, 2),
+    earr AS (SELECT event_type,
+                    list_sort(list(edge)) AS edges
+             FROM edges GROUP BY 1),
+    bucketed AS (SELECT g.event_type,
+                        CAST(len(list_filter(edges, e -> e < g.cents)) + 1
+                             AS BIGINT) AS bucket,
+                        SUM(nr) AS c_ref, SUM(nc) AS c_cur
+                 FROM g JOIN earr ON g.event_type = earr.event_type
+                 GROUP BY 1, 2),
+    skeleton AS (SELECT DISTINCT event_type, CAST(b AS BIGINT) AS bucket
+                 FROM bucketed CROSS JOIN (SELECT UNNEST(range(1, 11)) AS b)),
+    full_b AS (SELECT s.event_type, s.bucket,
+                      COALESCE(c_ref, 0) AS c_ref,
+                      COALESCE(c_cur, 0) AS c_cur
+               FROM skeleton s LEFT JOIN bucketed b
+                    ON s.event_type = b.event_type AND s.bucket = b.bucket),
+    tot AS (SELECT *,
+                   SUM(c_ref) OVER (PARTITION BY event_type) AS t_ref,
+                   SUM(c_cur) OVER (PARTITION BY event_type) AS t_cur
+            FROM full_b),
+    terms AS (SELECT event_type, t_ref, t_cur,
+                     CAST(ROUND(
+                         (CAST(c_ref + 1 AS DOUBLE) / CAST(t_ref + 10 AS DOUBLE)
+                          - CAST(c_cur + 1 AS DOUBLE) / CAST(t_cur + 10 AS DOUBLE))
+                         * LN((CAST(c_ref + 1 AS DOUBLE) / CAST(t_ref + 10 AS DOUBLE))
+                              / (CAST(c_cur + 1 AS DOUBLE) / CAST(t_cur + 10 AS DOUBLE))),
+                         12) AS DECIMAL(28,12)) AS term
+              FROM tot)
+    SELECT event_type,
+           CAST(MIN(t_ref) AS BIGINT) AS n_ref,
+           CAST(MIN(t_cur) AS BIGINT) AS n_cur,
+           CAST(SUM(term) AS DECIMAL(38,12)) AS psi
+    FROM terms GROUP BY event_type
+"""
+
+_ORACLES["orders_simpson_paradox"] = """
+    WITH o AS (SELECT o_orderpriority,
+                      CAST(datediff('day', DATE '1992-01-01',
+                                    CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+                      CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+               FROM orders),
+    strata AS (SELECT o_orderpriority,
+                      CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                      CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+                      CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+                      CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+                      CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx
+               FROM o GROUP BY 1),
+    pooled AS (SELECT ROUND(CAST(SUM(n) * SUM(sxy) - SUM(sx) * SUM(sy) AS DOUBLE)
+                            / CAST(SUM(n) * SUM(sxx) - SUM(sx) * SUM(sx) AS DOUBLE),
+                            6) AS pooled_slope
+               FROM strata)
+    SELECT o_orderpriority,
+           CAST(n AS BIGINT) AS n_orders,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS stratum_slope,
+           pooled_slope,
+           (ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE), 6) > 0)
+               != (pooled_slope > 0) AS sign_reversed
+    FROM strata, pooled
+"""
+
+_ORACLES["profile_l_diversity"] = """
+    WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                      CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS acct_band,
+                      c_mktsegment
+               FROM customer),
+    cells AS (SELECT nationkey, acct_band, c_mktsegment,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM c GROUP BY 1, 2, 3)
+    SELECT nationkey, acct_band,
+           CAST(SUM(n) AS BIGINT) AS class_size,
+           CAST(COUNT(*) AS BIGINT) AS l_distinct,
+           CAST(MAX(n) AS BIGINT) AS modal_count,
+           COUNT(*) < 3 AS violates_l
+    FROM cells GROUP BY 1, 2
 """

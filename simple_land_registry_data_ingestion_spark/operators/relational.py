@@ -6181,3 +6181,346 @@ def events_fourier_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("power"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample distribution tests (round 7): KS, Mann-Whitney U, PSI drift
+# ---------------------------------------------------------------------------
+
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic per event type between two
+    deterministic user-hash cohorts — the distribution-level A/B check
+    that catches shape changes mean-based tests miss (variance shifts,
+    bimodality), and the standard drift gate between a reference and a
+    candidate sample.
+
+    Exact arithmetic end to end: with cohort sizes n_a, n_b, the KS
+    statistic is max over distinct values v of
+    |n_b*CumA(v) - n_a*CumB(v)| / (n_a*n_b) — the numerator is computed
+    entirely in DECIMAL(38,0) (at 100 TB n ~ 1e12 and the cross product
+    ~ 1e24 overflows BIGINT), so the argmax is over exact integers and
+    both engines pick the identical maximizing value (ties broken by
+    the smallest value).  Only the final single division is double.
+
+    Scale: one scan with the cohort flag and 2-dp cents computed at the
+    scan stage, one (type, cents) groupBy whose cardinality is bounded
+    by the price grid (~50k cells/type regardless of row count), then
+    windows over that SMALL distinct-value table partitioned per type —
+    the raw corpus is never windowed.  Output: (event_type, n_a, n_b,
+    ks_d 12dp, ks_at_value)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ((F.col("user_id") * 2654435761 + 13) % 1000 < 500).alias("in_a"),
+    )
+    g = ev.groupBy("event_type", "cents").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("long").alias("cb"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("event_type")
+    d = (
+        g.withColumn("cuma", F.sum("ca").over(w).cast("decimal(38,0)"))
+        .withColumn("cumb", F.sum("cb").over(w).cast("decimal(38,0)"))
+        .withColumn("n_a", F.sum("ca").over(wp).cast("decimal(38,0)"))
+        .withColumn("n_b", F.sum("cb").over(wp).cast("decimal(38,0)"))
+        .withColumn(
+            "diff",
+            F.abs(F.col("n_b") * F.col("cuma") - F.col("n_a") * F.col("cumb")),
+        )
+        .withColumn("max_diff", F.max("diff").over(wp))
+    )
+    return (
+        d.where(F.col("diff") == F.col("max_diff"))
+        .groupBy("event_type")
+        .agg(
+            F.first(F.col("n_a").cast("long")).alias("n_a"),
+            F.first(F.col("n_b").cast("long")).alias("n_b"),
+            F.round(
+                F.first("max_diff").cast("double")
+                / (F.first("n_a") * F.first("n_b")).cast("double"),
+                12,
+            ).alias("ks_d"),
+            F.round(F.min("cents").cast("double") / 100.0, 2).alias("ks_at_value"),
+        )
+    )
+
+
+def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) per event type between the same
+    hash cohorts as events_ks_test — the nonparametric location test
+    (and its effect size U/(n_a*n_b), the probability a random A value
+    exceeds a random B value, i.e. the AUC of the cohort label).
+
+    Tie-exact integer construction: values collapse to 2-dp cents
+    groups; for a group with ca+cb = t members whose preceding
+    cumulative count is c, the DOUBLED midrank 2c + t + 1 is an
+    integer, so the doubled rank-sum R2 = sum(ca * (2c + t + 1)) and
+    the doubled U statistic u2 = R2 - n_a*(n_a+1) are exact
+    DECIMAL(38,0) on both engines.  The tie-corrected normal z uses
+    sum(t^3 - t) (exact) in the variance; only z itself is double
+    (rounded 6dp) via the identical formula in both engines.
+
+    Scale: identical shape to the KS plan — grouped distinct-value
+    table, per-type windows over it, map-side-combined moments.  The
+    midrank trick means NO global rank over raw rows is ever needed."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ((F.col("user_id") * 2654435761 + 13) % 1000 < 500).alias("in_a"),
+    )
+    g = ev.groupBy("event_type", "cents").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("long").alias("cb"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = F.col("ca") + F.col("cb")
+    d = g.withColumn("cum_prev", F.coalesce(F.sum(t).over(w), F.lit(0)).cast("long"))
+    m = d.groupBy("event_type").agg(
+        F.sum("ca").cast("decimal(38,0)").alias("n_a"),
+        F.sum("cb").cast("decimal(38,0)").alias("n_b"),
+        F.sum(
+            F.col("ca").cast("decimal(38,0)")
+            * (2 * F.col("cum_prev") + t + 1).cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("r2"),
+        F.sum(
+            t.cast("decimal(38,0)") * t.cast("decimal(38,0)") * t.cast("decimal(38,0)")
+            - t.cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("tie3"),
+    )
+    n_tot = (F.col("n_a") + F.col("n_b")).cast("double")
+    u2 = (F.col("r2") - F.col("n_a") * (F.col("n_a") + 1)).cast("double")
+    var4 = (
+        F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        / F.lit(3.0)
+        * (
+            (n_tot + 1)
+            - F.col("tie3").cast("double") / (n_tot * (n_tot - 1))
+        )
+    )
+    return m.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (F.col("r2") - F.col("n_a") * (F.col("n_a") + 1)).alias("u1_x2"),
+        F.round(
+            (u2 - F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            / F.sqrt(var4),
+            6,
+        ).alias("z_score"),
+        F.round(
+            u2
+            / (2.0 * F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            12,
+        ).alias("auc_effect"),
+    )
+
+
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between a reference
+    period (before 2024-01-16) and the current period — the standard
+    model-monitoring drift score (PSI < 0.1 stable, 0.1-0.25 watch,
+    > 0.25 shifted), here over value-decile bins whose edges are PICKED
+    order statistics of the reference sample (rank ceil(i*n/10), no
+    interpolation — both engines select the same parquet cents value).
+
+    Bucketing joins the (type, cents) grouped table against a 9-edge
+    ARRAY per type (collected from a vocabulary-sized frame, broadcast):
+    bucket = 1 + #edges strictly below v.  A (type x bucket 1..10)
+    skeleton left-join guarantees current-period zero buckets
+    contribute, and +1 Laplace smoothing keeps ln finite there.  Each
+    bin term (p-q)*ln(p/q) is quantized 12dp into DECIMAL(28,12) so the
+    per-type sum is order-free and engine-identical.
+
+    Scale: two scans collapse to one (type, cents, period) groupBy
+    bounded by the price grid; edges, skeleton, and the 9-element edge
+    arrays are all vocabulary-sized broadcasts — raw rows shuffle
+    exactly once."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (
+            F.col("ts").cast("timestamp")
+            < F.lit("2024-01-16 00:00:00").cast("timestamp")
+        ).alias("is_ref"),
+    )
+    g = ev.groupBy("event_type", "cents").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).cast("long").alias("nr"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).cast("long").alias("nc"),
+    ).localCheckpoint(eager=False)
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("event_type")
+    cum = (
+        g.where(F.col("nr") > 0)
+        .withColumn("cum", F.sum("nr").over(wcum))
+        .withColumn("n_ref", F.sum("nr").over(wp))
+    )
+    deciles = spark.range(1, 10).select(F.col("id").alias("i"))
+    edges = (
+        cum.crossJoin(F.broadcast(deciles))
+        .where(F.col("cum") >= F.ceil(F.col("i") * F.col("n_ref") / 10))
+        .groupBy("event_type", "i")
+        .agg(F.min("cents").alias("edge"))
+        .groupBy("event_type")
+        .agg(F.array_sort(F.collect_list("edge")).alias("edges"))
+    )
+    bucketed = (
+        g.join(F.broadcast(edges), "event_type")
+        .withColumn(
+            "bucket",
+            (
+                F.size(F.filter("edges", lambda e: e < F.col("cents"))) + 1
+            ).cast("long"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("nr").alias("c_ref"), F.sum("nc").alias("c_cur"))
+    )
+    skeleton = (
+        bucketed.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(spark.range(1, 11).select(F.col("id").alias("bucket"))))
+    )
+    full = (
+        skeleton.join(bucketed, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+        )
+        .withColumn("t_ref", F.sum("c_ref").over(wp))
+        .withColumn("t_cur", F.sum("c_cur").over(wp))
+    )
+    p = (F.col("c_ref") + 1).cast("double") / (F.col("t_ref") + 10).cast("double")
+    q = (F.col("c_cur") + 1).cast("double") / (F.col("t_cur") + 10).cast("double")
+    return (
+        full.withColumn(
+            "term",
+            F.round((p - q) * F.log(p / q), 12).cast("decimal(28,12)"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.first(F.col("t_ref").cast("long")).alias("n_ref"),
+            F.first(F.col("t_cur").cast("long")).alias("n_cur"),
+            F.sum("term").cast("decimal(38,12)").alias("psi"),
+        )
+    )
+
+
+def orders_simpson_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit: the OLS slope of order total vs order
+    date computed POOLED and WITHIN each order-priority stratum — when
+    the within-stratum slopes disagree in sign with the pooled slope,
+    the pooled trend is a mix-shift artifact, not a real effect (the
+    classic aggregation trap any metrics review must rule out).
+
+    Every moment (n, Sx, Sy, Sxy, Sxx over epoch-day x and integer-cent
+    y) is an exact DECIMAL(38,0) sum of BIGINT products (day*cents ~
+    1e11/row, 1e12 rows -> ~1e23, well inside 38 digits); the pooled
+    moments are the SUM of the stratum moments (5 rows), so pooled and
+    stratum slopes come from one scan + one tiny re-aggregation.  The
+    two slope divisions are the only doubles, rounded 6dp.
+
+    Scale: one map-side-combined groupBy on a 5-value key, a 5-row
+    re-agg, a 1-row broadcast back — nothing scales with row count."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01"))
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    strata = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+    )
+    slope = lambda: F.round(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+        6,
+    )
+    pooled = (
+        strata.groupBy()
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sx").alias("sx"),
+            F.sum("sy").alias("sy"),
+            F.sum("sxy").alias("sxy"),
+            F.sum("sxx").alias("sxx"),
+        )
+        .select(slope().alias("pooled_slope"))
+    )
+    return (
+        strata.select(
+            "o_orderpriority",
+            F.col("n").cast("long").alias("n_orders"),
+            slope().alias("stratum_slope"),
+        )
+        .crossJoin(F.broadcast(pooled))
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "stratum_slope",
+            "pooled_slope",
+            (
+                (F.col("stratum_slope") > 0) != (F.col("pooled_slope") > 0)
+            ).alias("sign_reversed"),
+        )
+    )
+
+
+def profile_l_diversity(
+    spark: SparkSession, sf_dir: str, l: int = 3
+) -> DataFrame:
+    """L-diversity audit — the companion to profile_k_anonymity: a
+    k-anonymous class is still unsafe if everyone in it shares the same
+    SENSITIVE value (homogeneity attack), so each (nation, account-band)
+    quasi-identifier class must contain >= l distinct market segments.
+    Also reports entropy l-diversity's integer core: the modal-segment
+    count, since a class dominated by one segment leaks probabilistically
+    even when distinct-l passes.
+
+    One groupBy on (QI, segment) then a re-agg to classes — both
+    map-side combined, cardinality bounded by |nations| x |bands| x
+    |segments|, so the audit costs one scan at any corpus size."""
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("acct_band"),
+        "c_mktsegment",
+    )
+    cells = customer.groupBy("nationkey", "acct_band", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        cells.groupBy("nationkey", "acct_band")
+        .agg(
+            F.sum("n").cast("long").alias("class_size"),
+            F.count(F.lit(1)).cast("long").alias("l_distinct"),
+            F.max("n").cast("long").alias("modal_count"),
+        )
+        .select(
+            "nationkey",
+            "acct_band",
+            "class_size",
+            "l_distinct",
+            "modal_count",
+            (F.col("l_distinct") < l).alias("violates_l"),
+        )
+    )
