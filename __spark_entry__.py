@@ -370,6 +370,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_psi_drift": relational.events_psi_drift,
     "orders_simpson_paradox": relational.orders_simpson_paradox,
     "profile_l_diversity": relational.profile_l_diversity,
+    "text_chao1_vocab": text_fns.text_chao1_vocab,
+    "text_textrank_keywords": mining.text_textrank_keywords,
+    "eval_brier_decomposition": evaluation.eval_brier_decomposition,
+    "events_sprt_decision": relational.events_sprt_decision,
 }
 
 #: Shared SQL fragments for the oracle twins below.
@@ -6578,4 +6582,165 @@ _ORACLES["profile_l_diversity"] = """
            CAST(MAX(n) AS BIGINT) AS modal_count,
            COUNT(*) < 3 AS violates_l
     FROM cells GROUP BY 1, 2
+"""
+
+_ORACLES["text_chao1_vocab"] = r"""
+    WITH toks AS (
+        SELECT UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS w
+        FROM documents),
+    freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w)
+    SELECT CAST(COUNT(*) AS BIGINT) AS v_obs,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+           ROUND(COUNT(*)
+                 + CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   * CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1 AS DOUBLE)
+                   / (2.0 * CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1
+                               AS DOUBLE)),
+                 6) AS chao1,
+           ROUND(1.0 - CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(SUM(c) AS DOUBLE), 6) AS coverage
+    FROM freq
+"""
+
+_ORACLES["text_textrank_keywords"] = r"""
+    WITH toks AS (
+        SELECT string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents),
+    adj AS (
+        SELECT ws[i] AS a, ws[i + 1] AS b
+        FROM toks, UNNEST(range(1, len(ws))) AS t(i)),
+    edges AS (
+        SELECT DISTINCT LEAST(a, b) AS wa, GREATEST(a, b) AS wb
+        FROM adj
+        WHERE LENGTH(a) >= 4 AND LENGTH(b) >= 4 AND a != b),
+    und AS (SELECT wa AS src, wb AS dst FROM edges
+            UNION
+            SELECT wb, wa FROM edges),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM und GROUP BY 1),
+    nodes AS (
+        SELECT DISTINCT w AS node FROM (
+            SELECT UNNEST(ws) AS w FROM toks)
+        WHERE LENGTH(w) >= 4),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, ROUND(1.0 / n.n, 8) AS rank FROM nodes, n),
+    c1 AS (SELECT u.dst AS node, ROUND(r.rank / d.outdeg, 8) AS c
+           FROM und u JOIN r0 r ON u.src = r.node JOIN deg d ON u.src = d.src),
+    i1 AS (SELECT node, ROUND(SUM(c), 8) AS inflow FROM c1 GROUP BY 1),
+    r1 AS (SELECT nd.node,
+                  ROUND((1.0 - 0.85) / n.n
+                        + 0.85 * COALESCE(i.inflow, 0.0), 8) AS rank
+           FROM nodes nd LEFT JOIN i1 i ON nd.node = i.node, n),
+    c2 AS (SELECT u.dst AS node, ROUND(r.rank / d.outdeg, 8) AS c
+           FROM und u JOIN r1 r ON u.src = r.node JOIN deg d ON u.src = d.src),
+    i2 AS (SELECT node, ROUND(SUM(c), 8) AS inflow FROM c2 GROUP BY 1),
+    r2 AS (SELECT nd.node,
+                  ROUND((1.0 - 0.85) / n.n
+                        + 0.85 * COALESCE(i.inflow, 0.0), 8) AS rank
+           FROM nodes nd LEFT JOIN i2 i ON nd.node = i.node, n),
+    c3 AS (SELECT u.dst AS node, ROUND(r.rank / d.outdeg, 8) AS c
+           FROM und u JOIN r2 r ON u.src = r.node JOIN deg d ON u.src = d.src),
+    i3 AS (SELECT node, ROUND(SUM(c), 8) AS inflow FROM c3 GROUP BY 1),
+    r3 AS (SELECT nd.node,
+                  ROUND((1.0 - 0.85) / n.n
+                        + 0.85 * COALESCE(i.inflow, 0.0), 8) AS rank
+           FROM nodes nd LEFT JOIN i3 i ON nd.node = i.node, n)
+    SELECT node AS word, rank AS textrank
+    FROM r3
+    ORDER BY textrank DESC, word ASC
+    LIMIT 15
+"""
+
+_ORACLES["eval_brier_decomposition"] = """
+    WITH ev AS (SELECT event_id,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+                FROM events),
+    scored AS (SELECT y,
+                      CAST(ROUND(
+                          CAST(CASE WHEN y = 1
+                                    THEN 450 + (event_id * 2654435761 + 13) % 549
+                                    ELSE (event_id * 2654435761 + 13) % 700
+                               END AS DOUBLE) / 999.0, 6) AS DECIMAL(9,6)) AS p
+               FROM ev),
+    binned AS (SELECT y, p,
+                      LEAST(9, CAST(FLOOR(CAST(p AS DOUBLE) * 10) AS BIGINT))
+                          AS bin
+               FROM scored),
+    bins AS (SELECT bin,
+                    CAST(COUNT(*) AS BIGINT) AS n_k,
+                    SUM(p) AS sum_p,
+                    CAST(SUM(y) AS BIGINT) AS sum_y,
+                    SUM(CAST(ROUND((CAST(p AS DOUBLE) - y)
+                                   * (CAST(p AS DOUBLE) - y), 12)
+                             AS DECIMAL(18,12))) AS sum_brier
+             FROM binned GROUP BY bin),
+    base AS (SELECT CAST(SUM(n_k) AS BIGINT) AS n,
+                    CAST(SUM(sum_y) AS BIGINT) AS pos,
+                    CAST(SUM(sum_brier) AS DECIMAL(38,12)) AS brier_sum
+             FROM bins),
+    terms AS (SELECT n, pos, brier_sum,
+                     CAST(ROUND(CAST(n_k AS DOUBLE)
+                          * (CAST(sum_p AS DOUBLE) / n_k - CAST(sum_y AS DOUBLE) / n_k)
+                          * (CAST(sum_p AS DOUBLE) / n_k - CAST(sum_y AS DOUBLE) / n_k),
+                          12) AS DECIMAL(28,12)) AS rel_term,
+                     CAST(ROUND(CAST(n_k AS DOUBLE)
+                          * (CAST(sum_y AS DOUBLE) / n_k - CAST(pos AS DOUBLE) / n)
+                          * (CAST(sum_y AS DOUBLE) / n_k - CAST(pos AS DOUBLE) / n),
+                          12) AS DECIMAL(28,12)) AS res_term
+              FROM bins, base)
+    SELECT MIN(n) AS n,
+           MIN(pos) AS n_pos,
+           ROUND(CAST(MIN(brier_sum) AS DOUBLE) / MIN(n), 9) AS brier,
+           ROUND(CAST(SUM(rel_term) AS DOUBLE) / MIN(n), 9) AS reliability,
+           ROUND(CAST(SUM(res_term) AS DOUBLE) / MIN(n), 9) AS resolution,
+           ROUND((CAST(MIN(pos) AS DOUBLE) / MIN(n))
+                 * (1.0 - CAST(MIN(pos) AS DOUBLE) / MIN(n)), 9) AS uncertainty
+    FROM terms
+"""
+
+_ORACLES["events_sprt_decision"] = """
+    WITH ev AS (SELECT event_type,
+                       DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS h,
+                       CASE WHEN CAST(ROUND(value * 100) AS BIGINT) % 2 = 0
+                            THEN 1 ELSE 0 END AS x
+                FROM events),
+    hourly AS (SELECT event_type, h,
+                      CAST(SUM(x) AS BIGINT) AS pos,
+                      CAST(COUNT(*) - SUM(x) AS BIGINT) AS neg
+               FROM ev GROUP BY 1, 2),
+    cum AS (SELECT event_type, h,
+                   SUM(pos) OVER w AS cpos,
+                   SUM(neg) OVER w AS cneg
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY h
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    llrs AS (SELECT event_type, h, cpos, cneg,
+                    CAST(CAST(cpos AS DECIMAL(18,0))
+                             * CAST('0.095310179804' AS DECIMAL(13,12))
+                         + CAST(cneg AS DECIMAL(18,0))
+                             * CAST('-0.105360515658' AS DECIMAL(13,12))
+                         AS DECIMAL(28,12)) AS llr
+             FROM cum),
+    crossed AS (SELECT * FROM llrs
+                WHERE llr >= CAST('2.944438979166' AS DECIMAL(13,12))
+                   OR llr <= CAST('-2.944438979166' AS DECIMAL(13,12))),
+    first_x AS (SELECT event_type, MIN(h) AS decision_hour
+                FROM crossed GROUP BY 1),
+    decided AS (SELECT c.event_type, f.decision_hour,
+                       CAST(c.cpos + c.cneg AS BIGINT) AS n_at_decision,
+                       c.llr AS llr_at_decision,
+                       CASE WHEN c.llr >= CAST('2.944438979166' AS DECIMAL(13,12))
+                            THEN 'accept_h1' ELSE 'accept_h0' END AS decision
+                FROM crossed c JOIN first_x f
+                     ON c.event_type = f.event_type AND c.h = f.decision_hour),
+    all_types AS (SELECT event_type,
+                         CAST(MAX(cpos) + MAX(cneg) AS BIGINT) AS n_total
+                  FROM cum GROUP BY 1)
+    SELECT a.event_type,
+           d.decision_hour,
+           COALESCE(d.n_at_decision, a.n_total) AS n_at_decision,
+           d.llr_at_decision,
+           COALESCE(d.decision, 'continue') AS decision
+    FROM all_types a LEFT JOIN decided d ON a.event_type = d.event_type
 """

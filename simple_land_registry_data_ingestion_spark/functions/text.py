@@ -1462,3 +1462,46 @@ def text_bpe_word_merges(
     for m in merge_rows[1:]:
         out = out.unionAll(m)
     return out
+
+
+def text_chao1_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 species-richness estimate of the UNSEEN vocabulary — the
+    classic answer to "how many distinct tokens would this corpus show
+    if we kept crawling": chao1 = V_obs + f1*(f1-1)/(2*(f2+1)) (the
+    bias-corrected form, defined even when no doubletons exist) where
+    f1/f2 are singleton/doubleton token counts, plus Good-Turing sample
+    coverage 1 - f1/N — the number a curation team reads as "the corpus
+    has converged" (coverage -> 1) or "keep ingesting" (low coverage).
+
+    Everything is integer until the two final divisions (6 dp): one
+    corpus explode, one token-frequency groupBy (vocabulary-sized), one
+    conditional 1-row rollup — the same two-shuffle shape as the
+    vocab/TF-IDF family, so it inherits their 100 TB behavior."""
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(words_col("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return freq.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("v_obs"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("f2"),
+    ).select(
+        "v_obs",
+        "n_tokens",
+        "f1",
+        "f2",
+        F.round(
+            F.col("v_obs")
+            + F.col("f1").cast("double")
+            * (F.col("f1") - 1).cast("double")
+            / (2.0 * (F.col("f2") + 1).cast("double")),
+            6,
+        ).alias("chao1"),
+        F.round(
+            1.0 - F.col("f1").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("coverage"),
+    )

@@ -863,3 +863,88 @@ def eval_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("qini"),
     )
+
+
+def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score — reliability, resolution,
+    uncertainty — for the same planted quality-classifier as
+    eval_calibration_bins: REL measures how far bin-mean predictions sit
+    from bin outcome rates (lower better), RES how much the bins
+    separate outcomes from base rate (higher better), UNC the base-rate
+    entropy floor.  The three-way split is what turns "the Brier is
+    0.21" into "the model is sharp but miscalibrated — recalibrate, not
+    retrain".
+
+    Float discipline: predictions are DECIMAL(9,6) (exact sums), labels
+    integers, so every bin moment (n_k, sum_p, sum_y) is exact; each
+    bin's REL/RES term (one double expression over exact moments) is
+    quantized 12dp into DECIMAL(28,12) before the 10-term sum; the raw
+    Brier reuses the exact per-row-term path of eval_calibration_bins.
+
+    Scale: one scan-stage scoring pass, one 10-key map-side-combined
+    aggregate, a 1-row broadcast of the base rate back onto 10 rows."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    mixed = (F.col("event_id") * 2654435761 + 13).cast("long")
+    raw = F.when(
+        F.col("y") == 1, F.lit(450) + (mixed % 549)
+    ).otherwise(mixed % 700)
+    p = F.round(raw.cast("double") / F.lit(999.0), 6).cast("decimal(9,6)")
+    scored = ev.select(
+        "y",
+        p.alias("p"),
+        F.least(
+            F.lit(9), F.floor(p.cast("double") * 10).cast("long")
+        ).alias("bin"),
+    )
+    brier_term = F.round(
+        (F.col("p").cast("double") - F.col("y"))
+        * (F.col("p").cast("double") - F.col("y")),
+        12,
+    ).cast("decimal(18,12)")
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_k"),
+        F.sum("p").alias("sum_p"),
+        F.sum("y").cast("long").alias("sum_y"),
+        F.sum(brier_term).alias("sum_brier"),
+    )
+    base = bins.groupBy().agg(
+        F.sum("n_k").cast("long").alias("n"),
+        F.sum("sum_y").cast("long").alias("pos"),
+        F.sum("sum_brier").cast("decimal(38,12)").alias("brier_sum"),
+    )
+    j = bins.crossJoin(F.broadcast(base))
+    pbar = F.col("sum_p").cast("double") / F.col("n_k").cast("double")
+    ybar = F.col("sum_y").cast("double") / F.col("n_k").cast("double")
+    ybase = F.col("pos").cast("double") / F.col("n").cast("double")
+    terms = j.select(
+        "n",
+        "pos",
+        "brier_sum",
+        F.round(
+            F.col("n_k").cast("double") * (pbar - ybar) * (pbar - ybar), 12
+        ).cast("decimal(28,12)").alias("rel_term"),
+        F.round(
+            F.col("n_k").cast("double") * (ybar - ybase) * (ybar - ybase), 12
+        ).cast("decimal(28,12)").alias("res_term"),
+    )
+    return terms.groupBy().agg(
+        F.first("n").alias("n"),
+        F.first("pos").alias("n_pos"),
+        F.round(
+            F.first("brier_sum").cast("double") / F.first("n").cast("double"), 9
+        ).alias("brier"),
+        F.round(
+            F.sum("rel_term").cast("double") / F.first("n").cast("double"), 9
+        ).alias("reliability"),
+        F.round(
+            F.sum("res_term").cast("double") / F.first("n").cast("double"), 9
+        ).alias("resolution"),
+        F.round(
+            (F.first("pos").cast("double") / F.first("n").cast("double"))
+            * (1.0 - F.first("pos").cast("double") / F.first("n").cast("double")),
+            9,
+        ).alias("uncertainty"),
+    )

@@ -6524,3 +6524,88 @@ def profile_l_diversity(
             (F.col("l_distinct") < l).alias("violates_l"),
         )
     )
+
+
+def events_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test per event type — the
+    optimal early-stopping monitor (fewest expected observations for
+    given alpha/beta): H0 p=0.5 vs H1 p=0.55 on a Bernoulli derived from
+    the value parity, alpha = beta = 0.05, decide at the first CROSSING
+    of ln(beta/(1-alpha)) / ln((1-beta)/alpha).
+
+    Determinism by construction: the two per-observation log-likelihood
+    increments and both thresholds are PINNED 12-dp literals (runtime ln
+    could differ in the last ulp between engines), so the running LLR
+    after any prefix is n_pos*L1 + n_neg*L0 — an exact DECIMAL(28,12) —
+    and the crossing hour is an exact comparison, not a float race.
+
+    Scale: the test consumes the HOURLY rollup (calendar-bounded, ~8.8k
+    rows/type/year), not raw rows — the cumulative window runs over that
+    small frame, and decision granularity is the hour, which is what a
+    production monitor does anyway.  Output: one row per type with the
+    decision, the crossing hour, and the exact LLR there."""
+    # DECIMAL(13,12) literals keep the cpos*l product inside precision 38
+    # so Spark does NOT shrink the scale (long x DECIMAL(28,12) would hit
+    # the 38-cap and silently truncate to 6 dp)
+    l1 = F.lit("0.095310179804").cast("decimal(13,12)")   # ln(0.55/0.5)
+    l0 = F.lit("-0.105360515658").cast("decimal(13,12)")  # ln(0.45/0.5)
+    upper = F.lit("2.944438979166").cast("decimal(13,12)")   # ln(0.95/0.05)
+    lower = F.lit("-2.944438979166").cast("decimal(13,12)")  # ln(0.05/0.95)
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h"),
+        (F.round(F.col("value") * 100).cast("long") % 2 == 0)
+        .cast("long")
+        .alias("x"),
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.sum("x").cast("long").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("x")).cast("long").alias("neg"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hourly.select(
+        "event_type",
+        "h",
+        F.sum("pos").over(w).alias("cpos"),
+        F.sum("neg").over(w).alias("cneg"),
+    ).withColumn(
+        "llr",
+        (
+            F.col("cpos").cast("decimal(18,0)") * l1
+            + F.col("cneg").cast("decimal(18,0)") * l0
+        ).cast("decimal(28,12)"),
+    )
+    crossed = cum.where((F.col("llr") >= upper) | (F.col("llr") <= lower))
+    first = crossed.groupBy("event_type").agg(F.min("h").alias("decision_hour"))
+    decided = (
+        crossed.join(first, "event_type")
+        .where(F.col("h") == F.col("decision_hour"))
+        .select(
+            "event_type",
+            "decision_hour",
+            (F.col("cpos") + F.col("cneg")).cast("long").alias("n_at_decision"),
+            F.col("llr").alias("llr_at_decision"),
+            F.when(F.col("llr") >= upper, F.lit("accept_h1"))
+            .otherwise(F.lit("accept_h0"))
+            .alias("decision"),
+        )
+    )
+    all_types = cum.groupBy("event_type").agg(
+        (F.max("cpos") + F.max("cneg")).cast("long").alias("n_total")
+    )
+    return (
+        all_types.join(decided, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("decision_hour"),
+            F.coalesce("n_at_decision", "n_total").alias("n_at_decision"),
+            F.coalesce(
+                "llr_at_decision", F.lit(None).cast("decimal(28,12)")
+            ).alias("llr_at_decision"),
+            F.coalesce("decision", F.lit("continue")).alias("decision"),
+        )
+    )
