@@ -374,6 +374,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_textrank_keywords": mining.text_textrank_keywords,
     "eval_brier_decomposition": evaluation.eval_brier_decomposition,
     "events_sprt_decision": relational.events_sprt_decision,
+    "events_lag_xcorr": relational.events_lag_xcorr,
+    "events_entropy_rate": relational.events_entropy_rate,
+    "orders_hill_tail_index": relational.orders_hill_tail_index,
+    "graph_hits_scores": mining.graph_hits_scores,
 }
 
 #: Shared SQL fragments for the oracle twins below.
@@ -6743,4 +6747,110 @@ _ORACLES["events_sprt_decision"] = """
            d.llr_at_decision,
            COALESCE(d.decision, 'continue') AS decision
     FROM all_types a LEFT JOIN decided d ON a.event_type = d.event_type
+"""
+
+_ORACLES["events_lag_xcorr"] = """
+    WITH hourly AS (
+        SELECT event_type, DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY 1, 2),
+    clicks AS (SELECT h AS ch, n AS x FROM hourly WHERE event_type = 'click'),
+    purch AS (SELECT h AS ph, n AS y FROM hourly WHERE event_type = 'purchase'),
+    lagged AS (
+        SELECT CAST(lag AS INTEGER) AS lag, x, y
+        FROM clicks
+        CROSS JOIN (SELECT UNNEST(range(-3, 4)) AS lag)
+        JOIN purch ON ph = ch + to_hours(lag)),
+    m AS (SELECT lag,
+                 CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                 CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+                 CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+                 CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+                 CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+                 CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+          FROM lagged GROUP BY lag)
+    SELECT lag,
+           CAST(n AS BIGINT) AS n_hours,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS xcorr
+    FROM m
+"""
+
+_ORACLES["events_entropy_rate"] = """
+    WITH steps AS (
+        SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS from_type,
+               event_type AS to_type
+        FROM events),
+    counts AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS c
+               FROM steps WHERE from_type IS NOT NULL GROUP BY 1, 2),
+    totals AS (SELECT from_type, CAST(SUM(c) AS BIGINT) AS c_from
+               FROM counts GROUP BY 1),
+    grand AS (SELECT CAST(SUM(c_from) AS BIGINT) AS c_all FROM totals),
+    terms AS (SELECT counts.from_type, c_from,
+                     CAST(ROUND(
+                         -(CAST(c AS DOUBLE) / CAST(c_from AS DOUBLE))
+                         * LN(CAST(c AS DOUBLE) / CAST(c_from AS DOUBLE)), 12)
+                          AS DECIMAL(28,12)) AS term
+              FROM counts JOIN totals USING (from_type))
+    SELECT from_type,
+           MIN(c_from) AS n_from,
+           CAST(SUM(term) AS DECIMAL(38,12)) AS cond_entropy,
+           ROUND(CAST(MIN(c_from) AS DOUBLE) / CAST(MIN(c_all) AS DOUBLE), 6)
+               AS weight
+    FROM terms, grand
+    GROUP BY from_type, c_all
+"""
+
+_ORACLES["orders_hill_tail_index"] = """
+    WITH top AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+        ORDER BY cents DESC, o_orderkey ASC
+        LIMIT 101),
+    ref AS (SELECT MIN(cents) AS ref_cents FROM top),
+    terms AS (SELECT ref_cents,
+                     CAST(ROUND(LN(CAST(cents AS DOUBLE)
+                                   / CAST(ref_cents AS DOUBLE)), 12)
+                          AS DECIMAL(28,12)) AS term
+              FROM top, ref WHERE cents > ref_cents)
+    SELECT ref_cents,
+           CAST(COUNT(*) AS BIGINT) AS k_used,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(term) AS DOUBLE), 6)
+               AS hill_alpha
+    FROM terms GROUP BY ref_cents
+"""
+
+_ORACLES["graph_hits_scores"] = """
+    WITH edges AS (
+        SELECT DISTINCT o_custkey AS u, l_partkey AS p
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    h0 AS (SELECT DISTINCT u, 1.0 AS h FROM edges),
+    a1r AS (SELECT p, ROUND(SUM(h), 8) AS s
+            FROM edges JOIN h0 USING (u) GROUP BY p),
+    a1 AS (SELECT p, ROUND(s / (SELECT MAX(s) FROM a1r), 8) AS a FROM a1r),
+    h1r AS (SELECT u, ROUND(SUM(a), 8) AS s
+            FROM edges JOIN a1 USING (p) GROUP BY u),
+    h1 AS (SELECT u, ROUND(s / (SELECT MAX(s) FROM h1r), 8) AS h FROM h1r),
+    a2r AS (SELECT p, ROUND(SUM(h), 8) AS s
+            FROM edges JOIN h1 USING (u) GROUP BY p),
+    a2 AS (SELECT p, ROUND(s / (SELECT MAX(s) FROM a2r), 8) AS a FROM a2r),
+    h2r AS (SELECT u, ROUND(SUM(a), 8) AS s
+            FROM edges JOIN a2 USING (p) GROUP BY u),
+    h2 AS (SELECT u, ROUND(s / (SELECT MAX(s) FROM h2r), 8) AS h FROM h2r),
+    a3r AS (SELECT p, ROUND(SUM(h), 8) AS s
+            FROM edges JOIN h2 USING (u) GROUP BY p),
+    a3 AS (SELECT p, ROUND(s / (SELECT MAX(s) FROM a3r), 8) AS a FROM a3r),
+    h3r AS (SELECT u, ROUND(SUM(a), 8) AS s
+            FROM edges JOIN a3 USING (p) GROUP BY u),
+    h3 AS (SELECT u, ROUND(s / (SELECT MAX(s) FROM h3r), 8) AS h FROM h3r),
+    top_a AS (SELECT 'authority:part' AS kind, CAST(p AS BIGINT) AS node_id,
+                     a AS score
+              FROM a3 ORDER BY a DESC, p ASC LIMIT 10),
+    top_h AS (SELECT 'hub:customer' AS kind, CAST(u AS BIGINT) AS node_id,
+                     h AS score
+              FROM h3 ORDER BY h DESC, u ASC LIMIT 10)
+    SELECT * FROM top_a UNION ALL SELECT * FROM top_h
 """

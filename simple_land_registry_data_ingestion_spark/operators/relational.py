@@ -6609,3 +6609,157 @@ def events_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("decision", F.lit("continue")).alias("decision"),
         )
     )
+
+
+def events_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the hourly click and purchase
+    volumes — the lead/lag diagnostic behind "clicks precede purchases
+    by how long?": Pearson r between click(h) and purchase(h + lag) for
+    lag in -3..3, the cross-series companion to events_hourly_acf.
+
+    Both series are calendar-bounded BIGINT hourly counts; each lag's
+    moments (n, Sx, Sy, Sxy, Sxx, Syy) are exact integer sums over the
+    ~720-row joined frame, and r is one double expression rounded 6dp —
+    identical on both engines.  The 7 lags come from a broadcast 7-row
+    literal frame crossed onto the TINY hourly rollup, never raw rows;
+    at 100 TB the only corpus-sized work is the one groupBy building the
+    rollup."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h")
+    )
+    hourly = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    clicks = hourly.where(F.col("event_type") == "click").select(
+        F.col("h").alias("ch"), F.col("n").alias("x")
+    )
+    purch = hourly.where(F.col("event_type") == "purchase").select(
+        F.col("h").alias("ph"), F.col("n").alias("y")
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    j = (
+        clicks.crossJoin(F.broadcast(lags))
+        .join(
+            purch,
+            F.col("ph")
+            == F.col("ch") + F.make_interval(hours=F.col("lag")),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    m = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select(
+        "lag",
+        F.col("n").cast("long").alias("n_hours"),
+        F.round(num / den, 6).alias("xcorr"),
+    )
+
+
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical entropy rate of the behavioral Markov chain — the
+    sequence-predictability score on top of events_markov_transitions:
+    per current state, the conditional next-state entropy
+    H_i = -sum_j (c_ij/c_i) ln(c_ij/c_i), plus the state's weight in the
+    chain; the weighted sum over the 5 output rows IS the chain's
+    entropy rate (low = deterministic funnels/bots, high ~ ln(5) =
+    uniform wandering).
+
+    Same per-user lag window as the transition matrix (the one corpus
+    shuffle), then all arithmetic happens on the 25-cell count table:
+    each ln term is one double expression over two exact integers,
+    quantized 12dp into DECIMAL(28,12) before the 5-term sums, so the
+    fold is order-free on both engines."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = events.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).where(F.col("from_type").isNotNull())
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("c").cast("long").alias("c_from"))
+    grand = totals.groupBy().agg(F.sum("c_from").cast("long").alias("c_all"))
+    p = F.col("c").cast("double") / F.col("c_from").cast("double")
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .withColumn(
+            "term",
+            F.round(-p * F.log(p), 12).cast("decimal(28,12)"),
+        )
+        .groupBy("from_type")
+        .agg(
+            F.first("c_from").alias("n_from"),
+            F.sum("term").cast("decimal(38,12)").alias("cond_entropy"),
+        )
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "from_type",
+            "n_from",
+            "cond_entropy",
+            F.round(
+                F.col("n_from").cast("double") / F.col("c_all").cast("double"), 6
+            ).alias("weight"),
+        )
+    )
+
+
+def orders_hill_tail_index(
+    spark: SparkSession, sf_dir: str, k: int = 100
+) -> DataFrame:
+    """Hill estimator of the Pareto tail index of order totals — the
+    heavy-tail gauge that decides whether revenue concentration (and by
+    extension partition skew on amount-keyed aggregations) follows a
+    power law: alpha_hat = k / sum_{i<=k} ln(x_i / x_ref) over the top-k
+    order statistics with x_ref the (k+1)-th.
+
+    Only the top k+1 rows ever leave the executors — Spark plans
+    TakeOrderedAndProject (per-task k+1-row heaps, driver merge), the
+    same shape as sort_topk, so the estimator costs one scan at any
+    corpus size.  The k+1 values are exact parquet cents; each ln ratio
+    is quantized 12dp into DECIMAL(28,12) before the k-term sum, and
+    alpha is one double division rounded 6dp."""
+    orders = load(spark, sf_dir, "orders")
+    top = (
+        orders.select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            "o_orderkey",
+        )
+        .orderBy(F.col("cents").desc(), F.col("o_orderkey"))
+        .limit(k + 1)
+    )
+    ref = top.groupBy().agg(F.min("cents").alias("ref_cents"))
+    return (
+        top.crossJoin(F.broadcast(ref))
+        .where(F.col("cents") > F.col("ref_cents"))
+        .select(
+            "ref_cents",
+            F.round(
+                F.log(F.col("cents").cast("double") / F.col("ref_cents").cast("double")),
+                12,
+            ).cast("decimal(28,12)").alias("term"),
+        )
+        .groupBy("ref_cents")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_used"),
+            F.round(
+                F.count(F.lit(1)).cast("double")
+                / F.sum("term").cast("double"),
+                6,
+            ).alias("hill_alpha"),
+        )
+    )
