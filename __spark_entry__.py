@@ -378,6 +378,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_entropy_rate": relational.events_entropy_rate,
     "orders_hill_tail_index": relational.orders_hill_tail_index,
     "graph_hits_scores": mining.graph_hits_scores,
+    "graph_label_propagation": dedup.graph_label_propagation,
 }
 
 #: Shared SQL fragments for the oracle twins below.
@@ -6853,4 +6854,38 @@ _ORACLES["graph_hits_scores"] = """
                      h AS score
               FROM h3 ORDER BY h DESC, u ASC LIMIT 10)
     SELECT * FROM top_a UNION ALL SELECT * FROM top_h
+"""
+
+_ORACLES["graph_label_propagation"] = f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_CLUSTER_CTE},
+    l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents),
+    n1c AS (SELECT e.dst AS node, l.label, COUNT(*) AS c
+            FROM edges e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+    n1w AS (SELECT node, label FROM (
+                SELECT node, label,
+                       ROW_NUMBER() OVER (PARTITION BY node
+                                          ORDER BY c DESC, label ASC) AS rn
+                FROM n1c) WHERE rn = 1),
+    l1 AS (SELECT l.node, COALESCE(w.label, l.label) AS label
+           FROM l0 l LEFT JOIN n1w w ON l.node = w.node),
+    n2c AS (SELECT e.dst AS node, l.label, COUNT(*) AS c
+            FROM edges e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+    n2w AS (SELECT node, label FROM (
+                SELECT node, label,
+                       ROW_NUMBER() OVER (PARTITION BY node
+                                          ORDER BY c DESC, label ASC) AS rn
+                FROM n2c) WHERE rn = 1),
+    l2 AS (SELECT l.node, COALESCE(w.label, l.label) AS label
+           FROM l1 l LEFT JOIN n2w w ON l.node = w.node),
+    n3c AS (SELECT e.dst AS node, l.label, COUNT(*) AS c
+            FROM edges e JOIN l2 l ON e.src = l.node GROUP BY 1, 2),
+    n3w AS (SELECT node, label FROM (
+                SELECT node, label,
+                       ROW_NUMBER() OVER (PARTITION BY node
+                                          ORDER BY c DESC, label ASC) AS rn
+                FROM n3c) WHERE rn = 1),
+    l3 AS (SELECT l.node, COALESCE(w.label, l.label) AS label
+           FROM l2 l LEFT JOIN n3w w ON l.node = w.node)
+    SELECT node AS doc_id, label AS community FROM l3
 """

@@ -2184,3 +2184,64 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_contrib"),
         )
     )
+
+
+def graph_label_propagation(
+    spark: SparkSession, sf_dir: str, rounds: int = 3
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al.) over the
+    MinHash-LSH candidate graph — COMMUNITY detection, the softer
+    cousin of connected components: where CC merges everything
+    reachable, LPA lets densely-linked groups keep distinct labels, so
+    template farms inside one giant weak component still separate.
+
+    Determinism by total order: each round every node adopts the argmax
+    of its NEIGHBORS' labels by (count desc, label asc) — integer
+    counts, unique ordering — and isolated nodes keep their own label,
+    so the fixed-round result is engine-exact with no float anywhere
+    (the usual LPA random tie-break is replaced by the min-label rule).
+
+    Scale: per round one edge-keyed join + one (node, label) count +
+    one per-node top-1 window over the count table (bounded by degree),
+    the same linear-shuffle loop as pagerank_centrality, lineage
+    truncated per round.  Output: every document's community label."""
+    if rounds < 1:
+        raise ValueError("rounds >= 1 required")
+    docs = load(spark, sf_dir, "documents")
+    cand = minhash_candidate_pairs(docs)
+    und = (
+        cand.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            cand.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = docs.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    )
+    for _ in range(rounds):
+        counts = (
+            und.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("label").asc()
+        )
+        winner = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(winner, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("community")
+    )
