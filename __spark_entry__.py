@@ -379,6 +379,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_hill_tail_index": relational.orders_hill_tail_index,
     "graph_hits_scores": mining.graph_hits_scores,
     "graph_label_propagation": dedup.graph_label_propagation,
+    "events_kruskal_wallis": relational.events_kruskal_wallis,
+    "events_runs_test": relational.events_runs_test,
 }
 
 #: Shared SQL fragments for the oracle twins below.
@@ -6888,4 +6890,91 @@ _ORACLES["graph_label_propagation"] = f"""
     l3 AS (SELECT l.node, COALESCE(w.label, l.label) AS label
            FROM l2 l LEFT JOIN n3w w ON l.node = w.node)
     SELECT node AS doc_id, label AS community FROM l3
+"""
+
+_ORACLES["events_kruskal_wallis"] = """
+    WITH ev AS (SELECT event_type,
+                       CAST(ROUND(value * 100) AS BIGINT) AS cents
+                FROM events),
+    per_tv AS (SELECT cents, event_type, CAST(COUNT(*) AS BIGINT) AS c
+               FROM ev GROUP BY 1, 2),
+    per_v AS (SELECT cents, CAST(SUM(c) AS BIGINT) AS t
+              FROM per_tv GROUP BY 1),
+    ranked AS (SELECT cents, t,
+                      CAST(COALESCE(SUM(t) OVER (ORDER BY cents
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           AS BIGINT) AS cum_prev
+               FROM per_v),
+    drk AS (SELECT cents, t, CAST(2 * cum_prev + t + 1 AS BIGINT) AS dr
+            FROM ranked),
+    groups AS (SELECT event_type,
+                      CAST(SUM(c) AS BIGINT) AS n_g,
+                      CAST(SUM(CAST(c AS DECIMAL(38,0))
+                               * CAST(dr AS DECIMAL(38,0)))
+                           AS DECIMAL(38,0)) AS r2_g
+               FROM per_tv JOIN drk USING (cents) GROUP BY 1),
+    ties AS (SELECT CAST(SUM(t) AS BIGINT) AS n,
+                    CAST(SUM(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))
+                             * CAST(t AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0)))
+                         AS DECIMAL(38,0)) AS tie3
+             FROM drk),
+    hsum AS (SELECT MIN(n) AS n, MIN(tie3) AS tie3,
+                    SUM(CAST(ROUND(CAST(r2_g AS DOUBLE) * CAST(r2_g AS DOUBLE)
+                                   / (4.0 * CAST(n_g AS DOUBLE)), 6)
+                             AS DECIMAL(38,6))) AS sum_term
+             FROM groups, ties),
+    hrow AS (SELECT CAST(n AS BIGINT) AS n,
+                    ROUND(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
+                          * CAST(sum_term AS DOUBLE)
+                          - 3.0 * (CAST(n AS DOUBLE) + 1), 6) AS h_stat,
+                    ROUND((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
+                           * CAST(sum_term AS DOUBLE)
+                           - 3.0 * (CAST(n AS DOUBLE) + 1))
+                          / (1.0 - CAST(tie3 AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6)
+                        AS h_corrected
+             FROM hsum)
+    SELECT event_type, n_g,
+           ROUND(CAST(r2_g AS DOUBLE) / (2.0 * CAST(n_g AS DOUBLE)), 6)
+               AS mean_rank,
+           n, h_stat, h_corrected
+    FROM groups, hrow
+"""
+
+_ORACLES["events_runs_test"] = """
+    WITH hourly AS (
+        SELECT event_type, DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS h,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    med AS (SELECT event_type, n AS median_n FROM (
+                SELECT event_type, n,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY n, h) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS cnt
+                FROM hourly)
+            WHERE rn = FLOOR((cnt + 1) / 2.0)),
+    signed AS (SELECT hourly.event_type, h,
+                      CASE WHEN n > median_n THEN 1 ELSE 0 END AS s
+               FROM hourly JOIN med ON hourly.event_type = med.event_type
+               WHERE n != median_n),
+    lagged AS (SELECT event_type, s,
+                      LAG(s) OVER (PARTITION BY event_type ORDER BY h) AS prev
+               FROM signed),
+    runs AS (SELECT event_type,
+                    CAST(SUM(s) AS BIGINT) AS n1,
+                    CAST(SUM(1 - s) AS BIGINT) AS n2,
+                    CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND s != prev
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+             FROM lagged GROUP BY 1)
+    SELECT event_type,
+           n1 AS n_above,
+           n2 AS n_below,
+           n_runs,
+           ROUND((CAST(n_runs AS DOUBLE)
+                  - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                 / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 6)
+               AS z_score
+    FROM runs
 """

@@ -6763,3 +6763,156 @@ def orders_hill_tail_index(
             ).alias("hill_alpha"),
         )
     )
+
+
+def events_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H: the k-sample extension of events_mann_whitney —
+    do the five event types draw their values from one distribution?
+    The nonparametric ANOVA a metrics review runs before trusting
+    per-type means.
+
+    Same doubled-midrank machinery as the two-sample test, now over the
+    GLOBAL distinct-value table: per value, total count t and per-type
+    counts; doubled midrank 2c+t+1 (exact), per-type doubled rank sums
+    R2_g in DECIMAL(38,0), tie term sum(t^3-t) exact.  H and its
+    tie-corrected form are single double expressions over those exact
+    moments (identical formula both engines, 6dp).
+
+    Scale: the global cumulative window runs over the distinct-cents
+    table (bounded by the price grid, NOT row count); per-type moments
+    are one more groupBy over the same small frame.  Output: one row
+    per type (n_g, mean_rank) with the shared H so the hash certifies
+    the per-group decomposition too."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    per_tv = ev.groupBy("cents", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_v = per_tv.groupBy("cents").agg(F.sum("c").cast("long").alias("t"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.withColumn(
+        "cum_prev", F.coalesce(F.sum("t").over(w), F.lit(0)).cast("long")
+    ).withColumn("dr", (2 * F.col("cum_prev") + F.col("t") + 1).cast("long"))
+    j = per_tv.join(ranked, "cents")
+    groups = j.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_g"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("dr").cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("r2_g"),
+    )
+    ties = ranked.groupBy().agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)")
+            * F.col("t").cast("decimal(38,0)")
+            * F.col("t").cast("decimal(38,0)")
+            - F.col("t").cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("tie3"),
+    )
+    # H = 12/(N(N+1)) * sum_g (R2_g/2)^2 / n_g - 3(N+1); correction
+    # divides by 1 - tie3/(N^3 - N)
+    gm = groups.crossJoin(F.broadcast(ties))
+    term = (
+        F.col("r2_g").cast("double")
+        * F.col("r2_g").cast("double")
+        / (4.0 * F.col("n_g").cast("double"))
+    )
+    hsum = gm.groupBy().agg(
+        F.first("n").alias("n"),
+        F.first("tie3").alias("tie3"),
+        F.sum(F.round(term, 6).cast("decimal(38,6)")).alias("sum_term"),
+    )
+    nd = F.col("n").cast("double")
+    h = (
+        12.0 / (nd * (nd + 1)) * F.col("sum_term").cast("double")
+        - 3.0 * (nd + 1)
+    )
+    hc = h / (1.0 - F.col("tie3").cast("double") / (nd * nd * nd - nd))
+    hrow = hsum.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(h, 6).alias("h_stat"),
+        F.round(hc, 6).alias("h_corrected"),
+    )
+    return (
+        groups.crossJoin(F.broadcast(hrow))
+        .select(
+            "event_type",
+            "n_g",
+            F.round(
+                F.col("r2_g").cast("double") / (2.0 * F.col("n_g").cast("double")),
+                6,
+            ).alias("mean_rank"),
+            "n",
+            "h_stat",
+            "h_corrected",
+        )
+    )
+
+
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event type over the hourly volume
+    series — is traffic RANDOM around its median, or does it cluster
+    (campaign waves, incident plateaus, bot bursts)?  The randomness
+    screen behind events_bot_regularity, now at series level.
+
+    The median is the PICKED lower-median order statistic of the hourly
+    counts (integer, no interpolation); hours equal to it are excluded
+    (the standard convention), signs are integer comparisons, runs are
+    counted with one lag over the calendar-bounded series, and mu/sigma
+    /z use the identical closed form both engines (6dp).  Everything
+    before the final z is exact integer arithmetic.
+
+    Scale: one corpus groupBy to the hourly rollup; both windows
+    (median pick, lag) run over ~8.8k rows/type/year."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h")
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wp = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("n", "h")
+    med = (
+        hourly.withColumn("rn", F.row_number().over(wo))
+        .withColumn("cnt", F.count(F.lit(1)).over(wp))
+        .where(F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+        .select("event_type", F.col("n").alias("median_n"))
+    )
+    signed = (
+        hourly.join(F.broadcast(med), "event_type")
+        .where(F.col("n") != F.col("median_n"))
+        .withColumn("s", (F.col("n") > F.col("median_n")).cast("int"))
+    )
+    wlag = Window.partitionBy("event_type").orderBy("h")
+    runs = signed.withColumn("prev", F.lag("s").over(wlag)).groupBy(
+        "event_type"
+    ).agg(
+        F.sum(F.col("s")).cast("long").alias("n1"),
+        F.sum(1 - F.col("s")).cast("long").alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull() & (F.col("s") != F.col("prev")), 1
+                ).otherwise(0)
+            )
+        ).cast("long").alias("n_runs"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    mu = 2.0 * n1d * n2d / (n1d + n2d) + 1.0
+    var = (
+        2.0 * n1d * n2d * (2.0 * n1d * n2d - n1d - n2d)
+        / ((n1d + n2d) * (n1d + n2d) * (n1d + n2d - 1.0))
+    )
+    return runs.select(
+        "event_type",
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        "n_runs",
+        F.round((F.col("n_runs").cast("double") - mu) / F.sqrt(var), 6).alias(
+            "z_score"
+        ),
+    )
