@@ -76,7 +76,15 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
-    spark = get_spark(app_name="simple-land-registry-bench")
+    # 300+ queries x 2 passes run in ONE local JVM where the driver also
+    # hosts every broadcast and the localCheckpoint block store; the
+    # default 1g heap OOMs in BroadcastExchange late in the run (observed
+    # at ~the 600th noop save).  A real heap matches what any cluster
+    # driver would get; has no effect if a session already exists.
+    spark = get_spark(
+        app_name="simple-land-registry-bench",
+        extra_conf={"spark.driver.memory": "48g"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entry_mod.queries()

@@ -951,3 +951,40 @@ def test_fk_audit_never_forces_fact_broadcast(spark):
     plans.assert_no_cartesian_product(df)
     plan = plans.formatted_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_hill_tail_index_plans_take_ordered(spark):
+    """The Hill estimator must plan TakeOrderedAndProject for the top-k
+    pick (per-task heaps) — a global Sort would be the 100 TB regression."""
+    df = relational.orders_hill_tail_index(spark, SF_ORACLE)
+    p = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p.replace("TakeOrderedAndProject", "")
+
+
+def test_ks_test_windows_run_over_grouped_values(spark):
+    """events_ks_test's windows must sit ABOVE the (type, cents) group —
+    exactly one corpus-wide exchange (the groupBy); everything after is
+    price-grid-sized.  Two shuffles total: the agg + the window
+    repartition on event_type."""
+    df = relational.events_ks_test(spark, SF_ORACLE)
+    assert plans.shuffle_count(df) <= 2, plans.formatted_plan(df)
+
+
+def test_simpson_pooled_row_broadcasts_back(spark):
+    """The 1-row pooled-slope frame must come back via broadcast, never a
+    shuffled join."""
+    df = relational.orders_simpson_paradox(spark, SF_ORACLE)
+    assert plans.broadcast_join_count(df) >= 1
+    plans.assert_no_cartesian_product(df)
+
+
+def test_sprt_consumes_hourly_rollup(spark):
+    """The SPRT window must run over the hourly aggregate, not raw rows:
+    one corpus shuffle for the (type, hour) groupBy, bounded frames
+    after."""
+    df = relational.events_sprt_decision(spark, SF_ORACLE)
+    plans.assert_no_cartesian_product(df)
+    # groupBy + window partition + the decided/all_types join exchanges —
+    # all over calendar-bounded frames; the corpus contributes exactly one
+    assert plans.shuffle_count(df) <= 6, plans.formatted_plan(df)

@@ -120,6 +120,26 @@ QUERIES = {
     "eval_conformal_interval": evaluation.eval_conformal_interval,
     "events_changepoint_binseg": relational.events_changepoint_binseg,
     "text_heaps_law": relational.text_heaps_law,
+    # round-7 third wave: KS/MWU/KW run windows over the DISTINCT-cents
+    # table (price-grid-bounded -> near-flat after the 10x scan); PSI adds
+    # broadcast decile edges; HITS/LPA are edge-linear loop shapes like
+    # pagerank; textrank's word graph is 10x (per-copy renames disjoint
+    # vocabularies); chao1 is one vocab groupBy; hill is top-k flat;
+    # SPRT/xcorr/runs consume the calendar-bounded hourly rollup; entropy
+    # rate is the per-user lag window (10x rows, one shuffle)
+    "events_ks_test": relational.events_ks_test,
+    "events_mann_whitney": relational.events_mann_whitney,
+    "events_psi_drift": relational.events_psi_drift,
+    "events_kruskal_wallis": relational.events_kruskal_wallis,
+    "graph_hits_scores": mining.graph_hits_scores,
+    "graph_label_propagation": dedup.graph_label_propagation,
+    "text_textrank_keywords": mining.text_textrank_keywords,
+    "text_chao1_vocab": text_fns.text_chao1_vocab,
+    "orders_hill_tail_index": relational.orders_hill_tail_index,
+    "events_sprt_decision": relational.events_sprt_decision,
+    "events_entropy_rate": relational.events_entropy_rate,
+    "events_lag_xcorr": relational.events_lag_xcorr,
+    "events_runs_test": relational.events_runs_test,
 }
 
 
@@ -253,8 +273,16 @@ def main() -> None:
         build_lineitem(spark)
         print("built 10x lineitem", file=sys.stderr)
 
+    # optional CLI filter: run only the named queries and MERGE into the
+    # existing artifact (so a new wave doesn't pay for re-timing the rest)
+    only = set(sys.argv[1:])
     result = {"base": BASE, "scaled": SCALED, "copies": COPIES, "queries": {}}
+    prior = Path("/root/repo/BENCH_SCALING.json")
+    if only and prior.exists():
+        result["queries"] = json.loads(prior.read_text()).get("queries", {})
     for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
         t1, r1 = time_query(fn, spark, BASE)
         t10, r10 = time_query(fn, spark, SCALED)
         result["queries"][name] = {
