@@ -381,6 +381,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_label_propagation": dedup.graph_label_propagation,
     "events_kruskal_wallis": relational.events_kruskal_wallis,
     "events_runs_test": relational.events_runs_test,
+    "events_ab_srm_check": relational.events_ab_srm_check,
 }
 
 #: Shared SQL fragments for the oracle twins below.
@@ -6977,4 +6978,20 @@ _ORACLES["events_runs_test"] = """
                         / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))), 6)
                AS z_score
     FROM runs
+"""
+
+_ORACLES["events_ab_srm_check"] = """
+    WITH ev AS (SELECT DISTINCT event_type, user_id,
+                       ((user_id * 2654435761 + 13) % 1000) < 500 AS in_a
+                FROM events),
+    g AS (SELECT event_type,
+                 CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+          FROM ev GROUP BY 1)
+    SELECT event_type, n_a, n_b,
+           ROUND(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+                 / CAST(n_a + n_b AS DOUBLE), 6) AS chi2,
+           ROUND(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+                 / CAST(n_a + n_b AS DOUBLE), 6) > 3.841459 AS srm_detected
+    FROM g
 """

@@ -6916,3 +6916,39 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_score"
         ),
     )
+
+
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard — the FIRST check any A/B readout must
+    pass: if the observed assignment split deviates from the designed
+    50/50 beyond chance, the experiment is corrupted (bot filtering,
+    logging loss, redirect bugs) and every downstream metric is invalid.
+
+    Per event type: observed user-level assignment counts (each USER
+    counted once — events would double-count heavy users), the 1-df
+    chi-square statistic against the designed ratio in exact integer
+    arithmetic ((a-b)^2 / (a+b) needs one double division), and the
+    decision against the pinned 3.841459 critical value (alpha = 0.05)
+    — no p-value machinery, so both engines agree exactly.
+
+    Scale: one distinct on (type, user, cohort) — the same shuffle any
+    per-user metric pays — then a 5-row aggregate."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        ((F.col("user_id") * 2654435761 + 13) % 1000 < 500).alias("in_a"),
+    ).distinct()
+    g = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).cast("long").alias("n_b"),
+    )
+    diff = (F.col("n_a") - F.col("n_b")).cast("double")
+    tot = (F.col("n_a") + F.col("n_b")).cast("double")
+    chi2 = diff * diff / tot
+    return g.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        (F.round(chi2, 6) > 3.841459).alias("srm_detected"),
+    )
