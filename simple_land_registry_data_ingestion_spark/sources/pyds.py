@@ -30,8 +30,10 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StringType, StructField, StructType
 
@@ -116,6 +118,9 @@ class ChunkedCsvDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType):
         return ChunkedCsvStreamReader(schema, dict(self.options))
 
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return ChunkedCsvStreamWriter(dict(self.options))
+
 
 class ChunkedCsvStreamReader(SimpleDataSourceStreamReader):
     """Streaming flavor: TAIL the CSV as it grows.  Offsets are byte
@@ -165,3 +170,74 @@ class ChunkedCsvStreamReader(SimpleDataSourceStreamReader):
             fh.seek(int(start["pos"]))
             data = fh.read(int(end["pos"]) - int(start["pos"]))
         return iter(self._parse(data))
+
+
+class _PartFile(WriterCommitMessage):
+    """Commit message: one executor-written temp part file."""
+
+    def __init__(self, tmp_path: str, n_rows: int):
+        self.tmp_path = tmp_path
+        self.n_rows = n_rows
+
+
+class ChunkedCsvStreamWriter(DataSourceStreamWriter):
+    """Streaming SINK flavor: the reference's CSV encode (``\\N`` for NULL,
+    reference main.py:200,243-291) as a Spark 4 Python DataSource stream
+    writer with a MANIFEST commit protocol.
+
+    Executors write each partition's rows to a hidden temp file and return
+    it as the commit message; ``commit`` (driver, once per micro-batch)
+    renames every part into place and THEN writes ``_manifest-<batch>.json``
+    listing them — a reader that only trusts manifested files sees each
+    batch atomically, the same visibility rule as the parquet
+    ``_SUCCESS``/Iceberg-snapshot discipline and the single-transaction
+    staging swap in sinks.py.  ``abort`` deletes the temp parts, so a
+    failed batch leaves nothing visible.
+
+    Scale note: parts are written executor-parallel; only the rename+
+    manifest (O(#partitions) metadata) runs on the driver — the same
+    commit-coordinator shape as every production table format.
+    """
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator) -> "_PartFile":
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.csv")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fields = [
+                    NULL_SENTINEL if v is None else str(v) for v in row
+                ]
+                fh.write(",".join(fields) + "\n")
+                n += 1
+        return _PartFile(tmp, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+
+        parts = []
+        total = 0
+        for m in messages:
+            if m is None or m.n_rows == 0:
+                if m is not None:
+                    os.remove(m.tmp_path)
+                continue
+            final = os.path.join(
+                self.path, f"part-{batchId}-{len(parts):05d}.csv"
+            )
+            os.replace(m.tmp_path, final)
+            parts.append(os.path.basename(final))
+            total += m.n_rows
+        manifest = os.path.join(self.path, f"_manifest-{batchId}.json")
+        with open(manifest, "w", encoding="utf-8") as fh:
+            json.dump({"batch": batchId, "files": parts, "rows": total}, fh)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)

@@ -122,3 +122,52 @@ def test_streaming_tail_reads_appends_exactly_once(registered, tmp_path):
     with open(path, "a") as fh:
         fh.write(",w\n")  # completes row 4
     assert drain() == [("4", "partial", "w")]
+
+
+def test_stream_writer_commits_batches_atomically(registered, tmp_path):
+    r"""The custom streaming WRITER: rows flow source->sink through the same
+    DataSource, each micro-batch becomes manifested part files (\N for
+    NULL), temp files never linger, and the manifest row counts equal the
+    data exactly."""
+    import json
+    import os
+
+    spark = registered
+    src = tmp_path / "src.csv"
+    src.write_text("1,a,x\n2,\\N,y\n3,c,\\N\n")
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "wckpt")
+
+    stream = (
+        spark.readStream.format("chunked_csv")
+        .option("path", str(src))
+        .option("columns", "id,val,cat")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("chunked_csv")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    files = sorted(os.listdir(out))
+    manifests = [f for f in files if f.startswith("_manifest-")]
+    parts = [f for f in files if f.startswith("part-")]
+    assert manifests, files
+    assert not [f for f in files if f.startswith(".tmp-")], files
+    manifested, total = set(), 0
+    for m in manifests:
+        meta = json.loads((tmp_path / "sink" / m).read_text())
+        manifested.update(meta["files"])
+        total += meta["rows"]
+    assert manifested == set(parts)
+    assert total == 3
+    lines = sorted(
+        line
+        for p in parts
+        for line in (tmp_path / "sink" / p).read_text().splitlines()
+    )
+    assert lines == ["1,a,x", "2,\\N,y", "3,c,\\N"]
