@@ -631,3 +631,27 @@ def test_tfidf_cosine_detects_planted_duplicate_pair(spark):
     assert (1, 2) in out
     assert out[(1, 2)] >= 0.999
     assert not any(3 in pair for pair in out)
+
+
+def test_rank_stats_are_shuffle_partition_invariant(spark):
+    """KS / Mann-Whitney / Kruskal-Wallis are defined by exact integer
+    arithmetic over the distinct-value table — re-running under different
+    shuffle parallelism must give byte-identical results (the property the
+    DECIMAL(38,0) doubled-midrank construction buys; a float rank sum
+    would drift with partial-aggregation order)."""
+    from simple_land_registry_data_ingestion_spark.operators import relational
+    from tests.conftest import SF_ORACLE
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    try:
+        for parts in ["1", "7", "32"]:
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            results.append({
+                "ks": sorted(map(tuple, relational.events_ks_test(spark, SF_ORACLE).collect())),
+                "mwu": sorted(map(tuple, relational.events_mann_whitney(spark, SF_ORACLE).collect())),
+                "kw": sorted(map(tuple, relational.events_kruskal_wallis(spark, SF_ORACLE).collect())),
+            })
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert results[0] == results[1] == results[2]
