@@ -382,6 +382,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_kruskal_wallis": relational.events_kruskal_wallis,
     "events_runs_test": relational.events_runs_test,
     "events_ab_srm_check": relational.events_ab_srm_check,
+    "parts_xyz_classification": relational.parts_xyz_classification,
 }
 
 #: Shared SQL fragments for the oracle twins below.
@@ -6994,4 +6995,31 @@ _ORACLES["events_ab_srm_check"] = """
            ROUND(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
                  / CAST(n_a + n_b AS DOUBLE), 6) > 3.841459 AS srm_detected
     FROM g
+"""
+
+_ORACLES["parts_xyz_classification"] = """
+    WITH weekly AS (
+        SELECT l_partkey,
+               weekofyear(CAST(l_shipdate AS DATE)) AS wk,
+               year(CAST(l_shipdate AS DATE)) AS yr,
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem GROUP BY 1, 2, 3),
+    nw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_weeks
+           FROM (SELECT DISTINCT yr, wk FROM weekly)),
+    m AS (SELECT l_partkey,
+                 CAST(COUNT(*) AS BIGINT) AS active_weeks,
+                 CAST(SUM(CAST(qty AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+                 CAST(SUM(CAST(qty * qty AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+          FROM weekly GROUP BY 1)
+    SELECT l_partkey,
+           active_weeks,
+           CAST(s1 AS BIGINT) AS total_qty,
+           ROUND(SQRT(CAST(CAST(n_weeks AS DECIMAL(38,0)) * s2 - s1 * s1
+                           AS DOUBLE)) / CAST(s1 AS DOUBLE), 6) AS cv,
+           CASE WHEN 4 * (CAST(n_weeks AS DECIMAL(38,0)) * s2 - s1 * s1)
+                     <= s1 * s1 THEN 'X'
+                WHEN CAST(n_weeks AS DECIMAL(38,0)) * s2 - s1 * s1
+                     <= s1 * s1 THEN 'Y'
+                ELSE 'Z' END AS xyz_class
+    FROM m, nw
 """

@@ -6952,3 +6952,55 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         (F.round(chi2, 6) > 3.841459).alias("srm_detected"),
     )
+
+
+def parts_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification — the orthogonal axis to
+    parts_abc_classification (together they make the ABC-XYZ planning
+    matrix): X = steady demand (CV <= 0.5, forecastable), Y = variable
+    (CV <= 1.0), Z = erratic (CV > 1.0, safety-stock only).  CV is the
+    coefficient of variation of the part's WEEKLY demand over the
+    observation range, zero-filled for weeks without orders — skipping
+    empty weeks understates variability, the classic XYZ mistake.
+
+    Exactness: weekly quantities are integer sums; with W weeks and
+    moments S1/S2 (BIGINT, zero-weeks contribute nothing to either), the
+    comparison CV^2 <= t^2 multiplies out to the ALL-INTEGER predicate
+    W*S2 - S1^2 <= t^2 * S1^2 — evaluated in DECIMAL(38,0) with t^2 in
+    fourths (0.25, 1.0), so class boundaries cannot wobble on a double
+    sqrt.  The reported cv itself is one double sqrt, 6dp, display-only.
+
+    Scale: one fact-table groupBy to (part, week) — catalog x 52-sized —
+    then a part-level re-agg; the week count is a broadcast scalar."""
+    li = load(spark, sf_dir, "lineitem")
+    weekly = li.groupBy(
+        "l_partkey",
+        F.weekofyear(F.to_date("l_shipdate")).alias("wk"),
+        F.year(F.to_date("l_shipdate")).alias("yr"),
+    ).agg(F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"))
+    n_weeks = weekly.select("yr", "wk").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_weeks")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    moments = weekly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("active_weeks"),
+        F.sum(dec(F.col("qty"))).alias("s1"),
+        F.sum(dec(F.col("qty") * F.col("qty"))).alias("s2"),
+    )
+    j = moments.crossJoin(F.broadcast(n_weeks))
+    w = dec(F.col("n_weeks"))
+    # var * W^2 = W*S2 - S1^2 (zero weeks included); CV^2 = that / S1^2
+    num = w * F.col("s2") - F.col("s1") * F.col("s1")
+    den = F.col("s1") * F.col("s1")
+    return j.select(
+        "l_partkey",
+        "active_weeks",
+        F.col("s1").cast("long").alias("total_qty"),
+        F.round(
+            F.sqrt(num.cast("double")) / F.col("s1").cast("double"), 6
+        ).alias("cv"),
+        F.when(4 * num <= den, "X")
+        .when(num <= den, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
