@@ -383,6 +383,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_runs_test": relational.events_runs_test,
     "events_ab_srm_check": relational.events_ab_srm_check,
     "parts_xyz_classification": relational.parts_xyz_classification,
+    "customers_rfm_migration": relational.customers_rfm_migration,
 }
 
 #: Shared SQL fragments for the oracle twins below.
@@ -7022,4 +7023,33 @@ _ORACLES["parts_xyz_classification"] = """
                      <= s1 * s1 THEN 'Y'
                 ELSE 'Z' END AS xyz_class
     FROM m, nw
+"""
+
+_ORACLES["customers_rfm_migration"] = """
+    WITH o AS (SELECT o_custkey,
+                      CAST(o_orderdate AS DATE) < DATE '1995-01-01' AS p1,
+                      CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    per_cust AS (SELECT o_custkey,
+                        CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                        CAST(SUM(CASE WHEN p1 THEN cents ELSE 0 END) AS BIGINT) AS m1,
+                        CAST(SUM(CASE WHEN p1 THEN 0 ELSE 1 END) AS BIGINT) AS f2,
+                        CAST(SUM(CASE WHEN p1 THEN 0 ELSE cents END) AS BIGINT) AS m2
+                 FROM o GROUP BY 1),
+    labeled AS (SELECT
+        CASE WHEN f1 <= 0 THEN NULL
+             ELSE 'F' || (CASE WHEN f1 <= 2 THEN 1 WHEN f1 <= 5 THEN 2 ELSE 3 END)
+                  || 'M' || (CASE WHEN m1 <= 3000000 THEN 1
+                                  WHEN m1 <= 9000000 THEN 2 ELSE 3 END)
+        END AS seg_from_raw,
+        CASE WHEN f2 <= 0 THEN NULL
+             ELSE 'F' || (CASE WHEN f2 <= 2 THEN 1 WHEN f2 <= 5 THEN 2 ELSE 3 END)
+                  || 'M' || (CASE WHEN m2 <= 3000000 THEN 1
+                                  WHEN m2 <= 9000000 THEN 2 ELSE 3 END)
+        END AS seg_to_raw
+        FROM per_cust)
+    SELECT COALESCE(seg_from_raw, 'new') AS seg_from,
+           COALESCE(seg_to_raw, 'churned') AS seg_to,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM labeled GROUP BY 1, 2
 """

@@ -7004,3 +7004,66 @@ def parts_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("Z")
         .alias("xyz_class"),
     )
+
+
+def customers_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segment MIGRATION matrix — the customer-base health report on
+    top of customers_rfm_segments: how many customers moved between
+    frequency/monetary bands from the first half of the order history to
+    the second, plus 'new' (absent before) and 'churned' (absent after)
+    rows.  Marketing reads the diagonal as stability, below-diagonal as
+    decay, the churned column as the save-campaign audience.
+
+    Bands use FIXED integer thresholds on exact integer inputs (order
+    count; spend in cents) rather than per-period quantiles — migration
+    needs band definitions that mean the SAME thing in both periods
+    (quantile bands would relabel everyone when the distribution moves,
+    hiding real migration), and integer thresholds are engine-exact.
+
+    Scale: two conditional aggregations in ONE customer-keyed groupBy
+    (no per-period scans), a full-outer-free CASE on presence, one
+    25+2-cell rollup."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.to_date("o_orderdate") < F.lit("1995-01-01")).alias("p1"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("p1"), 1).otherwise(0)).cast("long").alias("f1"),
+        F.sum(F.when(F.col("p1"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("m1"),
+        F.sum(F.when(F.col("p1"), 0).otherwise(1)).cast("long").alias("f2"),
+        F.sum(F.when(F.col("p1"), 0).otherwise(F.col("cents")))
+        .cast("long")
+        .alias("m2"),
+    )
+
+    def seg(f, m):
+        fb = (
+            F.when(f <= 0, None)
+            .when(f <= 2, 1)
+            .when(f <= 5, 2)
+            .otherwise(3)
+        )
+        mb = (
+            F.when(m <= 30_000_00, 1)
+            .when(m <= 90_000_00, 2)
+            .otherwise(3)
+        )
+        return F.when(
+            fb.isNull(), F.lit(None).cast("string")
+        ).otherwise(F.concat(F.lit("F"), fb.cast("string"), F.lit("M"), mb.cast("string")))
+
+    labeled = per_cust.select(
+        seg(F.col("f1"), F.col("m1")).alias("seg_from_raw"),
+        seg(F.col("f2"), F.col("m2")).alias("seg_to_raw"),
+    )
+    return (
+        labeled.select(
+            F.coalesce("seg_from_raw", F.lit("new")).alias("seg_from"),
+            F.coalesce("seg_to_raw", F.lit("churned")).alias("seg_to"),
+        )
+        .groupBy("seg_from", "seg_to")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+    )
