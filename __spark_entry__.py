@@ -384,6 +384,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_ab_srm_check": relational.events_ab_srm_check,
     "parts_xyz_classification": relational.parts_xyz_classification,
     "customers_rfm_migration": relational.customers_rfm_migration,
+    "events_holt_winters_pandas": udfs.events_holt_winters_pandas,
 }
 
 #: Shared SQL fragments for the oracle twins below.
@@ -7052,4 +7053,61 @@ _ORACLES["customers_rfm_migration"] = """
            COALESCE(seg_to_raw, 'churned') AS seg_to,
            CAST(COUNT(*) AS BIGINT) AS n_customers
     FROM labeled GROUP BY 1, 2
+"""
+
+_ORACLES["events_holt_winters_pandas"] = """
+    WITH RECURSIVE cnt AS (
+        SELECT event_type,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+               CAST(COUNT(*) AS DOUBLE) AS c
+        FROM events GROUP BY 1, 2),
+    o AS (SELECT event_type, c,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr)
+                     AS rn
+          FROM cnt),
+    h(event_type, rn, xs, acc, l, b, s, sse) AS (
+        SELECT event_type, rn, [c], c,
+               CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+               CAST([] AS DOUBLE[]), CAST(0.0 AS DOUBLE)
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT e.event_type, e.rn,
+               CASE WHEN e.rn <= 24 THEN list_append(h.xs, e.c)
+                    ELSE h.xs END,
+               CASE WHEN e.rn <= 24 THEN h.acc + e.c ELSE h.acc END,
+               CASE WHEN e.rn <= 23 THEN CAST(0.0 AS DOUBLE)
+                    WHEN e.rn = 24 THEN (h.acc + e.c) / 24.0
+                    ELSE (CAST(0.4 AS DOUBLE) * (e.c - h.s[1]))
+                         + (CAST(0.6 AS DOUBLE) * (h.l + h.b))
+               END,
+               CASE WHEN e.rn <= 24 THEN CAST(0.0 AS DOUBLE)
+                    ELSE (CAST(0.2 AS DOUBLE)
+                           * (((CAST(0.4 AS DOUBLE) * (e.c - h.s[1]))
+                               + (CAST(0.6 AS DOUBLE) * (h.l + h.b))) - h.l))
+                         + (CAST(0.8 AS DOUBLE) * h.b)
+               END,
+               CASE WHEN e.rn <= 23 THEN CAST([] AS DOUBLE[])
+                    WHEN e.rn = 24 THEN list_transform(
+                        list_append(h.xs, e.c),
+                        v -> v - ((h.acc + e.c) / 24.0))
+                    ELSE list_append(h.s[2:],
+                        (CAST(0.3 AS DOUBLE)
+                          * (e.c - ((CAST(0.4 AS DOUBLE) * (e.c - h.s[1]))
+                                    + (CAST(0.6 AS DOUBLE) * (h.l + h.b)))))
+                        + (CAST(0.7 AS DOUBLE) * h.s[1]))
+               END,
+               CASE WHEN e.rn <= 24 THEN CAST(0.0 AS DOUBLE)
+                    ELSE h.sse + ((e.c - ((h.l + h.b) + h.s[1]))
+                                  * (e.c - ((h.l + h.b) + h.s[1])))
+               END
+        FROM h JOIN o e
+          ON e.event_type = h.event_type AND e.rn = h.rn + 1)
+    SELECT event_type, CAST(rn AS BIGINT) AS n_hours,
+           ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+           ROUND((l + b) + s[1], 6) AS forecast_next,
+           ROUND(list_aggregate(s, 'max') - list_aggregate(s, 'min'), 6)
+               AS season_amplitude,
+           ROUND(sse, 6) AS sse
+    FROM h
+    QUALIFY rn >= 25 AND rn = MAX(rn) OVER (PARTITION BY event_type)
 """

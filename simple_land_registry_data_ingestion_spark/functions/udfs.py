@@ -386,3 +386,115 @@ def events_holt_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
     )
     return cnt.groupBy("event_type").applyInPandas(_holt_group, _HOLT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive (triple exponential) smoothing via applyInPandas
+# (round 7) — the THIRD sequential-recursion certification, now with
+# VECTOR state: level, trend, and a 24-slot seasonal array all depend on
+# the previous smoothed state.
+# ---------------------------------------------------------------------------
+
+_HW_SCHEMA = (
+    "event_type string, n_hours long, level double, trend double, "
+    "forecast_next double, season_amplitude double, sse double"
+)
+
+_HW_M = 24
+_HW_ALPHA = 0.4
+_HW_BETA = 0.2
+_HW_GAMMA = 0.3
+# pinned complements (the Holt discipline): never 1.0-x at runtime
+_HW_ALPHA_C = 0.6
+_HW_BETA_C = 0.8
+_HW_GAMMA_C = 0.7
+assert _HW_ALPHA + _HW_ALPHA_C == 1.0
+assert _HW_BETA + _HW_BETA_C == 1.0
+assert _HW_GAMMA + _HW_GAMMA_C == 1.0
+
+
+def _holt_winters_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Sequential additive Holt-Winters fold over one type's ordered
+    hourly counts, season length 24 (hour-of-day).
+
+    Init (documented, mirrored by the oracle): the first 24 observations
+    seed level = their SEQUENTIALLY-accumulated mean (the fold order is
+    part of the contract — a vectorized mean could differ in the last
+    ulp), trend = 0, seasonal[i] = x_i - level.  From observation 25 on:
+        pred = (l + b) + s_head;          sse += (x - pred)^2
+        l' = (a*(x - s_head)) + ((1-a)*(l + b))
+        b' = (g2*(l' - l)) + ((1-g2)*b)
+        s  = shift(s) ++ [(g*(x - l')) + ((1-g)*s_head)]
+    Types with fewer than 25 hours emit nothing (init never completes)."""
+    pdf = pdf.sort_values("hr")
+    xs: list[float] = []
+    acc = 0.0
+    level = 0.0
+    trend = 0.0
+    season: list[float] = []
+    sse = 0.0
+    n = 0
+    for x in pdf["c"]:
+        x = float(x)
+        n += 1
+        if n <= _HW_M - 1:
+            xs.append(x)
+            acc = acc + x
+            continue
+        if n == _HW_M:
+            xs.append(x)
+            acc = acc + x
+            level = acc / 24.0
+            trend = 0.0
+            season = [v - level for v in xs]
+            continue
+        s_head = season[0]
+        pred = (level + trend) + s_head
+        err = x - pred
+        sse = sse + (err * err)
+        l_new = (_HW_ALPHA * (x - s_head)) + (_HW_ALPHA_C * (level + trend))
+        trend = (_HW_BETA * (l_new - level)) + (_HW_BETA_C * trend)
+        season = season[1:] + [(_HW_GAMMA * (x - l_new)) + (_HW_GAMMA_C * s_head)]
+        level = l_new
+    if n < _HW_M + 1:
+        return pd.DataFrame(
+            {c.split(" ")[0]: [] for c in _HW_SCHEMA.split(", ")}
+        )
+    return pd.DataFrame(
+        {
+            "event_type": [str(pdf["event_type"].iloc[0])],
+            "n_hours": [n],
+            "level": [round(level, 6)],
+            "trend": [round(trend, 6)],
+            "forecast_next": [round((level + trend) + season[0], 6)],
+            "season_amplitude": [round(max(season) - min(season), 6)],
+            "sse": [round(sse, 6)],
+        }
+    )
+
+
+def events_holt_winters_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive smoothing per event type over the hourly
+    count series — the third sequential-recursion certification
+    (CUSUM: scalar state; Holt: level+trend; this: level+trend+a 24-slot
+    seasonal VECTOR, the state no window frame or matrix trick can
+    express).  The DuckDB twin replays the identical recursion carrying
+    the seasonal array as a DOUBLE[] list column through a recursive
+    CTE — shift = s[2:] list_append — and the driver hash-compares the
+    float recursion bit-for-bit, including the sequentially-accumulated
+    init mean.
+
+    Scale shape: identical to Holt — one full-data shuffle to the
+    |types| x |hours| rollup, then an O(hours) Arrow fold with O(m)
+    state per type."""
+    cnt = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    return cnt.groupBy("event_type").applyInPandas(
+        _holt_winters_group, _HW_SCHEMA
+    )

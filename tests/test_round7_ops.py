@@ -227,3 +227,31 @@ def test_hill_boundary_ties_drop_by_value(spark, tmp_path):
     assert len(out) == 1
     assert out[0]["ref_cents"] == 10000
     assert out[0]["k_used"] == 1  # only 200.00 sits strictly above the ref
+
+
+def test_holt_winters_complements_and_short_series(spark, tmp_path):
+    """HW complement literals track alpha/beta/gamma, and a type with
+    fewer than 25 hours emits NOTHING (init never completes)."""
+    from datetime import datetime
+
+    from simple_land_registry_data_ingestion_spark.functions import udfs
+
+    assert udfs._HW_ALPHA + udfs._HW_ALPHA_C == 1.0
+    assert udfs._HW_BETA + udfs._HW_BETA_C == 1.0
+    assert udfs._HW_GAMMA + udfs._HW_GAMMA_C == 1.0
+
+    rows = {
+        "event_id": list(range(30)),
+        # 'view': 26 hourly points (emits); 'click': 4 points (silent)
+        "ts": [datetime(2024, 1, 1 + i // 24, i % 24) for i in range(26)]
+        + [datetime(2024, 1, 1, i) for i in range(4)],
+        "user_id": list(range(30)),
+        "event_type": ["view"] * 26 + ["click"] * 4,
+        "value": [1.0] * 30,
+        "props": ["{}"] * 30,
+    }
+    out = udfs.events_holt_winters_pandas(
+        spark, _write_events(tmp_path, rows)
+    ).collect()
+    assert {r["event_type"] for r in out} == {"view"}
+    assert out[0]["n_hours"] == 26
