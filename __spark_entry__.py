@@ -385,6 +385,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parts_xyz_classification": relational.parts_xyz_classification,
     "customers_rfm_migration": relational.customers_rfm_migration,
     "events_holt_winters_pandas": udfs.events_holt_winters_pandas,
+    "events_kalman_level": udfs.events_kalman_level,
 }
 
 #: Shared SQL fragments for the oracle twins below.
@@ -7110,4 +7111,39 @@ _ORACLES["events_holt_winters_pandas"] = """
            ROUND(sse, 6) AS sse
     FROM h
     QUALIFY rn >= 25 AND rn = MAX(rn) OVER (PARTITION BY event_type)
+"""
+
+_ORACLES["events_kalman_level"] = """
+    WITH RECURSIVE cnt AS (
+        SELECT event_type,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+               CAST(COUNT(*) AS DOUBLE) AS c
+        FROM events GROUP BY 1, 2),
+    o AS (SELECT event_type, c,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr)
+                     AS rn
+          FROM cnt),
+    h(event_type, rn, l, p, k, issq) AS (
+        SELECT event_type, rn, c, CAST(25.0 AS DOUBLE),
+               CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT e.event_type, e.rn,
+               h.l + (((h.p + CAST(4.0 AS DOUBLE))
+                       / ((h.p + CAST(4.0 AS DOUBLE)) + CAST(25.0 AS DOUBLE)))
+                      * (e.c - h.l)),
+               (CAST(1.0 AS DOUBLE)
+                - ((h.p + CAST(4.0 AS DOUBLE))
+                   / ((h.p + CAST(4.0 AS DOUBLE)) + CAST(25.0 AS DOUBLE))))
+               * (h.p + CAST(4.0 AS DOUBLE)),
+               ((h.p + CAST(4.0 AS DOUBLE))
+                / ((h.p + CAST(4.0 AS DOUBLE)) + CAST(25.0 AS DOUBLE))),
+               h.issq + ((e.c - h.l) * (e.c - h.l))
+        FROM h JOIN o e
+          ON e.event_type = h.event_type AND e.rn = h.rn + 1)
+    SELECT event_type, CAST(rn AS BIGINT) AS n_hours,
+           ROUND(l, 6) AS level, ROUND(p, 6) AS variance,
+           ROUND(k, 6) AS gain_last, ROUND(issq, 6) AS innovation_ssq
+    FROM h
+    QUALIFY rn = MAX(rn) OVER (PARTITION BY event_type)
 """

@@ -498,3 +498,83 @@ def events_holt_winters_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cnt.groupBy("event_type").applyInPandas(
         _holt_winters_group, _HW_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Kalman local-level filter via applyInPandas (round 7) — the FOURTH
+# sequential-recursion certification, and the first with a TIME-VARYING
+# gain: K_t = P/(P+R) changes every step, so unlike CUSUM/Holt/HW the
+# recursion is not a fixed linear fold.
+# ---------------------------------------------------------------------------
+
+_KALMAN_SCHEMA = (
+    "event_type string, n_hours long, level double, variance double, "
+    "gain_last double, innovation_ssq double"
+)
+
+_KALMAN_Q = 4.0    # process noise (counts/hour drift)
+_KALMAN_R = 25.0   # observation noise
+
+
+def _kalman_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Sequential local-level Kalman fold over one type's ordered hourly
+    counts.  Init: level = x_1, P = R.  Per step:
+        P_pred = P + Q;  K = P_pred / (P_pred + R)
+        innov = x - level;  issq += innov^2
+        level = level + (K * innov);  P = (1.0 - K) * P_pred
+    (1.0 - K) is computed at runtime in BOTH engines — identical
+    expression, identical operand, so it is still bit-pinned; the
+    complement-literal trick is impossible here because K is data-
+    dependent, which is exactly what this certification adds."""
+    pdf = pdf.sort_values("hr")
+    level = None
+    p = _KALMAN_R
+    k = 0.0
+    issq = 0.0
+    n = 0
+    for x in pdf["c"]:
+        x = float(x)
+        n += 1
+        if level is None:
+            level = x
+            continue
+        p_pred = p + _KALMAN_Q
+        k = p_pred / (p_pred + _KALMAN_R)
+        innov = x - level
+        issq = issq + (innov * innov)
+        level = level + (k * innov)
+        p = (1.0 - k) * p_pred
+    return pd.DataFrame(
+        {
+            "event_type": [str(pdf["event_type"].iloc[0])],
+            "n_hours": [n],
+            "level": [round(level, 6)],
+            "variance": [round(p, 6)],
+            "gain_last": [round(k, 6)],
+            "innovation_ssq": [round(issq, 6)],
+        }
+    )
+
+
+def events_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman local-level filter per event type over hourly counts —
+    the online denoiser/nowcaster (the steady-state gain it converges to
+    IS the optimal EMA alpha for this noise ratio), and the fourth
+    sequential-recursion certification: the gain K_t = P/(P+R) is
+    DATA-INDEPENDENT but STEP-VARYING, so the fold is a nonstationary
+    recursion no closed form or window replaces.  The DuckDB twin
+    replays it in a recursive CTE; the driver hash-compares level,
+    posterior variance, final gain, and the innovation sum of squares
+    bit-for-bit.
+
+    Scale shape: the Holt family's — one shuffle to the hourly rollup,
+    O(hours) Arrow fold, O(1) state per type."""
+    cnt = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    return cnt.groupBy("event_type").applyInPandas(_kalman_group, _KALMAN_SCHEMA)
