@@ -255,3 +255,27 @@ def test_holt_winters_complements_and_short_series(spark, tmp_path):
     ).collect()
     assert {r["event_type"] for r in out} == {"view"}
     assert out[0]["n_hours"] == 26
+
+
+def test_kalman_single_observation_state(spark, tmp_path):
+    """One observation = init only: level is the observation, posterior
+    variance stays at R, gain never computed (0), zero innovation."""
+    from datetime import datetime
+
+    from simple_land_registry_data_ingestion_spark.functions import udfs
+
+    rows = {
+        "event_id": [1],
+        "ts": [datetime(2024, 1, 1, 0)],
+        "user_id": [1],
+        "event_type": ["view"],
+        "value": [1.0],
+        "props": ["{}"],
+    }
+    out = udfs.events_kalman_level(spark, _write_events(tmp_path, rows)).collect()
+    r = out[0]
+    assert r["n_hours"] == 1
+    assert r["level"] == 1.0
+    assert r["variance"] == 25.0
+    assert r["gain_last"] == 0.0
+    assert r["innovation_ssq"] == 0.0
