@@ -331,7 +331,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_ohlc_candles": stream_ops.stream_ohlc_candles,
     "scalar_variant_funcs": scalars.scalar_variant_funcs,
     # ---- round-7 additions (no driver evidence yet; queue behind the
-    # r08 leaders above, locally proven by tests/test_oracle_parity.py) ----
+    # r08 leaders above, locally proven by tests/test_oracle_parity.py).
+    # r08 ROTATION NOTE: the r08 window should take (a) the 15-query
+    # "r07 overflow" block above, (b) the round-3 rows below, then as
+    # many of these round-7 additions as fit; the wave-3 tail
+    # (events_ks_test .. events_kalman_level) leads r09. ----
     "eval_ndcg_at_k": evaluation.eval_ndcg_at_k,
     "eval_rank_correlation": evaluation.eval_rank_correlation,
     "eval_cohens_kappa": evaluation.eval_cohens_kappa,
