@@ -390,6 +390,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_rfm_migration": relational.customers_rfm_migration,
     "events_holt_winters_pandas": udfs.events_holt_winters_pandas,
     "events_kalman_level": udfs.events_kalman_level,
+    "agg_ams_f2_sketch": sketches.agg_ams_f2_sketch,
+    "agg_kmv_distinct": sketches.agg_kmv_distinct,
 }
 
 #: Shared SQL fragments for the oracle twins below.
@@ -7150,4 +7152,62 @@ _ORACLES["events_kalman_level"] = """
            ROUND(k, 6) AS gain_last, ROUND(issq, 6) AS innovation_ssq
     FROM h
     QUALIFY rn = MAX(rn) OVER (PARTITION BY event_type)
+"""
+
+_ORACLES["agg_ams_f2_sketch"] = """
+    WITH ev AS (SELECT event_type, user_id FROM events),
+    signed AS (SELECT event_type,
+    """ + ",\n    ".join(
+        f"CASE WHEN (instr('0123456789abcdef', "
+        f"substring(md5(CAST(user_id AS VARCHAR) || ':{j}'), 4, 1)) - 1) % 2 = 0 "
+        f"THEN 1 ELSE -1 END AS s{j}" for j in range(16)
+    ) + """
+        FROM ev),
+    zs AS (SELECT event_type,
+    """ + ",\n    ".join(
+        f"CAST(SUM(s{j}) AS BIGINT) AS z{j}" for j in range(16)
+    ) + """,
+                  CAST(COUNT(*) AS BIGINT) AS n_rows
+           FROM signed GROUP BY event_type),
+    est AS (SELECT event_type, n_rows,
+                   CAST((""" + " + ".join(
+        f"CAST(z{j} AS DECIMAL(38,0)) * CAST(z{j} AS DECIMAL(38,0))"
+        for j in range(16)
+    ) + """) / 16 AS DECIMAL(38,0)) AS f2_estimate
+            FROM zs),
+    exact AS (SELECT event_type,
+                     CAST(SUM(CAST(f AS DECIMAL(38,0)) * CAST(f AS DECIMAL(38,0)))
+                          AS DECIMAL(38,0)) AS f2_exact
+              FROM (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS f
+                    FROM ev GROUP BY 1, 2)
+              GROUP BY event_type)
+    SELECT est.event_type, n_rows, f2_estimate, f2_exact,
+           ROUND(ABS(CAST(f2_estimate AS DOUBLE) - CAST(f2_exact AS DOUBLE))
+                 / CAST(f2_exact AS DOUBLE), 6) AS rel_error
+    FROM est JOIN exact ON est.event_type = exact.event_type
+"""
+
+_ORACLES["agg_kmv_distinct"] = """
+    WITH ev AS (SELECT DISTINCT event_type, user_id FROM events),
+    hashed AS (SELECT event_type,
+                      list_sum(list_transform(range(1, 13), i ->
+                          (instr('0123456789abcdef',
+                                 md5(CAST(user_id AS VARCHAR))[i:i]) - 1)
+                          * (16 ** (12 - i)))) / 281474976710656.0 AS h
+               FROM ev),
+    ranked AS (SELECT event_type, h,
+                      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+                          AS rn
+               FROM hashed),
+    kth AS (SELECT event_type, h AS h_k FROM ranked WHERE rn = 256),
+    exact AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS d_exact
+              FROM ev GROUP BY 1)
+    SELECT exact.event_type, d_exact,
+           CAST(CASE WHEN h_k IS NOT NULL THEN ROUND(255 / h_k, 0)
+                     ELSE CAST(d_exact AS DOUBLE) END AS BIGINT) AS d_estimate,
+           ROUND(ABS(CASE WHEN h_k IS NOT NULL THEN ROUND(255 / h_k, 0)
+                          ELSE CAST(d_exact AS DOUBLE) END
+                     - CAST(d_exact AS DOUBLE))
+                 / CAST(d_exact AS DOUBLE), 6) AS rel_error
+    FROM exact LEFT JOIN kth ON exact.event_type = kth.event_type
 """

@@ -513,3 +513,133 @@ def agg_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("((est_size - exact_size) * 1000000) div exact_size")
         .alias("overestimate_ppm"),
     )
+
+
+def agg_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) F2 sketch — the second frequency moment
+    of the user_id stream per event type, i.e. the SELF-join size, from
+    16 independent +/-1 sign estimators: Z_j = sum_i s_j(i) * f_i, each
+    Z_j^2 an unbiased F2 estimate, reported as the MEAN of the 16 (the
+    classic variance reduction).  F2/self-join size is the optimizer
+    statistic behind skew detection: F2 >> N means a few heavy keys.
+
+    Determinism: signs come from md5(user_id : j) parity, so every Z_j
+    is an exact BIGINT (sum of +/-1 times integer frequencies —
+    computable STREAMING as sum over rows of s_j, no per-key state);
+    the certification row carries the EXACT F2 (one distinct-key
+    groupBy, the thing the sketch avoids at scale) and the relative
+    error — the driver hash certifies estimator and truth together.
+
+    Scale: the 16 sign sums are ONE map-side-combined aggregate over the
+    scan (16 numbers per partition); only the certification side pays
+    the key shuffle, and a production deployment drops it."""
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    signs = [
+        (
+            F.when(
+                F.conv(F.substring(F.md5(F.concat(F.col("user_id").cast("string"),
+                                                  F.lit(f":{j}"))), 1, 4), 16, 10)
+                .cast("long") % 2 == 0,
+                1,
+            ).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(16)
+    ]
+    signed = ev.select("event_type", *signs)
+    zs = signed.groupBy("event_type").agg(
+        *[F.sum(F.col(f"s{j}")).cast("long").alias(f"z{j}") for j in range(16)],
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    est = sum(
+        (F.col(f"z{j}").cast("decimal(38,0)") * F.col(f"z{j}").cast("decimal(38,0)"))
+        for j in range(16)
+    )
+    exact = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("f").cast("decimal(38,0)") * F.col("f").cast("decimal(38,0)")
+            ).cast("decimal(38,0)").alias("f2_exact")
+        )
+    )
+    j = zs.join(exact, "event_type").withColumn(
+        "f2_estimate", (est / 16).cast("decimal(38,0)")
+    )
+    return j.select(
+        "event_type",
+        "n_rows",
+        "f2_estimate",
+        F.col("f2_exact"),
+        F.round(
+            F.abs(
+                F.col("f2_estimate").cast("double")
+                - F.col("f2_exact").cast("double")
+            )
+            / F.col("f2_exact").cast("double"),
+            6,
+        ).alias("rel_error"),
+    )
+
+
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str, k: int = 256) -> DataFrame:
+    """KMV (k-minimum values) distinct-count sketch per event type — the
+    order-statistics alternative to HLL: hash every key into [0,1), keep
+    the k smallest, estimate D ~ (k-1)/h_(k) (Bar-Yossef et al.).  KMV's
+    edge over HLL is MERGEABILITY WITH SET OPERATIONS (intersections via
+    the combined k-sample), and its state is k exact hashes — this op
+    certifies the estimator against the exact distinct count in the same
+    row, the agg_hll_mergeable discipline.
+
+    Determinism: the hash is the first 12 hex digits of md5 scaled into
+    [0,1) — a fixed-point rational both engines compute identically; the
+    k-th order statistic is a PICK over exact values (per-type top-k via
+    the same per-task-heap shape as sort_topk).
+
+    Scale: one (type, user) distinct then a bounded top-k window —
+    at production scale the distinct collapses into per-partition
+    k-min-heaps (aggregate state k hashes), which is the point."""
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+        ).cast("long")
+        / F.lit(float(16 ** 12))
+    ).alias("h")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = ev.select("event_type", h).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    kth = ranked.where(F.col("rn") == k).select(
+        "event_type", F.col("h").alias("h_k")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("d_exact")
+    )
+    return (
+        exact.join(kth, "event_type", "left")
+        .select(
+            "event_type",
+            "d_exact",
+            F.when(
+                F.col("h_k").isNotNull(),
+                F.round((k - 1) / F.col("h_k"), 0),
+            )
+            .otherwise(F.col("d_exact").cast("double"))
+            .cast("long")
+            .alias("d_estimate"),
+            F.round(
+                F.abs(
+                    F.when(
+                        F.col("h_k").isNotNull(), F.round((k - 1) / F.col("h_k"), 0)
+                    ).otherwise(F.col("d_exact").cast("double"))
+                    - F.col("d_exact").cast("double")
+                )
+                / F.col("d_exact").cast("double"),
+                6,
+            ).alias("rel_error"),
+        )
+    )
