@@ -3,7 +3,8 @@ drift operators composed into the single long-format report a scheduled
 monitoring job publishes per snapshot.
 
     contract checks ..... expectations suite pass/fail counts,
-                          referential-integrity orphan ppm per FK edge
+                          referential-integrity orphan ppm per FK edge,
+                          sample-ratio-mismatch chi-square per type
     drift ............... PSI per event type (ref vs current period),
                           two-sample KS D per event type
     distribution ........ chi-square total over value bands,
@@ -55,6 +56,12 @@ def run_monitoring_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("psi").cast("double").alias("value"),
         (F.col("psi").cast("double") > 0.25).alias("alarmed"),
     )
+    srm = relational.events_ab_srm_check(spark, sf_dir).select(
+        F.lit("contract").alias("family"),
+        F.concat(F.lit("srm:"), F.col("event_type")).alias("check"),
+        F.col("chi2").alias("value"),
+        F.col("srm_detected").alias("alarmed"),
+    )
     ks = relational.events_ks_test(spark, sf_dir).select(
         F.lit("drift").alias("family"),
         F.concat(F.lit("ks:"), F.col("event_type")).alias("check"),
@@ -84,7 +91,7 @@ def run_monitoring_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = expect
-    for frame in [fk, psi, ks, chi, benford]:
+    for frame in [fk, srm, psi, ks, chi, benford]:
         out = out.unionByName(frame)
     return out
 

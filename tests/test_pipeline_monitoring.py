@@ -20,6 +20,7 @@ def test_monitoring_report_covers_all_families(spark):
     assert sum(c.startswith("psi:") for c in checks) == 5
     assert sum(c.startswith("ks:") for c in checks) == 5
     assert any(c.startswith("fk:") for c in checks)
+    assert sum(c.startswith("srm:") for c in checks) == 5
     assert any(c.startswith("expect:") for c in checks)
     assert all(r["value"] is not None for r in rows)
 
