@@ -392,6 +392,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_kalman_level": udfs.events_kalman_level,
     "agg_ams_f2_sketch": sketches.agg_ams_f2_sketch,
     "agg_kmv_distinct": sketches.agg_kmv_distinct,
+    "geo_nearest_hub": relational.geo_nearest_hub,
 }
 
 #: Shared SQL fragments for the oracle twins below.
@@ -7210,4 +7211,39 @@ _ORACLES["agg_kmv_distinct"] = """
                      - CAST(d_exact AS DOUBLE))
                  / CAST(d_exact AS DOUBLE), 6) AS rel_error
     FROM exact LEFT JOIN kth ON exact.event_type = kth.event_type
+"""
+
+_ORACLES["geo_nearest_hub"] = """
+    WITH hubs(hub_id, hlat, hlon, hcos) AS (VALUES
+        (1, 40.7, -74.0, 0.758134),
+        (2, 51.5, -0.1, 0.622515),
+        (3, 35.7, 139.7, 0.812084),
+        (4, -33.9, 151.2, 0.830012),
+        (5, 19.4, -99.1, 0.943223),
+        (6, 52.5, 13.4, 0.608761),
+        (7, 1.35, 103.8, 0.999722),
+        (8, -23.55, -46.63, 0.916712)),
+    cust AS (SELECT c_custkey AS k,
+                    -60.0 + CAST((c_custkey * 2654435761 + 97) % 12000
+                                 AS DOUBLE) / 100.0 AS lat,
+                    -180.0 + CAST((c_custkey * 40503 + 11) % 36000
+                                  AS DOUBLE) / 100.0 AS lon
+             FROM customer),
+    scored AS (SELECT k, hub_id,
+                      (lat - hlat) * (lat - hlat)
+                      + ((lon - hlon) * hcos) * ((lon - hlon) * hcos) AS d2,
+                      ROW_NUMBER() OVER (PARTITION BY k
+                          ORDER BY (lat - hlat) * (lat - hlat)
+                                   + ((lon - hlon) * hcos)
+                                     * ((lon - hlon) * hcos),
+                                   hub_id) AS rn
+               FROM cust CROSS JOIN hubs),
+    assigned AS (SELECT k, hub_id,
+                        CAST(ROUND(d2, 6) AS DECIMAL(28,6)) AS d2q
+                 FROM scored WHERE rn = 1)
+    SELECT CAST(hub_id AS INTEGER) AS hub_id,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           MIN(d2q) AS min_d2,
+           CAST(SUM(d2q) AS DECIMAL(38,6)) AS sum_d2
+    FROM assigned GROUP BY hub_id
 """

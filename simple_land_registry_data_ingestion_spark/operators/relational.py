@@ -7067,3 +7067,85 @@ def customers_rfm_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("seg_from", "seg_to")
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
     )
+
+
+#: Hub table for geo_nearest_hub: (id, lat, lon, cos(lat) PINNED 6dp —
+#: the Fourier trig-table discipline: runtime cos could differ in the
+#: last ulp between engines, a Python-precomputed literal cannot).
+_GEO_HUBS = [
+    (1, 40.7, -74.0, 0.758134),
+    (2, 51.5, -0.1, 0.622515),
+    (3, 35.7, 139.7, 0.812084),
+    (4, -33.9, 151.2, 0.830012),
+    (5, 19.4, -99.1, 0.943223),
+    (6, 52.5, 13.4, 0.608761),
+    (7, 1.35, 103.8, 0.999722),
+    (8, -23.55, -46.63, 0.916712),
+]
+
+
+def geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-facility assignment — the geo primitive behind shard
+    placement, CDN routing, and territory design: every customer gets a
+    deterministic PLANTED coordinate (the corpus carries no geo columns;
+    hash-planting is the established pattern from the propensity ops),
+    and is assigned to the closest of 8 fixed hubs under the
+    equirectangular metric d^2 = dlat^2 + (dlon * cos(hub_lat))^2 —
+    deliberately trig-free at runtime: the cos factors are PYTHON-
+    precomputed 6dp literals injected into both engines, so the
+    distance is pure shared-literal double arithmetic and the argmin
+    (min over a 8-element struct array, hub id tiebreak) is engine-
+    exact.
+
+    Scale: the hub table is a broadcast literal; assignment is a
+    scan-stage expression (a transform over an 8-element array — no
+    join at all), then one 8-key map-side-combined rollup."""
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        (
+            -60.0
+            + ((F.col("c_custkey") * 2654435761 + 97) % 12000).cast("double")
+            / 100.0
+        ).alias("lat"),
+        (
+            -180.0
+            + ((F.col("c_custkey") * 40503 + 11) % 36000).cast("double")
+            / 100.0
+        ).alias("lon"),
+    )
+    hubs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("hub_id"),
+                F.lit(la).alias("hlat"),
+                F.lit(lo).alias("hlon"),
+                F.lit(cl).alias("hcos"),
+            )
+            for i, la, lo, cl in _GEO_HUBS
+        ]
+    )
+    best = F.array_min(
+        F.transform(
+            hubs,
+            lambda h: F.struct(
+                (
+                    (F.col("lat") - h["hlat"]) * (F.col("lat") - h["hlat"])
+                    + ((F.col("lon") - h["hlon"]) * h["hcos"])
+                    * ((F.col("lon") - h["hlon"]) * h["hcos"])
+                ).alias("d2"),
+                h["hub_id"].alias("hub_id"),
+            ),
+        )
+    )
+    assigned = customer.select(
+        "k",
+        best["hub_id"].alias("hub_id"),
+        # 6dp, NOT 12: d2 reaches ~1e5 where ulp ~ 1.5e-11 — a 12dp
+        # quantum would sit AT the ulp and round as a coin flip per engine
+        F.round(best["d2"], 6).cast("decimal(28,6)").alias("d2q"),
+    )
+    return assigned.groupBy("hub_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.min("d2q").alias("min_d2"),
+        F.sum("d2q").cast("decimal(38,6)").alias("sum_d2"),
+    )
