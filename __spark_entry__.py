@@ -393,6 +393,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_ams_f2_sketch": sketches.agg_ams_f2_sketch,
     "agg_kmv_distinct": sketches.agg_kmv_distinct,
     "geo_nearest_hub": relational.geo_nearest_hub,
+    "sample_ipf_raking": relational.sample_ipf_raking,
 }
 
 #: Shared SQL fragments for the oracle twins below.
@@ -7246,4 +7247,55 @@ _ORACLES["geo_nearest_hub"] = """
            MIN(d2q) AS min_d2,
            CAST(SUM(d2q) AS DECIMAL(38,6)) AS sum_d2
     FROM assigned GROUP BY hub_id
+"""
+
+_ORACLES["sample_ipf_raking"] = """
+    WITH cells AS (
+        SELECT event_type,
+               CAST(FLOOR(hour(CAST(ts AS TIMESTAMP)) / 6.0)
+                    AS INTEGER) AS day_part,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+    total AS (SELECT CAST(SUM(n) AS DOUBLE) AS grand FROM cells),
+    w0 AS (SELECT event_type, day_part, n,
+                  CAST(ROUND(n / grand, 9) AS DECIMAL(28,9)) AS w
+           FROM cells, total),
+    r1 AS (SELECT event_type, SUM(w) AS row_sum FROM w0 GROUP BY 1),
+    w1 AS (SELECT w0.event_type, day_part, n,
+                  CAST(ROUND(CAST(w AS DOUBLE)
+                             * (0.2 / CAST(row_sum AS DOUBLE)), 9)
+                       AS DECIMAL(28,9)) AS w
+           FROM w0 JOIN r1 ON w0.event_type = r1.event_type),
+    c1 AS (SELECT day_part, SUM(w) AS col_sum FROM w1 GROUP BY 1),
+    w2 AS (SELECT event_type, w1.day_part, n,
+                  CAST(ROUND(CAST(w AS DOUBLE)
+                             * (0.25 / CAST(col_sum AS DOUBLE)), 9)
+                       AS DECIMAL(28,9)) AS w
+           FROM w1 JOIN c1 ON w1.day_part = c1.day_part),
+    r2 AS (SELECT event_type, SUM(w) AS row_sum FROM w2 GROUP BY 1),
+    w3 AS (SELECT w2.event_type, day_part, n,
+                  CAST(ROUND(CAST(w AS DOUBLE)
+                             * (0.2 / CAST(row_sum AS DOUBLE)), 9)
+                       AS DECIMAL(28,9)) AS w
+           FROM w2 JOIN r2 ON w2.event_type = r2.event_type),
+    c2 AS (SELECT day_part, SUM(w) AS col_sum FROM w3 GROUP BY 1),
+    w4 AS (SELECT event_type, w3.day_part, n,
+                  CAST(ROUND(CAST(w AS DOUBLE)
+                             * (0.25 / CAST(col_sum AS DOUBLE)), 9)
+                       AS DECIMAL(28,9)) AS w
+           FROM w3 JOIN c2 ON w3.day_part = c2.day_part),
+    r3 AS (SELECT event_type, SUM(w) AS row_sum FROM w4 GROUP BY 1),
+    w5 AS (SELECT w4.event_type, day_part, n,
+                  CAST(ROUND(CAST(w AS DOUBLE)
+                             * (0.2 / CAST(row_sum AS DOUBLE)), 9)
+                       AS DECIMAL(28,9)) AS w
+           FROM w4 JOIN r3 ON w4.event_type = r3.event_type),
+    c3 AS (SELECT day_part, SUM(w) AS col_sum FROM w5 GROUP BY 1),
+    w6 AS (SELECT event_type, w5.day_part, n,
+                  CAST(ROUND(CAST(w AS DOUBLE)
+                             * (0.25 / CAST(col_sum AS DOUBLE)), 9)
+                       AS DECIMAL(28,9)) AS w
+           FROM w5 JOIN c3 ON w5.day_part = c3.day_part)
+    SELECT event_type, CAST(day_part AS BIGINT) AS day_part, n, w AS weight
+    FROM w6
 """

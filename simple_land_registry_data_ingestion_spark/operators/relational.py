@@ -7149,3 +7149,73 @@ def geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d2q").alias("min_d2"),
         F.sum("d2q").cast("decimal(38,6)").alias("sum_d2"),
     )
+
+
+def sample_ipf_raking(spark: SparkSession, sf_dir: str, rounds: int = 3) -> DataFrame:
+    """Iterative proportional fitting (raking) — the survey-statistics /
+    training-mix reweighting primitive: scale the (event_type x day-part)
+    count table so BOTH margins match target shares (uniform here, the
+    pinned literals any real target list would replace), preserving the
+    table's interaction structure.  This is how a corpus mix is nudged
+    to a target domain x length distribution without per-cell quotas.
+
+    Three unrolled row/column scaling rounds over the 5x4 contingency
+    table; every weight is re-quantized 9dp into DECIMAL(28,9) after
+    each scaling (the pagerank discipline: the fold must be order-free
+    and engine-identical), margins re-derived from the quantized cells.
+
+    Scale: ONE corpus aggregation builds the table; everything after is
+    arithmetic on 20 rows — raking a billion-row corpus costs the same
+    as raking this one.  Output: per cell, the raw count, final weight,
+    and weighted share (the certification that margins converged)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.hour(F.col("ts").cast("timestamp")) / 6).cast("int").alias("day_part"),
+    )
+    cells = ev.groupBy("event_type", "day_part").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = cells.groupBy().agg(F.sum("n").cast("double").alias("grand"))
+    w = cells.crossJoin(F.broadcast(total)).select(
+        "event_type",
+        "day_part",
+        "n",
+        F.round(F.col("n") / F.col("grand"), 9).cast("decimal(28,9)").alias("w"),
+    )
+    # uniform targets: 1/5 per type row, 1/4 per day-part column
+    row_t, col_t = 0.2, 0.25
+    for _ in range(rounds):
+        rm = w.groupBy("event_type").agg(F.sum("w").alias("row_sum"))
+        w = (
+            w.join(F.broadcast(rm), "event_type")
+            .select(
+                "event_type",
+                "day_part",
+                "n",
+                F.round(
+                    F.col("w").cast("double")
+                    * (F.lit(row_t) / F.col("row_sum").cast("double")),
+                    9,
+                ).cast("decimal(28,9)").alias("w"),
+            )
+        )
+        cm = w.groupBy("day_part").agg(F.sum("w").alias("col_sum"))
+        w = (
+            w.join(F.broadcast(cm), "day_part")
+            .select(
+                "event_type",
+                "day_part",
+                "n",
+                F.round(
+                    F.col("w").cast("double")
+                    * (F.lit(col_t) / F.col("col_sum").cast("double")),
+                    9,
+                ).cast("decimal(28,9)").alias("w"),
+            )
+        )
+    return w.select(
+        "event_type",
+        F.col("day_part").cast("long").alias("day_part"),
+        "n",
+        F.col("w").alias("weight"),
+    )
