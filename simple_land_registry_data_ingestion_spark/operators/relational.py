@@ -7174,7 +7174,7 @@ def sample_ipf_raking(spark: SparkSession, sf_dir: str, rounds: int = 3) -> Data
     )
     cells = ev.groupBy("event_type", "day_part").agg(
         F.count(F.lit(1)).cast("long").alias("n")
-    )
+    ).localCheckpoint(eager=False)
     total = cells.groupBy().agg(F.sum("n").cast("double").alias("grand"))
     w = cells.crossJoin(F.broadcast(total)).select(
         "event_type",
@@ -7198,6 +7198,7 @@ def sample_ipf_raking(spark: SparkSession, sf_dir: str, rounds: int = 3) -> Data
                     9,
                 ).cast("decimal(28,9)").alias("w"),
             )
+            .localCheckpoint(eager=False)
         )
         cm = w.groupBy("day_part").agg(F.sum("w").alias("col_sum"))
         w = (
@@ -7212,6 +7213,10 @@ def sample_ipf_raking(spark: SparkSession, sf_dir: str, rounds: int = 3) -> Data
                     9,
                 ).cast("decimal(28,9)").alias("w"),
             )
+            # per-scaling lineage truncation (the pagerank loop
+            # discipline): without it each margin join re-derives w and
+            # the plan doubles per step (measured 1467 operators)
+            .localCheckpoint(eager=False)
         )
     return w.select(
         "event_type",

@@ -157,28 +157,37 @@ def test_inactivity_sessions_close_by_timeout_and_gap(spark, tmp_path):
             spark, str(d), glob="*.parquet", max_files_per_trigger=1
         )
 
-    try:
+    def run_and_collect():
         out = run_once()
+        return {
+            (r["user_id"], str(r["session_start"]), str(r["session_end"]),
+             r["n_events"])
+            for r in out.collect()
+        }
+
+    try:
+        rows = run_and_collect()
     except Exception as exc:  # noqa: BLE001
-        # Rounds 3-4 full-suite flake: HDFSBackedStateStore commit abort via
+        # Rounds 3-7 full-suite flake: HDFSBackedStateStore commit abort via
         # the checkpoint checksum manager under shared-JVM load; passes in
         # isolation.  fileChecksum is now disabled session-wide (conftest),
-        # but if a commit abort still slips through, retry exactly once on a
-        # fresh checkpoint root — any genuine semantic failure would recur.
+        # but if a commit abort still slips through (including during the
+        # result materialization), retry exactly once on a fresh checkpoint
+        # root — any genuine SEMANTIC failure (an AssertionError below)
+        # recurs and is never retried.
         msg = str(exc)
         if not any(
             tag in msg
-            for tag in ("commit", "createAtomic", "StateStore", "state store")
+            for tag in (
+                "commit", "createAtomic", "StateStore", "state store",
+                "Checksum", "checkpoint",
+            )
         ):
             raise
         spark.conf.set(
             "spark.sql.streaming.checkpointLocation", str(tmp_path / "ckpt_retry")
         )
-        out = run_once()
-    rows = {
-        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
-        for r in out.collect()
-    }
+        rows = run_and_collect()
     assert rows == {
         (1, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2),  # in-data close
         (1, "2024-01-01 13:00:00", "2024-01-01 13:00:00", 1),  # timeout close
