@@ -4849,7 +4849,7 @@ _ORACLES.update({
     # oracle is the DIRECT theta join the grid binning replaces
     "join_spatial_grid": """
         WITH c AS (SELECT c_custkey,
-                          (c_custkey * 2654435761) % 1000000 AS cx,
+                          ((c_custkey % 1000003) * 2654435761) % 1000000 AS cx,
                           (c_custkey * 40503 + 77) % 1000000 AS cy
                    FROM customer),
              s AS (SELECT s_suppkey,
@@ -5159,9 +5159,9 @@ _ORACLES.update({
                     FROM events),
         s AS (SELECT y,
                      CAST(ROUND(CAST(CASE WHEN y = 1
-                                          THEN 450 + (event_id * 2654435761
+                                          THEN 450 + ((event_id % 1000003) * 2654435761
                                                       + 13) % 549
-                                          ELSE (event_id * 2654435761
+                                          ELSE ((event_id % 1000003) * 2654435761
                                                 + 13) % 700 END AS DOUBLE)
                                 / CAST(999.0 AS DOUBLE), 6)
                           AS DECIMAL(9,6)) AS p
@@ -5560,7 +5560,7 @@ _ORACLES["eval_mrr_hit_rate"] = """
 _ORACLES["eval_ips_offpolicy"] = """
     WITH ev AS (
       SELECT event_type,
-             (event_id * 2654435761 + 13) AS mixed,
+             ((event_id % 1000003) * 2654435761 + 13) AS mixed,
              CAST(ROUND(value, 2) AS DECIMAL(18,2)) AS r
       FROM events),
     sc AS (
@@ -5595,7 +5595,7 @@ _ORACLES["events_bootstrap_ci"] = """
                        CAST(ROUND(value, 2) AS DECIMAL(18,2)) AS v
                 FROM events),
     ex AS (SELECT event_type, v, b,
-                  (event_id * 2654435761 + b * 97911 + 13) % 1000 AS u
+                  ((event_id % 1000003) * 2654435761 + b * 97911 + 13) % 1000 AS u
            FROM ev, UNNEST(range(0, 32)) AS t(b)),
     wgt AS (SELECT event_type, v, b,
                    CAST(CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1
@@ -5628,7 +5628,7 @@ _ORACLES["sample_negative_pairs"] = """
                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
     np AS (SELECT CAST(MAX(p_partkey) + 1 AS BIGINT) AS np FROM part),
     cand AS (SELECT DISTINCT custkey,
-                    (custkey * 2654435761 + j * 40503 + partkey * 97911 + 7)
+                    ((custkey % 1000003) * 2654435761 + j * 40503 + partkey * 97911 + 7)
                         % np AS cand_part
              FROM pos, np, UNNEST(range(0, 2)) AS t(j)),
     neg AS (SELECT c.custkey, c.cand_part FROM cand c
@@ -5753,7 +5753,7 @@ _ORACLES["agg_weighted_median"] = """
 _ORACLES["eval_conformal_interval"] = """
     WITH ev AS (SELECT event_type, event_id,
                        CAST(ROUND(value, 2) AS DECIMAL(18,2)) AS v,
-                       ((event_id * 2654435761 + 13) % 1000) < 500 AS is_calib
+                       (((event_id % 1000003) * 2654435761 + 13) % 1000) < 500 AS is_calib
                 FROM events),
     model AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_calib,
                      CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mu
@@ -5790,11 +5790,11 @@ _ORACLES["agg_join_size_sketch"] = """
     params(row_i, a, b) AS (VALUES (0, 2654435761, 13), (1, 97911, 101),
                                    (2, 40503, 7), (3, 31337, 29)),
     so AS (SELECT CAST(row_i AS BIGINT) AS row_i,
-                  ((k * a + b) % 2147483647) % 1024 AS bucket,
+                  (((k % 1000003) * a + b) % 2147483647) % 1024 AS bucket,
                   CAST(COUNT(*) AS BIGINT) AS c
            FROM o, params GROUP BY 1, 2),
     se AS (SELECT CAST(row_i AS BIGINT) AS row_i,
-                  ((k * a + b) % 2147483647) % 1024 AS bucket,
+                  (((k % 1000003) * a + b) % 2147483647) % 1024 AS bucket,
                   CAST(COUNT(*) AS BIGINT) AS c2
            FROM e, params GROUP BY 1, 2),
     er AS (SELECT so.row_i, CAST(SUM(c * c2) AS BIGINT) AS est
@@ -5917,7 +5917,7 @@ _ORACLES["events_changepoint_binseg"] = """
 
 _ORACLES["events_diff_in_diff"] = """
     WITH ev AS (SELECT CAST(ROUND(value, 2) AS DECIMAL(18,2)) AS v,
-                       ((user_id * 2654435761 + 13) % 1000) < 500 AS treat,
+                       (((user_id % 1000003) * 2654435761 + 13) % 1000) < 500 AS treat,
                        CAST(ts AS TIMESTAMP)
                            >= TIMESTAMP '2024-01-16 00:00:00' AS post
                 FROM events),
@@ -6219,7 +6219,8 @@ _ORACLES["sample_kcenter_coreset"] = """
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                FROM embeddings),
     n AS (SELECT vec_id, e, list_dot_product(e, e) AS n2 FROM v),
-    c0 AS (SELECT vec_id, e, n2 FROM n WHERE vec_id = 0),
+    c0 AS (SELECT vec_id, e, n2 FROM n
+           WHERE vec_id = (SELECT MIN(vec_id) FROM n)),
     s1 AS (SELECT a.vec_id,
                   MIN(ROUND(a.n2 + c.n2 - 2 * list_dot_product(a.e, c.e), 12))
                       AS dist2
@@ -6298,7 +6299,7 @@ _ORACLES["events_power_analysis"] = """
 
 _ORACLES["eval_qini_uplift"] = """
     WITH ev AS (SELECT event_id, value,
-                       ((user_id * 2654435761 + 13) % 1000) < 500 AS treat,
+                       (((user_id % 1000003) * 2654435761 + 13) % 1000) < 500 AS treat,
                        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
                            AS y
                 FROM events),
@@ -6432,7 +6433,7 @@ _ORACLES["graph_modularity"] = f"""
 _ORACLES["events_ks_test"] = """
     WITH ev AS (SELECT event_type,
                        CAST(ROUND(value * 100) AS BIGINT) AS cents,
-                       ((user_id * 2654435761 + 13) % 1000) < 500 AS in_a
+                       (((user_id % 1000003) * 2654435761 + 13) % 1000) < 500 AS in_a
                 FROM events),
     g AS (SELECT event_type, cents,
                  CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
@@ -6465,7 +6466,7 @@ _ORACLES["events_ks_test"] = """
 _ORACLES["events_mann_whitney"] = """
     WITH ev AS (SELECT event_type,
                        CAST(ROUND(value * 100) AS BIGINT) AS cents,
-                       ((user_id * 2654435761 + 13) % 1000) < 500 AS in_a
+                       (((user_id % 1000003) * 2654435761 + 13) % 1000) < 500 AS in_a
                 FROM events),
     g AS (SELECT event_type, cents,
                  CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
@@ -6679,8 +6680,8 @@ _ORACLES["eval_brier_decomposition"] = """
     scored AS (SELECT y,
                       CAST(ROUND(
                           CAST(CASE WHEN y = 1
-                                    THEN 450 + (event_id * 2654435761 + 13) % 549
-                                    ELSE (event_id * 2654435761 + 13) % 700
+                                    THEN 450 + ((event_id % 1000003) * 2654435761 + 13) % 549
+                                    ELSE ((event_id % 1000003) * 2654435761 + 13) % 700
                                END AS DOUBLE) / 999.0, 6) AS DECIMAL(9,6)) AS p
                FROM ev),
     binned AS (SELECT y, p,
@@ -6994,7 +6995,7 @@ _ORACLES["events_runs_test"] = """
 
 _ORACLES["events_ab_srm_check"] = """
     WITH ev AS (SELECT DISTINCT event_type, user_id,
-                       ((user_id * 2654435761 + 13) % 1000) < 500 AS in_a
+                       (((user_id % 1000003) * 2654435761 + 13) % 1000) < 500 AS in_a
                 FROM events),
     g AS (SELECT event_type,
                  CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
@@ -7225,7 +7226,7 @@ _ORACLES["geo_nearest_hub"] = """
         (7, 1.35, 103.8, 0.999722),
         (8, -23.55, -46.63, 0.916712)),
     cust AS (SELECT c_custkey AS k,
-                    -60.0 + CAST((c_custkey * 2654435761 + 97) % 12000
+                    -60.0 + CAST(((c_custkey % 1000003) * 2654435761 + 97) % 12000
                                  AS DOUBLE) / 100.0 AS lat,
                     -180.0 + CAST((c_custkey * 40503 + 11) % 36000
                                   AS DOUBLE) / 100.0 AS lon

@@ -99,7 +99,7 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         (F.col("event_type") == "purchase").cast("int").alias("y"),
     )
-    mixed = (F.col("event_id") * 2654435761 + 13).cast("long")
+    mixed = ((F.col("event_id") % 1000003) * 2654435761 + 13).cast("long")
     raw = F.when(
         F.col("y") == 1, F.lit(450) + (mixed % 549)
     ).otherwise(mixed % 700)
@@ -445,7 +445,7 @@ def eval_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "event_id",
         F.round(F.col("value"), 2).cast("decimal(18,2)").alias("r"),
     )
-    mixed = (F.col("event_id") * 2654435761 + 13).cast("long")
+    mixed = ((F.col("event_id") % 1000003) * 2654435761 + 13).cast("long")
     p_log = F.round(
         (F.lit(200) + (mixed % 500)).cast("double") / F.lit(1000.0), 6
     ).cast("decimal(9,6)")
@@ -507,7 +507,7 @@ def eval_conformal_interval(
         "event_type",
         "event_id",
         F.round(F.col("value"), 2).cast("decimal(18,2)").alias("v"),
-        ((F.col("event_id") * 2654435761 + 13) % 1000 < 500).alias("is_calib"),
+        (((F.col("event_id") % 1000003) * 2654435761 + 13) % 1000 < 500).alias("is_calib"),
     )
     calib = ev.where(F.col("is_calib"))
     test = ev.where(~F.col("is_calib"))
@@ -733,6 +733,14 @@ def eval_pinball_loss(
 
     Scale: hourly rollup (calendar-bounded) -> per-type order-statistic
     window -> one test-half aggregate."""
+    if q_permille % 100 != 0 or not 0 < q_permille < 1000:
+        # the x10 loss weights are q_permille // 100 and
+        # (1000 - q_permille) // 100: any non-multiple of 100 would floor
+        # one weight silently wrong (e.g. 950 -> 9/0), so reject it
+        raise ValueError(
+            f"eval_pinball_loss carries the loss x10, so q_permille must be "
+            f"a multiple of 100 in (0, 1000); got {q_permille}"
+        )
     ev = load(spark, sf_dir, "events").select(
         "event_type",
         F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("hr"),
@@ -808,7 +816,7 @@ def eval_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "event_id",
         "value",
-        ((F.col("user_id") * 2654435761 + 13) % 1000 < 500).alias("treat"),
+        (((F.col("user_id") % 1000003) * 2654435761 + 13) % 1000 < 500).alias("treat"),
         (F.col("event_type") == "purchase").cast("long").alias("y"),
     )
     n_total = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -887,7 +895,7 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         (F.col("event_type") == "purchase").cast("int").alias("y"),
     )
-    mixed = (F.col("event_id") * 2654435761 + 13).cast("long")
+    mixed = ((F.col("event_id") % 1000003) * 2654435761 + 13).cast("long")
     raw = F.when(
         F.col("y") == 1, F.lit(450) + (mixed % 549)
     ).otherwise(mixed % 700)

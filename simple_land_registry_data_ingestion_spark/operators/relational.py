@@ -4983,7 +4983,7 @@ def join_spatial_grid(
     r2 = radius * radius
     cust = load(spark, sf_dir, "customer").select(
         "c_custkey",
-        (F.col("c_custkey") * 2654435761 % 1000000).alias("cx"),
+        ((F.col("c_custkey") % 1000003) * 2654435761 % 1000000).alias("cx"),
         ((F.col("c_custkey") * 40503 + 77) % 1000000).alias("cy"),
     ).select(
         "c_custkey", "cx", "cy",
@@ -5377,7 +5377,7 @@ def events_bootstrap_ci(
         F.round(F.col("value"), 2).cast("decimal(18,2)").alias("v"),
     )
     u = (
-        (F.col("event_id") * 2654435761 + F.col("b") * 97911 + 13) % 1000
+        ((F.col("event_id") % 1000003) * 2654435761 + F.col("b") * 97911 + 13) % 1000
     )
     # integer-threshold inverse CDF of Poisson(1) on the 0..999 hash
     w = (
@@ -5472,7 +5472,7 @@ def sample_negative_pairs(
         .select(
             "custkey",
             (
-                (F.col("custkey") * 2654435761
+                ((F.col("custkey") % 1000003) * 2654435761
                  + F.col("j") * 40503
                  + F.col("partkey") * 97911
                  + 7) % F.col("np")
@@ -5864,7 +5864,7 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     2x2 design needs no shuffle wider than 8 numbers."""
     ev = load(spark, sf_dir, "events").select(
         F.round(F.col("value"), 2).cast("decimal(18,2)").alias("v"),
-        ((F.col("user_id") * 2654435761 + 13) % 1000 < 500).alias("treat"),
+        (((F.col("user_id") % 1000003) * 2654435761 + 13) % 1000 < 500).alias("treat"),
         (
             F.col("ts").cast("timestamp")
             >= F.lit("2024-01-16 00:00:00").cast("timestamp")
@@ -6211,7 +6211,7 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
-        ((F.col("user_id") * 2654435761 + 13) % 1000 < 500).alias("in_a"),
+        (((F.col("user_id") % 1000003) * 2654435761 + 13) % 1000 < 500).alias("in_a"),
     )
     g = ev.groupBy("event_type", "cents").agg(
         F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("ca"),
@@ -6271,7 +6271,7 @@ def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
-        ((F.col("user_id") * 2654435761 + 13) % 1000 < 500).alias("in_a"),
+        (((F.col("user_id") % 1000003) * 2654435761 + 13) % 1000 < 500).alias("in_a"),
     )
     g = ev.groupBy("event_type", "cents").agg(
         F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("ca"),
@@ -6936,7 +6936,7 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "event_type",
         "user_id",
-        ((F.col("user_id") * 2654435761 + 13) % 1000 < 500).alias("in_a"),
+        (((F.col("user_id") % 1000003) * 2654435761 + 13) % 1000 < 500).alias("in_a"),
     ).distinct()
     g = ev.groupBy("event_type").agg(
         F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("n_a"),
@@ -7104,7 +7104,7 @@ def geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("k"),
         (
             -60.0
-            + ((F.col("c_custkey") * 2654435761 + 97) % 12000).cast("double")
+            + (((F.col("c_custkey") % 1000003) * 2654435761 + 97) % 12000).cast("double")
             / 100.0
         ).alias("lat"),
         (

@@ -1441,7 +1441,10 @@ def sample_kcenter_coreset(
     emb = emb.withColumn("n2", vectors.dot(F.col("e"), F.col("e"))).localCheckpoint(
         eager=True
     )
-    chosen = emb.where(F.col("vec_id") == 0).select(
+    # seed = the MIN vec_id present (a 1-row TakeOrderedAndProject), not a
+    # hardcoded id 0: a table without vec_id 0 would otherwise start from an
+    # empty chosen set and silently degenerate every round
+    chosen = emb.orderBy("vec_id").limit(1).select(
         F.lit(0).cast("long").alias("round"),
         "vec_id",
         F.lit(0.0).alias("dist2_to_set"),

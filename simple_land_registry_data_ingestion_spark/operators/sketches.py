@@ -475,7 +475,7 @@ def agg_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                     *[
                         F.struct(
                             F.lit(i).alias("row_i"),
-                            (((F.col(key) * a + b) % p) % w)
+                            ((((F.col(key) % 1000003) * a + b) % p) % w)
                             .cast("long")
                             .alias("bucket"),
                         )

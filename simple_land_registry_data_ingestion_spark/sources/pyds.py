@@ -24,6 +24,7 @@ schema is declared, never inferred) and ``\N`` / empty map to NULL.
 
 from __future__ import annotations
 
+import csv
 import os
 from typing import Iterator
 
@@ -42,6 +43,22 @@ from pyspark.sql.types import StringType, StructField, StructType
 DEFAULT_CHUNK_BYTES = 8 * 1024 * 1024
 
 NULL_SENTINEL = "\\N"
+
+
+def _parse_csv_line(text: str, n_cols: int, empty_is_null: bool) -> tuple:
+    """Decode ONE physical line as a CSV record (QUOTE_MINIMAL quoting, the
+    reference's pandas ``to_csv``/``read_csv`` convention — reference
+    main.py:204-210) and normalize to the declared width.
+
+    ``\\N`` is always NULL.  ``empty_is_null`` selects the batch rule
+    (reference CSV format E4: empty field == NULL) vs the stream round-trip
+    rule, where the paired writer emits ``\\N`` for NULL so an empty field
+    is a genuine empty string.
+    """
+    fields = next(csv.reader([text]), [])
+    fields = (list(fields) + [None] * n_cols)[:n_cols]
+    nulls = (None, "", NULL_SENTINEL) if empty_is_null else (None, NULL_SENTINEL)
+    return tuple(None if f in nulls else f for f in fields)
 
 
 class _ByteRange(InputPartition):
@@ -83,14 +100,12 @@ class ChunkedCsvReader(DataSourceReader):
                 text = line.decode("utf-8").rstrip("\r\n")
                 if not text:
                     continue
-                fields = text.split(",")
-                # ragged rows: pad/truncate to the declared width (the
+                # ragged rows pad/truncate to the declared width (the
                 # declared-schema discipline: width comes from the schema,
-                # never from the data)
-                fields = (fields + [None] * self.n_cols)[: self.n_cols]
-                yield tuple(
-                    None if f in (None, "", NULL_SENTINEL) else f for f in fields
-                )
+                # never from the data); quoting is QUOTE_MINIMAL per line —
+                # embedded newlines are unsupported in byte-range splits,
+                # the same contract as Hadoop's LineRecordReader
+                yield _parse_csv_line(text, self.n_cols, empty_is_null=True)
 
 
 class ChunkedCsvDataSource(DataSource):
@@ -145,16 +160,15 @@ class ChunkedCsvStreamReader(SimpleDataSourceStreamReader):
         return {"pos": 0}
 
     def _parse(self, chunk: bytes) -> list[tuple]:
+        # Mirrors ChunkedCsvStreamWriter.write exactly: QUOTE_MINIMAL CSV,
+        # \N == NULL, and an empty field is an empty STRING (the writer
+        # always emits \N for NULL, so empty is never ambiguous here).
         rows = []
         for raw in chunk.splitlines():
             text = raw.decode("utf-8").rstrip("\r")
             if not text:
                 continue
-            fields = text.split(",")
-            fields = (fields + [None] * self.n_cols)[: self.n_cols]
-            rows.append(
-                tuple(None if f in (None, "", NULL_SENTINEL) else f for f in fields)
-            )
+            rows.append(_parse_csv_line(text, self.n_cols, empty_is_null=False))
         return rows
 
     def read(self, start: dict):
@@ -208,14 +222,43 @@ class ChunkedCsvStreamWriter(DataSourceStreamWriter):
         os.makedirs(self.path, exist_ok=True)
         tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.csv")
         n = 0
-        with open(tmp, "w", encoding="utf-8") as fh:
+        with open(tmp, "w", encoding="utf-8", newline="") as fh:
+            enc = csv.writer(fh, quoting=csv.QUOTE_MINIMAL, lineterminator="\n")
             for row in iterator:
-                fields = [
-                    NULL_SENTINEL if v is None else str(v) for v in row
-                ]
-                fh.write(",".join(fields) + "\n")
+                fields = []
+                for v in row:
+                    if v is None:
+                        fields.append(NULL_SENTINEL)
+                        continue
+                    s = str(v)
+                    if "\n" in s or "\r" in s:
+                        # the manifest protocol (and the paired tail reader's
+                        # byte offsets) are line-oriented; an embedded
+                        # newline would make a committed offset fall inside
+                        # a record, so it is rejected rather than corrupted
+                        raise ValueError(
+                            "chunked_csv sink is line-oriented: value "
+                            "contains a newline; strip or encode it upstream"
+                        )
+                    fields.append(s)
+                enc.writerow(fields)  # QUOTE_MINIMAL: commas/quotes quoted
                 n += 1
         return _PartFile(tmp, n)
+
+    def _sweep_orphans(self, keep: set[str]) -> None:
+        """Remove .tmp-* files no surviving commit message references —
+        retried task attempts leave them and abort() never hears of them."""
+        try:
+            names = os.listdir(self.path)
+        except FileNotFoundError:
+            return
+        for name in names:
+            full = os.path.join(self.path, name)
+            if name.startswith(".tmp-") and full not in keep:
+                try:
+                    os.remove(full)
+                except FileNotFoundError:
+                    pass
 
     def commit(self, messages, batchId: int) -> None:
         import json
@@ -224,7 +267,7 @@ class ChunkedCsvStreamWriter(DataSourceStreamWriter):
         total = 0
         for m in messages:
             if m is None or m.n_rows == 0:
-                if m is not None:
+                if m is not None and os.path.exists(m.tmp_path):
                     os.remove(m.tmp_path)
                 continue
             final = os.path.join(
@@ -233,11 +276,20 @@ class ChunkedCsvStreamWriter(DataSourceStreamWriter):
             os.replace(m.tmp_path, final)
             parts.append(os.path.basename(final))
             total += m.n_rows
+        # manifest is written to a temp name then atomically renamed into
+        # place: a crash mid-write can never leave a truncated manifest for
+        # a trust-only-manifested-files reader to choke on
         manifest = os.path.join(self.path, f"_manifest-{batchId}.json")
-        with open(manifest, "w", encoding="utf-8") as fh:
+        tmp_manifest = manifest + ".inprogress"
+        with open(tmp_manifest, "w", encoding="utf-8") as fh:
             json.dump({"batch": batchId, "files": parts, "rows": total}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp_manifest, manifest)
+        self._sweep_orphans(keep=set())
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:
             if m is not None and os.path.exists(m.tmp_path):
                 os.remove(m.tmp_path)
+        self._sweep_orphans(keep=set())

@@ -115,8 +115,8 @@ def test_mann_whitney_matches_brute_force_ranks(spark, tmp_path):
 
     from simple_land_registry_data_ingestion_spark.operators import relational
 
-    # cohort A <=> (uid*2654435761 + 13) % 1000 < 500
-    in_a = lambda uid: (uid * 2654435761 + 13) % 1000 < 500
+    # cohort A <=> ((uid % 1000003)*2654435761 + 13) % 1000 < 500
+    in_a = lambda uid: ((uid % 1000003) * 2654435761 + 13) % 1000 < 500
     a_users = [u for u in range(50) if in_a(u)]
     b_users = [u for u in range(50) if not in_a(u)]
     vals_a, vals_b = [1.0, 2.0, 2.0, 3.0], [2.0, 3.0, 3.0]
@@ -144,7 +144,7 @@ def test_ks_two_identical_cohorts_is_zero(spark, tmp_path):
 
     from simple_land_registry_data_ingestion_spark.operators import relational
 
-    in_a = lambda uid: (uid * 2654435761 + 13) % 1000 < 500
+    in_a = lambda uid: ((uid % 1000003) * 2654435761 + 13) % 1000 < 500
     a_users = [u for u in range(50) if in_a(u)][:3]
     b_users = [u for u in range(50) if not in_a(u)][:3]
     rows = {

@@ -171,3 +171,118 @@ def test_stream_writer_commits_batches_atomically(registered, tmp_path):
         for line in (tmp_path / "sink" / p).read_text().splitlines()
     )
     assert lines == ["1,a,x", "2,\\N,y", "3,c,\\N"]
+
+
+def test_writer_quotes_commas_and_reader_round_trips(registered, tmp_path):
+    r"""Values containing commas/quotes are QUOTE_MINIMAL-encoded (the
+    reference encodes via pandas to_csv, which quotes the same way), \N is
+    NULL, and an empty string survives the writer->reader round trip as an
+    empty STRING, not NULL."""
+    import os
+
+    spark = registered
+    src = tmp_path / "src.csv"
+    # source line with a QUOTED comma field + an empty field
+    src.write_text('1,"a,b",x\n2,\\N,\n')
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "wckpt")
+
+    stream = (
+        spark.readStream.format("chunked_csv")
+        .option("path", str(src))
+        .option("columns", "id,val,cat")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("chunked_csv")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    parts = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    lines = sorted(
+        line
+        for p in parts
+        for line in (tmp_path / "sink" / p).read_text().splitlines()
+    )
+    # comma value re-quoted on write; NULL -> \N; empty string stays bare
+    assert lines == ['1,"a,b",x', "2,\\N,"]
+
+    # and reading the sink back through the same source restores the values
+    back = (
+        spark.readStream.format("chunked_csv")
+        .option("path", os.path.join(out, parts[0]))
+        .option("columns", "id,val,cat")
+        .load()
+    )
+    q2 = (
+        back.writeStream.format("memory")
+        .queryName("pyds_roundtrip")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    got = sorted(map(tuple, spark.table("pyds_roundtrip").collect()))
+    assert got == [("1", "a,b", "x"), ("2", None, "")]
+
+
+def test_writer_rejects_embedded_newline_and_parse_mirrors_quoting():
+    """Unit level: the writer raises on newline-bearing values (the line
+    protocol would corrupt offsets); the stream parser unquotes exactly what
+    csv.writer QUOTE_MINIMAL emits and keeps empty as empty string."""
+    from simple_land_registry_data_ingestion_spark.sources.pyds import (
+        ChunkedCsvStreamReader,
+        ChunkedCsvStreamWriter,
+    )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([StructField(c, StringType(), True) for c in "abc"])
+    reader = ChunkedCsvStreamReader.__new__(ChunkedCsvStreamReader)
+    reader.n_cols = 3
+    rows = reader._parse(b'1,"a,b",\n2,\\N,"say ""hi"""\n')
+    assert rows == [("1", "a,b", ""), ("2", None, 'say "hi"')]
+
+    writer = ChunkedCsvStreamWriter.__new__(ChunkedCsvStreamWriter)
+    writer.path = "/tmp/pyds-newline-reject"
+    with pytest.raises(ValueError, match="line-oriented"):
+        writer.write(iter([("1", "bad\nvalue", "x")]))
+
+
+def test_manifest_written_atomically(registered, tmp_path):
+    """commit() leaves no *.inprogress manifest temp and no orphan .tmp-*
+    part (a retried-task leftover is swept), and every manifest parses."""
+    import json
+    import os
+
+    spark = registered
+    src = tmp_path / "src.csv"
+    src.write_text("1,a,x\n")
+    out = tmp_path / "sink"
+    out.mkdir()
+    # plant an orphan temp part from a "retried task attempt"
+    (out / ".tmp-deadbeef.csv").write_text("ghost,row,here\n")
+    ckpt = str(tmp_path / "wckpt")
+
+    stream = (
+        spark.readStream.format("chunked_csv")
+        .option("path", str(src))
+        .option("columns", "id,val,cat")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("chunked_csv")
+        .option("path", str(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    files = sorted(os.listdir(out))
+    assert not [f for f in files if f.endswith(".inprogress")], files
+    assert not [f for f in files if f.startswith(".tmp-")], files
+    for m in (f for f in files if f.startswith("_manifest-")):
+        json.loads((out / m).read_text())  # complete, parseable JSON
