@@ -18,6 +18,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from simple_land_registry_data_ingestion_spark.operators.relational import (
+    two_phase_global_rank,
+)
 from simple_land_registry_data_ingestion_spark.tables import load
 
 
@@ -35,19 +38,26 @@ def eval_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     handled exactly as scipy/sklearn do (average rank).
 
     Scale shape: ONE global rank over (value, then ties counted per
-    value) — at 100 TB this is the two-phase distributed rank
-    (per-partition rank + offset merge, the events_quantile_normalize
-    precedent); the window here declares the same semantics.  After the
-    rank, a single ungrouped BIGINT aggregate."""
+    value), computed by the TWO-PHASE distributed rank (per-bucket
+    counts → broadcast prefix offsets → partitioned window; the
+    events_global_rank_two_phase machinery, mode='rank' so ties get the
+    global min-rank — ties never straddle buckets because the bucket is
+    a function of the value).  After the rank, a single ungrouped
+    BIGINT aggregate."""
     ev = load(spark, sf_dir, "events").select(
         "event_id",
         F.col("value"),
         (F.col("event_type") == "purchase").cast("int").alias("y"),
     )
-    w_rank = Window.orderBy("value")
-    ranked = ev.select(
+    ranked = two_phase_global_rank(
+        ev,
+        F.floor(F.col("value")).cast("long"),
+        ["value"],
+        mode="rank",
+        out="rank_min",
+    ).select(
         "y",
-        F.rank().over(w_rank).cast("long").alias("rank_min"),
+        "rank_min",
         F.count(F.lit(1))
         .over(Window.partitionBy("value"))
         .cast("long")
@@ -820,11 +830,15 @@ def eval_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase").cast("long").alias("y"),
     )
     n_total = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    ranked = ev.withColumn(
-        "rk",
-        F.row_number()
-        .over(Window.orderBy(F.col("value").desc(), "event_id"))
-        .cast("long"),
+    # descending two-phase global rank: score deciles form without the
+    # single-task global window (bucket = floor(value), offsets accumulate
+    # highest-bucket-first)
+    ranked = two_phase_global_rank(
+        ev,
+        F.floor(F.col("value")).cast("long"),
+        [F.col("value").desc(), "event_id"],
+        out="rk",
+        descending=True,
     )
     per_dec = (
         ranked.crossJoin(F.broadcast(n_total))
