@@ -202,8 +202,16 @@ def bucket_pairs(
     return small.unionByName(big)
 
 
+#: Default lossless hot-bucket spread for the REGISTERED minhash entries:
+#: buckets above this size keep all their pairs but the quadratic expansion
+#: is redistributed across the cluster (see bucket_pairs).
+DISTRIBUTE_THRESHOLD = 256
+
+
 def minhash_candidate_pairs(
-    docs: DataFrame, max_bucket_size: int | None = None
+    docs: DataFrame,
+    max_bucket_size: int | None = None,
+    distribute_threshold: int | None = DISTRIBUTE_THRESHOLD,
 ) -> DataFrame:
     """Near-duplicate CANDIDATE pairs: docs sharing at least one LSH band.
 
@@ -213,18 +221,28 @@ def minhash_candidate_pairs(
     the shingle->signature pipeline ONCE (a self-join evaluates the whole
     subtree per side — measured 2x on this pipeline) and keeps the
     quadratic strictly in-bucket, which is the LSH contract.
-    ``max_bucket_size`` bounds the in-bucket blowup (see bucket_pairs)."""
+    ``max_bucket_size`` bounds the in-bucket blowup (lossy truncation);
+    ``distribute_threshold`` (on by default) spreads oversized buckets'
+    pair expansion across the cluster LOSSLESSLY (see bucket_pairs)."""
     buckets = minhash_band_buckets(minhash_signatures(docs))
     grouped = buckets.groupBy("band_key").agg(
         F.array_sort(F.collect_list("doc_id")).alias("ids")
     )
-    return bucket_pairs(grouped, max_bucket_size=max_bucket_size).distinct()
+    return bucket_pairs(
+        grouped,
+        max_bucket_size=max_bucket_size,
+        distribute_threshold=distribute_threshold,
+    ).distinct()
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-duplicate candidate pairs over documents (uncapped:
-    the oracle contract is exact; at scale pass max_bucket_size to
-    minhash_candidate_pairs)."""
+    """MinHash-LSH near-duplicate candidate pairs over documents.  The
+    registered primary routes oversized band buckets through the LOSSLESS
+    distribute_threshold spread (bucket_pairs): every pair the flat
+    expansion would emit still appears — the oracle contract is exact and
+    unchanged — but a hot bucket's n^2/2 expansion runs cluster-wide
+    instead of inside the one task that owns the bucket row (the measured
+    12.16x wall ratio at 10x data was that single task)."""
     return minhash_candidate_pairs(load(spark, sf_dir, "documents"))
 
 
@@ -278,7 +296,9 @@ def _minhash_candidate_sets(docs: DataFrame) -> DataFrame:
     grouped = buckets.groupBy("band_key").agg(
         F.array_sort(F.collect_list("doc_id")).alias("ids")
     )
-    cand = bucket_pairs(grouped).distinct()
+    cand = bucket_pairs(
+        grouped, distribute_threshold=DISTRIBUTE_THRESHOLD
+    ).distinct()
     sets = per_doc.select("doc_id", "sh_set", "n_sh")
     sa = sets.select(
         F.col("doc_id").alias("doc_a"),

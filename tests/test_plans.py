@@ -96,10 +96,13 @@ def test_minhash_lsh_avoids_all_pairs(spark):
     """LSH candidate generation never joins the corpus with itself: no
     cartesian, no join at all — pairs come from in-bucket expansion.  The
     shuffles are the pipeline's own: fan_out, shingle distinct, signature
-    groupBy, band groupBy, pair distinct."""
+    groupBy, band groupBy, pair distinct — times two branches for the
+    lossless hot-bucket spread (small/big buckets; AQE reuses the shared
+    front at runtime — measured 1.95s vs the flat form's 6.65s at sf0.1)
+    plus the big branch's round-robin redistribution."""
     df = dedup.dedup_minhash_lsh(spark, SF_ORACLE)
     plans.assert_no_cartesian_product(df)
-    assert plans.shuffle_count(df) <= 5
+    assert plans.shuffle_count(df) <= 8
 
 
 def test_embedding_lsh_avoids_all_pairs(spark):
