@@ -58,9 +58,90 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessio
 #:             by tests/test_oracle_parity.py, which runs ALL entries).
 #: Rotate each round so no query's newest driver row ages past 2 rounds.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- r07 window (50 slots): round-6 additions taking their FIRST
-    # ---- driver rows; the four round-6 ADVICE-touched queries lead ----
+    # ---- r08 window (50 slots), per VERDICT r7 item 1: 2 queries whose
+    # ---- mechanism changed this round, then the 15 round-6 orphans and
+    # ---- 33 round-7 additions taking their FIRST driver rows
+    # ---- (ADVICE-touched + recursion certifications lead).  The 25
+    # ---- remaining round-7 additions are queued directly below to lead
+    # ---- the r09 window. ----
     "events_quantile_normalize": relational.events_quantile_normalize,
+    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+    "eval_auc_rank": evaluation.eval_auc_rank,
+    "dedup_link_prediction": dedup.dedup_link_prediction,
+    "text_pii_scan": text_fns.text_pii_scan,
+    "join_spatial_grid": relational.join_spatial_grid,
+    "q8_market_share": relational.q8_market_share,
+    "q13_customer_distribution": relational.q13_customer_distribution,
+    "q15_top_supplier": relational.q15_top_supplier,
+    "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+    "q18_large_volume_customer": relational.q18_large_volume_customer,
+    "q21_suppliers_kept_waiting": relational.q21_suppliers_kept_waiting,
+    "events_hourly_acf": relational.events_hourly_acf,
+    "similarity_matryoshka_error": similarity.similarity_matryoshka_error,
+    "search_rank_fusion": text_fns.search_rank_fusion,
+    "eval_calibration_bins": evaluation.eval_calibration_bins,
+    "similarity_mips_transform": similarity.similarity_mips_transform,
+    "events_kalman_level": udfs.events_kalman_level,
+    "events_holt_winters_pandas": udfs.events_holt_winters_pandas,
+    "events_global_rank_two_phase": relational.events_global_rank_two_phase,
+    "sample_ipf_raking": relational.sample_ipf_raking,
+    "stream_state_inspect": stream_ops.stream_state_inspect,
+    "eval_qini_uplift": evaluation.eval_qini_uplift,
+    "events_ks_test": relational.events_ks_test,
+    "events_mann_whitney": relational.events_mann_whitney,
+    "events_ab_srm_check": relational.events_ab_srm_check,
+    "eval_ips_offpolicy": evaluation.eval_ips_offpolicy,
+    "eval_conformal_interval": evaluation.eval_conformal_interval,
+    "geo_nearest_hub": relational.geo_nearest_hub,
+    "eval_pinball_loss": evaluation.eval_pinball_loss,
+    "sample_kcenter_coreset": similarity.sample_kcenter_coreset,
+    "agg_join_size_sketch": sketches.agg_join_size_sketch,
+    "events_bootstrap_ci": relational.events_bootstrap_ci,
+    "sample_negative_pairs": relational.sample_negative_pairs,
+    "events_diff_in_diff": relational.events_diff_in_diff,
+    "eval_brier_decomposition": evaluation.eval_brier_decomposition,
+    "graph_modularity": dedup.graph_modularity,
+    "graph_label_propagation": dedup.graph_label_propagation,
+    "eval_ndcg_at_k": evaluation.eval_ndcg_at_k,
+    "eval_rank_correlation": evaluation.eval_rank_correlation,
+    "eval_cohens_kappa": evaluation.eval_cohens_kappa,
+    "item_item_cf": mining.item_item_cf,
+    "search_phrase_positional": text_fns.search_phrase_positional,
+    "eval_mrr_hit_rate": evaluation.eval_mrr_hit_rate,
+    "audit_referential_integrity": relational.audit_referential_integrity,
+    "text_dictionary_tagging": text_fns.text_dictionary_tagging,
+    "agg_weighted_median": relational.agg_weighted_median,
+    "eval_map_at_k": evaluation.eval_map_at_k,
+    "sample_neyman_allocation": relational.sample_neyman_allocation,
+    "events_changepoint_binseg": relational.events_changepoint_binseg,
+    # ---- r09 queue: remaining round-7 additions without driver rows ----
+    "text_bpe_word_merges": text_fns.text_bpe_word_merges,
+    "sales_hierarchy_share": relational.sales_hierarchy_share,
+    "text_heaps_law": relational.text_heaps_law,
+    "eval_multiclass_prf": evaluation.eval_multiclass_prf,
+    "graph_degree_powerlaw": mining.graph_degree_powerlaw,
+    "join_asof_nearest": asof.join_asof_nearest,
+    "events_power_analysis": relational.events_power_analysis,
+    "events_fourier_strength": relational.events_fourier_strength,
+    "graph_assortativity": mining.graph_assortativity,
+    "events_psi_drift": relational.events_psi_drift,
+    "orders_simpson_paradox": relational.orders_simpson_paradox,
+    "profile_l_diversity": relational.profile_l_diversity,
+    "text_chao1_vocab": text_fns.text_chao1_vocab,
+    "text_textrank_keywords": mining.text_textrank_keywords,
+    "events_sprt_decision": relational.events_sprt_decision,
+    "events_lag_xcorr": relational.events_lag_xcorr,
+    "events_entropy_rate": relational.events_entropy_rate,
+    "orders_hill_tail_index": relational.orders_hill_tail_index,
+    "graph_hits_scores": mining.graph_hits_scores,
+    "events_kruskal_wallis": relational.events_kruskal_wallis,
+    "events_runs_test": relational.events_runs_test,
+    "parts_xyz_classification": relational.parts_xyz_classification,
+    "customers_rfm_migration": relational.customers_rfm_migration,
+    "agg_ams_f2_sketch": sketches.agg_ams_f2_sketch,
+    "agg_kmv_distinct": sketches.agg_kmv_distinct,
+    # ---- certified backlog (driver rows r02-r07, freshest last; all
+    # ---- re-proven locally every round by tests/test_oracle_parity.py) ----
     "dedup_kcore_peel": dedup.dedup_kcore_peel,
     "events_holt_pandas": udfs.events_holt_pandas,
     "stream_full_outer_interval_join": stream_ops.stream_full_outer_interval_join,
@@ -110,25 +191,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_session_window_batch": relational.events_session_window_batch,
     "agg_transpose_summary": relational.agg_transpose_summary,
     "sql_group_order_by_all": relational.sql_group_order_by_all,
-    # ---- r07 overflow: remaining round-6 additions (queued with block
-    # ---- G below to lead the r08 window) ----
-    "text_pii_scan": text_fns.text_pii_scan,
-    "join_spatial_grid": relational.join_spatial_grid,
-    "dedup_link_prediction": dedup.dedup_link_prediction,
-    "q8_market_share": relational.q8_market_share,
-    "q13_customer_distribution": relational.q13_customer_distribution,
-    "q15_top_supplier": relational.q15_top_supplier,
-    "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
-    "q18_large_volume_customer": relational.q18_large_volume_customer,
-    "q21_suppliers_kept_waiting": relational.q21_suppliers_kept_waiting,
-    "events_hourly_acf": relational.events_hourly_acf,
-    "similarity_matryoshka_error": similarity.similarity_matryoshka_error,
-    "search_rank_fusion": text_fns.search_rank_fusion,
-    "eval_auc_rank": evaluation.eval_auc_rank,
-    "eval_calibration_bins": evaluation.eval_calibration_bins,
-    "similarity_mips_transform": similarity.similarity_mips_transform,
-    # ---- round-3 driver rows — oldest evidence; lead r08 with the
-    # ---- overflow above ----
     "events_heavy_hitters": sketches.events_heavy_hitters,
     "sample_token_budget_mix": relational.sample_token_budget_mix,
     "events_anomaly_mad": relational.events_anomaly_mad,
@@ -178,7 +240,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_left_outer": relational.join_left_outer,
     "join_left_semi": relational.join_left_semi,
     "join_left_anti": relational.join_left_anti,
-    # ---- round-4 driver rows (next-oldest) ----
     "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup.dedup_embedding_cosine,
     "stream_user_topk": stream_ops.stream_user_topk,
@@ -228,7 +289,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_count": text_fns.text_token_count,
     "text_quality_score": text_fns.text_quality_score,
     "text_lang_id": text_fns.text_lang_id,
-    # ---- round-5 driver rows ----
     "er_sorted_neighborhood": mining.er_sorted_neighborhood,
     "events_attribution_last_touch": relational.events_attribution_last_touch,
     "text_collocations_pmi": text_fns.text_collocations_pmi,
@@ -267,7 +327,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_histogram_2d": relational.agg_histogram_2d,
     "dedup_exact_documents": dedup.dedup_exact_documents,
     "cdc_latest_per_key": dedup.cdc_latest_per_key,
-    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
     "dedup_jaccard_lsh": dedup.dedup_jaccard_lsh,
     "dedup_embedding_lsh": dedup.dedup_embedding_lsh,
     "dedup_simhash": dedup.dedup_simhash,
@@ -278,8 +337,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ann_ivf": similarity.similarity_ann_ivf,
     "similarity_ann_lsh_multiprobe": similarity.similarity_ann_lsh_multiprobe,
     "similarity_bucket_histogram": similarity.similarity_bucket_histogram,
-    # ---- round-6 driver rows (freshest evidence; re-proven locally each
-    # ---- round by tests/test_oracle_parity.py) ----
     "dedup_jaccard_prefix": dedup.dedup_jaccard_prefix,
     "multimodal_binary_metadata": multimodal.multimodal_binary_metadata,
     "multimodal_decode_features": multimodal.multimodal_decode_features,
@@ -330,70 +387,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_lateness_audit": relational.events_lateness_audit,
     "stream_ohlc_candles": stream_ops.stream_ohlc_candles,
     "scalar_variant_funcs": scalars.scalar_variant_funcs,
-    # ---- round-7 additions (no driver evidence yet; queue behind the
-    # r08 leaders above, locally proven by tests/test_oracle_parity.py).
-    # r08 ROTATION NOTE: the r08 window should take (a) the 15-query
-    # "r07 overflow" block above, (b) the round-3 rows below, then as
-    # many of these round-7 additions as fit; the wave-3 tail
-    # (events_ks_test .. events_kalman_level) leads r09. ----
-    "eval_ndcg_at_k": evaluation.eval_ndcg_at_k,
-    "eval_rank_correlation": evaluation.eval_rank_correlation,
-    "eval_cohens_kappa": evaluation.eval_cohens_kappa,
-    "item_item_cf": mining.item_item_cf,
-    "search_phrase_positional": text_fns.search_phrase_positional,
-    "eval_mrr_hit_rate": evaluation.eval_mrr_hit_rate,
-    "eval_ips_offpolicy": evaluation.eval_ips_offpolicy,
-    "events_bootstrap_ci": relational.events_bootstrap_ci,
-    "sample_negative_pairs": relational.sample_negative_pairs,
-    "audit_referential_integrity": relational.audit_referential_integrity,
-    "text_dictionary_tagging": text_fns.text_dictionary_tagging,
-    "events_global_rank_two_phase": relational.events_global_rank_two_phase,
-    "agg_weighted_median": relational.agg_weighted_median,
-    "eval_conformal_interval": evaluation.eval_conformal_interval,
-    "agg_join_size_sketch": sketches.agg_join_size_sketch,
-    "eval_map_at_k": evaluation.eval_map_at_k,
-    "sample_neyman_allocation": relational.sample_neyman_allocation,
-    "events_changepoint_binseg": relational.events_changepoint_binseg,
-    "events_diff_in_diff": relational.events_diff_in_diff,
-    "stream_state_inspect": stream_ops.stream_state_inspect,
-    "text_bpe_word_merges": text_fns.text_bpe_word_merges,
-    "sales_hierarchy_share": relational.sales_hierarchy_share,
-    "text_heaps_law": relational.text_heaps_law,
-    "eval_multiclass_prf": evaluation.eval_multiclass_prf,
-    "eval_pinball_loss": evaluation.eval_pinball_loss,
-    "graph_degree_powerlaw": mining.graph_degree_powerlaw,
-    "join_asof_nearest": asof.join_asof_nearest,
-    "sample_kcenter_coreset": similarity.sample_kcenter_coreset,
-    "events_power_analysis": relational.events_power_analysis,
-    "eval_qini_uplift": evaluation.eval_qini_uplift,
-    "events_fourier_strength": relational.events_fourier_strength,
-    "graph_assortativity": mining.graph_assortativity,
-    "graph_modularity": dedup.graph_modularity,
-    "events_ks_test": relational.events_ks_test,
-    "events_mann_whitney": relational.events_mann_whitney,
-    "events_psi_drift": relational.events_psi_drift,
-    "orders_simpson_paradox": relational.orders_simpson_paradox,
-    "profile_l_diversity": relational.profile_l_diversity,
-    "text_chao1_vocab": text_fns.text_chao1_vocab,
-    "text_textrank_keywords": mining.text_textrank_keywords,
-    "eval_brier_decomposition": evaluation.eval_brier_decomposition,
-    "events_sprt_decision": relational.events_sprt_decision,
-    "events_lag_xcorr": relational.events_lag_xcorr,
-    "events_entropy_rate": relational.events_entropy_rate,
-    "orders_hill_tail_index": relational.orders_hill_tail_index,
-    "graph_hits_scores": mining.graph_hits_scores,
-    "graph_label_propagation": dedup.graph_label_propagation,
-    "events_kruskal_wallis": relational.events_kruskal_wallis,
-    "events_runs_test": relational.events_runs_test,
-    "events_ab_srm_check": relational.events_ab_srm_check,
-    "parts_xyz_classification": relational.parts_xyz_classification,
-    "customers_rfm_migration": relational.customers_rfm_migration,
-    "events_holt_winters_pandas": udfs.events_holt_winters_pandas,
-    "events_kalman_level": udfs.events_kalman_level,
-    "agg_ams_f2_sketch": sketches.agg_ams_f2_sketch,
-    "agg_kmv_distinct": sketches.agg_kmv_distinct,
-    "geo_nearest_hub": relational.geo_nearest_hub,
-    "sample_ipf_raking": relational.sample_ipf_raking,
 }
 
 #: Shared SQL fragments for the oracle twins below.
