@@ -140,6 +140,16 @@ QUERIES = {
     "events_entropy_rate": relational.events_entropy_rate,
     "events_lag_xcorr": relational.events_lag_xcorr,
     "events_runs_test": relational.events_runs_test,
+    # round-8 heavy-tail additions (r7 verdict item 9): k-core peels the
+    # LSH graph (per-round degree shuffle + two semi joins; rounds bounded
+    # by max core); modularity is one pass over the CC partition (edge-
+    # linear); golden record = blocked ER + CC + one survivorship shuffle;
+    # AMS F2 carries FIXED 16-estimator state (scan-linear) but its
+    # certification row also computes the EXACT F2 per-key groupBy
+    "dedup_kcore_peel": dedup.dedup_kcore_peel,
+    "graph_modularity": dedup.graph_modularity,
+    "er_golden_record": mining.er_golden_record,
+    "agg_ams_f2_sketch": sketches.agg_ams_f2_sketch,
 }
 
 
