@@ -7293,3 +7293,132 @@ _ORACLES["sample_ipf_raking"] = """
     SELECT event_type, CAST(day_part AS BIGINT) AS day_part, n, w AS weight
     FROM w6
 """
+
+# ---------------------------------------------------------------------------
+# Round 8 additions (X219-X223): inequality / retention / skyline / backlog
+# ---------------------------------------------------------------------------
+
+_ORACLES["customers_gini_concentration"] = """
+    WITH rev AS (SELECT o_custkey,
+                        CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)))
+                             AS DECIMAL(18,2)) AS rev
+                 FROM orders GROUP BY 1),
+    u AS (SELECT r.o_custkey, r.rev, c.c_mktsegment AS seg
+          FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+          UNION ALL
+          SELECT o_custkey, rev, 'ALL' AS seg FROM rev),
+    ranked AS (SELECT seg, rev,
+                      ROW_NUMBER() OVER (PARTITION BY seg
+                                         ORDER BY rev, o_custkey) AS i
+               FROM u),
+    agg AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(rev) AS DECIMAL(38,2)) AS sum_rev,
+                   CAST(SUM(CAST(2 * i AS DECIMAL(16,0)) * rev)
+                        AS DECIMAL(38,2)) AS sum_2ix
+            FROM ranked GROUP BY 1)
+    SELECT seg AS segment, n_customers,
+           CAST(sum_rev AS DECIMAL(18,2)) AS sum_rev,
+           ROUND((CAST(sum_2ix AS DOUBLE)
+                  - CAST(n_customers + 1 AS DOUBLE) * CAST(sum_rev AS DOUBLE))
+                 / (CAST(n_customers AS DOUBLE) * CAST(sum_rev AS DOUBLE)),
+                 6) AS gini
+    FROM agg
+"""
+
+_ORACLES["orders_pareto_8020"] = """
+    WITH rev AS (SELECT o_custkey,
+                        CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)))
+                             AS DECIMAL(18,2)) AS rev
+                 FROM orders GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rev),
+    ranked AS (SELECT rev,
+                      ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rk
+               FROM rev),
+    per_dec AS (SELECT ((rk - 1) * 10) // n AS decile,
+                       CAST(COUNT(*) AS BIGINT) AS n_cust,
+                       CAST(SUM(rev) AS DECIMAL(38,2)) AS dec_rev
+                FROM ranked, n GROUP BY 1, n.n),
+    tot AS (SELECT CAST(SUM(dec_rev) AS DECIMAL(38,2)) AS tot FROM per_dec),
+    cum AS (SELECT decile, n_cust,
+                   CAST(SUM(dec_rev) OVER (ORDER BY decile
+                        ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS cum_rev
+            FROM per_dec)
+    SELECT decile, n_cust,
+           CAST(cum_rev AS DECIMAL(18,2)) AS cum_rev,
+           ROUND(CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share,
+           CAST(cum_rev AS DECIMAL(28,2)) * 5
+               >= CAST(tot AS DECIMAL(28,2)) * 4 AS crossed_80
+    FROM cum, tot
+"""
+
+_ORACLES["orders_cohort_retention_triangle"] = """
+    WITH o AS (SELECT o_custkey,
+                      date_trunc('month', o_orderdate) AS om
+               FROM orders),
+    first AS (SELECT o_custkey, MIN(om) AS cohort_month FROM o GROUP BY 1),
+    size_t AS (SELECT cohort_month, CAST(COUNT(*) AS BIGINT) AS cohort_size
+               FROM first GROUP BY 1),
+    cells AS (SELECT cohort_month, months_since,
+                     CAST(COUNT(*) AS BIGINT) AS n_active
+              FROM (SELECT DISTINCT o.o_custkey, f.cohort_month,
+                           CAST(date_diff('month', f.cohort_month, o.om)
+                                AS BIGINT) AS months_since
+                    FROM o JOIN first f ON o.o_custkey = f.o_custkey
+                    WHERE date_diff('month', f.cohort_month, o.om) <= 12)
+              GROUP BY 1, 2)
+    SELECT c.cohort_month, c.months_since, c.n_active, s.cohort_size,
+           ROUND(CAST(c.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE),
+                 6) AS retention
+    FROM cells c JOIN size_t s ON c.cohort_month = s.cohort_month
+"""
+
+# direct dominance semantics — NOT the windowed prune the engine uses, so
+# the hash certifies the distributed skyline against first principles
+_ORACLES["part_skyline_pareto"] = """
+    WITH pairs AS (SELECT CAST(ROUND(p_retailprice, 2) AS DECIMAL(12,2))
+                              AS price,
+                          CAST(p_size AS BIGINT) AS size,
+                          CAST(COUNT(*) AS BIGINT) AS n_parts
+                   FROM part GROUP BY 1, 2)
+    SELECT price AS p_retailprice, size AS p_size, n_parts
+    FROM pairs p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pairs q
+        WHERE q.price <= p.price AND q.size >= p.size
+          AND (q.price < p.price OR q.size > p.size))
+"""
+
+_ORACLES["orders_backlog_burndown"] = """
+    WITH o AS (SELECT date_trunc('month', o_orderdate) AS open_m,
+                      date_trunc('month',
+                          o_orderdate
+                          + (CASE o_orderpriority
+                                 WHEN '1-URGENT' THEN 2
+                                 WHEN '2-HIGH' THEN 5
+                                 WHEN '3-MEDIUM' THEN 9
+                                 WHEN '4-NOT SPECIFIED' THEN 14
+                                 ELSE 20 END) * INTERVAL 1 DAY) AS ship_m
+               FROM orders),
+    opened AS (SELECT open_m AS m, CAST(COUNT(*) AS BIGINT) AS n_opened
+               FROM o GROUP BY 1),
+    shipped AS (SELECT ship_m AS m, CAST(COUNT(*) AS BIGINT) AS n_shipped
+                FROM o GROUP BY 1),
+    months AS (SELECT COALESCE(op.m, sh.m) AS m,
+                      COALESCE(n_opened, 0) AS n_opened,
+                      COALESCE(n_shipped, 0) AS n_shipped
+               FROM opened op FULL OUTER JOIN shipped sh ON op.m = sh.m)
+    SELECT m AS month, CAST(n_opened AS BIGINT) AS n_opened,
+           CAST(n_shipped AS BIGINT) AS n_shipped,
+           CAST(SUM(n_opened) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+                - SUM(n_shipped) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS open_eom
+    FROM months
+"""
+
+_QUERIES["customers_gini_concentration"] = relational.customers_gini_concentration
+_QUERIES["orders_pareto_8020"] = relational.orders_pareto_8020
+_QUERIES["orders_cohort_retention_triangle"] = (
+    relational.orders_cohort_retention_triangle
+)
+_QUERIES["part_skyline_pareto"] = relational.part_skyline_pareto
+_QUERIES["orders_backlog_burndown"] = relational.orders_backlog_burndown

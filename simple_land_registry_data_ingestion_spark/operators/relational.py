@@ -7249,3 +7249,292 @@ def sample_ipf_raking(spark: SparkSession, sf_dir: str, rounds: int = 3) -> Data
         "n",
         F.col("w").alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 — inequality / concentration analytics (two-phase-rank consumers)
+# ---------------------------------------------------------------------------
+
+def customers_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the standard inequality /
+    concentration gauge (how skewed is spend across the customer base),
+    computed EXACTLY from the rank identity
+
+        G = (2*SUM(i*x_i) - (n+1)*SUM(x_i)) / (n*SUM(x_i)),  x asc
+
+    Per-segment coefficients rank inside a KEYED window (parallel across
+    segments — the honest grouped shape); the ALL row's global rank goes
+    through the TWO-PHASE global rank (events_global_rank_two_phase
+    machinery), so no single-task window exists anywhere in the plan.
+
+    Everything before the final division is DECIMAL-exact: revenue is
+    2-dp DECIMAL(18,2), the weighted sum (2i-n-1)*x_i runs in
+    DECIMAL(38,2) (rank weight cast DECIMAL(16,0) — exact to n ~ 1e15).
+
+    Output: (segment, n_customers, sum_rev, gini), 5 + 1 rows.
+
+    Reference absent-side extension (reference main.py is a one-table
+    ETL with no analytics); the operator family a revenue pipeline runs.
+    """
+    rev = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    seg = rev.join(cust, "o_custkey")
+
+    def _gini(df: DataFrame, key) -> DataFrame:
+        w = Window.partitionBy("seg").orderBy("rev", "o_custkey")
+        ranked = df.select(
+            key.alias("seg"), "rev", "o_custkey"
+        ).withColumn("i", F.row_number().over(w).cast("long"))
+        return _gini_rollup(ranked)
+
+    def _gini_rollup(ranked: DataFrame) -> DataFrame:
+        term = (
+            (F.lit(2) * F.col("i")).cast("decimal(16,0)") * F.col("rev")
+        ).cast("decimal(38,2)")
+        agg = ranked.groupBy("seg").agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("rev").cast("decimal(38,2)").alias("sum_rev"),
+            F.sum(term).cast("decimal(38,2)").alias("sum_2ix"),
+        )
+        gini = (
+            F.col("sum_2ix").cast("double")
+            - (F.col("n_customers") + F.lit(1)).cast("double")
+            * F.col("sum_rev").cast("double")
+        ) / (F.col("n_customers").cast("double") * F.col("sum_rev").cast("double"))
+        return agg.select(
+            F.col("seg").alias("segment"),
+            "n_customers",
+            F.col("sum_rev").cast("decimal(18,2)").alias("sum_rev"),
+            F.round(gini, 6).alias("gini"),
+        )
+
+    per_seg = _gini(seg, F.col("c_mktsegment"))
+    glob = _gini_rollup(
+        two_phase_global_rank(
+            rev.select(F.lit("ALL").alias("seg"), "rev", "o_custkey"),
+            F.floor(F.col("rev")).cast("long"),
+            ["rev", "o_custkey"],
+            out="i",
+        )
+    )
+    return per_seg.unionByName(glob)
+
+
+def orders_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration curve of customer revenue — "what share of
+    revenue do the top 10%/20%/... of customers carry" plus the 80%
+    crossing flag, the standard whale-accounting readout.
+
+    Customers rank by revenue DESCENDING through the two-phase global
+    rank (no single-task window); ranks map to customer deciles, the
+    10-row decile table prefix-sums (tiny window), and the crossing test
+    5*cum_rev >= 4*total runs in DECIMAL — exact, no float compare.
+
+    Output: (decile, n_cust, cum_rev, cum_share, crossed_80), 10 rows."""
+    rev = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+    )
+    ranked = two_phase_global_rank(
+        rev,
+        (-F.floor(F.col("rev"))).cast("long"),
+        [F.col("rev").desc(), "o_custkey"],
+        out="rk",
+    )
+    n_total = rev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    per_dec = (
+        ranked.crossJoin(F.broadcast(n_total))
+        .select(F.expr("((rk - 1) * 10) div n").alias("decile"), "rev")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.sum("rev").cast("decimal(38,2)").alias("dec_rev"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    total = per_dec.agg(F.sum("dec_rev").cast("decimal(38,2)").alias("tot"))
+    return (
+        per_dec.withColumn("cum_rev", F.sum("dec_rev").over(w).cast("decimal(38,2)"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_cust",
+            F.col("cum_rev").cast("decimal(18,2)").alias("cum_rev"),
+            F.round(
+                F.col("cum_rev").cast("double") / F.col("tot").cast("double"), 6
+            ).alias("cum_share"),
+            (
+                F.col("cum_rev").cast("decimal(38,2)") * F.lit(5)
+                >= F.col("tot").cast("decimal(38,2)") * F.lit(4)
+            ).alias("crossed_80"),
+        )
+    )
+
+
+def orders_cohort_retention_triangle(
+    spark: SparkSession, sf_dir: str, horizon_months: int = 12
+) -> DataFrame:
+    """Classic cohort-retention triangle: customers grouped by FIRST
+    order month; cell (cohort, m) = the fraction of the cohort that
+    ordered again m months later — the growth-analytics readout every
+    subscription/marketplace warehouse computes.
+
+    Shape at scale: first-order month is one customer-keyed aggregate;
+    activity joins back on the customer key (same shuffle key — AQE
+    co-locates); the (cohort, months_since) cell rollup is
+    calendar-bounded (|months| x horizon rows).  No windows, no global
+    steps.
+
+    Output: (cohort_month, months_since, n_active, cohort_size,
+    retention) for months_since 0..horizon."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("om"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("om").alias("cohort_month"))
+    size = first.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    cells = (
+        o.join(first, "o_custkey")
+        .select(
+            "o_custkey",
+            "cohort_month",
+            F.months_between(F.col("om"), F.col("cohort_month"))
+            .cast("long")
+            .alias("months_since"),
+        )
+        .where(F.col("months_since") <= horizon_months)
+        .distinct()
+        .groupBy("cohort_month", "months_since")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return cells.join(F.broadcast(size), "cohort_month").select(
+        "cohort_month",
+        "months_since",
+        "n_active",
+        "cohort_size",
+        F.round(
+            F.col("n_active").cast("double") / F.col("cohort_size").cast("double"),
+            6,
+        ).alias("retention"),
+    )
+
+
+def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-optimal front) of parts under (MIN price, MAX
+    size) — the multi-criteria shortlist query: a part survives iff no
+    other part is at least as cheap AND at least as large with one
+    strict.  The classic database operator Spark has no primitive for.
+
+    DISTRIBUTED shape (the partition-prune-merge skyline): distinct
+    (price, size) pairs land in price buckets; each bucket computes its
+    LOCAL skyline with a KEYED window (running max size over strictly
+    better rows inside the bucket); cross-bucket domination reduces to
+    the per-bucket MAX size prefix over STRICTLY CHEAPER buckets — a
+    tiny bucket-table window broadcast back (the two-phase-rank offset
+    pattern).  No global sort, no all-pairs join.
+
+    The oracle certifies against DIRECT dominance semantics (a NOT
+    EXISTS anti-join), not the same windowed formula — any pruning bug
+    on either level breaks the hash.
+
+    Output: (p_retailprice, p_size, n_parts) skyline points."""
+    parts = load(spark, sf_dir, "part").select(
+        F.round(F.col("p_retailprice"), 2).cast("decimal(12,2)").alias("price"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    pairs = parts.groupBy("price", "size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts")
+    )
+    b = pairs.withColumn("bkt", F.floor(F.col("price") / 100).cast("long"))
+    # local skyline: inside a bucket, a pair is dominated iff an earlier
+    # row in (price asc, size desc) order has size >= mine (distinct
+    # pairs make the >= test exact: equal price+size cannot recur)
+    wloc = (
+        Window.partitionBy("bkt")
+        .orderBy(F.col("price").asc(), F.col("size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = b.withColumn("max_prev", F.max("size").over(wloc)).where(
+        F.col("max_prev").isNull() | (F.col("max_prev") < F.col("size"))
+    )
+    # cross-bucket prune: max size of any strictly cheaper bucket
+    bstats = b.groupBy("bkt").agg(F.max("size").alias("bmax"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    cheaper = bstats.select(
+        "bkt", F.max("bmax").over(wb).alias("best_cheaper")
+    )
+    return (
+        local.join(F.broadcast(cheaper), "bkt")
+        .where(
+            F.col("best_cheaper").isNull()
+            | (F.col("best_cheaper") < F.col("size"))
+        )
+        .select(
+            F.col("price").alias("p_retailprice"),
+            F.col("size").alias("p_size"),
+            "n_parts",
+        )
+    )
+
+
+def orders_backlog_burndown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-backlog burndown: orders open at each month end, from the
+    +1/-1 delta trick (the interval-unnesting pattern) — never a
+    per-month interval scan.  Ship month is planted deterministically
+    from the order priority (URGENT ships in 2 days ... LOW in 20), so
+    both engines see identical intervals.
+
+    Shape at scale: one scan emits (month, +1) and (ship_month, -1)
+    deltas; the month rollup is calendar-bounded; the running sum is a
+    window over the TINY month table.  Output: (month, n_opened,
+    n_shipped, open_eom)."""
+    days = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 2)
+        .when(F.col("o_orderpriority") == "2-HIGH", 5)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 9)
+        .when(F.col("o_orderpriority") == "4-NOT SPECIFIED", 14)
+        .otherwise(20)
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("open_m"),
+        F.date_trunc(
+            "month", F.col("o_orderdate") + days * F.expr("INTERVAL 1 DAY")
+        ).cast("date").alias("ship_m"),
+    )
+    opened = o.groupBy(F.col("open_m").alias("m")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_opened")
+    )
+    shipped = o.groupBy(F.col("ship_m").alias("m")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shipped")
+    )
+    months = opened.join(shipped, "m", "full_outer").select(
+        "m",
+        F.coalesce("n_opened", F.lit(0)).cast("long").alias("n_opened"),
+        F.coalesce("n_shipped", F.lit(0)).cast("long").alias("n_shipped"),
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    return months.select(
+        F.col("m").alias("month"),
+        "n_opened",
+        "n_shipped",
+        (F.sum("n_opened").over(w) - F.sum("n_shipped").over(w))
+        .cast("long")
+        .alias("open_eom"),
+    )
