@@ -7422,3 +7422,168 @@ _QUERIES["orders_cohort_retention_triangle"] = (
 )
 _QUERIES["part_skyline_pareto"] = relational.part_skyline_pareto
 _QUERIES["orders_backlog_burndown"] = relational.orders_backlog_burndown
+
+# ---------------------------------------------------------------------------
+# Round 8 additions (X224-X228): robust / classical statistics
+# ---------------------------------------------------------------------------
+
+_ORACLES["events_winsorized_stats"] = """
+    WITH ev AS (SELECT event_type, event_id,
+                       CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+                FROM events),
+    ranked AS (SELECT event_type, c,
+                      ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY c, event_id) AS rk,
+                      CAST(COUNT(*) OVER (PARTITION BY event_type)
+                           AS BIGINT) AS n
+               FROM ev),
+    bounds AS (SELECT event_type,
+                      CAST(MIN(c) AS BIGINT) AS p5_cents,
+                      CAST(MAX(c) AS BIGINT) AS p95_cents
+               FROM ranked
+               WHERE rk = (n * 5 + 99) // 100 OR rk = (n * 95 + 99) // 100
+               GROUP BY 1),
+    clipped AS (SELECT r.event_type, r.n,
+                       GREATEST(b.p5_cents, LEAST(b.p95_cents, r.c)) AS wc,
+                       CASE WHEN r.c < b.p5_cents THEN 1 ELSE 0 END AS lo,
+                       CASE WHEN r.c > b.p95_cents THEN 1 ELSE 0 END AS hi,
+                       b.p5_cents, b.p95_cents
+                FROM ranked r JOIN bounds b ON r.event_type = b.event_type)
+    SELECT event_type, MAX(n) AS n,
+           MAX(p5_cents) AS p5_cents, MAX(p95_cents) AS p95_cents,
+           CAST(SUM(lo) AS BIGINT) AS n_clipped_low,
+           CAST(SUM(hi) AS BIGINT) AS n_clipped_high,
+           ROUND(CAST(SUM(wc) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) / 100.0,
+                 6) AS winsorized_mean
+    FROM clipped GROUP BY 1
+"""
+
+_ORACLES["events_mad_outliers"] = """
+    WITH ev AS (SELECT event_type, event_id,
+                       CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+                FROM events),
+    ranked AS (SELECT event_type, c,
+                      ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY c, event_id) AS rk,
+                      COUNT(*) OVER (PARTITION BY event_type) AS n
+               FROM ev),
+    med AS (SELECT event_type, c AS med FROM ranked WHERE rk = (n + 1) // 2),
+    dev AS (SELECT e.event_type, e.event_id, e.c, m.med,
+                   ABS(e.c - m.med) AS d
+            FROM ev e JOIN med m ON e.event_type = m.event_type),
+    dranked AS (SELECT event_type, d,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY d, event_id) AS rk,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM dev),
+    mad AS (SELECT event_type, d AS mad FROM dranked WHERE rk = (n + 1) // 2)
+    SELECT dev.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(dev.med) AS BIGINT) AS median_cents,
+           CAST(MAX(mad.mad) AS BIGINT) AS mad_cents,
+           CAST(SUM(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad ON dev.event_type = mad.event_type
+    GROUP BY 1
+"""
+
+_ORACLES["events_benford_audit"] = """
+    WITH ev AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+                FROM events
+                WHERE CAST(ROUND(value * 100, 0) AS BIGINT) > 0),
+    obs AS (SELECT CAST(SUBSTRING(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit,
+                   CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM ev GROUP BY 1),
+    n_t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ev),
+    p AS (SELECT obs.digit, obs.n_obs, n_t.n,
+                 CASE obs.digit
+                     WHEN 1 THEN 0.301029995663981
+                     WHEN 2 THEN 0.176091259055681
+                     WHEN 3 THEN 0.124938736608300
+                     WHEN 4 THEN 0.096910013008056
+                     WHEN 5 THEN 0.079181246047625
+                     WHEN 6 THEN 0.066946789630613
+                     WHEN 7 THEN 0.057991946977687
+                     WHEN 8 THEN 0.051152522447381
+                     ELSE 0.045757490560675 END AS pd
+          FROM obs, n_t)
+    SELECT digit, n_obs,
+           ROUND(CAST(n AS DOUBLE) * pd, 6) AS expected,
+           ROUND((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * pd)
+                 * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * pd)
+                 / (CAST(n AS DOUBLE) * pd), 6) AS chi2_term
+    FROM p
+"""
+
+_ORACLES["customers_nps_bayes_shrinkage"] = """
+    WITH conv AS (SELECT o_custkey,
+                         MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                             AS is_conv
+                  FROM orders GROUP BY 1),
+    nation AS (SELECT c.c_nationkey,
+                      CAST(COUNT(*) AS BIGINT) AS n_cust,
+                      CAST(SUM(COALESCE(v.is_conv, 0)) AS BIGINT) AS k_conv
+               FROM customer c LEFT JOIN conv v ON c.c_custkey = v.o_custkey
+               GROUP BY 1),
+    rated AS (SELECT c_nationkey, n_cust, k_conv,
+                     CAST(ROUND(CAST(k_conv AS DOUBLE) / n_cust, 6)
+                          AS DECIMAL(9,6)) AS rate
+              FROM nation),
+    pm AS (SELECT ROUND(CAST(SUM(rate) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE), 6) AS m
+           FROM rated),
+    pv AS (SELECT MAX(m) AS m,
+                  ROUND(CAST(SUM(CAST(ROUND(
+                            (CAST(rate AS DOUBLE) - m)
+                            * (CAST(rate AS DOUBLE) - m), 12)
+                        AS DECIMAL(28,12))) AS DOUBLE)
+                        / (CAST(COUNT(*) AS DOUBLE) - 1.0), 12) AS v
+           FROM rated, pm)
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey, n_cust, k_conv,
+           rate AS raw_rate,
+           ROUND((CAST(k_conv AS DOUBLE)
+                  + m * ROUND(m * (1.0 - m) / v - 1.0, 6))
+                 / (CAST(n_cust AS DOUBLE)
+                    + ROUND(m * (1.0 - m) / v - 1.0, 6)), 6) AS shrunk_rate
+    FROM rated, pv
+"""
+
+_ORACLES["lineitem_price_elasticity"] = """
+    WITH rows_t AS (
+        SELECT p.p_brand,
+               CAST(ROUND(LN(ROUND(l.l_extendedprice, 2)), 12)
+                    AS DECIMAL(28,12)) AS x,
+               CAST(ROUND(LN(CAST(CAST(l.l_quantity AS BIGINT) AS DOUBLE)),
+                          12) AS DECIMAL(28,12)) AS y,
+               CAST(ROUND(LN(ROUND(l.l_extendedprice, 2))
+                          * LN(CAST(CAST(l.l_quantity AS BIGINT) AS DOUBLE)),
+                          12) AS DECIMAL(28,12)) AS xy,
+               CAST(ROUND(LN(ROUND(l.l_extendedprice, 2))
+                          * LN(ROUND(l.l_extendedprice, 2)), 12)
+                    AS DECIMAL(28,12)) AS xx
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    agg AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy, SUM(xy) AS sxy, SUM(xx) AS sxx
+            FROM rows_t GROUP BY 1)
+    SELECT p_brand, n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS intercept
+    FROM agg
+"""
+
+_QUERIES["events_winsorized_stats"] = relational.events_winsorized_stats
+_QUERIES["events_mad_outliers"] = relational.events_mad_outliers
+_QUERIES["events_benford_audit"] = relational.events_benford_audit
+_QUERIES["customers_nps_bayes_shrinkage"] = (
+    relational.customers_nps_bayes_shrinkage
+)
+_QUERIES["lineitem_price_elasticity"] = relational.lineitem_price_elasticity

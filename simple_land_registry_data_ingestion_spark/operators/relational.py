@@ -7538,3 +7538,314 @@ def orders_backlog_burndown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("open_eom"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 — robust / classical statistics (X224-X228)
+# ---------------------------------------------------------------------------
+
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%) per-type value statistics — the robust mean a
+    metrics pipeline reports when heavy tails would let a few whales move
+    the plain average.
+
+    Everything is INTEGER until the final division: values become cents
+    (BIGINT), the clip thresholds are PICKED ceil(q*n)-th order
+    statistics (keyed window, never interpolation — the repo's
+    order-statistic discipline), clamping and the winsorized sum stay
+    BIGINT, and the mean is one double division rounded 6dp.
+
+    Scale: one keyed rank window + one keyed aggregate."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    w = Window.partitionBy("event_type").orderBy("c", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "c",
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        .cast("long")
+        .alias("n"),
+    )
+    lo_k = F.expr("(n * 5 + 99) div 100")
+    hi_k = F.expr("(n * 95 + 99) div 100")
+    bounds = (
+        ranked.where((F.col("rk") == lo_k) | (F.col("rk") == hi_k))
+        .groupBy("event_type")
+        .agg(
+            F.min("c").cast("long").alias("p5_cents"),
+            F.max("c").cast("long").alias("p95_cents"),
+        )
+    )
+    clipped = ranked.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "n",
+        F.greatest(
+            F.col("p5_cents"), F.least(F.col("p95_cents"), F.col("c"))
+        ).alias("wc"),
+        (F.col("c") < F.col("p5_cents")).cast("long").alias("lo"),
+        (F.col("c") > F.col("p95_cents")).cast("long").alias("hi"),
+        "p5_cents",
+        "p95_cents",
+    )
+    return clipped.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max("p5_cents").alias("p5_cents"),
+        F.max("p95_cents").alias("p95_cents"),
+        F.sum("lo").cast("long").alias("n_clipped_low"),
+        F.sum("hi").cast("long").alias("n_clipped_high"),
+        F.round(
+            F.sum("wc").cast("double") / F.max("n").cast("double") / F.lit(100.0),
+            6,
+        ).alias("winsorized_mean"),
+    )
+
+
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier screen per event type — the
+    robust z-score every data-quality monitor prefers over mean/stddev
+    (one bad batch cannot move the fence it is judged by).
+
+    All-integer: cents median and MAD are PICKED lower medians (rank
+    floor((n+1)/2), the F.floor discipline — (n+1)/2 is true division on
+    longs); the fence test |c - med| > 3*MAD compares BIGINTs.
+
+    Scale: two keyed rank windows (values, then absolute deviations) and
+    one keyed aggregate — parallel across types throughout."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    w = Window.partitionBy("event_type").orderBy("c", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "c",
+        "event_id",
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        .cast("long")
+        .alias("n"),
+    )
+    med = (
+        ranked.where(F.col("rk") == F.floor((F.col("n") + 1) / 2))
+        .select("event_type", F.col("c").alias("med"))
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "c",
+        "med",
+        F.abs(F.col("c") - F.col("med")).alias("d"),
+    )
+    wd = Window.partitionBy("event_type").orderBy("d", "event_id")
+    dranked = dev.select(
+        "event_type",
+        "d",
+        F.row_number().over(wd).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        .cast("long")
+        .alias("n"),
+    )
+    mad = (
+        dranked.where(F.col("rk") == F.floor((F.col("n") + 1) / 2))
+        .select("event_type", F.col("d").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.max("med").alias("median_cents"),
+            F.max("mad").alias("mad_cents"),
+            F.sum((F.col("d") > F.lit(3) * F.col("mad")).cast("long"))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+#: log10(1 + 1/d) for d=1..9, pinned as shared literals (the ln/trig
+#: constant discipline): both engines consume the same decimal text, so
+#: the Benford expectation is engine-exact before the one rounded chi2
+#: term per digit.
+BENFORD_P = {
+    1: "0.301029995663981",
+    2: "0.176091259055681",
+    3: "0.124938736608300",
+    4: "0.096910013008056",
+    5: "0.079181246047625",
+    6: "0.066946789630613",
+    7: "0.057991946977687",
+    8: "0.051152522447381",
+    9: "0.045757490560675",
+}
+
+
+def events_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of event values — the classic
+    fraud / synthetic-data screen: natural multi-scale magnitudes follow
+    P(d) = log10(1+1/d); a planted or clipped value column does not, and
+    the per-digit chi-square terms localize WHERE it breaks.
+
+    First digit extraction is string-exact on integer cents (no
+    log/pow on data, so no cross-engine float risk); expectations use
+    the pinned log10 literals above; each chi2 term is one double
+    expression rounded 6dp on a 9-row table.
+
+    Scale: scan-stage digit arithmetic + ONE 9-key aggregate."""
+    ev = load(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("c")
+    ).where(F.col("c") > 0)
+    digit = F.substring(F.col("c").cast("string"), 1, 1).cast("long")
+    obs = ev.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs")
+    )
+    n_total = ev.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    p = F.when(F.col("digit") == 1, F.lit(float(BENFORD_P[1])))
+    for d in range(2, 10):
+        p = p.when(F.col("digit") == d, F.lit(float(BENFORD_P[d])))
+    expected = F.col("n").cast("double") * p
+    chi2 = (F.col("n_obs").cast("double") - expected) * (
+        F.col("n_obs").cast("double") - expected
+    ) / expected
+    return obs.crossJoin(F.broadcast(n_total)).select(
+        "digit",
+        "n_obs",
+        F.round(expected, 6).alias("expected"),
+        F.round(chi2, 6).alias("chi2_term"),
+    )
+
+
+def customers_nps_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-nation conversion
+    rates — the small-sample correction every per-segment scorecard
+    needs: a 3-customer nation's 100% rate should NOT outrank a
+    3000-customer nation's 62%; shrinking toward the method-of-moments
+    prior fixes the ranking.
+
+    Determinism: raw rates quantize to DECIMAL(9,6) at creation; the
+    prior mean is a DECIMAL-sum division rounded 6dp; the variance sums
+    12-dp DECIMAL(28,12) squared deviations (order-free); prior strength
+    K and the shrunk rate are single double expressions from those
+    rounded scalars, written identically on both engines.
+
+    Scale: one customer-keyed aggregate, one 25-row nation rollup, a
+    1-row prior broadcast back onto 25 rows."""
+    conv = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max((F.col("o_orderstatus") == "F").cast("long")).alias("is_conv")
+        )
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    nation = (
+        cust.join(conv, "o_custkey", "left")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.sum(F.coalesce(F.col("is_conv"), F.lit(0)))
+            .cast("long")
+            .alias("k_conv"),
+        )
+        .withColumn(
+            "rate",
+            F.round(F.col("k_conv").cast("double") / F.col("n_cust"), 6).cast(
+                "decimal(9,6)"
+            ),
+        )
+    )
+    prior_m = nation.agg(
+        F.round(
+            F.sum("rate").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("m")
+    )
+    with_m = nation.crossJoin(F.broadcast(prior_m))
+    var = with_m.agg(
+        F.max("m").alias("m"),
+        F.round(
+            F.sum(
+                F.round(
+                    (F.col("rate").cast("double") - F.col("m"))
+                    * (F.col("rate").cast("double") - F.col("m")),
+                    12,
+                ).cast("decimal(28,12)")
+            ).cast("double")
+            / (F.count(F.lit(1)).cast("double") - F.lit(1.0)),
+            12,
+        ).alias("v"),
+    )
+    k_expr = F.round(
+        F.col("m") * (F.lit(1.0) - F.col("m")) / F.col("v") - F.lit(1.0), 6
+    )
+    shrunk = F.round(
+        (F.col("k_conv").cast("double") + F.col("m") * k_expr)
+        / (F.col("n_cust").cast("double") + k_expr),
+        6,
+    )
+    return nation.crossJoin(F.broadcast(var)).select(
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        "n_cust",
+        "k_conv",
+        F.col("rate").alias("raw_rate"),
+        shrunk.alias("shrunk_rate"),
+    )
+
+
+def lineitem_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand log-log price elasticity — closed-form OLS slope of
+    ln(quantity) on ln(price) over order lines, the demand-curve
+    estimate a pricing pipeline fits in one aggregate pass (never an
+    iterative solver):
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+
+    Float discipline: ln runs on the 2-dp-rounded price and the integral
+    quantity; each per-row term (x, y, xy, xx) rounds 12dp into
+    DECIMAL(28,12) so the four sums are exact and order-free; slope and
+    intercept are single double expressions rounded 6dp.
+
+    Scale: one broadcast join (part dimension) + one brand-keyed
+    aggregate — the whole regression is map-side partial-aggregatable."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice"), 2).alias("price"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    part = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    x = F.log(F.col("price"))
+    y = F.log(F.col("qty").cast("double"))
+    rows = li.join(F.broadcast(part), "l_partkey").select(
+        "p_brand",
+        F.round(x, 12).cast("decimal(28,12)").alias("x"),
+        F.round(y, 12).cast("decimal(28,12)").alias("y"),
+        F.round(x * y, 12).cast("decimal(28,12)").alias("xy"),
+        F.round(x * x, 12).cast("decimal(28,12)").alias("xx"),
+    )
+    agg = rows.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xx").alias("sxx"),
+    )
+    nn = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    slope = (nn * F.col("sxy").cast("double") - sx * sy) / (
+        nn * F.col("sxx").cast("double") - sx * sx
+    )
+    return agg.select(
+        "p_brand",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / nn, 6).alias("intercept"),
+    )
