@@ -7587,3 +7587,207 @@ _QUERIES["customers_nps_bayes_shrinkage"] = (
     relational.customers_nps_bayes_shrinkage
 )
 _QUERIES["lineitem_price_elasticity"] = relational.lineitem_price_elasticity
+
+# ---------------------------------------------------------------------------
+# Round 8 additions (X229-X232): timeseries repair / decomposition /
+# sequential-recursion certifications 5 and 6
+# ---------------------------------------------------------------------------
+
+_ORACLES["events_gap_fill_interpolate"] = """
+    WITH hourly AS (SELECT event_type,
+                           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+                           CAST(COUNT(*) AS BIGINT) AS c
+                    FROM events GROUP BY 1, 2),
+    b AS (SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM hourly),
+    g AS (SELECT UNNEST(generate_series(b.mn, b.mx, INTERVAL 1 HOUR))
+                     AS hr
+          FROM b),
+    spine AS (SELECT t.event_type, g.hr
+              FROM (SELECT DISTINCT event_type FROM hourly) t, g),
+    j AS (SELECT s.event_type, s.hr, h.c
+          FROM spine s LEFT JOIN hourly h
+            ON s.event_type = h.event_type AND s.hr = h.hr),
+    w AS (SELECT event_type, hr, c,
+                 LAST_VALUE(c IGNORE NULLS) OVER
+                     (PARTITION BY event_type ORDER BY hr
+                      ROWS UNBOUNDED PRECEDING) AS prev_c,
+                 LAST_VALUE(CASE WHEN c IS NOT NULL THEN hr END IGNORE NULLS)
+                     OVER (PARTITION BY event_type ORDER BY hr
+                           ROWS UNBOUNDED PRECEDING) AS prev_hr,
+                 FIRST_VALUE(c IGNORE NULLS) OVER
+                     (PARTITION BY event_type ORDER BY hr
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                     AS next_c,
+                 FIRST_VALUE(CASE WHEN c IS NOT NULL THEN hr END IGNORE NULLS)
+                     OVER (PARTITION BY event_type ORDER BY hr
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                     AS next_hr
+          FROM j)
+    SELECT event_type, hr, c IS NULL AS was_gap,
+           ROUND(CASE
+                     WHEN c IS NOT NULL THEN CAST(c AS DOUBLE)
+                     WHEN prev_c IS NULL THEN CAST(next_c AS DOUBLE)
+                     WHEN next_c IS NULL THEN CAST(prev_c AS DOUBLE)
+                     ELSE CAST(prev_c AS DOUBLE)
+                          + (CAST(next_c AS DOUBLE) - CAST(prev_c AS DOUBLE))
+                            * (CAST(CAST(date_diff('hour', prev_hr, hr)
+                                         AS BIGINT) AS DOUBLE)
+                               / CAST(CAST(date_diff('hour', prev_hr, next_hr)
+                                           AS BIGINT) AS DOUBLE))
+                 END, 6) AS filled
+    FROM w
+"""
+
+_ORACLES["events_haar_wavelet_energy"] = """
+    WITH hourly AS (SELECT event_type,
+                           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+                           CAST(COUNT(*) AS BIGINT) AS c
+                    FROM events GROUP BY 1, 2),
+    b AS (SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM hourly),
+    g AS (SELECT UNNEST(generate_series(b.mn, b.mx, INTERVAL 1 HOUR))
+                     AS hr,
+                 b.mn
+          FROM b),
+    spine AS (SELECT t.event_type, g.hr, g.mn
+              FROM (SELECT DISTINCT event_type FROM hourly) t, g),
+    series AS (SELECT s.event_type,
+                      CAST(date_diff('hour', s.mn, s.hr) AS BIGINT) AS idx,
+                      CAST(COALESCE(h.c, 0) AS BIGINT) AS v
+               FROM spine s LEFT JOIN hourly h
+                 ON s.event_type = h.event_type AND s.hr = h.hr),
+    l1 AS (SELECT event_type, idx // 2 AS pi,
+                  CAST(SUM(CASE WHEN idx % 2 = 0 THEN v ELSE -v END)
+                       AS BIGINT) AS d,
+                  CAST(SUM(v) AS BIGINT) AS a
+           FROM series GROUP BY 1, 2),
+    l2 AS (SELECT event_type, pi // 2 AS pi,
+                  CAST(SUM(CASE WHEN pi % 2 = 0 THEN a ELSE -a END)
+                       AS BIGINT) AS d,
+                  CAST(SUM(a) AS BIGINT) AS a
+           FROM l1 GROUP BY 1, 2),
+    l3 AS (SELECT event_type, pi // 2 AS pi,
+                  CAST(SUM(CASE WHEN pi % 2 = 0 THEN a ELSE -a END)
+                       AS BIGINT) AS d,
+                  CAST(SUM(a) AS BIGINT) AS a
+           FROM l2 GROUP BY 1, 2)
+    SELECT event_type, CAST(1 AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(d * d) AS BIGINT) AS energy
+    FROM l1 GROUP BY 1
+    UNION ALL
+    SELECT event_type, CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(d * d) AS BIGINT)
+    FROM l2 GROUP BY 1
+    UNION ALL
+    SELECT event_type, CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(d * d) AS BIGINT)
+    FROM l3 GROUP BY 1
+"""
+
+_ORACLES["events_ewma_crossover"] = """
+    WITH RECURSIVE cnt AS (
+        SELECT event_type,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+               CAST(COUNT(*) AS DOUBLE) AS c
+        FROM events GROUP BY 1, 2),
+    o AS (SELECT event_type, c,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr)
+                     AS rn
+          FROM cnt),
+    h(event_type, rn, f, s, prev_sign, crossings) AS (
+        SELECT event_type, rn, c, c, 0, CAST(0 AS BIGINT)
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT e.event_type, e.rn,
+               (CAST(0.4 AS DOUBLE) * e.c) + (CAST(0.6 AS DOUBLE) * h.f),
+               (CAST(0.1 AS DOUBLE) * e.c) + (CAST(0.9 AS DOUBLE) * h.s),
+               CASE WHEN ((CAST(0.4 AS DOUBLE) * e.c)
+                          + (CAST(0.6 AS DOUBLE) * h.f))
+                         > ((CAST(0.1 AS DOUBLE) * e.c)
+                            + (CAST(0.9 AS DOUBLE) * h.s)) THEN 1
+                    WHEN ((CAST(0.4 AS DOUBLE) * e.c)
+                          + (CAST(0.6 AS DOUBLE) * h.f))
+                         < ((CAST(0.1 AS DOUBLE) * e.c)
+                            + (CAST(0.9 AS DOUBLE) * h.s)) THEN -1
+                    ELSE h.prev_sign END,
+               h.crossings
+               + CASE WHEN h.prev_sign <> 0
+                       AND ((CAST(0.4 AS DOUBLE) * e.c)
+                            + (CAST(0.6 AS DOUBLE) * h.f))
+                           > ((CAST(0.1 AS DOUBLE) * e.c)
+                              + (CAST(0.9 AS DOUBLE) * h.s))
+                       AND h.prev_sign = -1 THEN 1
+                      WHEN h.prev_sign <> 0
+                       AND ((CAST(0.4 AS DOUBLE) * e.c)
+                            + (CAST(0.6 AS DOUBLE) * h.f))
+                           < ((CAST(0.1 AS DOUBLE) * e.c)
+                              + (CAST(0.9 AS DOUBLE) * h.s))
+                       AND h.prev_sign = 1 THEN 1
+                      ELSE 0 END
+        FROM h JOIN o e
+          ON e.event_type = h.event_type AND e.rn = h.rn + 1)
+    SELECT event_type, CAST(rn AS BIGINT) AS n_hours,
+           ROUND(f, 6) AS ewma_fast, ROUND(s, 6) AS ewma_slow,
+           CAST(crossings AS BIGINT) AS n_crossings
+    FROM h
+    QUALIFY rn = MAX(rn) OVER (PARTITION BY event_type)
+"""
+
+_ORACLES["events_page_hinkley_drift"] = """
+    WITH RECURSIVE cnt AS (
+        SELECT event_type,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+               CAST(COUNT(*) AS DOUBLE) AS c
+        FROM events GROUP BY 1, 2),
+    mu AS (SELECT event_type,
+                  ROUND(SUM(c) / COUNT(*), 6) AS mu
+           FROM cnt GROUP BY 1),
+    o AS (SELECT cnt.event_type, cnt.c, mu.mu,
+                 ROW_NUMBER() OVER (PARTITION BY cnt.event_type
+                                    ORDER BY cnt.hr) AS rn
+          FROM cnt JOIN mu ON cnt.event_type = mu.event_type),
+    h(event_type, rn, m, m_min, n_alarms, first_alarm) AS (
+        SELECT event_type, rn,
+               (c - mu - CAST(0.5 AS DOUBLE)),
+               LEAST(CAST(0.0 AS DOUBLE), (c - mu - CAST(0.5 AS DOUBLE))),
+               CASE WHEN (c - mu - CAST(0.5 AS DOUBLE))
+                         - LEAST(CAST(0.0 AS DOUBLE),
+                                 (c - mu - CAST(0.5 AS DOUBLE)))
+                        > CAST(50.0 AS DOUBLE)
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END,
+               CASE WHEN (c - mu - CAST(0.5 AS DOUBLE))
+                         - LEAST(CAST(0.0 AS DOUBLE),
+                                 (c - mu - CAST(0.5 AS DOUBLE)))
+                        > CAST(50.0 AS DOUBLE)
+                    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT e.event_type, e.rn,
+               h.m + (e.c - e.mu - CAST(0.5 AS DOUBLE)),
+               LEAST(h.m_min, h.m + (e.c - e.mu - CAST(0.5 AS DOUBLE))),
+               h.n_alarms
+               + CASE WHEN (h.m + (e.c - e.mu - CAST(0.5 AS DOUBLE)))
+                           - LEAST(h.m_min,
+                                   h.m + (e.c - e.mu - CAST(0.5 AS DOUBLE)))
+                          > CAST(50.0 AS DOUBLE) THEN 1 ELSE 0 END,
+               CASE WHEN h.first_alarm > 0 THEN h.first_alarm
+                    WHEN (h.m + (e.c - e.mu - CAST(0.5 AS DOUBLE)))
+                         - LEAST(h.m_min,
+                                 h.m + (e.c - e.mu - CAST(0.5 AS DOUBLE)))
+                        > CAST(50.0 AS DOUBLE) THEN e.rn
+                    ELSE CAST(0 AS BIGINT) END
+        FROM h JOIN o e
+          ON e.event_type = h.event_type AND e.rn = h.rn + 1)
+    SELECT event_type, CAST(rn AS BIGINT) AS n_hours,
+           ROUND(m, 6) AS m_final, ROUND(m_min, 6) AS m_min,
+           ROUND(m - m_min, 6) AS ph_stat,
+           CAST(n_alarms AS BIGINT) AS n_alarms,
+           CAST(first_alarm AS BIGINT) AS first_alarm_at
+    FROM h
+    QUALIFY rn = MAX(rn) OVER (PARTITION BY event_type)
+"""
+
+_QUERIES["events_gap_fill_interpolate"] = relational.events_gap_fill_interpolate
+_QUERIES["events_haar_wavelet_energy"] = relational.events_haar_wavelet_energy
+_QUERIES["events_ewma_crossover"] = udfs.events_ewma_crossover
+_QUERIES["events_page_hinkley_drift"] = udfs.events_page_hinkley_drift

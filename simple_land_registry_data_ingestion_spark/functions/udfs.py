@@ -578,3 +578,168 @@ def events_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
     )
     return cnt.groupBy("event_type").applyInPandas(_kalman_group, _KALMAN_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# EWMA fast/slow crossover via applyInPandas (round 8) — the FIFTH
+# sequential-recursion certification: two coupled exponential folds plus a
+# sign-state crossing counter, none expressible as a window frame.
+# ---------------------------------------------------------------------------
+
+_EWMA_SCHEMA = (
+    "event_type string, n_hours long, ewma_fast double, ewma_slow double, "
+    "n_crossings long"
+)
+
+_EWMA_FAST = 0.4
+_EWMA_SLOW = 0.1
+# pinned complements (the Holt discipline): never 1.0-x at runtime
+_EWMA_FAST_C = 0.6
+_EWMA_SLOW_C = 0.9
+assert _EWMA_FAST + _EWMA_FAST_C == 1.0
+assert _EWMA_SLOW + _EWMA_SLOW_C == 1.0
+
+
+def _ewma_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Sequential dual-EWMA fold over one type's ordered hourly counts.
+
+    Init f_1 = s_1 = x_1.  Arithmetic order pins to the oracle exactly:
+        f' = (0.4*x) + (0.6*f);  s' = (0.1*x) + (0.9*s)
+    A crossing is a strict sign flip of (f - s): zero-sign hours carry
+    the previous sign forward (no double-count on touch-and-go)."""
+    pdf = pdf.sort_values("hr")
+    f = s = None
+    prev_sign = 0
+    n = 0
+    crossings = 0
+    for x in pdf["c"]:
+        x = float(x)
+        n += 1
+        if f is None:
+            f = s = x
+            continue
+        f = (_EWMA_FAST * x) + (_EWMA_FAST_C * f)
+        s = (_EWMA_SLOW * x) + (_EWMA_SLOW_C * s)
+        sign = 1 if f > s else (-1 if f < s else 0)
+        if sign != 0:
+            if prev_sign != 0 and sign != prev_sign:
+                crossings += 1
+            prev_sign = sign
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n_hours": [n],
+            "ewma_fast": [round(f, 6) if f is not None else None],
+            "ewma_slow": [round(s, 6) if s is not None else None],
+            "n_crossings": [crossings],
+        }
+    )
+
+
+def events_ewma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fast/slow EWMA crossover detector per event type over the hourly
+    count series — the trading-style trend-change signal, and the FIFTH
+    sequential-recursion certification (after CUSUM, Holt, Holt-Winters,
+    Kalman): two coupled exponential folds plus a sign-memory crossing
+    counter that no window frame expresses.
+
+    The DuckDB twin replays the identical recursion as a recursive CTE
+    (f, s, prev_sign, crossings all recursion columns); the driver
+    hash-compares the float recursion bit-for-bit.
+
+    Scale shape: hourly pre-aggregate is the only full-data shuffle; the
+    Arrow group fold is O(hours) per type with O(1) state."""
+    cnt = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    return cnt.groupBy("event_type").applyInPandas(_ewma_group, _EWMA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Page-Hinkley drift detector via applyInPandas (round 8) — the SIXTH
+# sequential-recursion certification: cumulative deviation with a running
+# minimum and an alarm latch.
+# ---------------------------------------------------------------------------
+
+_PH_SCHEMA = (
+    "event_type string, n_hours long, m_final double, m_min double, "
+    "ph_stat double, n_alarms long, first_alarm_at long"
+)
+
+_PH_DELTA = 0.5
+_PH_LAMBDA = 50.0
+
+
+def _ph_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """Sequential Page-Hinkley fold over one type's ordered hourly counts
+    against the type's own pre-computed mean (two-pass PH — the batch
+    formulation; mu rides in as a constant column).
+
+        m_t = m_{t-1} + (x_t - mu - delta);  M_t = min(M_{t-1}, m_t)
+        alarm_t = (m_t - M_t > lambda)
+
+    n_alarms counts alarmed hours; first_alarm_at is the 1-based hour
+    index of the first alarm (0 = never)."""
+    pdf = pdf.sort_values("hr")
+    mu = float(pdf["mu"].iloc[0])
+    m = 0.0
+    m_min = 0.0
+    n = 0
+    n_alarms = 0
+    first_alarm = 0
+    for x in pdf["c"]:
+        n += 1
+        m = m + (float(x) - mu - _PH_DELTA)
+        if m < m_min:
+            m_min = m
+        if (m - m_min) > _PH_LAMBDA:
+            n_alarms += 1
+            if first_alarm == 0:
+                first_alarm = n
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n_hours": [n],
+            "m_final": [round(m, 6)],
+            "m_min": [round(m_min, 6)],
+            "ph_stat": [round(m - m_min, 6)],
+            "n_alarms": [n_alarms],
+            "first_alarm_at": [first_alarm],
+        }
+    )
+
+
+def events_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-drift detector per event type over hourly counts
+    — the streaming-ML drift test (river/MOA ship it) in its two-pass
+    batch form, and the SIXTH sequential-recursion certification: the
+    cumulative deviation, its running minimum, and the alarm latch are
+    all order-dependent state.
+
+    mu is the type's own hourly mean rounded 6dp (one tiny aggregate
+    broadcast back); delta=0.5 and lambda=50 are pinned literals on both
+    engines.  The DuckDB twin replays the recursion as a recursive CTE.
+
+    Scale shape: hourly rollup -> 5-row mean broadcast -> O(hours)
+    Arrow fold per type with O(1) state."""
+    cnt = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    mu = cnt.groupBy("event_type").agg(
+        F.round(F.sum("c") / F.count(F.lit(1)), 6).alias("mu")
+    )
+    return (
+        cnt.join(F.broadcast(mu), "event_type")
+        .groupBy("event_type")
+        .applyInPandas(_ph_group, _PH_SCHEMA)
+    )

@@ -7849,3 +7849,149 @@ def lineitem_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / nn, 6).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 — timeseries repair / decomposition (X229-X230)
+# ---------------------------------------------------------------------------
+
+def events_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill + linear interpolation of the per-type hourly
+    count series — the timeseries-repair primitive (timescaledb's
+    time_bucket_gapfill + interpolate) Spark has no built-in for: the
+    hour spine comes from sequence(), missing interior hours interpolate
+    between the bracketing observations, and edge gaps carry the nearest
+    observation (ffill/bfill).
+
+    Exactness: gap positions and widths are INTEGER hour differences
+    (epoch-seconds div 3600); the interpolation is one double expression
+    from integer inputs, rounded 6dp identically on both engines.
+
+    Scale: the spine is calendar-bounded (|hours| x |types| rows — it
+    NEVER grows with event volume); the prev/next windows are keyed by
+    type.  Output: (event_type, hr, was_gap, filled)."""
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    bounds = hourly.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    spine_hours = bounds.select(
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr")
+    )
+    types = hourly.select("event_type").distinct()
+    spine = spine_hours.crossJoin(F.broadcast(types))
+    j = spine.join(hourly, ["event_type", "hr"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_hr = F.when(F.col("c").isNotNull(), F.col("hr"))
+    marked = j.select(
+        "event_type",
+        "hr",
+        "c",
+        F.last("c", ignorenulls=True).over(wp).alias("prev_c"),
+        F.last(obs_hr, ignorenulls=True).over(wp).alias("prev_hr"),
+        F.first("c", ignorenulls=True).over(wn).alias("next_c"),
+        F.first(obs_hr, ignorenulls=True).over(wn).alias("next_hr"),
+    )
+    pos = (
+        (F.unix_timestamp("hr") - F.unix_timestamp("prev_hr")) / 3600
+    ).cast("long")
+    width = (
+        (F.unix_timestamp("next_hr") - F.unix_timestamp("prev_hr")) / 3600
+    ).cast("long")
+    interp = F.col("prev_c").cast("double") + (
+        F.col("next_c").cast("double") - F.col("prev_c").cast("double")
+    ) * (pos.cast("double") / width.cast("double"))
+    filled = (
+        F.when(F.col("c").isNotNull(), F.col("c").cast("double"))
+        .when(F.col("prev_c").isNull(), F.col("next_c").cast("double"))
+        .when(F.col("next_c").isNull(), F.col("prev_c").cast("double"))
+        .otherwise(interp)
+    )
+    return marked.select(
+        "event_type",
+        "hr",
+        F.col("c").isNull().alias("was_gap"),
+        F.round(filled, 6).alias("filled"),
+    )
+
+
+def events_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized Haar wavelet detail energy of the per-type hourly
+    count series, levels 1-3 — the multi-resolution burstiness readout
+    (level 1 = hour-to-hour jitter, level 3 = 8-hour-block structure)
+    signal pipelines compute before choosing a smoothing scale.
+
+    ALL-INTEGER: the series zero-fills the calendar spine (720 hours —
+    even through three halvings); level-k details are differences of
+    unnormalized pair sums (true Haar energy = energy / 2^level, a
+    documented constant factor); energies are BIGINT sums of squared
+    BIGINTs.
+
+    Scale: each level is one keyed groupBy on (type, idx div 2) over a
+    calendar-bounded table — the full cascade touches event data once.
+
+    Output: (event_type, level, n_pairs, energy), |types| x 3 rows."""
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    bounds = hourly.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    spine = (
+        bounds.select(
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hr"),
+            F.col("mn"),
+        )
+        .crossJoin(F.broadcast(hourly.select("event_type").distinct()))
+    )
+    series = (
+        spine.join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            ((F.unix_timestamp("hr") - F.unix_timestamp("mn")) / 3600)
+            .cast("long")
+            .alias("idx"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("v"),
+        )
+    )
+    out = None
+    cur = series
+    for level in (1, 2, 3):
+        paired = cur.groupBy(
+            "event_type", (F.col("idx") / 2).cast("long").alias("pi")
+        ).agg(
+            F.sum(
+                F.when(F.col("idx") % 2 == 0, F.col("v")).otherwise(-F.col("v"))
+            )
+            .cast("long")
+            .alias("d"),
+            F.sum("v").cast("long").alias("a"),
+        )
+        energy = paired.groupBy("event_type").agg(
+            F.lit(level).cast("long").alias("level"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("d") * F.col("d")).cast("long").alias("energy"),
+        )
+        out = energy if out is None else out.unionByName(energy)
+        cur = paired.select(
+            "event_type", F.col("pi").alias("idx"), F.col("a").alias("v")
+        )
+    return out
