@@ -7791,3 +7791,204 @@ _QUERIES["events_gap_fill_interpolate"] = relational.events_gap_fill_interpolate
 _QUERIES["events_haar_wavelet_energy"] = relational.events_haar_wavelet_energy
 _QUERIES["events_ewma_crossover"] = udfs.events_ewma_crossover
 _QUERIES["events_page_hinkley_drift"] = udfs.events_page_hinkley_drift
+
+# ---------------------------------------------------------------------------
+# Round 8 additions (X233-X238): corpus diversity / estimator certification /
+# basket association / KMV set ops / tariff-band overlap
+# ---------------------------------------------------------------------------
+
+_ORACLES["text_simpson_diversity"] = r"""
+    WITH tok AS (SELECT source,
+                        UNNEST(string_split_regex(lower(trim(text)), '\s+'))
+                            AS token
+                 FROM documents),
+    cnt AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n_i
+            FROM tok WHERE token <> '' GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(SUM(n_i) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS vocab,
+                   CAST(SUM(n_i * (n_i - 1)) AS BIGINT) AS coll
+            FROM cnt GROUP BY 1),
+    sh AS (SELECT cnt.source,
+                  SUM(CAST(ROUND(-(CAST(n_i AS DOUBLE) / CAST(n AS DOUBLE))
+                                 * LN(CAST(n_i AS DOUBLE) / CAST(n AS DOUBLE)),
+                                 12) AS DECIMAL(28,12))) AS s
+           FROM cnt JOIN tot ON cnt.source = tot.source GROUP BY 1)
+    SELECT tot.source, n AS n_tokens, vocab,
+           ROUND(CAST(coll AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)),
+                 6) AS simpson,
+           ROUND(CAST(s AS DOUBLE), 6) AS shannon
+    FROM tot JOIN sh ON tot.source = sh.source
+"""
+
+_ORACLES["text_js_divergence"] = r"""
+    WITH tok AS (SELECT source,
+                        UNNEST(string_split_regex(lower(trim(text)), '\s+'))
+                            AS token
+                 FROM documents),
+    cnt AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok WHERE token <> '' GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+    vocab AS (SELECT DISTINCT token FROM cnt),
+    dense AS (SELECT t.source, v.token,
+                     CAST(COALESCE(c.c, 0) AS DOUBLE) / CAST(t.n AS DOUBLE)
+                         AS p
+              FROM vocab v CROSS JOIN tot t
+              LEFT JOIN cnt c ON c.source = t.source AND c.token = v.token),
+    pairs AS (SELECT a.source AS source_a, b.source AS source_b, a.token,
+                     a.p AS pa, b.p AS pb
+              FROM dense a JOIN dense b
+                ON a.token = b.token AND a.source < b.source)
+    SELECT source_a, source_b,
+           CAST(SUM(CASE WHEN pa > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN pb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           ROUND((CAST(SUM(CASE WHEN pa > 0
+                               THEN CAST(ROUND(pa * LN(2.0 * pa / (pa + pb)),
+                                               12) AS DECIMAL(28,12))
+                               ELSE CAST(0.0 AS DECIMAL(28,12)) END)
+                       AS DOUBLE)
+                  + CAST(SUM(CASE WHEN pb > 0
+                                 THEN CAST(ROUND(pb * LN(2.0 * pb / (pa + pb)),
+                                                 12) AS DECIMAL(28,12))
+                                 ELSE CAST(0.0 AS DECIMAL(28,12)) END)
+                         AS DOUBLE)) / 2.0, 6) AS jsd
+    FROM pairs GROUP BY 1, 2
+"""
+
+_ORACLES["text_minhash_jaccard_estimate"] = f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+        SELECT doc_id,
+               min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+               min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+               min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5
+        FROM sh GROUP BY doc_id),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+              FROM sh GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, '0:' || h0 || h1 AS band_key FROM sig
+        UNION ALL SELECT doc_id, '1:' || h2 || h3 FROM sig
+        UNION ALL SELECT doc_id, '2:' || h4 || h5 FROM sig),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_inter
+              FROM sh a JOIN sh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    scored AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST((CASE WHEN fa.h0 = fb.h0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN fa.h1 = fb.h1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN fa.h2 = fb.h2 THEN 1 ELSE 0 END)
+                    + (CASE WHEN fa.h3 = fb.h3 THEN 1 ELSE 0 END)
+                    + (CASE WHEN fa.h4 = fb.h4 THEN 1 ELSE 0 END)
+                    + (CASE WHEN fa.h5 = fb.h5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS est_matches,
+               i.n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+        FROM cand c
+        JOIN sig fa ON c.doc_a = fa.doc_id
+        JOIN sig fb ON c.doc_b = fb.doc_id
+        JOIN sizes sa ON c.doc_a = sa.doc_id
+        JOIN sizes sb ON c.doc_b = sb.doc_id
+        JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b)
+    SELECT doc_a, doc_b, est_matches,
+           ROUND(CAST(est_matches AS DOUBLE) / 6.0, 6) AS jaccard_est,
+           ROUND(n_inter / (n_a + n_b - n_inter), 6) AS jaccard_exact,
+           ROUND(ABS(ROUND(CAST(est_matches AS DOUBLE) / 6.0, 6)
+                     - ROUND(n_inter / (n_a + n_b - n_inter), 6)),
+                 6) AS abs_err
+    FROM scored
+"""
+
+_ORACLES["orders_market_basket_lift"] = """
+    WITH basket AS (SELECT DISTINCT l.l_orderkey, p.p_brand AS brand
+                    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    n_o AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+            FROM basket),
+    supp AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS supp
+             FROM basket GROUP BY 1),
+    pair AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+                    CAST(COUNT(*) AS BIGINT) AS pair_n
+             FROM basket a JOIN basket b
+               ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+             GROUP BY 1, 2
+             HAVING COUNT(*) >= 5)
+    SELECT brand_a, brand_b, pair_n, sa.supp AS supp_a, sb.supp AS supp_b,
+           ROUND(CAST(pair_n AS DOUBLE) * CAST(n_orders AS DOUBLE)
+                 / (CAST(sa.supp AS DOUBLE) * CAST(sb.supp AS DOUBLE)),
+                 6) AS lift,
+           ROUND(CAST(pair_n AS DOUBLE) / CAST(sa.supp AS DOUBLE),
+                 6) AS conf_a_to_b
+    FROM pair
+    JOIN supp sa ON brand_a = sa.brand
+    JOIN supp sb ON brand_b = sb.brand
+    CROSS JOIN n_o
+"""
+
+_ORACLES["agg_kmv_setops"] = """
+    WITH ev AS (SELECT user_id,
+                       MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                           AS in_p,
+                       MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                           AS in_c
+                FROM events
+                WHERE event_type IN ('purchase', 'click')
+                GROUP BY 1),
+    hashed AS (SELECT user_id, in_p, in_c,
+                      list_sum(list_transform(range(1, 13), i ->
+                          (instr('0123456789abcdef',
+                                 md5(CAST(user_id AS VARCHAR))[i:i]) - 1)
+                          * (16 ** (12 - i)))) / 281474976710656.0 AS h
+               FROM ev),
+    sample_t AS (SELECT * FROM hashed ORDER BY h LIMIT 64),
+    samp AS (SELECT MAX(h) AS h_k,
+                    CAST(COUNT(*) AS BIGINT) AS n_samp,
+                    CAST(SUM(in_p * in_c) AS BIGINT) AS both_samp
+             FROM sample_t),
+    exact AS (SELECT CAST(SUM(in_p) AS BIGINT) AS d_purchase,
+                     CAST(SUM(in_c) AS BIGINT) AS d_click,
+                     CAST(COUNT(*) AS BIGINT) AS d_union,
+                     CAST(SUM(in_p * in_c) AS BIGINT) AS d_inter
+              FROM hashed)
+    SELECT d_purchase, d_click, d_union, d_inter,
+           CASE WHEN d_union <= 64 THEN CAST(d_union AS DOUBLE)
+                ELSE ROUND(63 / h_k, 0) END AS union_est,
+           CASE WHEN d_union <= 64 THEN CAST(d_inter AS DOUBLE)
+                ELSE ROUND((CAST(both_samp AS DOUBLE) / 64.0)
+                           * (63 / h_k), 0) END AS inter_est
+    FROM exact, samp
+"""
+
+_ORACLES["join_interval_overlap_weighted"] = """
+    WITH ev AS (SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                           AS s
+                FROM events),
+    iv AS (SELECT s, s + 300 AS e FROM ev),
+    cand AS (SELECT s, e, c.d, c.i
+             FROM iv,
+                  LATERAL (SELECT DISTINCT * FROM (VALUES
+                      (s - s % 86400, (s % 86400) // 21600),
+                      ((e - 1) - (e - 1) % 86400,
+                       ((e - 1) % 86400) // 21600)) AS t(d, i)) AS c),
+    scored AS (SELECT CASE WHEN i = 0 THEN 'night'
+                           WHEN i = 1 THEN 'morning'
+                           WHEN i = 2 THEN 'afternoon'
+                           ELSE 'evening' END AS band,
+                      LEAST(e, d + i * 21600 + 21600)
+                      - GREATEST(s, d + i * 21600) AS ov
+               FROM cand)
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_events_touching,
+           CAST(SUM(ov) AS BIGINT) AS total_overlap_seconds
+    FROM scored WHERE ov > 0 GROUP BY 1
+"""
+
+_QUERIES["text_simpson_diversity"] = text_fns.text_simpson_diversity
+_QUERIES["text_js_divergence"] = text_fns.text_js_divergence
+_QUERIES["text_minhash_jaccard_estimate"] = dedup.text_minhash_jaccard_estimate
+_QUERIES["orders_market_basket_lift"] = relational.orders_market_basket_lift
+_QUERIES["agg_kmv_setops"] = sketches.agg_kmv_setops
+_QUERIES["join_interval_overlap_weighted"] = (
+    relational.join_interval_overlap_weighted
+)

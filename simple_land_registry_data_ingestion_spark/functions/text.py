@@ -1505,3 +1505,138 @@ def text_chao1_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 — corpus diversity / distribution distance (X233-X234)
+# ---------------------------------------------------------------------------
+
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson + Shannon lexical diversity per source — the corpus-mix
+    gauges (next to Zipf/Heaps/Chao1) a data-curation pipeline tracks
+    per crawl source: Simpson's D is the collision probability of two
+    random tokens (high = template-heavy source), Shannon H the entropy.
+
+    Simpson is ALL-INTEGER before one 6-dp division:
+        D = SUM(n_i * (n_i - 1)) / (N * (N - 1))
+    Shannon sums per-token 12-dp DECIMAL(28,12) terms -(n_i/N) ln(n_i/N)
+    (the repo's ln-on-derived-ratio discipline, hash-proven by the
+    perplexity/elasticity precedents).
+
+    Scale: one (source, token) aggregate + one source rollup — both
+    map-side combinable; vocabulary-bounded state."""
+    tok = load(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    cnt = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i")
+    )
+    p = F.col("n_i").cast("double") / F.col("n").cast("double")
+    h_term = F.round(-p * F.log(p), 12).cast("decimal(28,12)")
+    tot = cnt.groupBy("source").agg(
+        F.sum("n_i").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.col("n_i") * (F.col("n_i") - 1)).cast("long").alias("coll"),
+    )
+    shannon = (
+        cnt.join(F.broadcast(tot.select("source", "n")), "source")
+        .groupBy("source")
+        .agg(F.sum(h_term).alias("sh"))
+    )
+    return tot.join(F.broadcast(shannon), "source").select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        "vocab",
+        F.round(
+            F.col("coll").cast("double")
+            / (F.col("n").cast("double") * (F.col("n").cast("double") - 1.0)),
+            6,
+        ).alias("simpson"),
+        F.round(F.col("sh").cast("double"), 6).alias("shannon"),
+    )
+
+
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between source unigram
+    distributions — the symmetric, bounded distribution distance a
+    mixture-design pipeline uses to pick maximally-diverse sources (and
+    to detect mirror crawls: JSD ~ 0).
+
+    Densification makes the pair algebra total: the vocabulary spine
+    (vocab x sources, vocabulary-bounded) zero-fills absent tokens, so
+    p=0 / q=0 terms vanish by the WHEN guard rather than by NULL
+    accident.  Each contribution p*ln(2p/(p+q)) rounds 12dp into
+    DECIMAL(28,12) (order-free sums); JSD = (sum)/2 rounded 6dp.
+
+    Scale: |sources|^2/2 pairs x vocabulary — source-pair analytics are
+    dimension-bounded, never corpus-bounded; the one corpus-sized pass
+    is the token count."""
+    tok = load(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    cnt = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    vocab = cnt.select("token").distinct()
+    dense = (
+        vocab.crossJoin(F.broadcast(tot))
+        .join(cnt, ["source", "token"], "left")
+        .select(
+            "source",
+            "token",
+            (
+                F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                / F.col("n").cast("double")
+            ).alias("p"),
+        )
+    )
+    a = dense.select(
+        F.col("source").alias("source_a"),
+        "token",
+        F.col("p").alias("pa"),
+    )
+    b = dense.select(
+        F.col("source").alias("source_b"),
+        "token",
+        F.col("p").alias("pb"),
+    )
+    pairs = a.join(b, "token").where(F.col("source_a") < F.col("source_b"))
+    term_a = F.when(
+        F.col("pa") > 0,
+        F.round(
+            F.col("pa")
+            * F.log(2.0 * F.col("pa") / (F.col("pa") + F.col("pb"))),
+            12,
+        ),
+    ).otherwise(F.lit(0.0)).cast("decimal(28,12)")
+    term_b = F.when(
+        F.col("pb") > 0,
+        F.round(
+            F.col("pb")
+            * F.log(2.0 * F.col("pb") / (F.col("pa") + F.col("pb"))),
+            12,
+        ),
+    ).otherwise(F.lit(0.0)).cast("decimal(28,12)")
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.sum((F.col("pa") > 0).cast("long")).cast("long").alias("n_a"),
+            F.sum((F.col("pb") > 0).cast("long")).cast("long").alias("n_b"),
+            F.sum(term_a).alias("sa"),
+            F.sum(term_b).alias("sb"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("sa").cast("double") + F.col("sb").cast("double"))
+                / 2.0,
+                6,
+            ).alias("jsd"),
+        )
+    )

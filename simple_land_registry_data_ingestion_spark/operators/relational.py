@@ -7995,3 +7995,122 @@ def events_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", F.col("pi").alias("idx"), F.col("a").alias("v")
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round 8 — market-basket association + tariff-band interval overlap
+# (X236-X237)
+# ---------------------------------------------------------------------------
+
+def orders_market_basket_lift(
+    spark: SparkSession, sf_dir: str, min_support: int = 5
+) -> DataFrame:
+    """Market-basket association rules over order baskets (brand level):
+    support / confidence / lift for every brand pair bought together in
+    at least ``min_support`` orders — the one-pass co-occurrence core of
+    apriori when the itemset depth is 2 (which is what retail dashboards
+    actually ship).
+
+    All counts are BIGINT; lift = (pair_n * N) / (supp_a * supp_b) and
+    the two confidences are single double expressions rounded 6dp.
+
+    Scale: baskets = one broadcast (part dim) join + (order, brand)
+    distinct; the pair table forms by ORDER-KEY EQUI-JOIN (never a
+    cartesian — pair cardinality is basket-size-bounded per order);
+    brand supports broadcast back (brand dimension is small)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    basket = (
+        li.join(F.broadcast(part), "l_partkey")
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = basket.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    supp = basket.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("supp")
+    )
+    a = basket.select("l_orderkey", F.col("brand").alias("brand_a"))
+    b = basket.select("l_orderkey", F.col("brand").alias("brand_b"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_n"))
+        .where(F.col("pair_n") >= min_support)
+    )
+    sa = supp.select(F.col("brand").alias("brand_a"), F.col("supp").alias("supp_a"))
+    sb = supp.select(F.col("brand").alias("brand_b"), F.col("supp").alias("supp_b"))
+    out = (
+        pair.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    return out.select(
+        "brand_a",
+        "brand_b",
+        "pair_n",
+        "supp_a",
+        "supp_b",
+        F.round(
+            F.col("pair_n").cast("double")
+            * F.col("n_orders").cast("double")
+            / (F.col("supp_a").cast("double") * F.col("supp_b").cast("double")),
+            6,
+        ).alias("lift"),
+        F.round(
+            F.col("pair_n").cast("double") / F.col("supp_a").cast("double"), 6
+        ).alias("conf_a_to_b"),
+    )
+
+
+def join_interval_overlap_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted tariff-band attribution: each event opens a 5-minute
+    activity interval; the interval's seconds apportion EXACTLY across
+    the four fixed day-part bands (night 0-6, morning 6-12, afternoon
+    12-18, evening 18-24) — the billing-proration / capacity-accounting
+    join (interval x recurring calendar bands) with no interval-join
+    primitive needed.
+
+    Exactness: all boundary arithmetic is BIGINT epoch seconds (UTC
+    midnight = epoch mod 86400); a 5-minute interval crosses at most one
+    band boundary, so its two candidate (day, band) cells come from its
+    endpoints (array_distinct + explode, 1-2 rows per event) and the
+    clamped overlap GREATEST/LEAST stays integral.  The total attributed
+    seconds equal exactly 300 * n_events — reconciliation built in.
+
+    Scale: scan-stage arithmetic + ONE 4-key aggregate.  Output:
+    (band, n_events_touching, total_overlap_seconds)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("s")
+    ).withColumn("e", F.col("s") + 300)
+    cell = lambda t: F.struct(
+        (t - t % 86400).alias("d"), ((t % 86400) / 21600).cast("long").alias("i")
+    )
+    cand = ev.select(
+        "s",
+        "e",
+        F.explode(
+            F.array_distinct(F.array(cell(F.col("s")), cell(F.col("e") - 1)))
+        ).alias("c"),
+    )
+    bs = F.col("c.d") + F.col("c.i") * 21600
+    overlap = F.least(F.col("e"), bs + 21600) - F.greatest(F.col("s"), bs)
+    label = (
+        F.when(F.col("c.i") == 0, "night")
+        .when(F.col("c.i") == 1, "morning")
+        .when(F.col("c.i") == 2, "afternoon")
+        .otherwise("evening")
+    )
+    return (
+        cand.select(label.alias("band"), overlap.alias("ov"))
+        .where(F.col("ov") > 0)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events_touching"),
+            F.sum("ov").cast("long").alias("total_overlap_seconds"),
+        )
+    )

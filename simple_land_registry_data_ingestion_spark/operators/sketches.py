@@ -643,3 +643,70 @@ def agg_kmv_distinct(spark: SparkSession, sf_dir: str, k: int = 256) -> DataFram
             ).alias("rel_error"),
         )
     )
+
+
+def agg_kmv_setops(spark: SparkSession, sf_dir: str, k: int = 64) -> DataFrame:
+    """KMV sketch SET OPERATIONS — the capability that justifies KMV over
+    HLL (agg_kmv_distinct's docstring claim, now certified): union and
+    intersection cardinalities of the purchase-user and click-user sets
+    estimated from ONE combined k-minimum sample, next to their exact
+    counts.
+
+        U_est = (k-1) / h_(k)            (union KMV, Bar-Yossef)
+        I_est = (|sample in both| / k) * U_est   (Jaccard thinning)
+
+    Determinism: the hash is the agg_kmv_distinct fixed-point md5
+    rational; the k-sample is a global top-k (TakeOrderedAndProject —
+    per-partition heaps, never a global sort); membership flags are
+    exact aggregates.  When the union has <= k members the sample IS the
+    set, so both estimates fall back to the exact values (the sketch
+    degenerates to exact, as it should).
+
+    Scale: one (user, flags) aggregate + one bounded top-k; exact sides
+    are keyed distincts that exist only to certify the estimator."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    member = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("in_p"),
+        F.max((F.col("event_type") == "click").cast("long")).alias("in_c"),
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+        ).cast("long")
+        / F.lit(float(16 ** 12))
+    ).alias("h")
+    hashed = member.select("user_id", "in_p", "in_c", h)
+    sample = hashed.orderBy("h").limit(k)
+    samp_agg = sample.agg(
+        F.max("h").alias("h_k"),
+        F.count(F.lit(1)).cast("long").alias("n_samp"),
+        F.sum(F.col("in_p") * F.col("in_c")).cast("long").alias("both_samp"),
+    )
+    exact = hashed.agg(
+        F.sum("in_p").cast("long").alias("d_purchase"),
+        F.sum("in_c").cast("long").alias("d_click"),
+        F.count(F.lit(1)).cast("long").alias("d_union"),
+        F.sum(F.col("in_p") * F.col("in_c")).cast("long").alias("d_inter"),
+    )
+    u_est = F.when(
+        F.col("d_union") <= k, F.col("d_union").cast("double")
+    ).otherwise(F.round((k - 1) / F.col("h_k"), 0))
+    i_est = F.when(
+        F.col("d_union") <= k, F.col("d_inter").cast("double")
+    ).otherwise(
+        F.round(
+            (F.col("both_samp").cast("double") / F.lit(float(k)))
+            * ((k - 1) / F.col("h_k")),
+            0,
+        )
+    )
+    return exact.crossJoin(F.broadcast(samp_agg)).select(
+        "d_purchase",
+        "d_click",
+        "d_union",
+        "d_inter",
+        u_est.alias("union_est"),
+        i_est.alias("inter_est"),
+    )
