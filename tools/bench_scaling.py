@@ -150,6 +150,25 @@ QUERIES = {
     "graph_modularity": dedup.graph_modularity,
     "er_golden_record": mining.er_golden_record,
     "agg_ams_f2_sketch": sketches.agg_ams_f2_sketch,
+    # round-8 additions: gini/pareto rank over 10x customers (two-phase
+    # rank path), gap-fill/haar are calendar-bounded after the 10x scan,
+    # winsorized/MAD are keyed rank windows over 10x rows, skyline is
+    # (price,size)-grid bounded, basket lift is basket-size bounded,
+    # JSD is vocabulary-bounded (10 disjoint vocabularies at 10x),
+    # interval overlap and benford are scan-stage + tiny aggregates
+    "customers_gini_concentration": relational.customers_gini_concentration,
+    "orders_pareto_8020": relational.orders_pareto_8020,
+    "events_gap_fill_interpolate": relational.events_gap_fill_interpolate,
+    "events_haar_wavelet_energy": relational.events_haar_wavelet_energy,
+    "events_winsorized_stats": relational.events_winsorized_stats,
+    "events_mad_outliers": relational.events_mad_outliers,
+    "events_benford_audit": relational.events_benford_audit,
+    "part_skyline_pareto": relational.part_skyline_pareto,
+    "orders_market_basket_lift": relational.orders_market_basket_lift,
+    "text_js_divergence": text_fns.text_js_divergence,
+    "text_minhash_jaccard_estimate": dedup.text_minhash_jaccard_estimate,
+    "join_interval_overlap_weighted": relational.join_interval_overlap_weighted,
+    "lineitem_price_elasticity": relational.lineitem_price_elasticity,
 }
 
 
@@ -240,6 +259,23 @@ def build_scaled(spark: SparkSession) -> None:
     vout.coalesce(8).write.mode("overwrite").parquet(f"{SCALED}/events.parquet")
 
 
+def build_customer(spark: SparkSession) -> None:
+    """Round-8 extension: customer copies (keys offset per copy to stay
+    consistent with the orders copies, segments verbatim) for the
+    gini / pareto / shrinkage scaling rows."""
+    cust = load(spark, BASE, "customer")
+    parts = []
+    for c in range(COPIES):
+        off = F.lit(c * 10_000_000).cast("long")
+        parts.append(cust.select(
+            (F.col("c_custkey") + off).alias("c_custkey"),
+            "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.coalesce(4).write.mode("overwrite").parquet(f"{SCALED}/customer.parquet")
+
+
 def build_lineitem(spark: SparkSession) -> None:
     """Round-7 extension: lineitem copies (keys offset per copy, values
     verbatim) for the CF / negative-sampling scaling rows."""
@@ -282,6 +318,9 @@ def main() -> None:
     if not Path(f"{SCALED}/lineitem.parquet").exists():
         build_lineitem(spark)
         print("built 10x lineitem", file=sys.stderr)
+    if not Path(f"{SCALED}/customer.parquet").exists():
+        build_customer(spark)
+        print("built 10x customer", file=sys.stderr)
 
     # optional CLI filter: run only the named queries and MERGE into the
     # existing artifact (so a new wave doesn't pay for re-timing the rest)
