@@ -914,9 +914,11 @@ def test_two_phase_rank_has_no_global_window(spark):
         if "SinglePartition" in ln and "Exchange" not in ln
     ] + [ln for ln in plan.splitlines() if "Arguments: SinglePartition" in ln]
     # the row-level window must be partitioned by the bucket key: the
-    # formatted Window node prints "...], [b#NL], [v#..." for partition
-    # spec [b]
-    assert re.search(r"row_number\(\) windowspecdefinition\(b#\d+L,", plan), plan
+    # formatted Window node prints "...], [__b#NL], [v#..." for partition
+    # spec [__b] (the extracted two_phase_global_rank helper's column)
+    assert re.search(
+        r"row_number\(\) windowspecdefinition\(__b#\d+L,", plan
+    ), plan
     # at most the two small-side single-partition exchanges (bucket offsets
     # + 1-row count); never more — i.e. the ROW window never collapses to
     # one task
