@@ -7427,7 +7427,7 @@ _QUERIES["orders_backlog_burndown"] = relational.orders_backlog_burndown
 # Round 8 additions (X224-X228): robust / classical statistics
 # ---------------------------------------------------------------------------
 
-_ORACLES["events_winsorized_stats"] = """
+_ORACLES["events_winsorized_order_stats"] = """
     WITH ev AS (SELECT event_type, event_id,
                        CAST(ROUND(value * 100, 0) AS BIGINT) AS c
                 FROM events),
@@ -7580,7 +7580,9 @@ _ORACLES["lineitem_price_elasticity"] = """
     FROM agg
 """
 
-_QUERIES["events_winsorized_stats"] = relational.events_winsorized_stats
+_QUERIES["events_winsorized_order_stats"] = (
+    relational.events_winsorized_order_stats
+)
 _QUERIES["events_mad_outliers"] = relational.events_mad_outliers
 _QUERIES["events_benford_audit"] = relational.events_benford_audit
 _QUERIES["customers_nps_bayes_shrinkage"] = (

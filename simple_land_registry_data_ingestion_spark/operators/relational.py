@@ -7544,10 +7544,16 @@ def orders_backlog_burndown(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 8 — robust / classical statistics (X224-X228)
 # ---------------------------------------------------------------------------
 
-def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_winsorized_order_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     """Winsorized (5%/95%) per-type value statistics — the robust mean a
     metrics pipeline reports when heavy tails would let a few whales move
     the plain average.
+
+    Sibling of the interpolated-percentile events_winsorized_stats
+    (round 5): this variant is ALL-INTEGER — the order-statistic
+    formulation whose thresholds are PICKED, never interpolated.
 
     Everything is INTEGER until the final division: values become cents
     (BIGINT), the clip thresholds are PICKED ceil(q*n)-th order

@@ -160,7 +160,7 @@ QUERIES = {
     "orders_pareto_8020": relational.orders_pareto_8020,
     "events_gap_fill_interpolate": relational.events_gap_fill_interpolate,
     "events_haar_wavelet_energy": relational.events_haar_wavelet_energy,
-    "events_winsorized_stats": relational.events_winsorized_stats,
+    "events_winsorized_order_stats": relational.events_winsorized_order_stats,
     "events_mad_outliers": relational.events_mad_outliers,
     "events_benford_audit": relational.events_benford_audit,
     "part_skyline_pareto": relational.part_skyline_pareto,
