@@ -655,3 +655,44 @@ def test_rank_stats_are_shuffle_partition_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert results[0] == results[1] == results[2]
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-500, max_value=500), min_size=1, max_size=120
+    ),
+    mode=st.sampled_from(["row_number", "rank"]),
+    descending=st.sampled_from([False, True]),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_two_phase_rank_equals_global_window(spark, vals, mode, descending):
+    """PROPERTY: two_phase_global_rank == the single-task global window it
+    replaces, for any value multiset (ties included), both rank modes,
+    both directions — the equivalence every consumer (quantile normalize,
+    AUC, Qini, Gini, Pareto) relies on."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from simple_land_registry_data_ingestion_spark.operators.relational import (
+        two_phase_global_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    order = [F.col("v").desc(), "id"] if descending else [F.col("v").asc(), "id"]
+    # bucket by a coarse order-preserving function of v (several values
+    # per bucket so the offset merge is actually exercised)
+    got = two_phase_global_rank(
+        df,
+        F.floor(F.col("v") / 37).cast("long"),
+        order if mode == "row_number" else order[:1],
+        mode=mode,
+        descending=descending,
+    )
+    w = Window.orderBy(*(order if mode == "row_number" else order[:1]))
+    fn = F.row_number() if mode == "row_number" else F.rank()
+    want = df.withColumn("global_rank", fn.over(w).cast("long"))
+    assert sorted(map(tuple, got.select("id", "v", "global_rank").collect())) == \
+        sorted(map(tuple, want.select("id", "v", "global_rank").collect()))
