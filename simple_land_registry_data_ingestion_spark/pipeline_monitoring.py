@@ -6,9 +6,12 @@ monitoring job publishes per snapshot.
                           referential-integrity orphan ppm per FK edge,
                           sample-ratio-mismatch chi-square per type
     drift ............... PSI per event type (ref vs current period),
-                          two-sample KS D per event type
+                          two-sample KS D per event type,
+                          Page-Hinkley mean-drift alarm per type (round 8)
     distribution ........ chi-square total over value bands,
-                          Benford max-digit deviation
+                          Benford max-digit deviation,
+                          MAD outlier fraction per type (round 8)
+    freshness ........... hourly calendar-gap fraction per type (round 8)
 
 This is the fifth composition next to pipeline (ingest), pipeline_training
 (curate->pack), pipeline_rag_index (filter->dedup->index), and
@@ -32,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from simple_land_registry_data_ingestion_spark.functions import udfs
 from simple_land_registry_data_ingestion_spark.operators import relational
 
 
@@ -90,8 +94,42 @@ def run_monitoring_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("max_dev") > 0.05).alias("alarmed"),
         )
     )
+    ph = udfs.events_page_hinkley_drift(spark, sf_dir).select(
+        F.lit("drift").alias("family"),
+        F.concat(F.lit("page_hinkley:"), F.col("event_type")).alias("check"),
+        F.col("ph_stat").cast("double").alias("value"),
+        (F.col("n_alarms") > 0).alias("alarmed"),
+    )
+    mad = relational.events_mad_outliers(spark, sf_dir).select(
+        F.lit("distribution").alias("family"),
+        F.concat(F.lit("mad_outliers:"), F.col("event_type")).alias("check"),
+        F.round(
+            F.col("n_outliers").cast("double") / F.col("n").cast("double"), 6
+        ).alias("value"),
+        (
+            F.col("n_outliers").cast("double") / F.col("n").cast("double")
+            > 0.01
+        ).alias("alarmed"),
+    )
+    gaps = (
+        relational.events_gap_fill_interpolate(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("was_gap").cast("long")).cast("long").alias("n_gaps"),
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+        )
+        .select(
+            F.lit("freshness").alias("family"),
+            F.concat(F.lit("gaps:"), F.col("event_type")).alias("check"),
+            F.col("n_gaps").cast("double").alias("value"),
+            (
+                F.col("n_gaps").cast("double") / F.col("n_hours").cast("double")
+                > 0.1
+            ).alias("alarmed"),
+        )
+    )
     out = expect
-    for frame in [fk, srm, psi, ks, chi, benford]:
+    for frame in [fk, srm, psi, ks, chi, benford, ph, mad, gaps]:
         out = out.unionByName(frame)
     return out
 

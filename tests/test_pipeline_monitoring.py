@@ -14,7 +14,7 @@ def test_monitoring_report_covers_all_families(spark):
     report = run_monitoring_report(spark, SF_ORACLE)
     rows = report.collect()
     fams = {r["family"] for r in rows}
-    assert fams == {"contract", "drift", "distribution"}
+    assert fams == {"contract", "drift", "distribution", "freshness"}
     checks = {r["check"] for r in rows}
     # one psi + one ks row per event type
     assert sum(c.startswith("psi:") for c in checks) == 5
@@ -22,6 +22,10 @@ def test_monitoring_report_covers_all_families(spark):
     assert any(c.startswith("fk:") for c in checks)
     assert sum(c.startswith("srm:") for c in checks) == 5
     assert any(c.startswith("expect:") for c in checks)
+    # round-8 detectors: Page-Hinkley + MAD fence + calendar-gap monitor
+    assert sum(c.startswith("page_hinkley:") for c in checks) == 5
+    assert sum(c.startswith("mad_outliers:") for c in checks) == 5
+    assert sum(c.startswith("gaps:") for c in checks) == 5
     assert all(r["value"] is not None for r in rows)
 
 
