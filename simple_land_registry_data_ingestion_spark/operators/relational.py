@@ -1436,17 +1436,71 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("c_custkey"))
-    w_f = Window.orderBy(F.col("frequency").desc(), F.col("c_custkey"))
-    w_m = Window.orderBy(F.col("monetary").desc(), F.col("c_custkey"))
+    # ntile(5) from the TWO-PHASE global rank (round 8): Spark's NTile
+    # gives the first n%5 tiles ceil(n/5) rows and the rest floor(n/5) —
+    # reproduced in closed form from (rank, n), so each quintile costs a
+    # keyed window + broadcast offsets instead of a single-task sort
+    n_total = rfm.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+
+    def _ntile5(df: DataFrame, bucket, order, desc: bool, out: str) -> DataFrame:
+        ranked = two_phase_global_rank(
+            df, bucket, order, out="__rk", descending=desc
+        )
+        # `/` on longs is TRUE division in PySpark — every quotient here
+        # must be `div` (the F.floor discipline)
+        big = F.col("__n") % 5
+        hi = F.expr("__n div 5") + 1
+        lo = F.greatest(F.expr("__n div 5"), F.lit(1).cast("long"))
+        cutoff = big * hi
+        # floor division of column by column: (a - a % b) / b is exact on
+        # nonnegative longs (the quotient is an exact double < 2^53)
+        tile = F.when(
+            F.col("__rk") <= cutoff, ((F.col("__rk") - 1) - ((F.col("__rk") - 1) % hi)) / hi + 1
+        ).otherwise(
+            big
+            + ((F.col("__rk") - cutoff - 1) - ((F.col("__rk") - cutoff - 1) % lo)) / lo
+            + 1
+        )
+        # per-quintile lineage truncation (the IPF/pagerank discipline):
+        # each two-phase rank joins the frame with an aggregate OF the
+        # frame, so chaining three without a checkpoint doubles the plan
+        # per score (measured 293 operators; the tripwire is 120)
+        return (
+            ranked.withColumn(out, tile.cast("long"))
+            .drop("__rk")
+            .localCheckpoint(eager=False)
+        )
+
+    rfm = rfm.crossJoin(F.broadcast(n_total)).localCheckpoint(eager=False)
+    rfm = _ntile5(
+        rfm,
+        (F.col("recency_days") / 16).cast("long"),
+        [F.col("recency_days").asc(), F.col("c_custkey")],
+        False,
+        "r_score",
+    )
+    rfm = _ntile5(
+        rfm,
+        (F.col("frequency") / 4).cast("long"),
+        [F.col("frequency").desc(), F.col("c_custkey")],
+        True,
+        "f_score",
+    )
+    rfm = _ntile5(
+        rfm,
+        F.floor(F.col("monetary") / 65536).cast("long"),
+        [F.col("monetary").desc(), F.col("c_custkey")],
+        True,
+        "m_score",
+    )
     return rfm.select(
         "c_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(5).over(w_r).cast("long").alias("r_score"),
-        F.ntile(5).over(w_f).cast("long").alias("f_score"),
-        F.ntile(5).over(w_m).cast("long").alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
 
 
@@ -3259,16 +3313,31 @@ def events_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass is the fraction a given delay would drop — measured on the
     actual corpus instead of guessed.
 
-    Plan: one global-ordering window (running max of ts by event_id) —
-    an analysis query run on a sample/day in production, so the single
-    ordered pass is the acceptable cost it looks like — then a tiny
+    Plan: the running event-time max decomposes like the two-phase
+    global rank — per-arrival-bucket running max (keyed window) merged
+    with the broadcast EXCLUSIVE prefix max of earlier buckets — so the
+    global-order semantics cost no single-task pass; then a tiny
     bucketed aggregate.  Lateness buckets in seconds, log-ish edges."""
     events = load(spark, sf_dir, "events").select(
         "event_id", F.col("ts").cast("timestamp").alias("ts")
+    ).withColumn("__b", (F.col("event_id") / 65536).cast("long"))
+    bstats = events.groupBy("__b").agg(F.max("ts").alias("bmax"))
+    wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = bstats.select(
+        "__b", F.max("bmax").over(wb).alias("prev_max")
     )
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    w = (
+        Window.partitionBy("__b")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    events = events.join(F.broadcast(prefix), "__b")
+    run_max = F.greatest(
+        F.max("ts").over(w),
+        F.coalesce(F.col("prev_max"), F.col("ts")),
+    )
     late_sec = (
-        F.unix_timestamp(F.max("ts").over(w)) - F.unix_timestamp(F.col("ts"))
+        F.unix_timestamp(run_max) - F.unix_timestamp(F.col("ts"))
     ).cast("long")
     bucket = (
         F.when(late_sec <= 0, "on-time")
