@@ -114,7 +114,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eval_map_at_k": evaluation.eval_map_at_k,
     "sample_neyman_allocation": relational.sample_neyman_allocation,
     "events_changepoint_binseg": relational.events_changepoint_binseg,
-    # ---- r09 queue: remaining round-7 additions without driver rows ----
+    # ---- r09 queue (47 of 50 slots): the 25 remaining round-7 additions
+    # ---- below, the 20 round-8 additions (X219-X238, appended at the
+    # ---- dict END via _QUERIES[...] assignments), and the 2 queries
+    # ---- whose mechanism changed late in round 8
+    # ---- (customers_rfm_segments, events_lateness_audit) ----
     "text_bpe_word_merges": text_fns.text_bpe_word_merges,
     "sales_hierarchy_share": relational.sales_hierarchy_share,
     "text_heaps_law": relational.text_heaps_law,
