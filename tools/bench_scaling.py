@@ -169,6 +169,10 @@ QUERIES = {
     "text_minhash_jaccard_estimate": dedup.text_minhash_jaccard_estimate,
     "join_interval_overlap_weighted": relational.join_interval_overlap_weighted,
     "lineitem_price_elasticity": relational.lineitem_price_elasticity,
+    # late round-8 rewires: RFM quintiles now three two-phase ranks over
+    # the 10x customer dimension; lateness audit's running max is the
+    # bucket-merged two-phase form (was the last global ordered pass)
+    "customers_rfm_segments": relational.customers_rfm_segments,
 }
 
 
