@@ -58,67 +58,18 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessio
 #:             by tests/test_oracle_parity.py, which runs ALL entries).
 #: Rotate each round so no query's newest driver row ages past 2 rounds.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- r08 window (50 slots), per VERDICT r7 item 1: 2 queries whose
-    # ---- mechanism changed this round, then the 15 round-6 orphans and
-    # ---- 33 round-7 additions taking their FIRST driver rows
-    # ---- (ADVICE-touched + recursion certifications lead).  The 25
-    # ---- remaining round-7 additions are queued directly below to lead
-    # ---- the r09 window. ----
-    "events_quantile_normalize": relational.events_quantile_normalize,
-    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
-    "eval_auc_rank": evaluation.eval_auc_rank,
-    "dedup_link_prediction": dedup.dedup_link_prediction,
-    "text_pii_scan": text_fns.text_pii_scan,
-    "join_spatial_grid": relational.join_spatial_grid,
-    "q8_market_share": relational.q8_market_share,
-    "q13_customer_distribution": relational.q13_customer_distribution,
-    "q15_top_supplier": relational.q15_top_supplier,
-    "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
-    "q18_large_volume_customer": relational.q18_large_volume_customer,
-    "q21_suppliers_kept_waiting": relational.q21_suppliers_kept_waiting,
-    "events_hourly_acf": relational.events_hourly_acf,
-    "similarity_matryoshka_error": similarity.similarity_matryoshka_error,
-    "search_rank_fusion": text_fns.search_rank_fusion,
-    "eval_calibration_bins": evaluation.eval_calibration_bins,
-    "similarity_mips_transform": similarity.similarity_mips_transform,
-    "events_kalman_level": udfs.events_kalman_level,
-    "events_holt_winters_pandas": udfs.events_holt_winters_pandas,
+    # ---- r09 window (50 slots), per VERDICT r8 item 1 + ADVICE: the 4
+    # ---- r08 hash-red queries lead (fixed at HEAD mid-round-8; a green
+    # ---- driver row is the only closure), then the 25 round-7 additions
+    # ---- never driver-checked, then the 20 round-8 additions (X219-X238),
+    # ---- then customers_rfm_segments (late r8 mechanism rewire).
+    # ---- events_lateness_audit (the other late rewire) spills to lead
+    # ---- the r10 queue — see the comment ahead of it below. ----
     "events_global_rank_two_phase": relational.events_global_rank_two_phase,
     "sample_ipf_raking": relational.sample_ipf_raking,
-    "stream_state_inspect": stream_ops.stream_state_inspect,
-    "eval_qini_uplift": evaluation.eval_qini_uplift,
-    "events_ks_test": relational.events_ks_test,
     "events_mann_whitney": relational.events_mann_whitney,
-    "events_ab_srm_check": relational.events_ab_srm_check,
-    "eval_ips_offpolicy": evaluation.eval_ips_offpolicy,
-    "eval_conformal_interval": evaluation.eval_conformal_interval,
     "geo_nearest_hub": relational.geo_nearest_hub,
-    "eval_pinball_loss": evaluation.eval_pinball_loss,
-    "sample_kcenter_coreset": similarity.sample_kcenter_coreset,
-    "agg_join_size_sketch": sketches.agg_join_size_sketch,
-    "events_bootstrap_ci": relational.events_bootstrap_ci,
-    "sample_negative_pairs": relational.sample_negative_pairs,
-    "events_diff_in_diff": relational.events_diff_in_diff,
-    "eval_brier_decomposition": evaluation.eval_brier_decomposition,
-    "graph_modularity": dedup.graph_modularity,
-    "graph_label_propagation": dedup.graph_label_propagation,
-    "eval_ndcg_at_k": evaluation.eval_ndcg_at_k,
-    "eval_rank_correlation": evaluation.eval_rank_correlation,
-    "eval_cohens_kappa": evaluation.eval_cohens_kappa,
-    "item_item_cf": mining.item_item_cf,
-    "search_phrase_positional": text_fns.search_phrase_positional,
-    "eval_mrr_hit_rate": evaluation.eval_mrr_hit_rate,
-    "audit_referential_integrity": relational.audit_referential_integrity,
-    "text_dictionary_tagging": text_fns.text_dictionary_tagging,
-    "agg_weighted_median": relational.agg_weighted_median,
-    "eval_map_at_k": evaluation.eval_map_at_k,
-    "sample_neyman_allocation": relational.sample_neyman_allocation,
-    "events_changepoint_binseg": relational.events_changepoint_binseg,
-    # ---- r09 queue (47 of 50 slots): the 25 remaining round-7 additions
-    # ---- below, the 20 round-8 additions (X219-X238, appended at the
-    # ---- dict END via _QUERIES[...] assignments), and the 2 queries
-    # ---- whose mechanism changed late in round 8
-    # ---- (customers_rfm_segments, events_lateness_audit) ----
+    # ---- round-7 additions taking their FIRST driver rows ----
     "text_bpe_word_merges": text_fns.text_bpe_word_merges,
     "sales_hierarchy_share": relational.sales_hierarchy_share,
     "text_heaps_law": relational.text_heaps_law,
@@ -144,8 +95,79 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_rfm_migration": relational.customers_rfm_migration,
     "agg_ams_f2_sketch": sketches.agg_ams_f2_sketch,
     "agg_kmv_distinct": sketches.agg_kmv_distinct,
-    # ---- certified backlog (driver rows r02-r07, freshest last; all
-    # ---- re-proven locally every round by tests/test_oracle_parity.py) ----
+    # ---- round-8 additions (X219-X238) taking their FIRST driver rows ----
+    "customers_gini_concentration": relational.customers_gini_concentration,
+    "orders_pareto_8020": relational.orders_pareto_8020,
+    "orders_cohort_retention_triangle": relational.orders_cohort_retention_triangle,
+    "part_skyline_pareto": relational.part_skyline_pareto,
+    "orders_backlog_burndown": relational.orders_backlog_burndown,
+    "events_winsorized_order_stats": relational.events_winsorized_order_stats,
+    "events_mad_outliers": relational.events_mad_outliers,
+    "events_benford_audit": relational.events_benford_audit,
+    "customers_nps_bayes_shrinkage": relational.customers_nps_bayes_shrinkage,
+    "lineitem_price_elasticity": relational.lineitem_price_elasticity,
+    "events_gap_fill_interpolate": relational.events_gap_fill_interpolate,
+    "events_haar_wavelet_energy": relational.events_haar_wavelet_energy,
+    "events_ewma_crossover": udfs.events_ewma_crossover,
+    "events_page_hinkley_drift": udfs.events_page_hinkley_drift,
+    "text_simpson_diversity": text_fns.text_simpson_diversity,
+    "text_js_divergence": text_fns.text_js_divergence,
+    "text_minhash_jaccard_estimate": dedup.text_minhash_jaccard_estimate,
+    "orders_market_basket_lift": relational.orders_market_basket_lift,
+    "agg_kmv_setops": sketches.agg_kmv_setops,
+    "join_interval_overlap_weighted": relational.join_interval_overlap_weighted,
+    # ---- slot 50: ntile windows became closed-form two-phase rank (285bde1 rewire) ----
+    "customers_rfm_segments": relational.customers_rfm_segments,
+    # ---- r10 queue head: late-r8 rewire (bucket-merge lateness), re-cert pending ----
+    "events_lateness_audit": relational.events_lateness_audit,
+    # ---- certified backlog (driver rows r02-r08, all re-proven locally
+    # ---- every round by tests/test_oracle_parity.py) ----
+    "events_quantile_normalize": relational.events_quantile_normalize,
+    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+    "eval_auc_rank": evaluation.eval_auc_rank,
+    "dedup_link_prediction": dedup.dedup_link_prediction,
+    "text_pii_scan": text_fns.text_pii_scan,
+    "join_spatial_grid": relational.join_spatial_grid,
+    "q8_market_share": relational.q8_market_share,
+    "q13_customer_distribution": relational.q13_customer_distribution,
+    "q15_top_supplier": relational.q15_top_supplier,
+    "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+    "q18_large_volume_customer": relational.q18_large_volume_customer,
+    "q21_suppliers_kept_waiting": relational.q21_suppliers_kept_waiting,
+    "events_hourly_acf": relational.events_hourly_acf,
+    "similarity_matryoshka_error": similarity.similarity_matryoshka_error,
+    "search_rank_fusion": text_fns.search_rank_fusion,
+    "eval_calibration_bins": evaluation.eval_calibration_bins,
+    "similarity_mips_transform": similarity.similarity_mips_transform,
+    "events_kalman_level": udfs.events_kalman_level,
+    "events_holt_winters_pandas": udfs.events_holt_winters_pandas,
+    "stream_state_inspect": stream_ops.stream_state_inspect,
+    "eval_qini_uplift": evaluation.eval_qini_uplift,
+    "events_ks_test": relational.events_ks_test,
+    "events_ab_srm_check": relational.events_ab_srm_check,
+    "eval_ips_offpolicy": evaluation.eval_ips_offpolicy,
+    "eval_conformal_interval": evaluation.eval_conformal_interval,
+    "eval_pinball_loss": evaluation.eval_pinball_loss,
+    "sample_kcenter_coreset": similarity.sample_kcenter_coreset,
+    "agg_join_size_sketch": sketches.agg_join_size_sketch,
+    "events_bootstrap_ci": relational.events_bootstrap_ci,
+    "sample_negative_pairs": relational.sample_negative_pairs,
+    "events_diff_in_diff": relational.events_diff_in_diff,
+    "eval_brier_decomposition": evaluation.eval_brier_decomposition,
+    "graph_modularity": dedup.graph_modularity,
+    "graph_label_propagation": dedup.graph_label_propagation,
+    "eval_ndcg_at_k": evaluation.eval_ndcg_at_k,
+    "eval_rank_correlation": evaluation.eval_rank_correlation,
+    "eval_cohens_kappa": evaluation.eval_cohens_kappa,
+    "item_item_cf": mining.item_item_cf,
+    "search_phrase_positional": text_fns.search_phrase_positional,
+    "eval_mrr_hit_rate": evaluation.eval_mrr_hit_rate,
+    "audit_referential_integrity": relational.audit_referential_integrity,
+    "text_dictionary_tagging": text_fns.text_dictionary_tagging,
+    "agg_weighted_median": relational.agg_weighted_median,
+    "eval_map_at_k": evaluation.eval_map_at_k,
+    "sample_neyman_allocation": relational.sample_neyman_allocation,
+    "events_changepoint_binseg": relational.events_changepoint_binseg,
     "dedup_kcore_peel": dedup.dedup_kcore_peel,
     "events_holt_pandas": udfs.events_holt_pandas,
     "stream_full_outer_interval_join": stream_ops.stream_full_outer_interval_join,
@@ -217,7 +239,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id_ngram": text_fns.text_lang_id_ngram,
     "embedding_random_projection": similarity.embedding_random_projection,
     "similarity_ivfpq_adc": similarity.similarity_ivfpq_adc,
-    "customers_rfm_segments": relational.customers_rfm_segments,
     "pack_sequences_documents": packing.pack_sequences_documents,
     "text_gopher_filter": text_fns.text_gopher_filter,
     "dedup_decontaminate": dedup.dedup_decontaminate,
@@ -388,7 +409,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_partial_merge": relational.agg_partial_merge,
     "text_jsd_source_drift": text_fns.text_jsd_source_drift,
     "events_ohlc_candles": relational.events_ohlc_candles,
-    "events_lateness_audit": relational.events_lateness_audit,
     "stream_ohlc_candles": stream_ops.stream_ohlc_candles,
     "scalar_variant_funcs": scalars.scalar_variant_funcs,
 }
@@ -7419,13 +7439,6 @@ _ORACLES["orders_backlog_burndown"] = """
     FROM months
 """
 
-_QUERIES["customers_gini_concentration"] = relational.customers_gini_concentration
-_QUERIES["orders_pareto_8020"] = relational.orders_pareto_8020
-_QUERIES["orders_cohort_retention_triangle"] = (
-    relational.orders_cohort_retention_triangle
-)
-_QUERIES["part_skyline_pareto"] = relational.part_skyline_pareto
-_QUERIES["orders_backlog_burndown"] = relational.orders_backlog_burndown
 
 # ---------------------------------------------------------------------------
 # Round 8 additions (X224-X228): robust / classical statistics
@@ -7584,15 +7597,6 @@ _ORACLES["lineitem_price_elasticity"] = """
     FROM agg
 """
 
-_QUERIES["events_winsorized_order_stats"] = (
-    relational.events_winsorized_order_stats
-)
-_QUERIES["events_mad_outliers"] = relational.events_mad_outliers
-_QUERIES["events_benford_audit"] = relational.events_benford_audit
-_QUERIES["customers_nps_bayes_shrinkage"] = (
-    relational.customers_nps_bayes_shrinkage
-)
-_QUERIES["lineitem_price_elasticity"] = relational.lineitem_price_elasticity
 
 # ---------------------------------------------------------------------------
 # Round 8 additions (X229-X232): timeseries repair / decomposition /
@@ -7793,10 +7797,6 @@ _ORACLES["events_page_hinkley_drift"] = """
     QUALIFY rn = MAX(rn) OVER (PARTITION BY event_type)
 """
 
-_QUERIES["events_gap_fill_interpolate"] = relational.events_gap_fill_interpolate
-_QUERIES["events_haar_wavelet_energy"] = relational.events_haar_wavelet_energy
-_QUERIES["events_ewma_crossover"] = udfs.events_ewma_crossover
-_QUERIES["events_page_hinkley_drift"] = udfs.events_page_hinkley_drift
 
 # ---------------------------------------------------------------------------
 # Round 8 additions (X233-X238): corpus diversity / estimator certification /
@@ -7990,11 +7990,3 @@ _ORACLES["join_interval_overlap_weighted"] = """
     FROM scored WHERE ov > 0 GROUP BY 1
 """
 
-_QUERIES["text_simpson_diversity"] = text_fns.text_simpson_diversity
-_QUERIES["text_js_divergence"] = text_fns.text_js_divergence
-_QUERIES["text_minhash_jaccard_estimate"] = dedup.text_minhash_jaccard_estimate
-_QUERIES["orders_market_basket_lift"] = relational.orders_market_basket_lift
-_QUERIES["agg_kmv_setops"] = sketches.agg_kmv_setops
-_QUERIES["join_interval_overlap_weighted"] = (
-    relational.join_interval_overlap_weighted
-)

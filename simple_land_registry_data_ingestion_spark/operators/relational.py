@@ -1474,14 +1474,14 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     rfm = rfm.crossJoin(F.broadcast(n_total)).localCheckpoint(eager=False)
     rfm = _ntile5(
         rfm,
-        (F.col("recency_days") / 16).cast("long"),
+        F.floor(F.col("recency_days") / 16).cast("long"),
         [F.col("recency_days").asc(), F.col("c_custkey")],
         False,
         "r_score",
     )
     rfm = _ntile5(
         rfm,
-        (F.col("frequency") / 4).cast("long"),
+        F.floor(F.col("frequency") / 4).cast("long"),
         [F.col("frequency").desc(), F.col("c_custkey")],
         True,
         "f_score",
@@ -5667,14 +5667,21 @@ def two_phase_global_rank(
     because the bucket is a function of the ordering value).
     ``descending=True`` ranks highest-first (bucket offsets accumulate in
     descending bucket order; ``order`` must already be the descending
-    expressions)."""
+    expressions).
+
+    NULL order keys are supported (r8 advice): the bucket join is
+    null-safe (``<=>`` is a legal hash-join key, so the broadcast plan is
+    unchanged), and a NULL bucket sorts the same way NULLs sort in the
+    in-bucket window (asc = nulls first, desc = nulls last — Spark's
+    defaults for both windows and ``<=>`` grouping), so ranks stay exact
+    when the bucket expression maps NULL order values to a NULL bucket."""
     if mode not in ("row_number", "rank"):
         raise ValueError(f"two_phase_global_rank: unknown mode {mode!r}")
     b = df.withColumn("__b", bucket)
     counts = b.groupBy("__b").agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
     border = F.col("__b").desc() if descending else F.col("__b").asc()
     offsets = counts.select(
-        "__b",
+        F.col("__b").alias("__ob"),
         (
             F.sum("__cnt").over(
                 Window.orderBy(border).rowsBetween(
@@ -5687,9 +5694,9 @@ def two_phase_global_rank(
     w = Window.partitionBy("__b").orderBy(*order)
     fn = F.row_number() if mode == "row_number" else F.rank()
     return (
-        b.join(F.broadcast(offsets), "__b")
+        b.join(F.broadcast(offsets), F.col("__b").eqNullSafe(F.col("__ob")))
         .withColumn(out, fn.over(w).cast("long") + F.col("__off"))
-        .drop("__b", "__off")
+        .drop("__b", "__ob", "__off")
     )
 
 

@@ -121,7 +121,12 @@ def run_monitoring_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.lit("freshness").alias("family"),
             F.concat(F.lit("gaps:"), F.col("event_type")).alias("check"),
-            F.col("n_gaps").cast("double").alias("value"),
+            # r8 advice: publish the calendar-gap FRACTION (what the module
+            # doc promises and the alarm predicate tests), not the raw count
+            F.round(
+                F.col("n_gaps").cast("double") / F.col("n_hours").cast("double"),
+                6,
+            ).alias("value"),
             (
                 F.col("n_gaps").cast("double") / F.col("n_hours").cast("double")
                 > 0.1

@@ -32,7 +32,10 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 6)
+        # repr-exact (r8 verdict item 6): the driver hashes exact values, so
+        # the local gate must not be leakier than the driver's.  repr() keeps
+        # full double precision and distinguishes -0.0 from 0.0.
+        return repr(v)
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, datetime.date):

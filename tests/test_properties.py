@@ -659,7 +659,12 @@ def test_rank_stats_are_shuffle_partition_invariant(spark):
 
 @given(
     vals=st.lists(
-        st.integers(min_value=-500, max_value=500), min_size=1, max_size=120
+        st.one_of(
+            st.integers(min_value=-500, max_value=500),
+            st.none(),
+        ),
+        min_size=1,
+        max_size=120,
     ),
     mode=st.sampled_from(["row_number", "rank"]),
     descending=st.sampled_from([False, True]),
@@ -668,9 +673,11 @@ def test_rank_stats_are_shuffle_partition_invariant(spark):
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_two_phase_rank_equals_global_window(spark, vals, mode, descending):
     """PROPERTY: two_phase_global_rank == the single-task global window it
-    replaces, for any value multiset (ties included), both rank modes,
-    both directions — the equivalence every consumer (quantile normalize,
-    AUC, Qini, Gini, Pareto) relies on."""
+    replaces, for any value multiset (ties AND NULL order keys included —
+    the r8-advice null-safe bucket join must rank NULLs exactly where the
+    global window does), both rank modes, both directions — the
+    equivalence every consumer (quantile normalize, AUC, Qini, Gini,
+    Pareto) relies on."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
