@@ -4900,8 +4900,17 @@ _ORACLES["dedup_link_prediction"] = f"""
         JOIN fp fa ON doc_a = fa.doc_id
         JOIN fp fb ON doc_b = fb.doc_id
         WHERE {_SIMHASH_DIST} <= 2),
-    adj AS (SELECT doc_a AS n, doc_b AS nbr FROM e
-            UNION ALL SELECT doc_b, doc_a FROM e),
+    adj_full AS (SELECT doc_a AS n, doc_b AS nbr FROM e
+                 UNION ALL SELECT doc_b, doc_a FROM e),
+    -- degree cap 64 in deterministic md5 order: the IDENTICAL capped
+    -- graph the Spark side scores (see dedup_link_prediction docstring)
+    adj AS (SELECT n, nbr FROM (
+                SELECT n, nbr,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY n
+                           ORDER BY md5(CAST(n AS VARCHAR) || ':' ||
+                                        CAST(nbr AS VARCHAR)), nbr) AS r
+                FROM adj_full) WHERE r <= 64),
     deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY n),
     wedge AS (SELECT a.nbr AS u, b.nbr AS w, CAST(COUNT(*) AS BIGINT) AS common
               FROM adj a JOIN adj b ON a.n = b.n AND a.nbr < b.nbr
