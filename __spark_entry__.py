@@ -7999,3 +7999,354 @@ _ORACLES["join_interval_overlap_weighted"] = """
     FROM scored WHERE ov > 0 GROUP BY 1
 """
 
+
+
+# ---------------------------------------------------------------------------
+# Round 9 additions (r10 certification queue; see the ordering contract)
+# ---------------------------------------------------------------------------
+
+_ORACLES["events_anova_f"] = """
+    WITH ev AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+                FROM events),
+    g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
+                 CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_g,
+                 CAST(SUM(CAST(cents AS DECIMAL(38,0))
+                          * CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS q_g
+          FROM ev GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                   CAST(SUM(s_g) AS DECIMAL(38,0)) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   SUM(CAST(ROUND(CAST(q_g AS DOUBLE)
+                                  - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                                    / CAST(n_g AS DOUBLE), 6) AS DECIMAL(38,6)))
+                       AS ssw,
+                   SUM(CAST(ROUND(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                                  / CAST(n_g AS DOUBLE), 6) AS DECIMAL(38,6)))
+                       AS sum_sq_over_n
+            FROM g),
+    frow AS (SELECT CAST(k - 1 AS BIGINT) AS df_between,
+                    CAST(n - k AS BIGINT) AS df_within,
+                    ROUND(((CAST(sum_sq_over_n AS DOUBLE)
+                            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                              / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+                          / (CAST(ssw AS DOUBLE)
+                             / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+                        AS f_stat
+             FROM tot)
+    SELECT event_type, n_g,
+           ROUND(CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) / 100.0, 6) AS mean_g,
+           df_between, df_within, f_stat
+    FROM g, frow
+"""
+_QUERIES["events_anova_f"] = relational.events_anova_f
+
+_ORACLES["events_welch_ttest"] = """
+    WITH ev AS (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+                FROM events
+                WHERE event_type IN ('click', 'purchase')),
+    g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+                 CAST(SUM(CAST(cents AS DECIMAL(38,0))
+                          * CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS q
+          FROM ev GROUP BY 1),
+    a AS (SELECT n AS n_a, s AS s_a, q AS q_a FROM g WHERE event_type = 'click'),
+    b AS (SELECT n AS n_b, s AS s_b, q AS q_b FROM g WHERE event_type = 'purchase'),
+    j AS (SELECT *,
+                 CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+                 CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+                 (CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+                  / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)
+                     / CAST(n_a AS DOUBLE) AS sea,
+                 (CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+                  / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)
+                     / CAST(n_b AS DOUBLE) AS seb
+          FROM a, b)
+    SELECT n_a, n_b,
+           ROUND(ma / 100.0, 6) AS mean_a,
+           ROUND(mb / 100.0, 6) AS mean_b,
+           ROUND((ma - mb) / sqrt(sea + seb), 6) AS t_stat,
+           ROUND((sea + seb) * (sea + seb)
+                 / (sea * sea / (CAST(n_a AS DOUBLE) - 1.0)
+                    + seb * seb / (CAST(n_b AS DOUBLE) - 1.0)), 6) AS welch_df
+    FROM j
+"""
+_QUERIES["events_welch_ttest"] = relational.events_welch_ttest
+
+_ORACLES["orders_nelson_aalen"] = """
+    WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+    hz AS (SELECT MAX(d) AS end_d FROM o),
+    pc AS (SELECT o_custkey, MIN(d) AS first_d FROM o GROUP BY 1),
+    sec AS (SELECT o.o_custkey, MIN(d) AS second_d
+            FROM o JOIN pc USING (o_custkey)
+            WHERE d > first_d GROUP BY 1),
+    ep AS (SELECT (second_d IS NOT NULL) AS is_event,
+                  CAST(FLOOR(date_diff('day', first_d,
+                                       COALESCE(second_d, end_d)) / 30.0)
+                       AS BIGINT) AS interval_idx
+           FROM pc LEFT JOIN sec USING (o_custkey), hz),
+    pi AS (SELECT interval_idx,
+                  CAST(SUM(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_event,
+                  CAST(COUNT(*) AS BIGINT) AS n_end
+           FROM ep GROUP BY 1),
+    rk AS (SELECT interval_idx, n_event,
+                  CAST(SUM(n_end) OVER (ORDER BY interval_idx DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS n_risk
+           FROM pi)
+    SELECT interval_idx, n_risk, n_event,
+           ROUND(CAST(n_event AS DOUBLE) / CAST(n_risk AS DOUBLE), 6) AS hazard,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(n_event AS DOUBLE)
+                                     / CAST(n_risk AS DOUBLE), 12)
+                               AS DECIMAL(28,12)))
+                      OVER (ORDER BY interval_idx
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE), 6) AS cum_hazard
+    FROM rk
+"""
+_QUERIES["orders_nelson_aalen"] = relational.orders_nelson_aalen
+
+_ORACLES["events_stl_decompose"] = """
+    WITH hourly AS (SELECT date_trunc('hour', ts) AS h,
+                           CAST(COUNT(*) AS BIGINT) AS y
+                    FROM events GROUP BY 1),
+    t AS (SELECT h, y,
+                 CAST(SUM(y) OVER (ORDER BY h
+                      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+                      AS BIGINT) AS win_sum,
+                 CAST(COUNT(*) OVER (ORDER BY h
+                      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+                      AS BIGINT) AS win_n
+          FROM hourly),
+    det AS (SELECT CAST(EXTRACT(hour FROM h) AS BIGINT) AS hour_of_day,
+                   CAST(ROUND(CAST(y AS DOUBLE)
+                              - CAST(win_sum AS DOUBLE) / 25.0, 12)
+                        AS DECIMAL(28,12)) AS dq
+            FROM t WHERE win_n = 25),
+    seas AS (SELECT hour_of_day, CAST(COUNT(*) AS BIGINT) AS n_hours,
+                    CAST(ROUND(CAST(SUM(dq) AS DOUBLE)
+                               / CAST(COUNT(*) AS DOUBLE), 12)
+                         AS DECIMAL(28,12)) AS seasonal_q
+             FROM det GROUP BY 1),
+    resid AS (SELECT hour_of_day, n_hours, seasonal_q,
+                     SUM(CAST(ROUND(ABS(CAST(dq AS DOUBLE)
+                                        - CAST(seasonal_q AS DOUBLE)), 12)
+                              AS DECIMAL(28,12))) AS asum
+              FROM det JOIN seas USING (hour_of_day)
+              GROUP BY 1, 2, 3)
+    SELECT hour_of_day, n_hours,
+           ROUND(CAST(seasonal_q AS DOUBLE), 6) AS seasonal,
+           ROUND(CAST(asum AS DOUBLE) / CAST(n_hours AS DOUBLE), 6)
+               AS mean_abs_resid
+    FROM resid
+"""
+_QUERIES["events_stl_decompose"] = relational.events_stl_decompose
+
+_ORACLES["events_sax_motifs"] = """
+    WITH hourly AS (SELECT date_trunc('hour', ts) AS h,
+                           CAST(COUNT(*) AS BIGINT) AS y
+                    FROM events GROUP BY 1),
+    n_total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM hourly),
+    ranked AS (SELECT h, y,
+                      CAST(ROW_NUMBER() OVER (ORDER BY y, h) AS BIGINT) AS rnk
+               FROM hourly),
+    picks AS (SELECT
+                MIN(CASE WHEN rnk = CAST(FLOOR((n + 1) / 4.0) AS BIGINT)
+                         THEN y END) AS q1,
+                MIN(CASE WHEN rnk = CAST(FLOOR((n + 1) * 2 / 4.0) AS BIGINT)
+                         THEN y END) AS q2,
+                MIN(CASE WHEN rnk = CAST(FLOOR((n + 1) * 3 / 4.0) AS BIGINT)
+                         THEN y END) AS q3
+              FROM ranked, n_total),
+    sym AS (SELECT h,
+                   CASE WHEN y <= q1 THEN 'a'
+                        WHEN y <= q2 THEN 'b'
+                        WHEN y <= q3 THEN 'c'
+                        ELSE 'd' END AS s
+            FROM hourly, picks),
+    grams AS (SELECT s || LEAD(s, 1) OVER (ORDER BY h)
+                       || LEAD(s, 2) OVER (ORDER BY h) AS motif
+              FROM sym)
+    SELECT motif, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM grams WHERE length(motif) = 3
+    GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10
+"""
+_QUERIES["events_sax_motifs"] = relational.events_sax_motifs
+
+_ORACLES["profile_partition_skew"] = """
+    WITH fams AS (
+        SELECT 'orders.o_custkey' AS family, o_custkey AS k FROM orders
+        UNION ALL
+        SELECT 'lineitem.l_partkey', l_partkey FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.l_suppkey', l_suppkey FROM lineitem),
+    counts AS (SELECT family, k, CAST(COUNT(*) AS BIGINT) AS c
+               FROM fams GROUP BY 1, 2),
+    ranked AS (SELECT family, c,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY family
+                           ORDER BY c, k) AS BIGINT) AS i
+               FROM counts),
+    tot AS (SELECT family,
+                   CAST(SUM(c) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(MAX(c) AS BIGINT) AS top1,
+                   CAST(SUM(CAST(i AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+                        AS DECIMAL(38,0)) AS ic
+            FROM ranked GROUP BY 1),
+    t10 AS (SELECT r.family, CAST(SUM(c) AS BIGINT) AS top10
+            FROM ranked r JOIN tot USING (family)
+            WHERE i > n_keys - 10 GROUP BY 1)
+    SELECT family, n_rows, n_keys,
+           ROUND(CAST(top1 AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS top1_share,
+           ROUND(CAST(top10 AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS top10_share,
+           ROUND(2.0 * CAST(ic AS DOUBLE)
+                 / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE))
+                 - (CAST(n_keys AS DOUBLE) + 1.0) / CAST(n_keys AS DOUBLE), 6)
+               AS gini
+    FROM tot JOIN t10 USING (family)
+"""
+_QUERIES["profile_partition_skew"] = relational.profile_partition_skew
+
+_ORACLES["join_semi_bloom_pruned"] = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS total_price
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate >= TIMESTAMP '1995-09-01')
+    GROUP BY 1
+"""
+_QUERIES["join_semi_bloom_pruned"] = relational.join_semi_bloom_pruned
+
+_ORACLES["text_term_burstiness"] = r"""
+    WITH td AS (
+        SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id,
+                     UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS term
+              FROM documents)
+        GROUP BY 1, 2),
+    terms AS (SELECT term,
+                     CAST(COUNT(*) AS BIGINT) AS df,
+                     CAST(SUM(c) AS BIGINT) AS cf,
+                     CAST(SUM(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+                          AS DECIMAL(38,0)) AS c2
+              FROM td GROUP BY 1
+              HAVING COUNT(*) >= 20)
+    SELECT term, df, cf,
+           ROUND(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS burstiness,
+           ROUND(((CAST(c2 AS DOUBLE) - CAST(cf AS DOUBLE) * CAST(cf AS DOUBLE)
+                   / CAST(df AS DOUBLE)) / CAST(df AS DOUBLE))
+                 / (CAST(cf AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS fano
+    FROM terms
+    ORDER BY burstiness DESC, term LIMIT 20
+"""
+_QUERIES["text_term_burstiness"] = text_fns.text_term_burstiness
+
+_ORACLES["text_code_detect"] = r"""
+    WITH docs AS (SELECT source, text,
+                         CAST(length(text) AS BIGINT) AS n_chars
+                  FROM documents WHERE length(text) > 0),
+    feats AS (SELECT source,
+                     ROUND(CAST(len(regexp_extract_all(text, '[{}();=<>\[\]]'))
+                                AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
+                         AS symbol_ratio,
+                     ROUND(CAST(len(regexp_extract_all(text, '(?m)^(    |\t)'))
+                                AS DOUBLE)
+                           / CAST(len(regexp_extract_all(text, '\n')) + 1
+                                  AS DOUBLE), 6) AS indent_ratio,
+                     ROUND(CAST(n_chars AS DOUBLE)
+                           / CAST(len(regexp_extract_all(text, '\n')) + 1
+                                  AS DOUBLE), 6) AS mean_line_len
+              FROM docs),
+    scored AS (SELECT source, symbol_ratio,
+                      ((CASE WHEN symbol_ratio > 0.03 THEN 1 ELSE 0 END)
+                       + (CASE WHEN indent_ratio > 0.2 THEN 1 ELSE 0 END)
+                       + (CASE WHEN mean_line_len < 40.0 THEN 1 ELSE 0 END))
+                          >= 2 AS is_code
+               FROM feats)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN is_code THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+           ROUND(CAST(SUM(CASE WHEN is_code THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS code_rate,
+           ROUND(CAST(SUM(CAST(symbol_ratio AS DECIMAL(28,12))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_symbol_ratio
+    FROM scored GROUP BY 1
+"""
+_QUERIES["text_code_detect"] = text_fns.text_code_detect
+
+_ORACLES["sample_soft_dedup_weights"] = """
+    WITH docs AS (SELECT source, md5(text) AS h FROM documents),
+    clusters AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS s FROM docs GROUP BY 1),
+    weighted AS (SELECT source, h,
+                        CAST(ROUND(1.0 / CAST(s AS DOUBLE), 12)
+                             AS DECIMAL(28,12)) AS w
+                 FROM docs JOIN clusters USING (h))
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_clusters_touched,
+           ROUND(CAST(SUM(w) AS DOUBLE), 6) AS effective_docs,
+           ROUND(1.0 - CAST(SUM(w) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS dup_rate
+    FROM weighted GROUP BY 1
+"""
+_QUERIES["sample_soft_dedup_weights"] = dedup.sample_soft_dedup_weights
+
+# oracle is the DIRECT theta join the date binning replaces (lossless)
+_ORACLES["orders_duplicate_invoices"] = """
+    WITH o AS (SELECT o_custkey, o_orderkey AS k,
+                      CAST(date_diff('day', DATE '1970-01-01',
+                                     CAST(o_orderdate AS DATE)) AS BIGINT) AS ed,
+                      CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders),
+    pairs AS (SELECT a.o_custkey, ABS(a.ed - b.ed) AS days_apart
+              FROM o a JOIN o b
+                ON a.o_custkey = b.o_custkey AND a.k < b.k
+               AND ABS(a.ed - b.ed) <= 3
+               AND 100 * ABS(a.cents - b.cents) <= GREATEST(a.cents, b.cents))
+    SELECT CAST(days_apart AS BIGINT) AS days_apart,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM pairs GROUP BY 1
+"""
+_QUERIES["orders_duplicate_invoices"] = relational.orders_duplicate_invoices
+
+_ORACLES["similarity_power_iteration"] = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    x AS (SELECT vec_id, CAST(t.i - 1 AS BIGINT) AS i, e[t.i] AS xi
+          FROM v, UNNEST(range(1, len(e) + 1)) AS t(i)),
+    v0 AS (SELECT CAST(t.i AS BIGINT) AS i,
+                  CAST(0.125 AS DECIMAL(28,12)) AS vi
+           FROM UNNEST(range(0, 64)) AS t(i)),
+    s1 AS (SELECT vec_id,
+                  SUM(CAST(ROUND(xi * CAST(vi AS DOUBLE), 12)
+                           AS DECIMAL(28,12))) AS sv
+           FROM x JOIN v0 USING (i) GROUP BY 1),
+    y1 AS (SELECT i,
+                  SUM(CAST(ROUND(xi * CAST(sv AS DOUBLE), 12)
+                           AS DECIMAL(28,12))) AS yi
+           FROM x JOIN s1 USING (vec_id) GROUP BY 1),
+    m1 AS (SELECT MAX(ABS(yi)) AS m FROM y1),
+    v1 AS (SELECT i, CAST(ROUND(CAST(yi AS DOUBLE) / CAST(m AS DOUBLE), 12)
+                          AS DECIMAL(28,12)) AS vi
+           FROM y1, m1),
+    s2 AS (SELECT vec_id,
+                  SUM(CAST(ROUND(xi * CAST(vi AS DOUBLE), 12)
+                           AS DECIMAL(28,12))) AS sv
+           FROM x JOIN v1 USING (i) GROUP BY 1),
+    y2 AS (SELECT i,
+                  SUM(CAST(ROUND(xi * CAST(sv AS DOUBLE), 12)
+                           AS DECIMAL(28,12))) AS yi
+           FROM x JOIN s2 USING (vec_id) GROUP BY 1),
+    m2 AS (SELECT MAX(ABS(yi)) AS m FROM y2),
+    v2 AS (SELECT i, CAST(ROUND(CAST(yi AS DOUBLE) / CAST(m AS DOUBLE), 12)
+                          AS DECIMAL(28,12)) AS vi
+           FROM y2, m2)
+    SELECT i AS dim_idx,
+           ROUND(CAST(vi AS DOUBLE), 6) AS loading,
+           ROUND(CAST(m AS DOUBLE), 6) AS growth
+    FROM v2, m2
+"""
+_QUERIES["similarity_power_iteration"] = similarity.similarity_power_iteration

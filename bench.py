@@ -18,6 +18,17 @@ between runs of BYTE-IDENTICAL code.  Each query therefore runs in TWO full
 passes and reports the per-query MINIMUM — the floor is the code's actual
 cost; the excursions are the machine's.  BENCH_DETAIL.json records both
 passes and the methodology.
+
+PINNED METHODOLOGY (r9, verdict item 8): before every timed query the
+harness unpersists all lingering RDDs (localCheckpoint blocks included)
+and cached tables.  Without this, blocks left by earlier queries crowd
+the storage pool across the 340-query session and inflate later queries
+2-3x non-deterministically — this was the entire "unexplained regression"
+set of round 8 (text_dictionary_tagging 2.32 s in-session vs 0.86 s
+clean, basket_part_pairs 3.65 vs 1.62, multimodal_decode_features 3.38
+vs 0.55).  Round-over-round totals are comparable from r9 on: 2 passes,
+per-query min, noop sink, pools warmed per pass, persisted state cleared
+per query.
 """
 
 from __future__ import annotations
@@ -71,6 +82,15 @@ def _warm_python_pools(spark) -> None:
     noop(spark.range(64).repartition(8).select(_pu("id")))
 
 
+def _clear_persisted(spark) -> None:
+    """Drop every lingering persisted RDD and cached table (see PINNED
+    METHODOLOGY above).  Safe between queries: each query rebuilds its
+    whole DAG from parquet, so nothing legitimate is lost."""
+    for _rdd_id, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
+        rdd.unpersist()
+    spark.catalog.clearCache()
+
+
 def main() -> None:
     from simple_land_registry_data_ingestion_spark.session import get_spark
 
@@ -99,6 +119,7 @@ def main() -> None:
         _warm_python_pools(spark)
         pass_times: dict[str, float] = {}
         for name in sorted(queries):
+            _clear_persisted(spark)
             start = time.monotonic()
             queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             pass_times[name] = round(time.monotonic() - start, 3)
@@ -124,10 +145,13 @@ def main() -> None:
             {
                 **summary,
                 "methodology": (
-                    "min of 2 full passes per query (noop sink), python "
-                    "worker pools warmed per pass; ambient sandbox load "
-                    "makes single-shot timings swing >20%, the per-query "
-                    "floor is reproducible"
+                    "PINNED r9: min of 2 full passes per query (noop "
+                    "sink), python worker pools warmed per pass, ALL "
+                    "persisted RDDs/cached tables cleared before every "
+                    "timed query (lingering localCheckpoint blocks "
+                    "inflated later queries 2-3x in r7/r8 sessions); "
+                    "ambient sandbox load makes single-shot timings "
+                    "swing >20%, the per-query floor is reproducible"
                 ),
                 "queries": timings,
                 # pass 1 = cold (first planning/codegen per query), pass 2 =

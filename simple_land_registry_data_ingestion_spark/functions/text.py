@@ -1640,3 +1640,126 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jsd"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: term burstiness, code-vs-prose detection
+# ---------------------------------------------------------------------------
+
+def text_term_burstiness(
+    spark: SparkSession, sf_dir: str, min_df: int = 20
+) -> DataFrame:
+    """Church-Gale term burstiness: for each frequent term, how much does
+    it CLUMP?  burstiness = cf/df (mean occurrences per containing doc)
+    and the Fano factor (variance-to-mean over containing docs) separate
+    topical terms (bursty: 'kernel' appears 9x in the one doc about it)
+    from function words (flat: 'the' appears everywhere evenly) — the
+    standard signal behind stopword induction, keyword weighting, and
+    boilerplate screens in a corpus pipeline.
+
+    Exactness: cf, df and the per-doc count moments are exact longs;
+    burstiness = cf/df and fano = (sum_c2 - cf^2/df) / df / (cf/df)
+    evaluate as single double expressions over exact moments, 6 dp.
+
+    Scale: one tokenize-explode pass -> (term, doc) counts (corpus-
+    linear) -> one term groupBy (vocabulary-sized).  Top 20 by
+    (burstiness desc, term) plans TakeOrderedAndProject.
+
+    Output: (term, df, cf, burstiness, fano) top 20."""
+    docs = load(spark, sf_dir, "documents")
+    td = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    terms = td.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("c").cast("long").alias("cf"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("c2"),
+    ).where(F.col("df") >= F.lit(min_df))
+    dfd = F.col("df").cast("double")
+    cfd = F.col("cf").cast("double")
+    mean = cfd / dfd
+    var = (F.col("c2").cast("double") - cfd * cfd / dfd) / dfd
+    return (
+        terms.select(
+            "term",
+            "df",
+            "cf",
+            F.round(mean, 6).alias("burstiness"),
+            F.round(var / mean, 6).alias("fano"),
+        )
+        .orderBy(F.col("burstiness").desc(), "term")
+        .limit(20)
+    )
+
+
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection by surface statistics — the cheap router a
+    training-data pipeline runs before language-specific processing:
+    symbol density ({};()=<>[] per char), indented-line fraction, and
+    mean line length vote a document 'code' when at least two fire.
+
+    All three signals are integer regexp_count / length arithmetic; the
+    ratios are single int/int doubles rounded 6 dp, and the vote is a
+    boolean sum — engine-portable with no tokenizer dependency (the
+    discipline of text_quality_score / text_pii_scan).
+
+    Scale: pure scan-stage per-row projection + one source groupBy.
+
+    Output: per source (n_docs, n_code, code_rate, mean_symbol_ratio)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        F.col("text"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).where(F.col("n_chars") > 0)
+    sym = F.regexp_count(F.col("text"), F.lit(r"[{}();=<>\[\]]")).cast("long")
+    lines = (F.regexp_count(F.col("text"), F.lit("\n")) + 1).cast("long")
+    indented = F.regexp_count(F.col("text"), F.lit(r"(?m)^(    |\t)")).cast("long")
+    scored = docs.select(
+        "source",
+        "n_chars",
+        sym.alias("n_sym"),
+        lines.alias("n_lines"),
+        indented.alias("n_indented"),
+    ).select(
+        "source",
+        F.round(F.col("n_sym").cast("double") / F.col("n_chars").cast("double"), 6)
+        .alias("symbol_ratio"),
+        F.round(
+            F.col("n_indented").cast("double") / F.col("n_lines").cast("double"), 6
+        ).alias("indent_ratio"),
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_lines").cast("double"), 6
+        ).alias("mean_line_len"),
+    ).select(
+        "source",
+        "symbol_ratio",
+        (
+            (F.col("symbol_ratio") > 0.03).cast("int")
+            + (F.col("indent_ratio") > 0.2).cast("int")
+            + (F.col("mean_line_len") < 40.0).cast("int")
+            >= 2
+        ).alias("is_code"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("is_code").cast("long")).cast("long").alias("n_code"),
+        F.round(
+            F.sum(F.col("is_code").cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("code_rate"),
+        F.round(
+            F.sum(
+                F.col("symbol_ratio").cast("decimal(28,12)")
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_symbol_ratio"),
+    )

@@ -2372,3 +2372,48 @@ def text_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
         exact.alias("jaccard_exact"),
         F.round(F.abs(est - exact), 6).alias("abs_err"),
     )
+
+
+def sample_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication by repetition-count downweighting: instead of
+    dropping exact duplicates, each document carries weight 1/s where s
+    is its GLOBAL exact-dup cluster size (md5 of text) — the standard
+    trick (Gopher/Chinchilla data work) that keeps one effective copy of
+    every text while preserving source coverage.  Per source this rolls
+    up to the effective document count and the duplication tax.
+
+    Exactness: cluster sizes are longs; each weight 1/s quantizes to a
+    12 dp DECIMAL(28,12) before the per-source sum (the repo's
+    quantized-sum discipline), so effective_docs is engine-exact;
+    dup_rate = 1 - effective/n is one double division, 6 dp.
+
+    Scale: one md5 groupBy (corpus-linear, map-side combined), one
+    broadcast-back join keyed on the 128-bit hash, one source groupBy.
+    No pairwise anything — soft dedup is the linear-cost alternative the
+    LSH family falls back to when ONLY exact dups matter.
+
+    Output: per source (n_docs, n_clusters_touched, effective_docs,
+    dup_rate)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.md5(F.col("text")).alias("h")
+    )
+    clusters = docs.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    weighted = docs.join(clusters, "h").select(
+        "source",
+        "h",
+        F.round(F.lit(1.0) / F.col("s").cast("double"), 12)
+        .cast("decimal(28,12)")
+        .alias("w"),
+    )
+    return weighted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("h").cast("long").alias("n_clusters_touched"),
+        F.round(F.sum("w").cast("double"), 6).alias("effective_docs"),
+        F.round(
+            1.0
+            - F.sum("w").cast("double") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )

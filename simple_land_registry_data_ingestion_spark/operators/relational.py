@@ -8196,3 +8196,537 @@ def join_interval_overlap_weighted(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum("ov").cast("long").alias("total_overlap_seconds"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: parametric test battery (ANOVA F, Welch t), Nelson-Aalen hazard
+# ---------------------------------------------------------------------------
+
+def events_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across the five event types — the parametric
+    counterpart of events_kruskal_wallis: do per-type mean values differ
+    more BETWEEN types than the within-type spread explains?  The
+    standard first gate of a metrics review when normality is assumed.
+
+    Float discipline (the kruskal/mann-whitney pattern): values quantize
+    to integer cents, and all three moments per group — n, sum, sum of
+    squares — are EXACT (long / DECIMAL(38,0)); SSB and SSW reduce to
+    rational expressions of those moments evaluated in one double
+    expression each (identical formula in the oracle), rounded 6 dp.
+    Using SS_total = sum2 - sum^2/n per group avoids any per-row float.
+
+    Scale: one map-side-combined groupBy over the corpus (5 groups),
+    then a 5-row broadcast reduce — nothing else touches row count.
+
+    Output: one row per event_type (n_g, mean_g) + the shared
+    (f_stat, df_between, df_within) so the hash pins the decomposition."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s_g"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)") * F.col("cents").cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("q_g"),
+    )
+    # within-group SS per group: q_g - s_g^2 / n_g (double; exact inputs)
+    ssw_g = F.col("q_g").cast("double") - (
+        F.col("s_g").cast("double") * F.col("s_g").cast("double")
+        / F.col("n_g").cast("double")
+    )
+    tot = g.groupBy().agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.round(ssw_g, 6).cast("decimal(38,6)")).alias("ssw"),
+        F.sum(
+            F.round(
+                F.col("s_g").cast("double") * F.col("s_g").cast("double")
+                / F.col("n_g").cast("double"),
+                6,
+            ).cast("decimal(38,6)")
+        ).alias("sum_sq_over_n"),
+    )
+    ssb = F.col("sum_sq_over_n").cast("double") - (
+        F.col("s").cast("double") * F.col("s").cast("double")
+        / F.col("n").cast("double")
+    )
+    fstat = (ssb / (F.col("k").cast("double") - 1.0)) / (
+        F.col("ssw").cast("double") / (F.col("n").cast("double") - F.col("k").cast("double"))
+    )
+    frow = tot.select(
+        (F.col("k") - 1).cast("long").alias("df_between"),
+        (F.col("n") - F.col("k")).cast("long").alias("df_within"),
+        F.round(fstat, 6).alias("f_stat"),
+    )
+    return g.crossJoin(F.broadcast(frow)).select(
+        "event_type",
+        "n_g",
+        F.round(F.col("s_g").cast("double") / F.col("n_g").cast("double") / 100.0, 6)
+        .alias("mean_g"),
+        "df_between",
+        "df_within",
+        "f_stat",
+    )
+
+
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t between 'click' and
+    'purchase' values — the AB-test workhorse when variances differ,
+    completing the battery next to CUPED (variance reduction), SRM
+    (allocation), and Mann-Whitney (rank form).
+
+    Same exact-moment discipline as events_anova_f: per-arm n / sum /
+    sum-of-squares in cents (exact), then t and the Welch-Satterthwaite
+    degrees of freedom as single double expressions over the exact
+    moments, 6 dp.  One corpus groupBy, one 2-row reduce.
+
+    Output: one row (n_a, n_b, mean_a, mean_b, t_stat, welch_df)."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)") * F.col("cents").cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("q"),
+    )
+    a = g.where(F.col("event_type") == "click").select(
+        F.col("n").alias("n_a"), F.col("s").alias("s_a"), F.col("q").alias("q_a")
+    )
+    b = g.where(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n_b"), F.col("s").alias("s_b"), F.col("q").alias("q_b")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma = F.col("s_a").cast("double") / na
+    mb = F.col("s_b").cast("double") / nb
+    # unbiased variance from exact moments: (q - s^2/n) / (n - 1)
+    va = (F.col("q_a").cast("double") - F.col("s_a").cast("double") * F.col("s_a").cast("double") / na) / (na - 1.0)
+    vb = (F.col("q_b").cast("double") - F.col("s_b").cast("double") * F.col("s_b").cast("double") / nb) / (nb - 1.0)
+    sea, seb = va / na, vb / nb
+    t = (ma - mb) / F.sqrt(sea + seb)
+    wdf = (sea + seb) * (sea + seb) / (
+        sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(ma / 100.0, 6).alias("mean_a"),
+        F.round(mb / 100.0, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(wdf, 6).alias("welch_df"),
+    )
+
+
+def orders_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard table for the customer
+    repeat-purchase process — the additive complement of
+    users_kaplan_meier (whose product-limit survival needs float-product
+    care; the N-A estimator is a plain running SUM of per-interval
+    hazards, so the cumulative curve is exact under the 12 dp-quantized
+    decimal-sum discipline).
+
+    Cohort: every customer's FIRST order opens an episode; the event is
+    the SECOND order; episodes with no second order censor at the
+    dataset's last order date.  Durations bucket into 30-day intervals.
+    For interval t: n_event(t) = episodes ending in t by an event,
+    n_risk(t) = episodes with duration >= t's start (exact longs via a
+    suffix sum over the ~20-row interval table); hazard = n_event /
+    n_risk (6 dp) and cum_hazard = running sum of 12 dp-quantized
+    hazards.
+
+    Scale: one groupBy per customer (first/second order date), one
+    interval groupBy, windows only over the interval table (bounded by
+    observation span / 30 days, never row count).
+
+    Output: one row per 30-day interval
+    (interval_idx, n_risk, n_event, hazard, cum_hazard)."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    horizon = orders.agg(F.max("d").alias("end_d"))
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.min("d").alias("first_d"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    # second order date: min date strictly after first_d (episode event)
+    second = (
+        orders.join(per_cust.select("o_custkey", "first_d"), "o_custkey")
+        .where(F.col("d") > F.col("first_d"))
+        .groupBy("o_custkey")
+        .agg(F.min("d").alias("second_d"))
+    )
+    episodes = (
+        per_cust.join(second, "o_custkey", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            (F.col("second_d").isNotNull()).alias("is_event"),
+            F.floor(
+                F.datediff(
+                    F.coalesce("second_d", "end_d"), F.col("first_d")
+                ) / 30
+            ).cast("long").alias("interval_idx"),
+        )
+    )
+    per_int = episodes.groupBy("interval_idx").agg(
+        F.sum(F.col("is_event").cast("long")).cast("long").alias("n_event"),
+        F.count(F.lit(1)).cast("long").alias("n_end"),
+    )
+    # n_risk(t) = suffix sum of episode ends at interval >= t
+    w = Window.orderBy(F.col("interval_idx").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risky = per_int.withColumn("n_risk", F.sum("n_end").over(w).cast("long"))
+    hz = F.col("n_event").cast("double") / F.col("n_risk").cast("double")
+    wc = Window.orderBy("interval_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        risky.withColumn("hq", F.round(hz, 12).cast("decimal(28,12)"))
+        .select(
+            "interval_idx",
+            "n_risk",
+            "n_event",
+            F.round(hz, 6).alias("hazard"),
+            F.round(F.sum("hq").over(wc).cast("double"), 6).alias("cum_hazard"),
+        )
+    )
+
+
+def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal-trend decomposition (STL-style, single pass) of
+    the hourly event-volume series: trend = centered 25-hour moving
+    average, seasonal = hour-of-day mean of the detrended series,
+    residual = what's left — the decomposition a capacity model or
+    anomaly detector consumes before alerting on raw volume.
+
+    Float discipline: hourly counts are exact longs; the trend at each
+    hour is an exact 25-long SUM (ROWS +-12, only hours with the full
+    window) divided once into a double; detrended values quantize to
+    12 dp decimals so the per-hour-of-day seasonal mean is a decimal
+    sum / long count; residual moments re-quantize the same way.  Every
+    reduction is over exact or quantized terms — engine-portable.
+
+    Scale: the raw corpus collapses to the hourly rollup (one
+    map-side-combined groupBy); every window after that runs on the
+    CALENDAR-BOUNDED hourly table (720 rows/month — grows with time
+    span, never event count), so the global ordered window is a bounded
+    single task by design, exactly like events_hourly_acf.
+
+    Output: 24 rows (hour_of_day, n_hours, seasonal, mean_abs_resid)."""
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    w = Window.orderBy("h").rowsBetween(-12, 12)
+    t = hourly.select(
+        "h",
+        "y",
+        F.sum("y").over(w).cast("long").alias("win_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("win_n"),
+    ).where(F.col("win_n") == 25)
+    det = t.select(
+        F.hour("h").cast("long").alias("hour_of_day"),
+        F.round(
+            F.col("y").cast("double") - F.col("win_sum").cast("double") / 25.0,
+            12,
+        ).cast("decimal(28,12)").alias("dq"),
+    )
+    seas = det.groupBy("hour_of_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("dq").alias("dsum"),
+    ).select(
+        "hour_of_day",
+        "n_hours",
+        F.round(
+            F.col("dsum").cast("double") / F.col("n_hours").cast("double"), 12
+        ).cast("decimal(28,12)").alias("seasonal_q"),
+    )
+    resid = (
+        det.join(F.broadcast(seas), "hour_of_day")
+        .select(
+            "hour_of_day",
+            "n_hours",
+            "seasonal_q",
+            F.round(
+                F.abs(
+                    F.col("dq").cast("double")
+                    - F.col("seasonal_q").cast("double")
+                ),
+                12,
+            ).cast("decimal(28,12)").alias("aq"),
+        )
+        .groupBy("hour_of_day", "n_hours", "seasonal_q")
+        .agg(F.sum("aq").alias("asum"))
+    )
+    return resid.select(
+        "hour_of_day",
+        "n_hours",
+        F.round(F.col("seasonal_q").cast("double"), 6).alias("seasonal"),
+        F.round(
+            F.col("asum").cast("double") / F.col("n_hours").cast("double"), 6
+        ).alias("mean_abs_resid"),
+    )
+
+
+def events_sax_motifs(spark: SparkSession, sf_dir: str, motif_len: int = 3) -> DataFrame:
+    """SAX symbolization + motif mining of the hourly volume series:
+    each hour's count maps to a quartile symbol a-d, consecutive
+    symbols form ``motif_len``-grams, and the most frequent motifs are
+    the series' recurring shapes (Lin et al.'s SAX, the standard
+    discretization for time-series pattern mining at scale).
+
+    Exactness: breakpoints are PICKED order statistics (the repo's
+    order-statistic discipline — value at row floor((n+1)*q/4) of the
+    (count, hour) total order, never interpolated), symbols are integer
+    comparisons against those picked values, and motif counting is
+    string aggregation — no float appears anywhere.
+
+    Scale: corpus -> hourly rollup (one groupBy); ranks, picks, lead
+    windows, and motif counts all run on the calendar-bounded hourly
+    table, like events_stl_decompose.
+
+    Output: top 10 (motif, n_occurrences) by (count desc, motif)."""
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    n_total = hourly.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = hourly.withColumn(
+        "rnk", F.row_number().over(Window.orderBy("y", "h")).cast("long")
+    )
+    # the pick positions depend on n, so express them as a filter on the
+    # broadcast-joined total rather than a literal
+    picks = (
+        ranked.crossJoin(F.broadcast(n_total))
+        .where(
+            (F.col("rnk") == F.floor((F.col("n") + 1) / 4).cast("long"))
+            | (F.col("rnk") == F.floor((F.col("n") + 1) * 2 / 4).cast("long"))
+            | (F.col("rnk") == F.floor((F.col("n") + 1) * 3 / 4).cast("long"))
+        )
+        .select(
+            F.when(
+                F.col("rnk") == F.floor((F.col("n") + 1) / 4).cast("long"), "q1"
+            )
+            .when(
+                F.col("rnk") == F.floor((F.col("n") + 1) * 2 / 4).cast("long"),
+                "q2",
+            )
+            .otherwise("q3")
+            .alias("which"),
+            "y",
+        )
+        .groupBy()
+        .pivot("which", ["q1", "q2", "q3"])
+        .agg(F.first("y"))
+    )
+    sym = (
+        hourly.crossJoin(F.broadcast(picks))
+        .select(
+            "h",
+            F.when(F.col("y") <= F.col("q1"), "a")
+            .when(F.col("y") <= F.col("q2"), "b")
+            .when(F.col("y") <= F.col("q3"), "c")
+            .otherwise("d")
+            .alias("s"),
+        )
+    )
+    wl = Window.orderBy("h")
+    grams = sym.select(
+        F.concat(
+            *[F.lead("s", i).over(wl) if i else F.col("s") for i in range(motif_len)]
+        ).alias("motif")
+    ).where(F.length("motif") == motif_len)
+    return (
+        grams.groupBy("motif")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "motif")
+        .limit(10)
+    )
+
+
+def profile_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profiler for the three hot join/agg keys (orders.custkey,
+    lineitem.partkey, lineitem.suppkey): rows, distinct keys, share of
+    the top-1 and top-10 keys, and the Gini coefficient of the key-count
+    distribution — the report that decides WHICH keys need the salting /
+    distribute_threshold guards (operators/skew.py, bucket_pairs) before
+    a 100 TB run, turning this repo's skew defenses from folklore into a
+    measured gate.
+
+    Exactness: per-key counts are longs; ranks come from
+    two_phase_global_rank over (count, key) — picked total order, no
+    interpolation; Gini = (2*sum(i*c_i))/(K*N) - (K+1)/K with sum(i*c_i)
+    an exact DECIMAL(38,0); shares are single int/int doubles, 6 dp.
+
+    Scale: one map-side-combined groupBy per family builds the key-count
+    table (distinct-key-bounded); the rank is the two-phase form, so no
+    single-task window even when a family has billions of keys.
+
+    Output: one row per family
+    (family, n_rows, n_keys, top1_share, top10_share, gini)."""
+    fams = [
+        ("orders.o_custkey", load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))),
+        ("lineitem.l_partkey", load(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("k"))),
+        ("lineitem.l_suppkey", load(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("k"))),
+    ]
+    outs = []
+    for fam, df in fams:
+        counts = df.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # the ranked frame feeds BOTH the totals and the top-10 slice, and
+        # the two-phase rank itself joins the frame with an aggregate OF
+        # the frame — truncate once per family (the IPF/pagerank
+        # discipline) so neither consumer re-executes the rank subtree
+        ranked = two_phase_global_rank(
+            counts, F.col("c"), [F.col("c"), F.col("k")], out="i"
+        ).localCheckpoint(eager=False)
+        tot = ranked.groupBy().agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("c").cast("long").alias("top1"),
+            F.sum(
+                F.col("i").cast("decimal(38,0)") * F.col("c").cast("decimal(38,0)")
+            ).cast("decimal(38,0)").alias("ic"),
+        )
+        top10 = (
+            ranked.crossJoin(F.broadcast(tot.select("n_keys")))
+            .where(F.col("i") > F.col("n_keys") - 10)
+            .groupBy()
+            .agg(F.sum("c").cast("long").alias("top10"))
+        )
+        kd = F.col("n_keys").cast("double")
+        nd = F.col("n_rows").cast("double")
+        outs.append(
+            tot.crossJoin(F.broadcast(top10)).select(
+                F.lit(fam).alias("family"),
+                "n_rows",
+                "n_keys",
+                F.round(F.col("top1").cast("double") / nd, 6).alias("top1_share"),
+                F.round(F.col("top10").cast("double") / nd, 6).alias("top10_share"),
+                F.round(
+                    2.0 * F.col("ic").cast("double") / (kd * nd)
+                    - (kd + 1.0) / kd,
+                    6,
+                ).alias("gini"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def join_semi_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join with an explicit broadcast hash-bucket prune — the
+    manual form of runtime row-level filtering: orders qualify when ANY
+    of their lineitems shipped in 1995H2+; before the exact LEFT SEMI
+    shuffle, the probe side drops every order whose key hashes to a
+    bucket no build-side key occupies.
+
+    The prune is a SUPERSET filter (hash buckets admit false positives,
+    never false negatives), so composing it with the exact semi join is
+    LOSSLESS — the oracle is the plain EXISTS.  At 100 TB this is the
+    difference between shuffling the full probe table and shuffling the
+    ~selectivity fraction that can possibly match: the 2^16-bucket
+    distinct table broadcasts in KBs, and Spark's own InSubquery runtime
+    filter (spark.sql.optimizer.runtimeFilter.*) is the automatic twin
+    of exactly this rewrite.
+
+    Output: per o_orderpriority (n_orders, total_price 2 dp exact sum)."""
+    lit_filtered = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+        .select("l_orderkey")
+    )
+    buckets = (
+        lit_filtered.select(
+            F.pmod(F.xxhash64("l_orderkey"), F.lit(65536)).alias("b")
+        ).distinct()
+    )
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "b", F.pmod(F.xxhash64("o_orderkey"), F.lit(65536))
+    )
+    pruned = orders.join(F.broadcast(buckets), "b", "left_semi")
+    hits = pruned.join(
+        lit_filtered,
+        pruned.o_orderkey == lit_filtered.l_orderkey,
+        "left_semi",
+    )
+    return hits.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)").alias("total_price"),
+    )
+
+
+def orders_duplicate_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy duplicate-invoice detection — the finance-ops ER rule: two
+    orders of the SAME customer whose totals differ by <= 1% and whose
+    dates are <= 3 days apart are candidate double-bookings.
+
+    Plan: candidates form via the BINNED range-join pattern
+    (join_range_binned): both sides key on (custkey, floor(epoch_day/4))
+    and the probe side explodes into its bin and the two adjacent bins,
+    so a <= 3-day date predicate becomes a pure equi-join (never a
+    non-equi nested loop); the exact verify then applies both fuzzy
+    predicates in integer arithmetic — dates as epoch days, totals as
+    cents with 100*|c1-c2| <= max(c1,c2) (exactly 'within 1%', no float
+    tolerance anywhere).  At 100 TB the shuffle key is (custkey, bin):
+    per-customer-per-week work, unsalted because invoice counts per
+    customer are business-bounded.
+
+    Output: per days_apart 0..3 (n_pairs, n_customers)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderkey").alias("k"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("ed"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    binned = o.withColumn("b", F.floor(F.col("ed") / 4).cast("long"))
+    probe = binned.withColumn(
+        "b", F.explode(F.array(F.col("b") - 1, F.col("b"), F.col("b") + 1))
+    )
+    build = binned.select(
+        "o_custkey",
+        "b",
+        F.col("k").alias("k2"),
+        F.col("ed").alias("ed2"),
+        F.col("cents").alias("cents2"),
+    )
+    pairs = (
+        probe.join(build, ["o_custkey", "b"])
+        .where(
+            (F.col("k") < F.col("k2"))
+            & (F.abs(F.col("ed") - F.col("ed2")) <= 3)
+            & (
+                100 * F.abs(F.col("cents") - F.col("cents2"))
+                <= F.greatest("cents", "cents2")
+            )
+        )
+        # a pair can meet in up to 2 of the 3 probe bins — dedup exactly
+        .select("o_custkey", "k", "k2", "ed", "ed2")
+        .distinct()
+    )
+    return (
+        pairs.select(
+            "o_custkey", F.abs(F.col("ed") - F.col("ed2")).cast("long").alias("days_apart")
+        )
+        .groupBy("days_apart")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        )
+    )

@@ -1497,3 +1497,79 @@ def sample_kcenter_coreset(
     for o in out_rows[1:]:
         out = out.unionAll(o)
     return out
+
+
+def similarity_power_iteration(
+    spark: SparkSession, sf_dir: str, iterations: int = 2
+) -> DataFrame:
+    """Dominant principal direction of the embedding matrix by
+    distributed POWER ITERATION — the first component a pipeline
+    inspects for anisotropy ("all my embeddings point one way") and the
+    building block of spectral whitening.  The Gram matrix X'X is NEVER
+    materialized (at dim d it is d² entries and the naive explode is
+    n*d² rows): each iteration computes y = X'(Xv) as two corpus-linear
+    passes — s_v = <e_v, v> per vector (d-row broadcast of v), then
+    y_i = sum_v e_vi * s_v — which is exactly how distributed PCA/SVD
+    (e.g. Spark MLlib's computePrincipalComponents for tall-skinny X)
+    schedules the product.
+
+    Float discipline: every product rounds to 12 dp before a
+    DECIMAL(28,12) sum (order-free), max-norm rescaling divides two
+    exact decimals in one double op and re-quantizes; v0 = 0.125
+    everywhere (exact binary fraction).  The oracle unrolls the same
+    two passes per iteration in SQL.
+
+    Output: 64 rows (dim_idx, loading 6 dp, growth 6 dp) where growth
+    is the final max-norm — the dominant-eigenvalue scale readout."""
+    x = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("i", "xi_raw"))
+        .select("vec_id", F.col("i").cast("long").alias("i"), F.col("xi_raw").cast("double").alias("xi"))
+    )
+    v = spark.range(64).select(
+        F.col("id").cast("long").alias("i"),
+        F.lit(0.125).cast("decimal(28,12)").alias("vi"),
+    )
+    m = None
+    for _ in range(iterations):
+        s = (
+            x.join(F.broadcast(v), "i")
+            .groupBy("vec_id")
+            .agg(
+                F.sum(
+                    F.round(F.col("xi") * F.col("vi").cast("double"), 12)
+                    .cast("decimal(28,12)")
+                ).alias("sv")
+            )
+        )
+        y = (
+            x.join(s, "vec_id")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.round(F.col("xi") * F.col("sv").cast("double"), 12)
+                    .cast("decimal(28,12)")
+                ).alias("yi")
+            )
+        )
+        m = y.groupBy().agg(F.max(F.abs(F.col("yi"))).alias("m"))
+        v = (
+            y.crossJoin(F.broadcast(m))
+            .select(
+                "i",
+                F.round(
+                    F.col("yi").cast("double") / F.col("m").cast("double"), 12
+                )
+                .cast("decimal(28,12)")
+                .alias("vi"),
+            )
+            # 64-row frame, but its lineage is two corpus passes — truncate
+            # per iteration (the pagerank discipline) so the next
+            # iteration's broadcast does not re-execute this one
+            .localCheckpoint(eager=False)
+        )
+    return v.crossJoin(F.broadcast(m)).select(
+        F.col("i").alias("dim_idx"),
+        F.round(F.col("vi").cast("double"), 6).alias("loading"),
+        F.round(F.col("m").cast("double"), 6).alias("growth"),
+    )
