@@ -57,6 +57,19 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessio
 #:   block D — the rest (freshest evidence; re-checked locally every round
 #:             by tests/test_oracle_parity.py, which runs ALL entries).
 #: Rotate each round so no query's newest driver row ages past 2 rounds.
+#:
+#: r10 queue arithmetic (write the window at round-10 start):
+#:   1 spill (events_lateness_audit, late-r8 rewire, directly after slot
+#:   50 below) + 12 round-9 additions (events_anova_f ...
+#:   similarity_power_iteration, at the dict tail) + the round-9
+#:   mechanism re-certs — er_blocked_match, er_golden_record,
+#:   dedup_link_prediction (degree cap changed its scores),
+#:   dedup_simhash_pairs + consumers dedup_kcore_peel /
+#:   dedup_triangle_stats (banding change, outputs invariant),
+#:   graph_hits_scores (checkpoint move, output invariant), and the
+#:   null-safe two-phase-rank consumers with r08-only rows
+#:   (events_quantile_normalize, eval_auc_rank, eval_qini_uplift) —
+#:   ≈ 23 slots, leaving ≥ 27 free for round-10 additions + aging rows.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r09 window (50 slots), per VERDICT r8 item 1 + ADVICE: the 4
     # ---- r08 hash-red queries lead (fixed at HEAD mid-round-8; a green
