@@ -60,16 +60,21 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessio
 #:
 #: r10 queue arithmetic (write the window at round-10 start):
 #:   1 spill (events_lateness_audit, late-r8 rewire, directly after slot
-#:   50 below) + 12 round-9 additions (events_anova_f ...
-#:   similarity_power_iteration, at the dict tail) + the round-9
+#:   50 below) + 15 round-9 additions (events_anova_f ...
+#:   profile_functional_dependency, at the dict tail) + the round-9
 #:   mechanism re-certs — er_blocked_match, er_golden_record,
 #:   dedup_link_prediction (degree cap changed its scores),
 #:   dedup_simhash_pairs + consumers dedup_kcore_peel /
 #:   dedup_triangle_stats (banding change, outputs invariant),
 #:   graph_hits_scores (checkpoint move, output invariant), and the
 #:   null-safe two-phase-rank consumers with r08-only rows
-#:   (events_quantile_normalize, eval_auc_rank, eval_qini_uplift) —
-#:   ≈ 23 slots, leaving ≥ 27 free for round-10 additions + aging rows.
+#:   (events_quantile_normalize, eval_auc_rank, eval_qini_uplift), and
+#:   the MinHash-family re-certs after the r9 zero-shuffle signature
+#:   rewrite (dedup_minhash_lsh, text_minhash_jaccard_estimate,
+#:   dedup_jaccard_lsh, dedup_cluster_assignments,
+#:   dedup_incremental_minhash, dedup_minhash_error, dedup_lsh_scurve;
+#:   outputs invariant, locally green) —
+#:   ≈ 33 slots, leaving ≥ 17 free for round-10 additions + aging rows.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r09 window (50 slots), per VERDICT r8 item 1 + ADVICE: the 4
     # ---- r08 hash-red queries lead (fixed at HEAD mid-round-8; a green
@@ -8363,3 +8368,79 @@ _ORACLES["similarity_power_iteration"] = """
     FROM v2, m2
 """
 _QUERIES["similarity_power_iteration"] = similarity.similarity_power_iteration
+
+_ORACLES["join_asof_forward"] = """
+    WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events
+                WHERE event_type IN ('click', 'purchase')),
+    marked AS (SELECT user_id, ts, event_type,
+                      MIN(CASE WHEN event_type = 'click' THEN ts END)
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 1 FOLLOWING
+                                         AND UNBOUNDED FOLLOWING) AS fwd_ts
+               FROM ev),
+    p AS (SELECT user_id,
+                 CAST(date_diff('microsecond', ts, fwd_ts) AS BIGINT) AS gap_us
+          FROM marked WHERE event_type = 'purchase')
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= 3600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= 3600000000
+                         THEN gap_us ELSE 0 END) AS BIGINT) AS sum_gap_us,
+           CAST(MAX(CASE WHEN gap_us IS NOT NULL AND gap_us <= 3600000000
+                         THEN gap_us ELSE 0 END) AS BIGINT) AS max_gap_us
+    FROM p GROUP BY 1
+"""
+_QUERIES["join_asof_forward"] = asof.join_asof_forward
+
+_ORACLES["sample_balanced_classes"] = """
+    WITH emb AS (SELECT vec_id, label FROM embeddings),
+    counts AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+               FROM emb GROUP BY 1),
+    nm AS (SELECT CAST(MIN(n) AS BIGINT) AS n_min FROM counts),
+    ranked AS (SELECT vec_id, label,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY label
+                           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                           AS BIGINT) AS rnk
+               FROM emb)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN rnk <= n_min THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN rnk <= n_min THEN vec_id ELSE 0 END) AS BIGINT)
+               AS kept_id_sum
+    FROM ranked, nm GROUP BY 1
+"""
+_QUERIES["sample_balanced_classes"] = relational.sample_balanced_classes
+
+_ORACLES["profile_functional_dependency"] = """
+    WITH c1 AS (SELECT o_orderkey AS det, o_orderstatus AS dep FROM orders),
+    c2 AS (SELECT o_custkey, o_orderpriority FROM orders),
+    c3 AS (SELECT l_orderkey, l_linestatus FROM lineitem),
+    c4 AS (SELECT l_partkey, l_suppkey FROM lineitem),
+    g1 AS (SELECT det, CAST(COUNT(DISTINCT dep) AS BIGINT) AS nd
+           FROM c1 GROUP BY 1),
+    g2 AS (SELECT o_custkey, CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+               AS nd FROM c2 GROUP BY 1),
+    g3 AS (SELECT l_orderkey, CAST(COUNT(DISTINCT l_linestatus) AS BIGINT)
+               AS nd FROM c3 GROUP BY 1),
+    g4 AS (SELECT l_partkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+               AS nd FROM c4 GROUP BY 1),
+    u AS (
+      SELECT 'orders.o_orderkey->o_orderstatus' AS fd, nd FROM g1
+      UNION ALL
+      SELECT 'orders.o_custkey->o_orderpriority', nd FROM g2
+      UNION ALL
+      SELECT 'lineitem.l_orderkey->l_linestatus', nd FROM g3
+      UNION ALL
+      SELECT 'lineitem.l_partkey->l_suppkey', nd FROM g4)
+    SELECT fd,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+           ROUND(CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS violation_rate,
+           CAST(MAX(nd) AS BIGINT) AS max_distinct_dep
+    FROM u GROUP BY 1
+"""
+_QUERIES["profile_functional_dependency"] = relational.profile_functional_dependency

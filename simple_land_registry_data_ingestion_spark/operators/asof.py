@@ -271,3 +271,58 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
         ).cast("long").alias("sum_gap_us"),
     )
+
+
+def join_asof_forward(
+    spark: SparkSession, sf_dir: str, tolerance_s: int = 3600
+) -> DataFrame:
+    """As-of join with direction='forward' — the fourth merge_asof
+    direction, completing the matrix next to backward (join_asof_rates),
+    tolerance (join_asof_tolerance), and nearest (join_asof_nearest):
+    each purchase matches the FIRST click STRICTLY AFTER it (within a
+    forward tolerance), the "next action" rule behind post-purchase
+    attribution and action-latency SLAs.
+
+    Same one-shuffle interleaved-window shape as the nearest variant: in
+    (user, ts, event_id) order the running MIN over following rows of
+    click timestamps is the forward candidate; the tolerance test and
+    gap are pure integer microsecond arithmetic.  At 100 TB this is a
+    single keyed sort — never |purchases| x |clicks|.
+
+    Output per user: (n_purchases, n_matched, sum_gap_us, max_gap_us) —
+    all BIGINT; gaps count matched purchases only."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "event_type",
+    ).where(F.col("event_type").isin("click", "purchase"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(click_ts).over(
+            w.rowsBetween(1, Window.unboundedFollowing)
+        ).alias("fwd_ts"),
+    )
+    gap = F.unix_micros(F.col("fwd_ts")) - F.unix_micros(F.col("ts"))
+    p = marked.where(F.col("event_type") == "purchase").select(
+        "user_id", gap.alias("gap_us")
+    )
+    # the microsecond tolerance must be computed in LONG: 3600 * 1e6
+    # overflows int32 under ANSI mode
+    hit = F.col("gap_us").isNotNull() & (
+        F.col("gap_us") <= F.lit(int(tolerance_s) * 1_000_000).cast("long")
+    )
+    return p.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum(hit.cast("long")).cast("long").alias("n_matched"),
+        F.sum(F.when(hit, F.col("gap_us")).otherwise(0)).cast("long").alias(
+            "sum_gap_us"
+        ),
+        F.max(F.when(hit, F.col("gap_us")).otherwise(0)).cast("long").alias(
+            "max_gap_us"
+        ),
+    )

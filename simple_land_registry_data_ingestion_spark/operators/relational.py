@@ -8730,3 +8730,92 @@ def orders_duplicate_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_custkey").cast("long").alias("n_customers"),
         )
     )
+
+
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling of the embedding table to the MINORITY
+    class count — the standard rebalancing step before contrastive /
+    classifier training when labels are skewed.  Kept rows per class are
+    the first n_min in deterministic md5(vec_id) order (a seedless
+    uniform draw, reproducible across engines and partitionings — the
+    sample_hash_deterministic discipline).
+
+    Plan: one label groupBy for class counts, a 1-row broadcast of the
+    min, a per-class rank window (partitioned by label — parallel across
+    classes; a single pathological mega-class would route through
+    two_phase_global_rank with label in the bucket), and one verifying
+    groupBy.  The kept-id SUM certifies the exact selection, not just
+    its size.
+
+    Output: per label (n_total, n_kept, kept_id_sum)."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n_min = counts.groupBy().agg(F.min("n").cast("long").alias("n_min"))
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    ranked = emb.withColumn("rnk", F.row_number().over(w).cast("long"))
+    kept = F.col("rnk") <= F.col("n_min")
+    return (
+        ranked.crossJoin(F.broadcast(n_min))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.sum(kept.cast("long")).cast("long").alias("n_kept"),
+            F.sum(F.when(kept, F.col("vec_id")).otherwise(0))
+            .cast("long")
+            .alias("kept_id_sum"),
+        )
+    )
+
+
+def profile_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiler — does X determine Y?  The
+    data-quality check behind schema normalization, join-key validation,
+    and silent-corruption alarms (a violated FD that held yesterday is a
+    pipeline bug).  Four candidate FDs spanning a true key dependency, a
+    business rule, and two expected-to-fail controls:
+    orders: o_orderkey -> o_orderstatus (key: must hold),
+            o_custkey -> o_orderpriority (control: fails);
+    lineitem: l_orderkey -> l_linestatus (does one order mix statuses?),
+              l_partkey -> l_suppkey (is supply single-sourced?).
+
+    Per candidate: determinant groups, groups with >1 distinct dependent
+    (violations), the violation rate (6 dp), and the worst group's
+    distinct-dependent count.  Each candidate is ONE map-side-combined
+    groupBy + a 1-row reduce — corpus-linear, no joins.
+
+    Output: one row per candidate
+    (fd, n_groups, n_violating, violation_rate, max_distinct_dep)."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    cands = [
+        ("orders.o_orderkey->o_orderstatus", orders, "o_orderkey", "o_orderstatus"),
+        ("orders.o_custkey->o_orderpriority", orders, "o_custkey", "o_orderpriority"),
+        ("lineitem.l_orderkey->l_linestatus", lineitem, "l_orderkey", "l_linestatus"),
+        ("lineitem.l_partkey->l_suppkey", lineitem, "l_partkey", "l_suppkey"),
+    ]
+    outs = []
+    for fd, df, det, dep in cands:
+        g = df.groupBy(det).agg(
+            F.countDistinct(dep).cast("long").alias("nd")
+        )
+        outs.append(
+            g.groupBy().agg(
+                F.lit(fd).alias("fd"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum((F.col("nd") > 1).cast("long")).cast("long").alias(
+                    "n_violating"
+                ),
+                F.round(
+                    F.sum((F.col("nd") > 1).cast("long")).cast("double")
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                ).alias("violation_rate"),
+                F.max("nd").cast("long").alias("max_distinct_dep"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -369,3 +369,98 @@ def test_simhash_band_count_follows_threshold(spark):
         if r.nibble_distance <= 1
     }
     assert got == want
+
+
+def test_asof_forward_matches_and_tolerance(spark, tmp_path):
+    """A purchase with a click 10 min later matches; one whose next click
+    is 2 h out exceeds the 1 h tolerance; one with no later click never
+    matches.  Gaps are exact microseconds."""
+    rows = [
+        # user 1: purchase 10:00, click 10:10 -> gap 600s
+        (1, "2024-01-01T10:00:00", 10, "purchase"),
+        (1, "2024-01-01T10:10:00", 11, "click"),
+        # user 2: purchase 09:00, next click 11:00 -> beyond tolerance
+        (2, "2024-01-01T09:00:00", 20, "purchase"),
+        (2, "2024-01-01T11:00:00", 21, "click"),
+        # user 3: click BEFORE the purchase only -> no forward match
+        (3, "2024-01-01T08:00:00", 30, "click"),
+        (3, "2024-01-01T09:00:00", 31, "purchase"),
+    ]
+    sf = _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": [r[2] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": [r[0] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        },
+    )
+    from simple_land_registry_data_ingestion_spark.operators import asof
+
+    got = {r.user_id: r for r in asof.join_asof_forward(spark, sf).collect()}
+    assert got[1].n_matched == 1 and got[1].sum_gap_us == 600 * 1_000_000
+    assert got[2].n_matched == 0
+    assert got[3].n_matched == 0 and got[3].n_purchases == 1
+
+
+def test_balanced_classes_kept_counts(spark, tmp_path):
+    """Labels of sizes 5/3/2 balance to 2 kept per class; kept ids are a
+    deterministic md5-order pick, so the id-sum is stable run to run."""
+    sf = _write(
+        tmp_path,
+        "embeddings",
+        {
+            "vec_id": list(range(10)),
+            "embedding": [[0.0] * 4] * 10,
+            "label": [0] * 5 + [1] * 3 + [2] * 2,
+        },
+    )
+    rows = {r.label: r for r in relational.sample_balanced_classes(spark, sf).collect()}
+    assert [rows[k].n_total for k in (0, 1, 2)] == [5, 3, 2]
+    assert all(rows[k].n_kept == 2 for k in (0, 1, 2))
+    again = {r.label: r.kept_id_sum for r in relational.sample_balanced_classes(spark, sf).collect()}
+    assert again == {k: rows[k].kept_id_sum for k in rows}
+
+
+def test_functional_dependency_detects_violation(spark, tmp_path):
+    """A planted orders table where o_orderkey is a key (FD holds) but
+    one customer carries two priorities (FD violated)."""
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": [1, 1, 2],
+            "l_partkey": [7, 7, 8],
+            "l_suppkey": [5, 5, 6],
+            "l_linenumber": [1, 2, 1],
+            "l_quantity": [1.0] * 3,
+            "l_extendedprice": [1.0] * 3,
+            "l_discount": [0.0] * 3,
+            "l_tax": [0.0] * 3,
+            "l_returnflag": ["N"] * 3,
+            "l_linestatus": ["O", "F", "O"],
+            "l_shipdate": ["2024-01-01T00:00:00"] * 3,
+        },
+    )
+    sf = _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": [1, 2, 3],
+            "o_custkey": [9, 9, 10],
+            "o_orderstatus": ["F", "O", "F"],
+            "o_totalprice": [1.0] * 3,
+            "o_orderdate": ["2024-01-01T00:00:00"] * 3,
+            "o_orderpriority": ["1-URGENT", "3-MEDIUM", "1-URGENT"],
+        },
+    )
+    rows = {r.fd: r for r in relational.profile_functional_dependency(spark, sf).collect()}
+    key_fd = rows["orders.o_orderkey->o_orderstatus"]
+    assert key_fd.n_violating == 0 and key_fd.violation_rate == 0.0
+    cust_fd = rows["orders.o_custkey->o_orderpriority"]
+    assert cust_fd.n_violating == 1 and cust_fd.max_distinct_dep == 2
+    li_fd = rows["lineitem.l_orderkey->l_linestatus"]
+    assert li_fd.n_violating == 1
