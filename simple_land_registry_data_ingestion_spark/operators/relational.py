@@ -8638,10 +8638,15 @@ def join_semi_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     never false negatives), so composing it with the exact semi join is
     LOSSLESS — the oracle is the plain EXISTS.  At 100 TB this is the
     difference between shuffling the full probe table and shuffling the
-    ~selectivity fraction that can possibly match: the 2^16-bucket
-    distinct table broadcasts in KBs, and Spark's own InSubquery runtime
-    filter (spark.sql.optimizer.runtimeFilter.*) is the automatic twin
-    of exactly this rewrite.
+    ~selectivity fraction that can possibly match: the 2^20-bucket
+    distinct table broadcasts in single-digit MBs, and Spark's own
+    InSubquery runtime filter (spark.sql.optimizer.runtimeFilter.*) is
+    the automatic twin of exactly this rewrite.  The bucket space must
+    TRACK the build side (~8x its distinct keys, here 2^20 for ~150k
+    keys at sf0.1): a 10x scaling run against a fixed 2^16 measured the
+    prune saturating — every bucket occupied, filter pass-through —
+    which is the classic under-sized-bloom failure, so size m with the
+    build cardinality exactly as a real bloom filter would.
 
     Output: per o_orderpriority (n_orders, total_price 2 dp exact sum)."""
     lit_filtered = (
@@ -8651,11 +8656,11 @@ def join_semi_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     buckets = (
         lit_filtered.select(
-            F.pmod(F.xxhash64("l_orderkey"), F.lit(65536)).alias("b")
+            F.pmod(F.xxhash64("l_orderkey"), F.lit(1048576)).alias("b")
         ).distinct()
     )
     orders = load(spark, sf_dir, "orders").withColumn(
-        "b", F.pmod(F.xxhash64("o_orderkey"), F.lit(65536))
+        "b", F.pmod(F.xxhash64("o_orderkey"), F.lit(1048576))
     )
     pruned = orders.join(F.broadcast(buckets), "b", "left_semi")
     hits = pruned.join(

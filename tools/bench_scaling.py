@@ -42,6 +42,7 @@ SCALED = "/root/repo/.scratch/sf1"
 COPIES = 10
 
 from simple_land_registry_data_ingestion_spark.functions import text as text_fns
+from simple_land_registry_data_ingestion_spark.operators import asof
 from simple_land_registry_data_ingestion_spark.operators import (
     evaluation,
     mining,
@@ -178,6 +179,30 @@ QUERIES = {
     # the 10x customer dimension; lateness audit's running max is the
     # bucket-merged two-phase form (was the last global ordered pass)
     "customers_rfm_segments": relational.customers_rfm_segments,
+    # round-9 additions: the stats battery reduces to 5-group moments
+    # after one 10x scan (flat); STL/SAX run on the calendar-bounded
+    # hourly table; the skew profiler is 3 key-count groupBys + two-phase
+    # ranks; bloom-semi is scan + broadcast prune + semi shuffle;
+    # burstiness/code-detect/soft-dedup are corpus-linear scans; duplicate
+    # invoices is (custkey, 4-day-bin)-bounded; power iteration is 2x2
+    # corpus-linear matvec passes; balanced sampling is per-class rank
+    # windows; FD profiling is 4 keyed groupBys; forward as-of is one
+    # keyed window over 10x events
+    "events_anova_f": relational.events_anova_f,
+    "events_welch_ttest": relational.events_welch_ttest,
+    "orders_nelson_aalen": relational.orders_nelson_aalen,
+    "events_stl_decompose": relational.events_stl_decompose,
+    "events_sax_motifs": relational.events_sax_motifs,
+    "profile_partition_skew": relational.profile_partition_skew,
+    "join_semi_bloom_pruned": relational.join_semi_bloom_pruned,
+    "text_term_burstiness": text_fns.text_term_burstiness,
+    "text_code_detect": text_fns.text_code_detect,
+    "sample_soft_dedup_weights": dedup.sample_soft_dedup_weights,
+    "orders_duplicate_invoices": relational.orders_duplicate_invoices,
+    "similarity_power_iteration": similarity.similarity_power_iteration,
+    "join_asof_forward": asof.join_asof_forward,
+    "sample_balanced_classes": relational.sample_balanced_classes,
+    "profile_functional_dependency": relational.profile_functional_dependency,
 }
 
 
