@@ -464,3 +464,65 @@ def test_functional_dependency_detects_violation(spark, tmp_path):
     assert cust_fd.n_violating == 1 and cust_fd.max_distinct_dep == 2
     li_fd = rows["lineitem.l_orderkey->l_linestatus"]
     assert li_fd.n_violating == 1
+
+
+def test_fingerprint_and_signatures_are_shuffle_free(spark):
+    """The r9 scan-stage rewrites must STAY scan-stage: neither the
+    SimHash fingerprint nor the MinHash signature plan may contain an
+    Exchange — the whole point of the array-aggregate form is that the
+    corpus-x-tokens shuffle is gone."""
+    from simple_land_registry_data_ingestion_spark.plans.inspect import (
+        formatted_plan,
+    )
+    from simple_land_registry_data_ingestion_spark.tables import load
+    from tests.conftest import SF_ORACLE
+
+    # fan_out's RoundRobin repartition (CPU-parallelism spread) is the
+    # ONE allowed exchange; any hashpartitioning exchange means a groupBy
+    # shuffle crept back in
+    fp_plan = formatted_plan(dedup.dedup_simhash(spark, SF_ORACLE))
+    assert "hashpartitioning" not in fp_plan, fp_plan
+    assert "rangepartitioning" not in fp_plan, fp_plan
+    docs = load(spark, SF_ORACLE, "documents")
+    sig_plan = formatted_plan(dedup.minhash_signatures(docs))
+    assert "hashpartitioning" not in sig_plan, sig_plan
+    assert "rangepartitioning" not in sig_plan, sig_plan
+
+
+def test_balanced_classes_invariant_under_repartition(spark, tmp_path):
+    """The md5-order pick must not depend on physical layout: the same
+    table written with a different row order / partitioning keeps the
+    identical kept-id sums (the sample_hash_deterministic discipline)."""
+    import random
+
+    rng = random.Random(3)
+    ids = list(range(200))
+    labels = [i % 3 for i in ids]
+    sf1 = _write(
+        tmp_path,
+        "embeddings",
+        {"vec_id": ids, "embedding": [[0.0]] * 200, "label": labels},
+    )
+    first = {
+        r.label: r.kept_id_sum
+        for r in relational.sample_balanced_classes(spark, sf1).collect()
+    }
+    perm = ids[:]
+    rng.shuffle(perm)
+    d2 = tmp_path / "v2"
+    d2.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": perm,
+                "embedding": [[0.0]] * 200,
+                "label": [i % 3 for i in perm],
+            }
+        ),
+        str(d2 / "embeddings.parquet"),
+    )
+    second = {
+        r.label: r.kept_id_sum
+        for r in relational.sample_balanced_classes(spark, str(d2)).collect()
+    }
+    assert first == second
