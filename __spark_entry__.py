@@ -58,23 +58,22 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessio
 #:             by tests/test_oracle_parity.py, which runs ALL entries).
 #: Rotate each round so no query's newest driver row ages past 2 rounds.
 #:
-#: r10 queue arithmetic (write the window at round-10 start):
-#:   1 spill (events_lateness_audit, late-r8 rewire, directly after slot
-#:   50 below) + 15 round-9 additions (events_anova_f ...
-#:   profile_functional_dependency, at the dict tail) + the round-9
-#:   mechanism re-certs — er_blocked_match, er_golden_record,
-#:   dedup_link_prediction (degree cap changed its scores),
-#:   dedup_simhash_pairs + consumers dedup_kcore_peel /
-#:   dedup_triangle_stats (banding change, outputs invariant),
-#:   graph_hits_scores (checkpoint move, output invariant), and the
-#:   null-safe two-phase-rank consumers with r08-only rows
-#:   (events_quantile_normalize, eval_auc_rank, eval_qini_uplift), and
-#:   the MinHash-family re-certs after the r9 zero-shuffle signature
-#:   rewrite (dedup_minhash_lsh, text_minhash_jaccard_estimate,
-#:   dedup_jaccard_lsh, dedup_cluster_assignments,
-#:   dedup_incremental_minhash, dedup_minhash_error, dedup_lsh_scurve;
-#:   outputs invariant, locally green) —
-#:   ≈ 33 slots, leaving ≥ 17 free for round-10 additions + aging rows.
+#: r10 window (EXECUTED — see _R10_WINDOW below, applied by queries()):
+#: the r09 red-row adjudication found the real fragility class — every
+#: red query (and only those) emitted a DECIMAL output column; the
+#: driver's hash treats Decimal asymmetrically across the two engines
+#: (e.g. Decimal('5.20') on one side vs float 5.2 on the other), so all
+#: 13 decimal-emitting queries now cast decimal->DOUBLE/BIGINT at the
+#: output boundary (internal decimal exactness unchanged) and lead the
+#: window.  Then: the 4 other r9-advice/semantics changes
+#: (dedup_link_prediction symmetric cap, join_asof_forward strict
+#: ordering, text_code_detect portable line-start regex,
+#: orders_duplicate_invoices distinct drop — output invariant), the 11
+#: remaining never-checked round-9 additions, the events_lateness_audit
+#: spill, and the queued mechanism re-certs (minhash family post-r9
+#: zero-shuffle rewrite, simhash consumers, ER family, hits, two-phase
+#: rank consumers).  Round-10 additions are capped at <= 5 (VERDICT r9
+#: item 4) and take the final slots.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r09 window (50 slots), per VERDICT r8 item 1 + ADVICE: the 4
     # ---- r08 hash-red queries lead (fixed at HEAD mid-round-8; a green
@@ -530,9 +529,79 @@ _SIGS_CTE = """
 """
 
 
+#: The driver's correctness gate evaluates the FIRST 50 entries of the
+#: dict queries() returns.  This list IS the round-10 window, in priority
+#: order (see the r10 window comment above _QUERIES); queries() moves
+#: these names to the front, everything else follows in _QUERIES order.
+_R10_WINDOW: list[str] = [
+    # -- block A: output-contract fixes (the 11 r09 hash-reds + the 2
+    # -- latent decimal emitters found by the same audit) --
+    "events_global_rank_two_phase",
+    "sample_ipf_raking",
+    "events_mann_whitney",
+    "geo_nearest_hub",
+    "events_psi_drift",
+    "events_sprt_decision",
+    "events_entropy_rate",
+    "agg_ams_f2_sketch",
+    "orders_pareto_8020",
+    "part_skyline_pareto",
+    "customers_nps_bayes_shrinkage",
+    "customers_gini_concentration",
+    "join_semi_bloom_pruned",
+    # -- block A': r9-advice semantic/plan changes made this round --
+    "dedup_link_prediction",
+    "join_asof_forward",
+    "text_code_detect",
+    "orders_duplicate_invoices",
+    # -- block B: round-9 additions still without a driver row --
+    "events_anova_f",
+    "events_welch_ttest",
+    "orders_nelson_aalen",
+    "events_stl_decompose",
+    "events_sax_motifs",
+    "profile_partition_skew",
+    "text_term_burstiness",
+    "sample_soft_dedup_weights",
+    "similarity_power_iteration",
+    "sample_balanced_classes",
+    "profile_functional_dependency",
+    # -- block C: late-r8 spill + queued mechanism re-certs --
+    "events_lateness_audit",
+    "dedup_minhash_lsh",
+    "dedup_jaccard_lsh",
+    "dedup_cluster_assignments",
+    "dedup_incremental_minhash",
+    "dedup_minhash_error",
+    "dedup_lsh_scurve",
+    "dedup_simhash_pairs",
+    "dedup_kcore_peel",
+    "dedup_triangle_stats",
+    "er_blocked_match",
+    "er_golden_record",
+    "graph_hits_scores",
+    "events_quantile_normalize",
+    "eval_auc_rank",
+    "eval_qini_uplift",
+    # -- block D: round-10 additions (<= 5, VERDICT r9 item 4) --
+    "events_circular_hour_stats",
+    "orders_lorenz_asymmetry",
+    "events_turning_points",
+    "text_length_spectrum",
+    "orders_interarrival_burstiness",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md section 2."""
-    return {name: _wrap(fn) for name, fn in _QUERIES.items()}
+    """One entry per implemented operator from SURVEY.md section 2.
+
+    Ordering contract: the driver certifies a 50-entry PREFIX, so the
+    round's window (_R10_WINDOW) is moved to the front; the rest keep
+    their registry order.
+    """
+    window = [n for n in _R10_WINDOW if n in _QUERIES]
+    rest = [n for n in _QUERIES if n not in set(window)]
+    return {name: _wrap(_QUERIES[name]) for name in window + rest}
 
 
 #: PARAMETER COUPLING (r04 advice): each oracle string inlines the literal
@@ -4922,13 +4991,17 @@ _ORACLES["dedup_link_prediction"] = f"""
                  UNION ALL SELECT doc_b, doc_a FROM e),
     -- degree cap 64 in deterministic md5 order: the IDENTICAL capped
     -- graph the Spark side scores (see dedup_link_prediction docstring)
-    adj AS (SELECT n, nbr FROM (
+    adj_c AS (SELECT n, nbr FROM (
                 SELECT n, nbr,
                        ROW_NUMBER() OVER (
                            PARTITION BY n
                            ORDER BY md5(CAST(n AS VARCHAR) || ':' ||
                                         CAST(nbr AS VARCHAR)), nbr) AS r
                 FROM adj_full) WHERE r <= 64),
+    -- symmetric cap (r9 advice): the edge must survive BOTH endpoints'
+    -- capped lists, so degrees/common/union describe one undirected graph
+    adj AS (SELECT x.n, x.nbr FROM adj_c x
+            JOIN adj_c y ON x.n = y.nbr AND x.nbr = y.n),
     deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY n),
     wedge AS (SELECT a.nbr AS u, b.nbr AS w, CAST(COUNT(*) AS BIGINT) AS common
               FROM adj a JOIN adj b ON a.n = b.n AND a.nbr < b.nbr
@@ -5771,7 +5844,7 @@ _ORACLES["events_global_rank_two_phase"] = """
     SELECT ((global_rank - 1) * 10) // n AS decile,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(global_rank) AS BIGINT) AS sum_rank,
-           MIN(v) AS min_v, MAX(v) AS max_v
+           CAST(MIN(v) AS DOUBLE) AS min_v, CAST(MAX(v) AS DOUBLE) AS max_v
     FROM ranked, tot GROUP BY 1
 """
 
@@ -6535,7 +6608,7 @@ _ORACLES["events_mann_whitney"] = """
     SELECT event_type,
            CAST(n_a AS BIGINT) AS n_a,
            CAST(n_b AS BIGINT) AS n_b,
-           CAST(r2 - n_a * (n_a + 1) AS DECIMAL(38,0)) AS u1_x2,
+           CAST(r2 - n_a * (n_a + 1) AS BIGINT) AS u1_x2,
            ROUND((CAST(r2 - n_a * (n_a + 1) AS DOUBLE)
                   - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
                  / SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 3.0
@@ -6601,7 +6674,7 @@ _ORACLES["events_psi_drift"] = """
     SELECT event_type,
            CAST(MIN(t_ref) AS BIGINT) AS n_ref,
            CAST(MIN(t_cur) AS BIGINT) AS n_cur,
-           CAST(SUM(term) AS DECIMAL(38,12)) AS psi
+           CAST(CAST(SUM(term) AS DECIMAL(38,12)) AS DOUBLE) AS psi
     FROM terms GROUP BY event_type
 """
 
@@ -6805,7 +6878,7 @@ _ORACLES["events_sprt_decision"] = """
     SELECT a.event_type,
            d.decision_hour,
            COALESCE(d.n_at_decision, a.n_total) AS n_at_decision,
-           d.llr_at_decision,
+           CAST(d.llr_at_decision AS DOUBLE) AS llr_at_decision,
            COALESCE(d.decision, 'continue') AS decision
     FROM all_types a LEFT JOIN decided d ON a.event_type = d.event_type
 """
@@ -6858,7 +6931,7 @@ _ORACLES["events_entropy_rate"] = """
               FROM counts JOIN totals USING (from_type))
     SELECT from_type,
            MIN(c_from) AS n_from,
-           CAST(SUM(term) AS DECIMAL(38,12)) AS cond_entropy,
+           CAST(CAST(SUM(term) AS DECIMAL(38,12)) AS DOUBLE) AS cond_entropy,
            ROUND(CAST(MIN(c_from) AS DOUBLE) / CAST(MIN(c_all) AS DOUBLE), 6)
                AS weight
     FROM terms, grand
@@ -7228,7 +7301,9 @@ _ORACLES["agg_ams_f2_sketch"] = """
               FROM (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS f
                     FROM ev GROUP BY 1, 2)
               GROUP BY event_type)
-    SELECT est.event_type, n_rows, f2_estimate, f2_exact,
+    SELECT est.event_type, n_rows,
+           CAST(f2_estimate AS BIGINT) AS f2_estimate,
+           CAST(f2_exact AS BIGINT) AS f2_exact,
            ROUND(ABS(CAST(f2_estimate AS DOUBLE) - CAST(f2_exact AS DOUBLE))
                  / CAST(f2_exact AS DOUBLE), 6) AS rel_error
     FROM est JOIN exact ON est.event_type = exact.event_type
@@ -7289,8 +7364,8 @@ _ORACLES["geo_nearest_hub"] = """
                  FROM scored WHERE rn = 1)
     SELECT CAST(hub_id AS INTEGER) AS hub_id,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           MIN(d2q) AS min_d2,
-           CAST(SUM(d2q) AS DECIMAL(38,6)) AS sum_d2
+           CAST(MIN(d2q) AS DOUBLE) AS min_d2,
+           CAST(CAST(SUM(d2q) AS DECIMAL(38,6)) AS DOUBLE) AS sum_d2
     FROM assigned GROUP BY hub_id
 """
 
@@ -7341,7 +7416,8 @@ _ORACLES["sample_ipf_raking"] = """
                              * (0.25 / CAST(col_sum AS DOUBLE)), 9)
                        AS DECIMAL(28,9)) AS w
            FROM w5 JOIN c3 ON w5.day_part = c3.day_part)
-    SELECT event_type, CAST(day_part AS BIGINT) AS day_part, n, w AS weight
+    SELECT event_type, CAST(day_part AS BIGINT) AS day_part, n,
+           CAST(w AS DOUBLE) AS weight
     FROM w6
 """
 
@@ -7368,7 +7444,7 @@ _ORACLES["customers_gini_concentration"] = """
                         AS DECIMAL(38,2)) AS sum_2ix
             FROM ranked GROUP BY 1)
     SELECT seg AS segment, n_customers,
-           CAST(sum_rev AS DECIMAL(18,2)) AS sum_rev,
+           CAST(CAST(sum_rev AS DECIMAL(18,2)) AS DOUBLE) AS sum_rev,
            ROUND((CAST(sum_2ix AS DOUBLE)
                   - CAST(n_customers + 1 AS DOUBLE) * CAST(sum_rev AS DOUBLE))
                  / (CAST(n_customers AS DOUBLE) * CAST(sum_rev AS DOUBLE)),
@@ -7395,7 +7471,7 @@ _ORACLES["orders_pareto_8020"] = """
                         ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS cum_rev
             FROM per_dec)
     SELECT decile, n_cust,
-           CAST(cum_rev AS DECIMAL(18,2)) AS cum_rev,
+           CAST(CAST(cum_rev AS DECIMAL(18,2)) AS DOUBLE) AS cum_rev,
            ROUND(CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share,
            CAST(cum_rev AS DECIMAL(28,2)) * 5
                >= CAST(tot AS DECIMAL(28,2)) * 4 AS crossed_80
@@ -7431,7 +7507,7 @@ _ORACLES["part_skyline_pareto"] = """
                           CAST(p_size AS BIGINT) AS size,
                           CAST(COUNT(*) AS BIGINT) AS n_parts
                    FROM part GROUP BY 1, 2)
-    SELECT price AS p_retailprice, size AS p_size, n_parts
+    SELECT CAST(price AS DOUBLE) AS p_retailprice, size AS p_size, n_parts
     FROM pairs p
     WHERE NOT EXISTS (
         SELECT 1 FROM pairs q
@@ -7584,7 +7660,7 @@ _ORACLES["customers_nps_bayes_shrinkage"] = """
                         / (CAST(COUNT(*) AS DOUBLE) - 1.0), 12) AS v
            FROM rated, pm)
     SELECT CAST(c_nationkey AS BIGINT) AS nationkey, n_cust, k_conv,
-           rate AS raw_rate,
+           CAST(rate AS DOUBLE) AS raw_rate,
            ROUND((CAST(k_conv AS DOUBLE)
                   + m * ROUND(m * (1.0 - m) / v - 1.0, 6))
                  / (CAST(n_cust AS DOUBLE)
@@ -8228,8 +8304,8 @@ _QUERIES["profile_partition_skew"] = relational.profile_partition_skew
 _ORACLES["join_semi_bloom_pruned"] = """
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
-               AS total_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS total_price
     FROM orders
     WHERE EXISTS (SELECT 1 FROM lineitem
                   WHERE l_orderkey = o_orderkey
@@ -8270,7 +8346,7 @@ _ORACLES["text_code_detect"] = r"""
                      ROUND(CAST(len(regexp_extract_all(text, '[{}();=<>\[\]]'))
                                 AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
                          AS symbol_ratio,
-                     ROUND(CAST(len(regexp_extract_all(text, '(?m)^(    |\t)'))
+                     ROUND(CAST(len(regexp_extract_all(text, '(^|\n)(    |\t)'))
                                 AS DOUBLE)
                            / CAST(len(regexp_extract_all(text, '\n')) + 1
                                   AS DOUBLE), 6) AS indent_ratio,
@@ -8374,7 +8450,11 @@ _ORACLES["join_asof_forward"] = """
                 WHERE event_type IN ('click', 'purchase')),
     marked AS (SELECT user_id, ts, event_type,
                       MIN(CASE WHEN event_type = 'click' THEN ts END)
-                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          OVER (PARTITION BY user_id
+                                ORDER BY ts,
+                                         CASE WHEN event_type = 'purchase'
+                                              THEN 1 ELSE 0 END,
+                                         event_id
                                 ROWS BETWEEN 1 FOLLOWING
                                          AND UNBOUNDED FOLLOWING) AS fwd_ts
                FROM ev),
@@ -8444,3 +8524,181 @@ _ORACLES["profile_functional_dependency"] = """
     FROM u GROUP BY 1
 """
 _QUERIES["profile_functional_dependency"] = relational.profile_functional_dependency
+
+
+# ---------------------------------------------------------------------------
+# Round 10 — addition registrations (<= 5 per VERDICT r9 item 4)
+# ---------------------------------------------------------------------------
+
+_ORACLES["events_circular_hour_stats"] = """
+    WITH angles(h, c, s) AS (VALUES
+        (0, 1.000000000000, 0.000000000000),
+        (1, 0.965925826289, 0.258819045103),
+        (2, 0.866025403784, 0.500000000000),
+        (3, 0.707106781187, 0.707106781187),
+        (4, 0.500000000000, 0.866025403784),
+        (5, 0.258819045103, 0.965925826289),
+        (6, 0.000000000000, 1.000000000000),
+        (7, -0.258819045103, 0.965925826289),
+        (8, -0.500000000000, 0.866025403784),
+        (9, -0.707106781187, 0.707106781187),
+        (10, -0.866025403784, 0.500000000000),
+        (11, -0.965925826289, 0.258819045103),
+        (12, -1.000000000000, 0.000000000000),
+        (13, -0.965925826289, -0.258819045103),
+        (14, -0.866025403784, -0.500000000000),
+        (15, -0.707106781187, -0.707106781187),
+        (16, -0.500000000000, -0.866025403784),
+        (17, -0.258819045103, -0.965925826289),
+        (18, 0.000000000000, -1.000000000000),
+        (19, 0.258819045103, -0.965925826289),
+        (20, 0.500000000000, -0.866025403784),
+        (21, 0.707106781187, -0.707106781187),
+        (22, 0.866025403784, -0.500000000000),
+        (23, 0.965925826289, -0.258819045103)),
+    ev AS (SELECT event_type,
+                  CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS h
+           FROM events),
+    grid AS (SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS n_h
+             FROM ev GROUP BY 1, 2),
+    comp AS (SELECT event_type, grid.h, n_h,
+                    CAST(CAST(n_h AS DECIMAL(18,0))
+                         * CAST(c AS DECIMAL(13,12)) AS DECIMAL(38,12)) AS cterm,
+                    CAST(CAST(n_h AS DECIMAL(18,0))
+                         * CAST(s AS DECIMAL(13,12)) AS DECIMAL(38,12)) AS sterm,
+                    ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY n_h DESC, grid.h ASC) AS rk
+             FROM grid JOIN angles ON grid.h = angles.h),
+    agg AS (SELECT event_type,
+                   CAST(SUM(n_h) AS BIGINT) AS n_events,
+                   CAST(MAX(CASE WHEN rk = 1 THEN h END) AS BIGINT) AS peak_hour,
+                   CAST(MAX(CASE WHEN rk = 1 THEN n_h END) AS BIGINT) AS peak_n,
+                   CAST(SUM(cterm) AS DECIMAL(38,12)) AS csum,
+                   CAST(SUM(sterm) AS DECIMAL(38,12)) AS ssum
+            FROM comp GROUP BY 1)
+    SELECT event_type, n_events, peak_hour,
+           ROUND(CAST(peak_n AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+               AS peak_share,
+           ROUND(SQRT(CAST(csum AS DOUBLE) * CAST(csum AS DOUBLE)
+                      + CAST(ssum AS DOUBLE) * CAST(ssum AS DOUBLE))
+                 / CAST(n_events AS DOUBLE), 6) AS resultant_r
+    FROM agg
+"""
+_QUERIES["events_circular_hour_stats"] = relational.events_circular_hour_stats
+
+_ORACLES["orders_lorenz_asymmetry"] = """
+    WITH rev AS (SELECT o_custkey,
+                        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                             AS BIGINT) AS cents
+                 FROM orders GROUP BY 1),
+    seg AS (SELECT r.o_custkey, r.cents, c.c_mktsegment AS segment
+            FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey),
+    totals AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_cust,
+                      CAST(SUM(cents) AS DECIMAL(38,0)) AS total_cents
+               FROM seg GROUP BY 1),
+    flagged AS (SELECT seg.segment, cents, n_cust, total_cents,
+                       CASE WHEN CAST(cents AS DECIMAL(38,0)) * n_cust
+                                 < total_cents THEN 1 ELSE 0 END AS below
+                FROM seg JOIN totals ON seg.segment = totals.segment),
+    agg AS (SELECT segment,
+                   MAX(n_cust) AS n_cust,
+                   CAST(SUM(below) AS BIGINT) AS n_below_mean,
+                   CAST(SUM(CASE WHEN below = 1 THEN cents ELSE 0 END)
+                        AS DECIMAL(38,0)) AS below_cents,
+                   MAX(total_cents) AS total_cents
+            FROM flagged GROUP BY 1)
+    SELECT segment, n_cust, n_below_mean,
+           ROUND(CAST(below_cents AS DOUBLE) / CAST(total_cents AS DOUBLE), 6)
+               AS share_below,
+           ROUND(CAST(n_below_mean AS DOUBLE) / CAST(n_cust AS DOUBLE)
+                 + CAST(below_cents AS DOUBLE) / CAST(total_cents AS DOUBLE), 6)
+               AS lorenz_s
+    FROM agg
+"""
+_QUERIES["orders_lorenz_asymmetry"] = relational.orders_lorenz_asymmetry
+
+_ORACLES["events_turning_points"] = """
+    WITH hourly AS (SELECT event_type,
+                           DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS h,
+                           CAST(COUNT(*) AS BIGINT) AS c
+                    FROM events GROUP BY 1, 2),
+    marked AS (SELECT event_type,
+                      LAG(c) OVER w AS prev, c AS cur, LEAD(c) OVER w AS nxt
+               FROM hourly
+               WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+    interior AS (SELECT event_type,
+                        CASE WHEN (prev < cur AND cur > nxt)
+                               OR (prev > cur AND cur < nxt)
+                             THEN 1 ELSE 0 END AS turning
+                 FROM marked WHERE prev IS NOT NULL AND nxt IS NOT NULL),
+    agg AS (SELECT event_type,
+                   CAST(COUNT(*) + 2 AS BIGINT) AS n_hours,
+                   CAST(SUM(turning) AS BIGINT) AS n_turning
+            FROM interior GROUP BY 1)
+    SELECT event_type, n_hours, n_turning,
+           CAST(2 * (n_hours - 2) AS BIGINT) AS expected_x3,
+           ROUND((CAST(n_turning AS DOUBLE)
+                  - 2.0 * (CAST(n_hours AS DOUBLE) - 2.0) / 3.0)
+                 / SQRT((16.0 * CAST(n_hours AS DOUBLE) - 29.0) / 90.0), 6)
+               AS z_score
+    FROM agg
+"""
+_QUERIES["events_turning_points"] = relational.events_turning_points
+
+_ORACLES["text_length_spectrum"] = r"""
+    WITH docs AS (SELECT source,
+                         CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                              AS BIGINT) AS ntok
+                  FROM documents),
+    bucketed AS (SELECT source, ntok,
+                        CAST(CASE WHEN ntok >= 8192 THEN 8192 WHEN ntok >= 4096 THEN 4096 WHEN ntok >= 2048 THEN 2048 WHEN ntok >= 1024 THEN 1024 WHEN ntok >= 512 THEN 512 WHEN ntok >= 256 THEN 256 WHEN ntok >= 128 THEN 128 WHEN ntok >= 64 THEN 64 WHEN ntok >= 32 THEN 32 WHEN ntok >= 16 THEN 16 WHEN ntok >= 8 THEN 8 WHEN ntok >= 4 THEN 4 WHEN ntok >= 2 THEN 2 WHEN ntok >= 1 THEN 1 ELSE 0 END AS BIGINT) AS bucket_lo
+                 FROM docs),
+    spec AS (SELECT source, bucket_lo,
+                    CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(ntok) AS BIGINT) AS total_tokens
+             FROM bucketed GROUP BY 1, 2)
+    SELECT source, bucket_lo, n_docs, total_tokens,
+           ROUND(CAST(n_docs AS DOUBLE)
+                 / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE), 6)
+               AS doc_share
+    FROM spec
+"""
+_QUERIES["text_length_spectrum"] = text_fns.text_length_spectrum
+
+_ORACLES["orders_interarrival_burstiness"] = """
+    WITH o AS (SELECT o_custkey,
+                      CAST(date_diff('day', DATE '1992-01-01',
+                                     CAST(o_orderdate AS DATE)) AS BIGINT) AS ed,
+                      o_orderkey
+               FROM orders),
+    gaps AS (SELECT o_custkey,
+                    ed - LAG(ed) OVER (PARTITION BY o_custkey
+                                       ORDER BY ed, o_orderkey) AS d
+             FROM o),
+    mom AS (SELECT o_custkey,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(d) AS BIGINT) AS sd,
+                   CAST(SUM(d * d) AS BIGINT) AS sd2
+            FROM gaps WHERE d IS NOT NULL GROUP BY 1
+            HAVING COUNT(*) >= 2 AND SUM(d) > 0),
+    scored AS (SELECT o_custkey,
+                      CAST(ROUND(
+                          (SQRT((CAST(k AS DOUBLE) * CAST(sd2 AS DOUBLE)
+                                 - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+                                / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)))
+                           / (CAST(sd AS DOUBLE) / CAST(k AS DOUBLE)) - 1.0)
+                          / (SQRT((CAST(k AS DOUBLE) * CAST(sd2 AS DOUBLE)
+                                   - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+                                  / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)))
+                             / (CAST(sd AS DOUBLE) / CAST(k AS DOUBLE)) + 1.0),
+                          6) AS DECIMAL(18,6)) AS bq
+               FROM mom)
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(CAST(SUM(bq) AS DECIMAL(38,6)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_burstiness,
+           CAST(SUM(CASE WHEN bq > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bursty
+    FROM scored s JOIN customer c ON s.o_custkey = c.c_custkey
+    GROUP BY 1
+"""
+_QUERIES["orders_interarrival_burstiness"] = relational.orders_interarrival_burstiness

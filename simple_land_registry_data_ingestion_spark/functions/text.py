@@ -1720,7 +1720,12 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("n_chars") > 0)
     sym = F.regexp_count(F.col("text"), F.lit(r"[{}();=<>\[\]]")).cast("long")
     lines = (F.regexp_count(F.col("text"), F.lit("\n")) + 1).cast("long")
-    indented = F.regexp_count(F.col("text"), F.lit(r"(?m)^(    |\t)")).cast("long")
+    # explicit (^|\n) instead of (?m)^ (r9 advice): Java multiline ^ also
+    # fires after \r and U+0085/U+2028/U+2029 while the oracle's RE2 fires
+    # only after \n — the alternation means the same thing in both engines
+    indented = F.regexp_count(
+        F.col("text"), F.lit("(^|\n)(    |\t)")
+    ).cast("long")
     scored = docs.select(
         "source",
         "n_chars",
@@ -1762,4 +1767,54 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double"),
             6,
         ).alias("mean_symbol_ratio"),
+    )
+
+
+# log2 length-bucket boundaries shared verbatim with the DuckDB oracle — an
+# explicit CASE chain instead of runtime log2() (engine-portable integers)
+_LEN_BUCKETS = [1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192]
+
+
+def text_length_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length spectrum in power-of-two token buckets —
+    the length histogram every training-mix design starts from (sequence
+    packing efficiency, truncation loss, and length-balance quotas all
+    read off this table).
+
+    The bucket is resolved by an explicit shared CASE chain over the
+    _LEN_BUCKETS boundaries — never runtime log2() (the r10 portability
+    discipline: both engines compare the same integers).  Token count is
+    the whitespace split length on the trimmed text, the repo-standard
+    tokenizer.  All outputs are BIGINT plus one int/int double share.
+
+    Scale: pure scan-stage projection (split+size+CASE) into a
+    map-side-combined (source, bucket) groupBy bounded by |sources| x 14.
+
+    Output: (source, bucket_lo, n_docs, total_tokens, doc_share)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split(F.lower(F.trim("text")), r"\s+")).cast("long").alias("ntok"),
+    )
+    bucket = F.lit(0).cast("long")
+    for lo in _LEN_BUCKETS:
+        bucket = F.when(F.col("ntok") >= lo, F.lit(lo).cast("long")).otherwise(bucket)
+    spec = (
+        docs.select("source", F.col("ntok"), bucket.alias("bucket_lo"))
+        .groupBy("source", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("total_tokens"),
+        )
+    )
+    wsrc = Window.partitionBy("source")
+    return spec.select(
+        "source",
+        "bucket_lo",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(wsrc).cast("double"),
+            6,
+        ).alias("doc_share"),
     )

@@ -281,11 +281,16 @@ def join_asof_forward(
     tolerance (join_asof_tolerance), and nearest (join_asof_nearest):
     each purchase matches the FIRST click STRICTLY AFTER it (within a
     forward tolerance), the "next action" rule behind post-purchase
-    attribution and action-latency SLAs.
+    attribution and action-latency SLAs — merge_asof(direction='forward',
+    allow_exact_matches=False) semantics.
 
-    Same one-shuffle interleaved-window shape as the nearest variant: in
-    (user, ts, event_id) order the running MIN over following rows of
-    click timestamps is the forward candidate; the tolerance test and
+    Same one-shuffle interleaved-window shape as the nearest variant,
+    with one refinement (r9 advice: ROWS BETWEEN 1 FOLLOWING alone let
+    an equal-timestamp click that happened to sort later match at gap
+    0): the window orders by (ts, is_purchase, event_id) so every
+    equal-timestamp click sorts BEFORE the purchase and falls outside
+    its FOLLOWING frame — the running MIN of following click timestamps
+    is therefore strictly later by construction.  The tolerance test and
     gap are pure integer microsecond arithmetic.  At 100 TB this is a
     single keyed sort — never |purchases| x |clicks|.
 
@@ -297,7 +302,9 @@ def join_asof_forward(
         "event_id",
         "event_type",
     ).where(F.col("event_type").isin("click", "purchase"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        "ts", (F.col("event_type") == "purchase").cast("int"), "event_id"
+    )
     click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
     marked = ev.select(
         "user_id",

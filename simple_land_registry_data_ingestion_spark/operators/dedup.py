@@ -752,7 +752,15 @@ def dedup_simhash_pairs(
     (~10x fewer rows than pre-verify candidates on band-colliding
     corpora)."""
     fp = dedup_simhash(spark, sf_dir).localCheckpoint(eager=True)
-    n_bands = min(16, max_nibble_distance + 1)
+    if max_nibble_distance > 15:
+        # 16 one-nibble bands can ALL differ for a pair at distance 16 —
+        # the pigeonhole perfect-recall guarantee needs d+1 <= 16 bands
+        # (r9 advice: clamping silently dropped in-threshold pairs)
+        raise ValueError(
+            "dedup_simhash_pairs: max_nibble_distance must be <= 15 for "
+            f"pigeonhole-complete banding over 16 nibbles, got {max_nibble_distance}"
+        )
+    n_bands = max_nibble_distance + 1
     sizes = [
         16 // n_bands + (1 if i < 16 % n_bands else 0) for i in range(n_bands)
     ]
@@ -2042,9 +2050,16 @@ def dedup_link_prediction(
     reproducible in any engine — the oracle applies the identical cap),
     so the score is defined ON THE CAPPED GRAPH: common counts, degrees,
     and neighborhood Jaccard all refer to the same bounded graph.  The
-    cap is the standard lossy trade every production common-neighbors
-    pass makes (a 433-degree hub's 187k wedges collapse to <= 4k); the
-    anti-join still removes ALL verified edges, capped or not.
+    cap is made SYMMETRIC (r9 advice): an undirected edge survives only
+    if it survives in BOTH endpoints' capped lists (a left-semi join of
+    the capped directed adjacency against its own reverse), so degrees,
+    wedge centers, and common counts all describe ONE consistent
+    undirected graph — structurally guaranteeing common <= min(deg_u,
+    deg_w), hence union_size >= common > 0 (no negative Jaccard or
+    divide-by-zero on adversarial hub shapes).  The cap is the standard
+    lossy trade every production common-neighbors pass makes (a
+    433-degree hub's 187k wedges collapse to <= 4k); the anti-join still
+    removes ALL verified edges, capped or not.
 
     Output: (u, w, common, union_size, nbr_jaccard), top ``k``.
     """
@@ -2066,10 +2081,24 @@ def dedup_link_prediction(
         ),
         "nbr",
     )
-    adj = (
+    adj_capped = (
         adj_full.withColumn("__r", F.row_number().over(wcap))
         .where(F.col("__r") <= F.lit(degree_cap))
         .drop("__r")
+        # the symmetric restriction below self-joins this frame; without
+        # lineage truncation the capped-window subtree doubles in the plan
+        .localCheckpoint(eager=False)
+    )
+    # symmetric restriction: keep (n, nbr) only if (nbr, n) also survived
+    # its endpoint's cap, so the scored graph is a consistent undirected
+    # graph (one extra semi join on the already-capped n*cap-row frame)
+    rev = adj_capped.select(
+        F.col("nbr").alias("rn"), F.col("n").alias("rnbr")
+    )
+    adj = adj_capped.join(
+        rev,
+        (F.col("n") == F.col("rn")) & (F.col("nbr") == F.col("rnbr")),
+        "left_semi",
     )
     a = adj.alias("a")
     b = adj.alias("b")

@@ -5722,6 +5722,13 @@ def events_global_rank_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max value per decile: any off-by-one anywhere shifts sum_rank
     and breaks the hash.
 
+    Output contract (r10): min_v/max_v leave the engine as DOUBLE —
+    DECIMAL output columns proved environment-fragile on the driver
+    (r08+r09 red with locally bit-exact values: a harness may render
+    Decimal('5.20') vs float 5.2 differently), and decimal(18,2)→double
+    is correctly rounded and engine-identical while the scaled integer
+    stays under 2^53.  The decimal discipline stays INTERNAL.
+
     Output: (decile, n_rows, sum_rank, min_v, max_v), 10 rows."""
     ev = load(spark, sf_dir, "events").select(
         "event_id",
@@ -5742,8 +5749,8 @@ def events_global_rank_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.sum("global_rank").cast("long").alias("sum_rank"),
-            F.min("v").alias("min_v"),
-            F.max("v").alias("max_v"),
+            F.min("v").cast("double").alias("min_v"),
+            F.max("v").cast("double").alias("max_v"),
         )
     )
 
@@ -6412,7 +6419,12 @@ def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
-        (F.col("r2") - F.col("n_a") * (F.col("n_a") + 1)).alias("u1_x2"),
+        # BIGINT at the output boundary (integer-valued DECIMAL(38,0)
+        # proved driver-fragile r08/r09: a harness rendering it as float
+        # hashes '1031924.0' vs the Decimal's '1031924')
+        (F.col("r2") - F.col("n_a") * (F.col("n_a") + 1))
+        .cast("long")
+        .alias("u1_x2"),
         F.round(
             (u2 - F.col("n_a").cast("double") * F.col("n_b").cast("double"))
             / F.sqrt(var4),
@@ -6516,7 +6528,9 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.first(F.col("t_ref").cast("long")).alias("n_ref"),
             F.first(F.col("t_cur").cast("long")).alias("n_cur"),
-            F.sum("term").cast("decimal(38,12)").alias("psi"),
+            # exact order-free decimal sum INTERNALLY, double at the
+            # output boundary (DECIMAL outputs driver-fragile r08/r09)
+            F.sum("term").cast("decimal(38,12)").cast("double").alias("psi"),
         )
     )
 
@@ -6689,7 +6703,10 @@ def events_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "decision_hour",
             (F.col("cpos") + F.col("cneg")).cast("long").alias("n_at_decision"),
-            F.col("llr").alias("llr_at_decision"),
+            # decimal(28,12) -> double at the output boundary (driver-
+            # fragile DECIMAL lesson r08/r09); comparisons above stay
+            # decimal-exact
+            F.col("llr").cast("double").alias("llr_at_decision"),
             F.when(F.col("llr") >= upper, F.lit("accept_h1"))
             .otherwise(F.lit("accept_h0"))
             .alias("decision"),
@@ -6705,7 +6722,7 @@ def events_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("decision_hour"),
             F.coalesce("n_at_decision", "n_total").alias("n_at_decision"),
             F.coalesce(
-                "llr_at_decision", F.lit(None).cast("decimal(28,12)")
+                "llr_at_decision", F.lit(None).cast("double")
             ).alias("llr_at_decision"),
             F.coalesce("decision", F.lit("continue")).alias("decision"),
         )
@@ -6805,7 +6822,12 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("from_type")
         .agg(
             F.first("c_from").alias("n_from"),
-            F.sum("term").cast("decimal(38,12)").alias("cond_entropy"),
+            # exact order-free decimal sum internally, double at the
+            # output boundary (DECIMAL outputs driver-fragile r08/r09)
+            F.sum("term")
+            .cast("decimal(38,12)")
+            .cast("double")
+            .alias("cond_entropy"),
         )
         .crossJoin(F.broadcast(grand))
         .select(
@@ -7247,8 +7269,11 @@ def geo_nearest_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return assigned.groupBy("hub_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
-        F.min("d2q").alias("min_d2"),
-        F.sum("d2q").cast("decimal(38,6)").alias("sum_d2"),
+        # decimal(·,6) -> double at the output boundary (driver-fragile
+        # DECIMAL lesson r08/r09); the 6dp quantization stays internal so
+        # the sum is still order-free and exact
+        F.min("d2q").cast("double").alias("min_d2"),
+        F.sum("d2q").cast("decimal(38,6)").cast("double").alias("sum_d2"),
     )
 
 
@@ -7323,7 +7348,10 @@ def sample_ipf_raking(spark: SparkSession, sf_dir: str, rounds: int = 3) -> Data
         "event_type",
         F.col("day_part").cast("long").alias("day_part"),
         "n",
-        F.col("w").alias("weight"),
+        # output boundary: decimal(28,9) -> double (scaled int << 2^53, so
+        # the conversion is correctly rounded and engine-identical); raw
+        # DECIMAL output columns proved driver-fragile r08/r09
+        F.col("w").cast("double").alias("weight"),
     )
 
 
@@ -7390,7 +7418,9 @@ def customers_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         return agg.select(
             F.col("seg").alias("segment"),
             "n_customers",
-            F.col("sum_rev").cast("decimal(18,2)").alias("sum_rev"),
+            # cents-exact decimal internally, double at the output
+            # boundary (DECIMAL outputs driver-fragile r08/r09)
+            F.col("sum_rev").cast("decimal(18,2)").cast("double").alias("sum_rev"),
             F.round(gini, 6).alias("gini"),
         )
 
@@ -7450,7 +7480,9 @@ def orders_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "decile",
             "n_cust",
-            F.col("cum_rev").cast("decimal(18,2)").alias("cum_rev"),
+            # cents-exact decimal internally, double at the output
+            # boundary (DECIMAL outputs driver-fragile r08/r09)
+            F.col("cum_rev").cast("decimal(18,2)").cast("double").alias("cum_rev"),
             F.round(
                 F.col("cum_rev").cast("double") / F.col("tot").cast("double"), 6
             ).alias("cum_share"),
@@ -7563,7 +7595,10 @@ def part_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("best_cheaper") < F.col("size"))
         )
         .select(
-            F.col("price").alias("p_retailprice"),
+            # decimal(12,2) -> double at the output boundary (DECIMAL
+            # outputs driver-fragile r08/r09); dominance tests above ran
+            # on the exact decimal
+            F.col("price").cast("double").alias("p_retailprice"),
             F.col("size").alias("p_size"),
             "n_parts",
         )
@@ -7875,7 +7910,9 @@ def customers_nps_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("c_nationkey").cast("long").alias("nationkey"),
         "n_cust",
         "k_conv",
-        F.col("rate").alias("raw_rate"),
+        # decimal(9,6) -> double at the output boundary (DECIMAL outputs
+        # driver-fragile r08/r09); the 6dp quantization stays internal
+        F.col("rate").cast("double").alias("raw_rate"),
         shrunk.alias("shrunk_rate"),
     )
 
@@ -8670,8 +8707,12 @@ def join_semi_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return hits.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
+        # cents-exact decimal sum internally, double at the output
+        # boundary (DECIMAL outputs driver-fragile r08/r09)
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(18,2)").alias("total_price"),
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("total_price"),
     )
 
 
@@ -8721,9 +8762,11 @@ def orders_duplicate_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= F.greatest("cents", "cents2")
             )
         )
-        # a pair can meet in up to 2 of the 3 probe bins — dedup exactly
+        # no dedup needed: the build side keeps each order in exactly ONE
+        # bin and the three exploded probe bins are distinct, so every
+        # (k, k2) pair joins exactly once (r9 advice: the former
+        # .distinct() re-shuffled the full verified-pair set for nothing)
         .select("o_custkey", "k", "k2", "ed", "ed2")
-        .distinct()
     )
     return (
         pairs.select(
@@ -8824,3 +8867,308 @@ def profile_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round 10 — additions (<= 5 per VERDICT r9 item 4); every output column is
+# BIGINT / STRING / double-from-exact-moments — the r10 fragility audit
+# proved DECIMAL output columns are driver-fragile, so none are emitted.
+# ---------------------------------------------------------------------------
+
+# 24 hour-angle unit vectors, PYTHON-precomputed 12dp literals (the geo-hub
+# discipline: runtime trig could differ in the last ulp between engines, a
+# shared literal table cannot).  Generated by
+#   [(h, round(cos(2*pi*h/24), 12), round(sin(2*pi*h/24), 12))
+#    for h in range(24)]
+_HOUR_ANGLES = [
+    (0, "1.000000000000", "0.000000000000"),
+    (1, "0.965925826289", "0.258819045103"),
+    (2, "0.866025403784", "0.500000000000"),
+    (3, "0.707106781187", "0.707106781187"),
+    (4, "0.500000000000", "0.866025403784"),
+    (5, "0.258819045103", "0.965925826289"),
+    (6, "0.000000000000", "1.000000000000"),
+    (7, "-0.258819045103", "0.965925826289"),
+    (8, "-0.500000000000", "0.866025403784"),
+    (9, "-0.707106781187", "0.707106781187"),
+    (10, "-0.866025403784", "0.500000000000"),
+    (11, "-0.965925826289", "0.258819045103"),
+    (12, "-1.000000000000", "0.000000000000"),
+    (13, "-0.965925826289", "-0.258819045103"),
+    (14, "-0.866025403784", "-0.500000000000"),
+    (15, "-0.707106781187", "-0.707106781187"),
+    (16, "-0.500000000000", "-0.866025403784"),
+    (17, "-0.258819045103", "-0.965925826289"),
+    (18, "0.000000000000", "-1.000000000000"),
+    (19, "0.258819045103", "-0.965925826289"),
+    (20, "0.500000000000", "-0.866025403784"),
+    (21, "0.707106781187", "-0.707106781187"),
+    (22, "0.866025403784", "-0.500000000000"),
+    (23, "0.965925826289", "-0.258819045103"),
+]
+
+
+def events_circular_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular (directional) statistics of event timing per type — the
+    correct way to ask "when during the day does this event concentrate":
+    hour-of-day is an angle, so the mean resultant length
+    r = |sum_h n_h * e^{i*2*pi*h/24}| / n measures concentration (0 =
+    uniform around the clock, 1 = a single hour) without the midnight
+    wrap-around artifact a linear mean has.  The standard seasonality /
+    bot-cadence screen next to events_fourier_strength (which certifies
+    the same harmonic idea on the time axis, not the clock face).
+
+    Determinism: the 24 unit vectors are PYTHON-precomputed 12dp string
+    literals (runtime cos/sin could differ in the last ulp between
+    engines); each component sum is count x DECIMAL(13,12), exact and
+    order-free in DECIMAL(38,12); only the final r = sqrt(c^2+s^2)/n is
+    a double expression (6dp) over those exact sums.  peak_hour /
+    peak_share report the modal hour exactly (BIGINT + one division).
+
+    Scale: ONE map-side-combined (type, hour) groupBy (bounded at
+    |types| x 24 rows); everything after is arithmetic on that grid.
+
+    Output: (event_type, n_events, peak_hour, peak_share, resultant_r).
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour(F.col("ts").cast("timestamp")).cast("long").alias("h"),
+    )
+    grid = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h")
+    )
+    # build the literal lookup as chained whens (24 branches, scan-stage)
+    cos_expr = F.lit(None).cast("decimal(13,12)")
+    sin_expr = F.lit(None).cast("decimal(13,12)")
+    for hh, c, s in reversed(_HOUR_ANGLES):
+        cos_expr = F.when(
+            F.col("h") == hh, F.lit(c).cast("decimal(13,12)")
+        ).otherwise(cos_expr)
+        sin_expr = F.when(
+            F.col("h") == hh, F.lit(s).cast("decimal(13,12)")
+        ).otherwise(sin_expr)
+    comp = grid.select(
+        "event_type",
+        "h",
+        "n_h",
+        (F.col("n_h").cast("decimal(18,0)") * cos_expr)
+        .cast("decimal(38,12)")
+        .alias("cterm"),
+        (F.col("n_h").cast("decimal(18,0)") * sin_expr)
+        .cast("decimal(38,12)")
+        .alias("sterm"),
+    )
+    wmax = Window.partitionBy("event_type").orderBy(
+        F.col("n_h").desc(), F.col("h").asc()
+    )
+    agg = (
+        comp.withColumn("rk", F.row_number().over(wmax))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_h").cast("long").alias("n_events"),
+            F.max(F.when(F.col("rk") == 1, F.col("h"))).cast("long").alias(
+                "peak_hour"
+            ),
+            F.max(F.when(F.col("rk") == 1, F.col("n_h"))).cast("long").alias(
+                "peak_n"
+            ),
+            F.sum("cterm").cast("decimal(38,12)").alias("csum"),
+            F.sum("sterm").cast("decimal(38,12)").alias("ssum"),
+        )
+    )
+    c_d = F.col("csum").cast("double")
+    s_d = F.col("ssum").cast("double")
+    return agg.select(
+        "event_type",
+        "n_events",
+        "peak_hour",
+        F.round(
+            F.col("peak_n").cast("double") / F.col("n_events").cast("double"), 6
+        ).alias("peak_share"),
+        F.round(
+            F.sqrt(c_d * c_d + s_d * s_d) / F.col("n_events").cast("double"), 6
+        ).alias("resultant_r"),
+    )
+
+
+def orders_lorenz_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-asymmetry coefficient of customer revenue per market segment
+    — the inequality SHAPE gauge that gini (a single area number) cannot
+    see: S = F(mu) + L(mu), where F(mu) is the fraction of customers
+    earning BELOW the mean and L(mu) their share of revenue.  S < 1
+    means inequality is driven by many small customers, S > 1 by a few
+    whales — the classic Damgaard-Weiner decomposition every
+    concentration review pairs with the Gini.
+
+    Exactness: the below-mean test is the integer CROSS-MULTIPLY
+    rev_cents * n < total_cents (never a mean division), so the
+    classification is engine-exact; all moments are BIGINT cents sums
+    and the two output ratios are single int/int doubles, 6dp.
+
+    Scale: one customer-keyed revenue aggregate, one broadcast of the
+    5-row segment totals back, one segment rollup — no windows at all.
+
+    Output: (segment, n_cust, n_below_mean, share_below, lorenz_s)."""
+    rev = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    seg = rev.join(cust, "o_custkey")
+    totals = seg.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.sum("cents").cast("decimal(38,0)").alias("total_cents"),
+    )
+    j = seg.join(F.broadcast(totals), "segment")
+    below = (
+        F.col("cents").cast("decimal(38,0)") * F.col("n_cust")
+        < F.col("total_cents")
+    ).cast("long")
+    agg = j.groupBy("segment").agg(
+        F.max("n_cust").alias("n_cust"),
+        F.sum(below).cast("long").alias("n_below_mean"),
+        F.sum(F.when(below == 1, F.col("cents")).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("below_cents"),
+        F.max("total_cents").alias("total_cents"),
+    )
+    f_mu = F.col("n_below_mean").cast("double") / F.col("n_cust").cast("double")
+    l_mu = F.col("below_cents").cast("double") / F.col("total_cents").cast("double")
+    return agg.select(
+        "segment",
+        "n_cust",
+        "n_below_mean",
+        F.round(l_mu, 6).alias("share_below"),
+        F.round(f_mu + l_mu, 6).alias("lorenz_s"),
+    )
+
+
+def events_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-point test for serial randomness of the hourly event-count
+    series per type — the classic nonparametric "is this series i.i.d.
+    noise or structured" screen: count STRICT local maxima and minima T
+    among interior hours; under i.i.d. E[T] = 2(n-2)/3 and
+    Var[T] = (16n-29)/90, so z = (T - E) / sqrt(Var) flags both
+    over-smooth (trending, z << 0) and over-oscillating (alternating,
+    z >> 0) series.  Complements events_runs_test (level-based) with a
+    shape-based statistic.
+
+    Exactness: T, n and both moments are exact integers (the variance is
+    kept as the integer pair (16n-29, 90)); z is ONE double expression
+    over them, 6dp.  Strictness (prev < cur > next) makes ties a
+    non-event deterministically on both engines.
+
+    Scale: the hourly rollup is calendar-bounded; the lag/lead window
+    partitions by type over that small frame — the corpus is touched by
+    exactly one groupBy.
+
+    Output: (event_type, n_hours, n_turning, expected_x3, z_score)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h"),
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    marked = hourly.select(
+        "event_type",
+        F.lag("c").over(w).alias("prev"),
+        F.col("c").alias("cur"),
+        F.lead("c").over(w).alias("nxt"),
+    ).where(F.col("prev").isNotNull() & F.col("nxt").isNotNull())
+    turning = (
+        ((F.col("prev") < F.col("cur")) & (F.col("cur") > F.col("nxt")))
+        | ((F.col("prev") > F.col("cur")) & (F.col("cur") < F.col("nxt")))
+    ).cast("long")
+    agg = marked.groupBy("event_type").agg(
+        (F.count(F.lit(1)) + 2).cast("long").alias("n_hours"),
+        F.sum(turning).cast("long").alias("n_turning"),
+    )
+    n = F.col("n_hours").cast("double")
+    t = F.col("n_turning").cast("double")
+    z = (t - 2.0 * (n - 2.0) / 3.0) / F.sqrt((16.0 * n - 29.0) / 90.0)
+    return agg.select(
+        "event_type",
+        "n_hours",
+        "n_turning",
+        # 3*E[T] = 2(n-2) is exact — certify the integer, display the z
+        (2 * (F.col("n_hours") - 2)).cast("long").alias("expected_x3"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+def orders_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabasi burstiness of per-customer order inter-arrival times,
+    rolled up per market segment — the repeat-purchase cadence gauge:
+    B = (cv - 1)/(cv + 1) per customer (cv = interarrival sd/mean), -1
+    for clockwork regularity, 0 for Poisson, -> +1 for bursty
+    clumping.  The behavioral twin of text_term_burstiness on the
+    purchase axis.
+
+    Exactness: interarrival gaps are integer epoch-day lags; each
+    customer's (k, sum_d, sum_d2) moments are exact BIGINTs, cv and B
+    are one double expression, and the per-customer B quantizes 6dp
+    into DECIMAL(18,6) BEFORE the segment sum so the fold is order-free
+    — the mean_burstiness output is that exact decimal sum divided
+    once, cast double (no DECIMAL leaves the engine: r10 output
+    contract).
+
+    Scale: one (custkey) window over customer-sized partitions (the
+    same shuffle the groupBy needs), a customer aggregate, a broadcast
+    segment join, a 5-row rollup.
+
+    Output: (segment, n_customers, mean_burstiness, n_bursty)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("ed"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("ed", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        (F.col("ed") - F.lag("ed").over(w)).alias("d"),
+    ).where(F.col("d").isNotNull())
+    mom = gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sd2"),
+    ).where((F.col("k") >= 2) & (F.col("sd") > 0))
+    kd = F.col("k").cast("double")
+    mean = F.col("sd").cast("double") / kd
+    # population variance from exact moments: (k*sd2 - sd^2) / k^2
+    var = (
+        kd * F.col("sd2").cast("double")
+        - F.col("sd").cast("double") * F.col("sd").cast("double")
+    ) / (kd * kd)
+    cv = F.sqrt(var) / mean
+    b = (cv - 1.0) / (cv + 1.0)
+    scored = mom.select(
+        "o_custkey",
+        F.round(b, 6).cast("decimal(18,6)").alias("bq"),
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        scored.join(cust, "o_custkey")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(
+                F.sum("bq").cast("decimal(38,6)").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_burstiness"),
+            F.sum((F.col("bq") > 0).cast("long")).cast("long").alias("n_bursty"),
+        )
+    )

@@ -570,8 +570,12 @@ def agg_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "event_type",
         "n_rows",
-        "f2_estimate",
-        F.col("f2_exact"),
+        # BIGINT at the output boundary: integer-valued DECIMAL(38,0)
+        # proved driver-fragile r08/r09 (Decimal '30951' vs float
+        # '30951.0' hash asymmetry); both values are integral so the
+        # casts are exact on both engines
+        F.col("f2_estimate").cast("long").alias("f2_estimate"),
+        F.col("f2_exact").cast("long").alias("f2_exact"),
         F.round(
             F.abs(
                 F.col("f2_estimate").cast("double")

@@ -7,6 +7,7 @@ value compare) so oracle drift is caught locally before a round lands.
 from __future__ import annotations
 
 import datetime
+import decimal
 import math
 
 import duckdb
@@ -54,6 +55,40 @@ def normalize(columns: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(out, key=lambda r: tuple((x is None, str(x)) for x in r))
 
 
+_KIND = {
+    bool: "bool", int: "int", float: "float", str: "str",
+    bytes: "bytes", bytearray: "bytes",
+    datetime.datetime: "datetime", datetime.date: "date",
+    list: "seq", tuple: "seq",
+    decimal.Decimal: "DECIMAL",
+}
+
+
+def _column_kinds(columns: list[str], rows: list[tuple]) -> dict[str, set]:
+    kinds: dict[str, set] = {c: set() for c in columns}
+    for row in rows:
+        for c, v in zip(columns, row):
+            if v is not None:
+                kinds[c].add(_KIND.get(type(v), type(v).__name__))
+    return kinds
+
+
+def _assert_output_contract(side: str, columns: list[str], rows: list[tuple]) -> dict:
+    """No DECIMAL may cross the output boundary (r10 fragility verdict:
+    every r08/r09 driver-red query — and ONLY those — had a Decimal
+    output cell whose canonical string differs from its float repr; the
+    driver's hash treats Decimal asymmetrically across engines).  BIGINT,
+    DOUBLE, STRING, BOOL, DATE and TIMESTAMP outputs are all proven
+    driver-green."""
+    kinds = _column_kinds(columns, rows)
+    bad = sorted(c for c, k in kinds.items() if "DECIMAL" in k)
+    assert not bad, (
+        f"{side} emits DECIMAL output column(s) {bad} — cast to DOUBLE or "
+        f"BIGINT at the output boundary (driver-fragile class, r10 verdict)"
+    )
+    return kinds
+
+
 def compare_query(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
     """Assert the Spark result and the oracle result match."""
     s_cols = list(spark_df.columns)
@@ -65,6 +100,15 @@ def compare_query(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
     assert sorted(s_cols) == sorted(o_cols), (
         f"column mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}"
     )
+    s_kinds = _assert_output_contract("spark", s_cols, s_rows)
+    o_kinds = _assert_output_contract("oracle", o_cols, o_rows)
+    for c in s_cols:
+        sk, ok = s_kinds[c], o_kinds[c]
+        if sk and ok:
+            assert sk == ok, (
+                f"type-kind mismatch on column {c!r}: spark={sk} oracle={ok} "
+                f"(driver hashes these differently even when numerically equal)"
+            )
     assert len(s_rows) == len(o_rows), (
         f"row-count mismatch: spark={len(s_rows)} oracle={len(o_rows)}"
     )

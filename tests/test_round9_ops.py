@@ -340,18 +340,19 @@ def test_er_golden_record_contraction_matches_edge_cc(spark, tmp_path):
 
 
 def test_link_prediction_degree_cap_bounds_wedges(spark, monkeypatch):
-    """The capped adjacency never exceeds degree_cap neighbors per node:
-    checked structurally by driving the operator at a tiny cap and
-    asserting common counts never exceed it (common <= min capped
-    degree by construction)."""
+    """With the SYMMETRIC degree cap (r9 advice) the scored graph is one
+    consistent undirected graph, so common <= min(deg_u, deg_w) <= cap
+    and union_size >= common > 0 are STRUCTURAL guarantees (no negative
+    Jaccard / divide-by-zero on hub-heavy shapes), not fixture luck."""
     from tests.conftest import SF_ORACLE
 
     out = dedup.dedup_link_prediction(spark, SF_ORACLE, k=20, degree_cap=5)
     rows = out.collect()
     assert rows, "expected candidate predictions"
     for r in rows:
-        assert r.common <= 5
-        assert r.union_size <= 10
+        assert 0 < r.common <= 5
+        assert r.common <= r.union_size <= 10
+        assert 0.0 < r.nbr_jaccard <= 1.0
 
 
 def test_simhash_band_count_follows_threshold(spark):
