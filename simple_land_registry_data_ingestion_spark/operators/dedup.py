@@ -678,43 +678,104 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query materializes the fingerprints themselves (the verifiable,
     deterministic core).
 
-    Plan (r9): a pure SCAN-STAGE projection with ZERO shuffles — the
-    per-doc distinct token set lives in an array column
-    (array_distinct(split)), md5s materialize once via transform(), and
-    the 64 bit-vote counts are array aggregate() expressions whose bit
-    test is hex-char set membership (the 8 hex chars with bit b set), so
-    the whole fingerprint is one whole-stage-codegen projection.  Two
-    earlier shapes each paid shuffles the semantics never needed: the
-    posexplode/groupBy-(doc,pos)/regroup form (16x-row shuffle + extra
-    exchange), then the explode-distinct + 64-aggregate groupBy form
-    (token-row shuffle, doc-keyed exchange; 3.4 s at sf0.1) — the array
-    form measures 0.8 s at sf0.1, bit-identical output, and at 100 TB it
-    removes the corpus-x-tokens shuffle entirely.  Rows are bounded by
-    document length; a corpus of pathological multi-GB single documents
-    would want the exploded form back."""
+    Plan (r9, tightened r10): a pure SCAN-STAGE projection with ZERO
+    shuffles — the per-doc distinct token set lives in an array column
+    (array_distinct(split)) and the whole fingerprint is whole-stage-
+    codegen expressions.  r10 collapses the r9 shape's 64 separate
+    aggregate() folds (one per position x bit, each walking the token
+    array doing substring+isin) into ONE fold: each token's md5
+    pre-converts to two 32-bit longs, and the fold accumulates, per
+    nibble position, a two-long struct whose 32-bit fields carry the
+    four bit-vote counts (nibble bits extracted arithmetically — the
+    exact-double-division trick, since shiftright inside HOF lambdas
+    trips a py4j bug; the field extraction outside the lambda uses
+    exact long shiftright/mod).  Bit-identical fingerprints at a
+    fraction of the per-token expression work, inherited by every
+    simhash consumer.  At 100 TB this stays shuffle-free; rows are
+    bounded by document length and the 32-bit vote fields by 2^31
+    distinct tokens per doc — a pathological multi-GB single doc would
+    want the exploded form back anyway."""
     docs = load(spark, sf_dir, "documents")
     toks = F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))
     hashed = fan_out(docs).select(
-        "doc_id", F.transform(toks, lambda t: F.md5(t)).alias("hs")
+        "doc_id",
+        F.transform(
+            toks,
+            lambda t: F.struct(
+                F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+                .cast("long")
+                .alias("hi"),
+                F.conv(F.substring(F.md5(t), 9, 8), 16, 10)
+                .cast("long")
+                .alias("lo"),
+            ),
+        ).alias("hs"),
+    )
+
+    # ONE aggregate over the token array with a 16-element array
+    # accumulator (one packed struct per nibble position) — 16 separate
+    # folds compiled into a ~16x larger codegen unit and charged ~2 s of
+    # driver-side analysis/janino time per run at ANY data size; the
+    # single-fold form collapses that constant while doing identical
+    # arithmetic.  Packing: per position, a = c0 + (c1 << 32),
+    # b = c2 + (c3 << 32) — exact long arithmetic to 2^31 tokens/doc.
+    positions = F.array(*[F.lit(p) for p in range(1, 17)])
+    two32 = F.lit(1 << 32).cast("long")
+
+    def _merge(acc, t):
+        def upd(a, p):
+            # nibble at 1-indexed hex position p via exact double division
+            # (operands < 2^32, divisors powers of 16: the quotient is
+            # >= 2^-28 from any integer unless exact, so the truncating
+            # cast is safe; shiftright inside HOF lambdas trips py4j)
+            nib = F.when(
+                p <= 8,
+                (t["hi"] / F.pow(F.lit(16.0), (8 - p).cast("double")))
+                .cast("long") % 16,
+            ).otherwise(
+                (t["lo"] / F.pow(F.lit(16.0), (16 - p).cast("double")))
+                .cast("long") % 16
+            )
+            b0 = nib % 2
+            b1 = (nib / F.lit(2.0)).cast("long") % 2
+            b2 = (nib / F.lit(4.0)).cast("long") % 2
+            b3 = (nib / F.lit(8.0)).cast("long") % 2
+            return F.struct(
+                (a["a"] + b0 + b1 * two32).alias("a"),
+                (a["b"] + b2 + b3 * two32).alias("b"),
+            )
+
+        return F.zip_with(acc, positions, upd)
+
+    zero16 = F.array_repeat(
+        F.struct(
+            F.lit(0).cast("long").alias("a"), F.lit(0).cast("long").alias("b")
+        ),
+        16,
+    )
+    counted = hashed.select(
+        "doc_id",
+        F.size("hs").alias("n_tok"),
+        F.aggregate("hs", zero16, _merge).alias("pks"),
     )
     hex_chars = "0123456789abcdef"
+    two32l = F.lit(1 << 32).cast("long")
     chars = []
     for p in range(1, 17):
+        pk = F.element_at("pks", p)
+        counts = [
+            pk["a"] % two32l,
+            F.shiftright(pk["a"], 32),
+            pk["b"] % two32l,
+            F.shiftright(pk["b"], 32),
+        ]
         out_nib = None
         for b in range(4):
-            members = [c for c in hex_chars if (int(c, 16) >> b) & 1]
-
-            def _vote(p=p, members=members):
-                return lambda acc, h: acc + F.substring(h, p, 1).isin(
-                    members
-                ).cast("int")
-
-            c_pb = F.aggregate("hs", F.lit(0), _vote())
             # vote sum = 2*c - n; the bit is set iff the sum is positive
-            bitv = F.when(2 * c_pb > F.size("hs"), 2 ** b).otherwise(0)
+            bitv = F.when(2 * counts[b] > F.col("n_tok"), 2 ** b).otherwise(0)
             out_nib = bitv if out_nib is None else out_nib + bitv
         chars.append(F.substring(F.lit(hex_chars), out_nib + 1, 1))
-    return hashed.select("doc_id", F.concat(*chars).alias("simhash"))
+    return counted.select("doc_id", F.concat(*chars).alias("simhash"))
 
 
 def dedup_simhash_pairs(

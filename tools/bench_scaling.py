@@ -203,6 +203,12 @@ QUERIES = {
     "join_asof_forward": asof.join_asof_forward,
     "sample_balanced_classes": relational.sample_balanced_classes,
     "profile_functional_dependency": relational.profile_functional_dependency,
+    # round-10 additions
+    "events_circular_hour_stats": relational.events_circular_hour_stats,
+    "orders_lorenz_asymmetry": relational.orders_lorenz_asymmetry,
+    "events_turning_points": relational.events_turning_points,
+    "text_length_spectrum": text_fns.text_length_spectrum,
+    "orders_interarrival_burstiness": relational.orders_interarrival_burstiness,
 }
 
 
