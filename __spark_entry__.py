@@ -6669,12 +6669,12 @@ _ORACLES["events_psi_drift"] = """
                           - CAST(c_cur + 1 AS DOUBLE) / CAST(t_cur + 10 AS DOUBLE))
                          * LN((CAST(c_ref + 1 AS DOUBLE) / CAST(t_ref + 10 AS DOUBLE))
                               / (CAST(c_cur + 1 AS DOUBLE) / CAST(t_cur + 10 AS DOUBLE))),
-                         12) AS DECIMAL(28,12)) AS term
+                         6) AS DECIMAL(28,6)) AS term
               FROM tot)
     SELECT event_type,
            CAST(MIN(t_ref) AS BIGINT) AS n_ref,
            CAST(MIN(t_cur) AS BIGINT) AS n_cur,
-           CAST(CAST(SUM(term) AS DECIMAL(38,12)) AS DOUBLE) AS psi
+           CAST(CAST(SUM(term) AS DECIMAL(38,6)) AS DOUBLE) AS psi
     FROM terms GROUP BY event_type
 """
 
@@ -6926,12 +6926,12 @@ _ORACLES["events_entropy_rate"] = """
     terms AS (SELECT counts.from_type, c_from,
                      CAST(ROUND(
                          -(CAST(c AS DOUBLE) / CAST(c_from AS DOUBLE))
-                         * LN(CAST(c AS DOUBLE) / CAST(c_from AS DOUBLE)), 12)
-                          AS DECIMAL(28,12)) AS term
+                         * LN(CAST(c AS DOUBLE) / CAST(c_from AS DOUBLE)), 6)
+                          AS DECIMAL(28,6)) AS term
               FROM counts JOIN totals USING (from_type))
     SELECT from_type,
            MIN(c_from) AS n_from,
-           CAST(CAST(SUM(term) AS DECIMAL(38,12)) AS DOUBLE) AS cond_entropy,
+           CAST(CAST(SUM(term) AS DECIMAL(38,6)) AS DOUBLE) AS cond_entropy,
            ROUND(CAST(MIN(c_from) AS DOUBLE) / CAST(MIN(c_all) AS DOUBLE), 6)
                AS weight
     FROM terms, grand

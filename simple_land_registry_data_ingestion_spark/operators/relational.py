@@ -6451,8 +6451,12 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = 1 + #edges strictly below v.  A (type x bucket 1..10)
     skeleton left-join guarantees current-period zero buckets
     contribute, and +1 Laplace smoothing keeps ln finite there.  Each
-    bin term (p-q)*ln(p/q) is quantized 12dp into DECIMAL(28,12) so the
-    per-type sum is order-free and engine-identical.
+    bin term (p-q)*ln(p/q) is quantized 6dp into DECIMAL(28,6) so the
+    per-type sum is order-free and engine-identical — 6dp, not 12 (r10):
+    the oracle's LN is the driver box's libm, which may differ from the
+    local one in the last ulp; a 1e-12 quantum sits ~2e-4 per term from
+    a ulp flip while a 1e-6 quantum is ~4e-10 from one (PSI error bound
+    5e-7 x 10 buckets, far below any monitoring threshold).
 
     Scale: two scans collapse to one (type, cents, period) groupBy
     bounded by the price grid; edges, skeleton, and the 9-element edge
@@ -6522,7 +6526,7 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         full.withColumn(
             "term",
-            F.round((p - q) * F.log(p / q), 12).cast("decimal(28,12)"),
+            F.round((p - q) * F.log(p / q), 6).cast("decimal(28,6)"),
         )
         .groupBy("event_type")
         .agg(
@@ -6530,7 +6534,7 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first(F.col("t_cur").cast("long")).alias("n_cur"),
             # exact order-free decimal sum INTERNALLY, double at the
             # output boundary (DECIMAL outputs driver-fragile r08/r09)
-            F.sum("term").cast("decimal(38,12)").cast("double").alias("psi"),
+            F.sum("term").cast("decimal(38,6)").cast("double").alias("psi"),
         )
     )
 
@@ -6799,8 +6803,11 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same per-user lag window as the transition matrix (the one corpus
     shuffle), then all arithmetic happens on the 25-cell count table:
     each ln term is one double expression over two exact integers,
-    quantized 12dp into DECIMAL(28,12) before the 5-term sums, so the
-    fold is order-free on both engines."""
+    quantized 6dp into DECIMAL(28,6) before the 5-term sums, so the
+    fold is order-free on both engines — 6dp, not 12 (r10): the
+    oracle's LN is the driver box's libm, and a 1e-6 quantum is
+    ulp-flip-proof where a 1e-12 quantum flips ~2e-4 per term
+    (entropy error bound 5e-7 x 5 terms)."""
     events = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     steps = events.select(
@@ -6817,7 +6824,7 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.join(F.broadcast(totals), "from_type")
         .withColumn(
             "term",
-            F.round(-p * F.log(p), 12).cast("decimal(28,12)"),
+            F.round(-p * F.log(p), 6).cast("decimal(28,6)"),
         )
         .groupBy("from_type")
         .agg(
@@ -6825,7 +6832,7 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             # exact order-free decimal sum internally, double at the
             # output boundary (DECIMAL outputs driver-fragile r08/r09)
             F.sum("term")
-            .cast("decimal(38,12)")
+            .cast("decimal(38,6)")
             .cast("double")
             .alias("cond_entropy"),
         )
