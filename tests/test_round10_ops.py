@@ -195,3 +195,40 @@ def test_burstiness_clockwork_vs_clumped(spark, tmp_path):
     assert rows["REG"].n_bursty == 0
     assert rows["BURST"].mean_burstiness > 0
     assert rows["BURST"].n_bursty == 1
+
+
+def test_hits_final_plan_has_no_key_shuffle(spark):
+    """The r10 HITS rewrite pre-partitions the edge list once per side
+    and broadcasts the node-sized score frames, so the visible plan
+    (everything downstream of the round checkpoints) must contain no
+    SortMergeJoin and no hashpartitioning exchange — only the 1-row
+    max-normalize broadcasts and the top-k sorts."""
+    from simple_land_registry_data_ingestion_spark.operators import mining
+
+    df = mining.graph_hits_scores(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+
+
+def test_simhash_single_fold_plan_shape(spark):
+    """The r10 single-fold fingerprint must stay ONE aggregate: the plan
+    contains exactly one 'aggregate(' HOF application per row (the
+    16-element array accumulator), not sixteen — a regression to the
+    64-fold or 16-fold form re-inflates driver codegen by seconds."""
+    from simple_land_registry_data_ingestion_spark.operators import dedup
+    from tests.conftest import SF_ORACLE
+
+    df = dedup.dedup_simhash(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert plan.count("aggregate(") <= 2, (
+        f"fingerprint fold count regressed: {plan.count('aggregate(')}"
+    )
