@@ -74,6 +74,15 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessio
 #: zero-shuffle rewrite, simhash consumers, ER family, hits, two-phase
 #: rank consumers).  Round-10 additions are capped at <= 5 (VERDICT r9
 #: item 4) and take the final slots.
+#:
+#: r11 queue arithmetic (write the window at round-11 start): if the
+#: r10 rows come back green, NOTHING is red and NOTHING is
+#: never-certified — the window becomes pure age rotation.  Oldest
+#: evidence at r11: the 25 round-7 additions and 20 round-8 additions
+#: whose newest rows are r09 (2 rounds old), plus any r10 reds (which
+#: would take the head, made environment-proof FIRST — see the r10
+#: no-DECIMAL output contract above; compare.py now enforces it
+#: locally).  ~45 rotation slots + <= 5 r11 additions fills 50 exactly.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- r09 window (50 slots), per VERDICT r8 item 1 + ADVICE: the 4
     # ---- r08 hash-red queries lead (fixed at HEAD mid-round-8; a green
