@@ -91,6 +91,17 @@ def _assert_output_contract(side: str, columns: list[str], rows: list[tuple]) ->
 
 def compare_query(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
     """Assert the Spark result and the oracle result match."""
+    # schema-level decimal ban (catches all-NULL decimal columns the
+    # value-level scan below cannot see)
+    dec_fields = [
+        f.name
+        for f in spark_df.schema.fields
+        if f.dataType.simpleString().startswith("decimal")
+    ]
+    assert not dec_fields, (
+        f"spark schema emits DecimalType column(s) {dec_fields} — cast to "
+        f"DOUBLE or BIGINT at the output boundary (r10 output contract)"
+    )
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.execute(sql)
