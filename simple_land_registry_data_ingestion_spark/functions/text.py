@@ -502,11 +502,16 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     steepens the tail).
 
     One token-count aggregation (map-side partial over the scan), then the
-    regression runs over the VOCABULARY — thousands of rows however big the
-    corpus — so the rank window and regr_slope aggregate are a rounding
-    error next to the scan.  Ranks are made deterministic by breaking count
-    ties on the token itself.
+    regression runs over the VOCABULARY — sublinear in corpus size (Heaps)
+    but NOT bounded, so the frequency rank comes from the certified
+    two_phase_global_rank (r11: ~30 log2-count buckets → broadcast offsets
+    → partitioned in-bucket row_number; count ties share a bucket and
+    break on the token itself) rather than a single-task global window —
+    a 100 M-type vocabulary ranks with full parallelism.  Ranks are
+    bit-identical to the plain window, so the estimate is unchanged.
     """
+    from simple_land_registry_data_ingestion_spark.operators.relational import two_phase_global_rank
+
     docs = load(spark, sf_dir, "documents")
     counts = (
         docs.select(F.explode(words_col("text")).alias("token"))
@@ -514,8 +519,13 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
-    ranked = counts.withColumn("rnk", F.row_number().over(w))
+    ranked = two_phase_global_rank(
+        counts,
+        F.floor(F.log2(F.col("cnt"))).cast("long"),
+        [F.col("cnt").desc(), F.col("token")],
+        out="rnk",
+        descending=True,
+    )
     return ranked.agg(
         F.count(F.lit(1)).alias("n_vocab"),
         F.round(F.expr("regr_slope(ln(cnt), ln(rnk))"), 6).alias("zipf_slope"),
@@ -1197,9 +1207,10 @@ def search_rank_fusion(
     added in fixed written order and rounded 6dp.
 
     Scale shape: rank-then-fuse touches the corpus once; the two top-N
-    lists and the fusion are O(N) regardless of corpus size.  At 100 TB
-    the per-ranker windows become TakeOrdered passes; RRF itself never
-    sees more than 2N rows."""
+    lists and the fusion are O(N) regardless of corpus size.  Each
+    ranker's top-N IS a TakeOrdered pass (per-task heaps, r11) with the
+    rank window running over the N survivors only; RRF itself never sees
+    more than 2N rows."""
     query_terms = ["join", "hash", "window"]
     docs = load(spark, sf_dir, "documents")
     tokens = docs.select("doc_id", F.explode(words_col("text")).alias("token"))
@@ -1244,25 +1255,32 @@ def search_rank_fusion(
         F.round(F.sum("cb").cast("double"), 6).alias("bm25"),
         F.round(F.sum("ct").cast("double"), 6).alias("tfidf"),
     )
+    # Top-N per ranker: LIMIT first (plans as TakeOrderedAndProject —
+    # per-task heaps over the candidate set, never a global sort), THEN
+    # row_number over the N surviving rows (r11: the global window over
+    # the full candidate set collapsed to one task at scale; ranking
+    # after the limit is bit-identical because the orders coincide).
     top_bm25 = (
-        scored.select(
+        scored.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(n_per_ranker)
+        .select(
             F.col("doc_id").alias("doc_bm25"),
             F.row_number()
             .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
             .cast("long")
             .alias("rank_bm25"),
         )
-        .where(F.col("rank_bm25") <= n_per_ranker)
     )
     top_tfidf = (
-        scored.select(
+        scored.orderBy(F.col("tfidf").desc(), F.col("doc_id"))
+        .limit(n_per_ranker)
+        .select(
             F.col("doc_id").alias("doc_tfidf"),
             F.row_number()
             .over(Window.orderBy(F.col("tfidf").desc(), F.col("doc_id")))
             .cast("long")
             .alias("rank_tfidf"),
         )
-        .where(F.col("rank_tfidf") <= n_per_ranker)
     )
     fused = top_bm25.join(
         top_tfidf,

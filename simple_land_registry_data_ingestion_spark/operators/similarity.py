@@ -1345,8 +1345,9 @@ def similarity_mips_transform(
     engines share bit-for-bit.
 
     Scale shape: one candidate scan + a 1-row broadcast for M and a
-    1-row broadcast for the query; both rankings are global windows that
-    become per-heap TakeOrdered passes at scale; output is k rows."""
+    1-row broadcast for the query; the dot ranking is a TakeOrdered
+    top-k and the cosine ranking a two-phase global rank (r11 — neither
+    is a single-task window); output is k rows."""
     emb = load(spark, sf_dir, "embeddings")
     q = _query_side(emb, query_vec_id)
     # MAX of the SQUARED norms (not max(norm)**2): the sqrt round-trip
@@ -1386,17 +1387,31 @@ def similarity_mips_transform(
             ).alias("cos_aug"),
         )
     )
+    # r11: both global ranks without a single-task window.  rank_cos must
+    # be the EXACT global cosine rank even for rows deep in the ordering
+    # (a top-k-by-dot row can rank anywhere by cosine), so it runs through
+    # the certified two_phase_global_rank (~2k floor(cos*1e3) buckets —
+    # cos_aug is 6-dp rounded in [-1, 1] — broadcast offsets, partitioned
+    # in-bucket row_number).  rank_dot is only ever CONSUMED at <= k, so
+    # the top-k by dot is a TakeOrderedAndProject limit with the k-row
+    # rank window after it — bit-identical ranks, zero global sorts.
+    from simple_land_registry_data_ingestion_spark.operators.relational import two_phase_global_rank
+
+    ranked_cos = two_phase_global_rank(
+        scored,
+        F.floor(F.col("cos_aug") * 1000).cast("long"),
+        [F.col("cos_aug").desc(), F.col("vec_id")],
+        out="rank_cos",
+        descending=True,
+    )
     w_dot = Window.orderBy(F.col("dot_score").desc(), F.col("vec_id"))
-    w_cos = Window.orderBy(F.col("cos_aug").desc(), F.col("vec_id"))
-    ranked = scored.select(
-        "vec_id",
-        "dot_score",
-        "cos_aug",
-        F.row_number().over(w_dot).cast("long").alias("rank_dot"),
-        F.row_number().over(w_cos).cast("long").alias("rank_cos"),
+    ranked = (
+        ranked_cos.orderBy(F.col("dot_score").desc(), F.col("vec_id"))
+        .limit(k)
+        .withColumn("rank_dot", F.row_number().over(w_dot).cast("long"))
     )
     return (
-        ranked.where(F.col("rank_dot") <= k)
+        ranked
         .select(
             "rank_dot",
             "vec_id",

@@ -10,6 +10,7 @@ regressions fail tests instead of surfacing as cluster bills.
 from simple_land_registry_data_ingestion_spark.plans.inspect import (
     assert_no_cartesian_product,
     broadcast_join_count,
+    empty_partition_windows,
     formatted_plan,
     pushed_filters,
     read_schemas,
@@ -19,6 +20,7 @@ from simple_land_registry_data_ingestion_spark.plans.inspect import (
 __all__ = [
     "assert_no_cartesian_product",
     "broadcast_join_count",
+    "empty_partition_windows",
     "formatted_plan",
     "pushed_filters",
     "read_schemas",

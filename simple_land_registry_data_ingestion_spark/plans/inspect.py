@@ -58,6 +58,29 @@ def read_schemas(df: DataFrame) -> list[str]:
     return re.findall(r"ReadSchema: (\S+)", formatted_plan(df))
 
 
+def empty_partition_windows(df: DataFrame) -> list[str]:
+    """Window nodes in the OPTIMIZED logical plan whose partition spec is
+    empty — each is a global sort that collapses to ONE task at execution
+    (Exchange SinglePartition), the canonical 100 TB scale-killer.
+
+    Legitimate uses exist — folds over PROVABLY BOUNDED frames (a bucket
+    table of a two-phase rank/prefix-sum, an hour grid, a decile table)
+    — so callers allowlist, not ban.  Walks the logical tree via py4j
+    because the formatted physical string does not expose the partition
+    spec unambiguously.  Returns one ``simpleString`` line per offender,
+    so assertion messages show WHICH window collapsed."""
+    out: list[str] = []
+
+    def walk(node) -> None:
+        if node.getClass().getSimpleName() == "Window" and node.partitionSpec().isEmpty():
+            out.append(node.simpleString(25))
+        for i in range(node.children().length()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return out
+
+
 def assert_no_cartesian_product(df: DataFrame) -> None:
     """Fail if the plan contains a CartesianProduct.  Broadcast nested-loop
     with a 1-row side is fine (similarity queries use it deliberately);

@@ -204,8 +204,9 @@ def test_hits_final_plan_has_no_key_shuffle(spark):
     SortMergeJoin and no hashpartitioning exchange — only the 1-row
     max-normalize broadcasts and the top-k sorts."""
     from simple_land_registry_data_ingestion_spark.operators import mining
+    from tests.conftest import SF_SMALL
 
-    df = mining.graph_hits_scores(spark, "/root/testdata/sf0.001")
+    df = mining.graph_hits_scores(spark, SF_SMALL)
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
