@@ -8696,20 +8696,25 @@ _ORACLES["orders_lorenz_asymmetry"] = """
                FROM seg GROUP BY 1),
     flagged AS (SELECT seg.segment, cents, n_cust, total_cents,
                        CASE WHEN CAST(cents AS DECIMAL(38,0)) * n_cust
-                                 < total_cents THEN 1 ELSE 0 END AS below
+                                 < total_cents THEN 1 ELSE 0 END AS below,
+                       CASE WHEN CAST(cents AS DECIMAL(38,0)) * n_cust
+                                 = total_cents THEN 1 ELSE 0 END AS at_mean
                 FROM seg JOIN totals ON seg.segment = totals.segment),
     agg AS (SELECT segment,
                    MAX(n_cust) AS n_cust,
                    CAST(SUM(below) AS BIGINT) AS n_below_mean,
+                   CAST(SUM(at_mean) AS BIGINT) AS n_at_mean,
                    CAST(SUM(CASE WHEN below = 1 THEN cents ELSE 0 END)
                         AS DECIMAL(38,0)) AS below_cents,
                    MAX(total_cents) AS total_cents
             FROM flagged GROUP BY 1)
     SELECT segment, n_cust, n_below_mean,
-           ROUND(CAST(below_cents AS DOUBLE) / CAST(total_cents AS DOUBLE), 6)
-               AS share_below,
+           ROUND(CAST(below_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+                 + CAST(n_at_mean AS DOUBLE) / (2.0 * CAST(n_cust AS DOUBLE)),
+                 6) AS share_below,
            ROUND(CAST(n_below_mean AS DOUBLE) / CAST(n_cust AS DOUBLE)
-                 + CAST(below_cents AS DOUBLE) / CAST(total_cents AS DOUBLE), 6)
+                 + CAST(below_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+                 + CAST(n_at_mean AS DOUBLE) / CAST(n_cust AS DOUBLE), 6)
                AS lorenz_s
     FROM agg
 """

@@ -9026,8 +9026,15 @@ def events_circular_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.hour(F.col("ts").cast("timestamp")).cast("long").alias("h"),
     )
-    grid = ev.groupBy("event_type", "h").agg(
-        F.count(F.lit(1)).cast("long").alias("n_h")
+    # Drop unparseable timestamps (NULL hour) BEFORE the grid aggregate
+    # (r10 ADVICE): the DuckDB oracle's angle lookup is an INNER join
+    # that silently drops such rows, while a when-chain would keep them
+    # with NULL c/s terms — filtering here makes both engines treat bad
+    # ts data identically instead of diverging the day it appears.
+    grid = (
+        ev.where(F.col("h").isNotNull())
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_h"))
     )
     # build the literal lookup as chained whens (24 branches, scan-stage)
     cos_expr = F.lit(None).cast("decimal(13,12)")
@@ -9096,6 +9103,12 @@ def orders_lorenz_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_cents * n < total_cents (never a mean division), so the
     classification is engine-exact; all moments are BIGINT cents sums
     and the two output ratios are single int/int doubles, 6dp.
+    Customers EXACTLY at the mean (cents * n == total_cents — plausible
+    with integer cents) take the Damgaard-Weiner HALF-WEIGHT in both
+    F(mu) and L(mu) (each such customer's revenue share IS 1/n, so the
+    half-weight adds e/2n to both terms), making perfectly equal
+    revenues yield the conventional S = 1 instead of 0 (r10 ADVICE);
+    n_below_mean still reports the strict-below count.
 
     Scale: one customer-keyed revenue aggregate, one broadcast of the
     5-row segment totals back, one segment rollup — no windows at all.
@@ -9123,22 +9136,37 @@ def orders_lorenz_asymmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").cast("decimal(38,0)") * F.col("n_cust")
         < F.col("total_cents")
     ).cast("long")
+    at_mean = (
+        F.col("cents").cast("decimal(38,0)") * F.col("n_cust")
+        == F.col("total_cents")
+    ).cast("long")
     agg = j.groupBy("segment").agg(
         F.max("n_cust").alias("n_cust"),
         F.sum(below).cast("long").alias("n_below_mean"),
+        F.sum(at_mean).cast("long").alias("n_at_mean"),
         F.sum(F.when(below == 1, F.col("cents")).otherwise(0))
         .cast("decimal(38,0)")
         .alias("below_cents"),
         F.max("total_cents").alias("total_cents"),
     )
-    f_mu = F.col("n_below_mean").cast("double") / F.col("n_cust").cast("double")
-    l_mu = F.col("below_cents").cast("double") / F.col("total_cents").cast("double")
+    # term order mirrors the oracle SQL exactly (strict-F + strict-L +
+    # e/n, and strict-L + e/2n) so the doubles agree bit-for-bit even
+    # when the tie terms are non-zero
+    n_d = F.col("n_cust").cast("double")
+    f_strict = F.col("n_below_mean").cast("double") / n_d
+    l_strict = (
+        F.col("below_cents").cast("double") / F.col("total_cents").cast("double")
+    )
     return agg.select(
         "segment",
         "n_cust",
         "n_below_mean",
-        F.round(l_mu, 6).alias("share_below"),
-        F.round(f_mu + l_mu, 6).alias("lorenz_s"),
+        F.round(
+            l_strict + F.col("n_at_mean").cast("double") / (2.0 * n_d), 6
+        ).alias("share_below"),
+        F.round(
+            f_strict + l_strict + F.col("n_at_mean").cast("double") / n_d, 6
+        ).alias("lorenz_s"),
     )
 
 
@@ -9156,6 +9184,17 @@ def events_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept as the integer pair (16n-29, 90)); z is ONE double expression
     over them, 6dp.  Strictness (prev < cur > next) makes ties a
     non-event deterministically on both engines.
+
+    OBSERVED-HOURS assumption (r10 ADVICE, deliberate): the series is
+    built from hours that HAVE events — calendar gaps collapse to
+    adjacency and n_hours counts observed, not elapsed, hours.  On this
+    corpus every type fires every hour, so the two definitions coincide;
+    on sparser data the z-score is the turning-point test of the
+    OBSERVED sub-series (the i.i.d. moments then condition on activity,
+    exactly as both engines compute it — parity holds either way).  The
+    gap-filled variant is events_gap_fill_interpolate's spine composed
+    with this fold; keeping the raw form here preserves the certified
+    definition.
 
     Scale: the hourly rollup is calendar-bounded; the lag/lead window
     partitions by type over that small frame — the corpus is touched by
