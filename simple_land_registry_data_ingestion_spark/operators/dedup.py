@@ -2112,8 +2112,10 @@ def dedup_link_prediction(
     so the score is defined ON THE CAPPED GRAPH: common counts, degrees,
     and neighborhood Jaccard all refer to the same bounded graph.  The
     cap is made SYMMETRIC (r9 advice): an undirected edge survives only
-    if it survives in BOTH endpoints' capped lists (a left-semi join of
-    the capped directed adjacency against its own reverse), so degrees,
+    if it survives in BOTH endpoints' capped lists (one canonical-pair
+    hash aggregate over the capped rows — each undirected edge has
+    exactly two directed rows, so count == 2 is the symmetric test; r10
+    replaced the semi join against the reversed adjacency), so degrees,
     wedge centers, and common counts all describe ONE consistent
     undirected graph — structurally guaranteeing common <= min(deg_u,
     deg_w), hence union_size >= common > 0 (no negative Jaccard or
@@ -2142,25 +2144,33 @@ def dedup_link_prediction(
         ),
         "nbr",
     )
-    adj_capped = (
-        adj_full.withColumn("__r", F.row_number().over(wcap))
-        .where(F.col("__r") <= F.lit(degree_cap))
-        .drop("__r")
-        # the symmetric restriction below self-joins this frame; without
-        # lineage truncation the capped-window subtree doubles in the plan
+    adj_capped = adj_full.withColumn("__r", F.row_number().over(wcap)).where(
+        F.col("__r") <= F.lit(degree_cap)
+    )
+    # symmetric restriction in ONE exchange (r10 verdict item 6; the r9
+    # form semi-joined the capped adjacency against its own reverse —
+    # two more compound-key shuffles): every undirected edge appears as
+    # exactly TWO directed rows in adj_full (the pair list is unique),
+    # so grouping the capped survivors by the canonical (least, greatest)
+    # pair and keeping count == 2 IS "survived in BOTH endpoints' capped
+    # lists".  One hash aggregate over the <= n*cap surviving rows
+    # replaces the reverse-scan + semi join; the undirected adjacency is
+    # then re-expanded map-side.
+    sym = (
+        adj_capped.select(
+            F.least("n", "nbr").alias("su"), F.greatest("n", "nbr").alias("sw")
+        )
+        .groupBy("su", "sw")
+        .agg(F.count(F.lit(1)).alias("__both"))
+        .where(F.col("__both") == 2)
+        .drop("__both")
+        # consumed by the two wedge aliases and the degree aggregate;
+        # truncate lineage so the capped-window subtree plans once
         .localCheckpoint(eager=False)
     )
-    # symmetric restriction: keep (n, nbr) only if (nbr, n) also survived
-    # its endpoint's cap, so the scored graph is a consistent undirected
-    # graph (one extra semi join on the already-capped n*cap-row frame)
-    rev = adj_capped.select(
-        F.col("nbr").alias("rn"), F.col("n").alias("rnbr")
-    )
-    adj = adj_capped.join(
-        rev,
-        (F.col("n") == F.col("rn")) & (F.col("nbr") == F.col("rnbr")),
-        "left_semi",
-    )
+    adj = sym.select(
+        F.col("su").alias("n"), F.col("sw").alias("nbr")
+    ).unionAll(sym.select(F.col("sw").alias("n"), F.col("su").alias("nbr")))
     a = adj.alias("a")
     b = adj.alias("b")
     wedges = (

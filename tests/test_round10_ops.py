@@ -95,15 +95,19 @@ def test_circular_stats_antipodal_hours_cancel(spark, tmp_path):
 
 
 def test_lorenz_asymmetry_uniform_revenue(spark, tmp_path):
-    """Equal revenues: nobody is strictly below the mean -> S = 0 and
-    share_below = 0 (degenerate but exact corner)."""
+    """Equal revenues: every customer sits EXACTLY at the mean, so the
+    Damgaard-Weiner half-weight (r10 ADVICE) puts e/2n = 0.5 into both
+    F(mu) and L(mu) -> the conventional S = 1 (perfect equality), not
+    the strict-test's misleading 0; n_below_mean stays the strict
+    count (0)."""
     sf = _orders(
         tmp_path, [1, 2, 3], ["2024-01-01"] * 3, [100.0, 100.0, 100.0]
     )
     _customers(tmp_path, [1, 2, 3], ["AUTO"] * 3)
     row = relational.orders_lorenz_asymmetry(spark, sf).collect()[0]
     assert row.n_below_mean == 0
-    assert row.lorenz_s == 0.0
+    assert row.share_below == 0.5
+    assert row.lorenz_s == 1.0
 
 
 def test_lorenz_asymmetry_whale(spark, tmp_path):
