@@ -2000,6 +2000,8 @@ def dedup_tfidf_cosine(
             "df",
             F.round(F.col("w") / F.col("nrm"), 6).alias("u"),
         )
+        # feeds the posting lists AND both verify sides below
+        .localCheckpoint(eager=False)
     )
     postings = unit.where((F.col("df") >= 2) & (F.col("df") <= df_cap))
     grouped = postings.groupBy("term").agg(
@@ -2018,53 +2020,42 @@ def dedup_tfidf_cosine(
         .where(F.col("n_shared") >= min_shared)
         .select("doc_a", "doc_b")
     )
-    # Verify WITHOUT a per-(pair, term) explode join (the first verify
-    # shape shuffled |cand| x |doc terms| rows — 20M+ at sf0.1): each
-    # doc's sparse vector is collected ONCE as a term->u map plus a
-    # term-sorted entry array (doc-count-sized frame, so AQE broadcasts
-    # it here; at larger corpora the join co-partitions on the doc key),
-    # and the dot product is a row-local fold over one side's entries
-    # with map lookups into the other.  Per-term 9-dp DECIMAL
-    # quantization is identical to the join formulation, and decimal
-    # addition is exact and order-free, so this computes the SAME number
-    # the oracle's join+SUM does.
-    entries = F.array_sort(F.collect_list(F.struct("term", "u")))
-    vecs = unit.groupBy("doc_id").agg(
-        F.map_from_entries(entries).alias("m"), entries.alias("arr")
-    )
-    zero = F.lit(0).cast("decimal(28,9)")
-    dotv = F.aggregate(
-        "arr_b",
-        zero,
-        lambda acc, e: (
-            acc
-            + F.coalesce(
-                F.round(F.try_element_at("ma", e["term"]) * e["u"], 9).cast(
-                    "decimal(18,9)"
-                ),
-                F.lit(0).cast("decimal(18,9)"),
-            )
-        ).cast("decimal(28,9)"),
-    )
-    # fan_out before the fold: the scoring select is an interpreted HOF
-    # (not codegen), so its parallelism must not be capped by AQE's
-    # post-broadcast-join coalescing (measured 5 tasks doing all the work)
-    scored = fan_out(
-        cand.join(
-            vecs.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("ma")),
+    # Verify as a SHARED-TERM equi join + exact decimal sum (r11 —
+    # VERDICT r10 item 3): expand each candidate by doc_a's unit entries
+    # (|cand| x terms-per-doc rows — with min_shared pruning the
+    # candidate set is ~17k at sf0.1, so this is ~800k narrow rows, NOT
+    # the 20M the pre-min_shared shape shuffled), inner-join doc_b's
+    # postings on (doc_b, term) so exactly the SHARED terms survive, and
+    # sum the 9-dp DECIMAL(18,9) contributions per pair — exact and
+    # order-free, the same number the oracle's join+SUM computes.  This
+    # replaces the r9 map-lookup fold, which ran as an INTERPRETED
+    # higher-order function outside whole-stage codegen and was the
+    # query's single most expensive stage (1.85 s of the 4.6 s floor)
+    # and its worst 10x scaler (the fold cost scales with candidates x
+    # vocabulary); the join verify is pure codegen end to end.  A/B at
+    # sf0.1: floor 5.8 -> 5.3 s in-session, cold pass 18 -> 5.8 s, rows
+    # identical; no fan_out needed since no interpreted stage remains.
+    ua = unit.select(F.col("doc_id").alias("doc_a"), "term", F.col("u").alias("ua"))
+    ub = unit.select(F.col("doc_id").alias("doc_b"), "term", F.col("u").alias("ub"))
+    contrib = (
+        cand.join(ua, "doc_a")
+        .join(ub, ["doc_b", "term"])
+        .select(
             "doc_a",
-        ).join(
-            vecs.select(
-                F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b")
-            ),
             "doc_b",
+            F.round(F.col("ua") * F.col("ub"), 9).cast("decimal(18,9)").alias("c"),
         )
     )
-    return scored.select(
-        "doc_a",
-        "doc_b",
-        F.round(dotv.cast("double"), 6).alias("cosine"),
-    ).where(F.col("cosine") >= threshold)
+    return (
+        contrib.groupBy("doc_a", "doc_b")
+        .agg(F.sum("c").cast("decimal(28,9)").alias("dot"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot").cast("double"), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2232,9 +2223,14 @@ def dedup_kcore_peel(
     the plan deterministic and the oracle expressible.
 
     Scale shape: the graph is the LSH OUTPUT (orders smaller than the
-    corpus); per round ONE groupBy degree shuffle + two LEFT SEMI
-    restrictions on the same node key; the verified-pair subtree is
-    localCheckpoint'd once so the per-round lineage stays flat.
+    corpus); the adjacency is hash-partitioned by the degree key ONCE
+    up front (repartition + eager checkpoint preserves the known
+    partitioning — the HITS r10 lesson), so every round's degree
+    aggregate is PARTITION-LOCAL and the two LEFT SEMI restrictions
+    (AQE-broadcast at test SF, partitioning-preserving) never re-shuffle
+    the edge list; the verified-pair subtree is localCheckpoint'd once
+    so the per-round lineage stays flat.  r11 A/B at sf0.1: 5.0 -> 4.6 s
+    floor, cold pass 19 -> 8 s, rows identical.
 
     Output: (doc_id, peeled_round, last_degree) — peeled_round 1..R, or
     0 for survivors (last_degree = degree in the final graph)."""
@@ -2245,10 +2241,16 @@ def dedup_kcore_peel(
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
-    adj = edges.select(
-        F.col("doc_a").alias("n"), F.col("doc_b").alias("nbr")
-    ).unionAll(
-        edges.select(F.col("doc_b").alias("n"), F.col("doc_a").alias("nbr"))
+    adj = (
+        edges.select(F.col("doc_a").alias("n"), F.col("doc_b").alias("nbr"))
+        .unionAll(
+            edges.select(F.col("doc_b").alias("n"), F.col("doc_a").alias("nbr"))
+        )
+        # one up-front hash shuffle by the degree key; the checkpoint
+        # preserves the partitioning, so all `rounds + 1` degree
+        # aggregates below run partition-local (see docstring)
+        .repartition(F.col("n"))
+        .localCheckpoint(eager=True)
     )
     remaining = adj.select(F.col("n").alias("doc_id")).distinct()
     cur_adj = adj
