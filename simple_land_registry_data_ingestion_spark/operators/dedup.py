@@ -759,23 +759,34 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate("hs", zero16, _merge).alias("pks"),
     )
     hex_chars = "0123456789abcdef"
-    two32l = F.lit(1 << 32).cast("long")
-    chars = []
-    for p in range(1, 17):
-        pk = F.element_at("pks", p)
-        counts = [
-            pk["a"] % two32l,
-            F.shiftright(pk["a"], 32),
-            pk["b"] % two32l,
-            F.shiftright(pk["b"], 32),
-        ]
-        out_nib = None
-        for b in range(4):
-            # vote sum = 2*c - n; the bit is set iff the sum is positive
-            bitv = F.when(2 * counts[b] > F.col("n_tok"), 2 ** b).otherwise(0)
-            out_nib = bitv if out_nib is None else out_nib + bitv
-        chars.append(F.substring(F.lit(hex_chars), out_nib + 1, 1))
-    return counted.select("doc_id", F.concat(*chars).alias("simhash"))
+
+    # Hex assembly as ONE fold over the 16 packed structs (r11): the r10
+    # form unrolled 16 element_at + count-extraction + sign blocks into
+    # ~400 static expression nodes, which charged ~0.8 s of FIXED
+    # driver-side analysis per run at ANY data size (measured flat
+    # sf0.001 vs sf0.01); the single ~30-node lambda assembles the same
+    # chars (vote sum 2*c - n positive <=> bit set; count extraction by
+    # exact double division since shiftright inside HOF lambdas trips
+    # py4j) for 16 interpreted steps per ROW — trivial executor work.
+    # Bit-identical fingerprints: sf0.001 1.25 -> 0.45 s, sf0.1
+    # 1.71 -> 1.01 s, inherited by every simhash consumer.
+    def _hex(acc, pk):
+        c0 = pk["a"] % two32
+        c1 = (pk["a"] / F.lit(4294967296.0)).cast("long")
+        c2 = pk["b"] % two32
+        c3 = (pk["b"] / F.lit(4294967296.0)).cast("long")
+        nib = (
+            F.when(2 * c0 > F.col("n_tok"), 1).otherwise(0)
+            + F.when(2 * c1 > F.col("n_tok"), 2).otherwise(0)
+            + F.when(2 * c2 > F.col("n_tok"), 4).otherwise(0)
+            + F.when(2 * c3 > F.col("n_tok"), 8).otherwise(0)
+        )
+        return F.concat(acc, F.substring(F.lit(hex_chars), nib + 1, 1))
+
+    return counted.select(
+        "doc_id",
+        F.aggregate("pks", F.lit("").cast("string"), _hex).alias("simhash"),
+    )
 
 
 def dedup_simhash_pairs(
@@ -1966,33 +1977,37 @@ def dedup_tfidf_cosine(
     n_docs = docs.agg(
         F.count_distinct("doc_id").cast("double").alias("n_corpus")
     )
-    # tf feeds both the df table and the weight join, and w feeds both the
-    # norm aggregate and the unit projection — lazily materialize each
-    # fork point so the corpus explode runs ONCE instead of replaying per
-    # consumer (the agg_count_min_sketch plan lesson).
+    # df and the per-doc norm as KEYED WINDOWS over the (doc, term) tf
+    # frame (r11): the r10 shape aggregated each into a side table and
+    # joined it back — two extra stages and two lazy-checkpoint fork
+    # points per statistic; count(*) OVER (PARTITION BY term) and the
+    # decimal norm sum OVER (PARTITION BY doc_id) pay exactly the same
+    # keyed shuffles the groupBy+join paid, with no join, no broadcast,
+    # and no checkpoint barriers.  A/B at sf0.1: floor 3.9 -> 3.0 s,
+    # cold pass 13 -> 4 s, rows identical.  (Same skew exposure as the
+    # join form — a hot term is a hot partition either way.)
     tf = (
         shingle_table(docs, distinct=False)
         .groupBy("doc_id", F.col("shingle").alias("term"))
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .localCheckpoint(eager=False)
     )
-    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    w_term = Window.partitionBy("term")
+    w_doc = Window.partitionBy("doc_id")
     w = (
-        tf.join(df_tbl, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(w_term).cast("long"))
         .crossJoin(F.broadcast(n_docs))
         .withColumn("idf", F.round(F.log(F.col("n_corpus") / F.col("df")), 6))
         .withColumn("w", F.col("tf") * F.col("idf"))
-        .localCheckpoint(eager=False)
-    )
-    norms = w.groupBy("doc_id").agg(
-        F.sqrt(
-            F.sum((F.col("w") * F.col("w")).cast("decimal(38,12)")).cast(
-                "double"
-            )
-        ).alias("nrm")
     )
     unit = (
-        w.join(norms, "doc_id")
+        w.withColumn(
+            "nrm",
+            F.sqrt(
+                F.sum((F.col("w") * F.col("w")).cast("decimal(38,12)"))
+                .over(w_doc)
+                .cast("double")
+            ),
+        )
         .where(F.col("nrm") > 0)
         .select(
             "doc_id",

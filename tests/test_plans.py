@@ -648,10 +648,11 @@ def test_range_search_broadcasts_queries_and_cells(spark):
 
 
 def test_tfidf_cosine_explodes_corpus_once(spark):
-    """The tf and w fork points are materialized, so the document corpus
-    is exploded/scanned ONCE (not replayed per consumer: df table, norm
-    aggregate, unit projection all read the checkpointed frames); the
-    1-row corpus count broadcasts; no cartesian anywhere."""
+    """The document corpus is exploded/scanned ONCE: df and the per-doc
+    norm are keyed windows over the single tf frame (r11 — no side-table
+    joins to replay the explode) and the unit frame's three consumers
+    read its lazy checkpoint; the 1-row corpus count broadcasts; no
+    cartesian anywhere."""
     from simple_land_registry_data_ingestion_spark.operators import dedup
 
     df = dedup.dedup_tfidf_cosine(spark, SF_ORACLE)
