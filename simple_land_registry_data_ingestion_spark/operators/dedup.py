@@ -2475,9 +2475,15 @@ def text_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
         for i in range(NUM_HASHES)
     ]
-    per_doc = sh.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("sh_set"), *sig_aggs
-    ).withColumn("n_sh", F.size(F.col("sh_set")).cast("long"))
+    per_doc = (
+        sh.groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh_set"), *sig_aggs)
+        .withColumn("n_sh", F.size(F.col("sh_set")).cast("long"))
+        # three consumers (band buckets + both verify sides) — without
+        # the checkpoint the corpus shingle explode replays per consumer
+        # (r11: 1x 2.1 -> 1.5 s, 10x 9.4 -> 5.8 s, rows identical)
+        .localCheckpoint(eager=False)
+    )
     buckets = minhash_band_buckets(
         per_doc.select("doc_id", *[f"h{i}" for i in range(NUM_HASHES)])
     )
