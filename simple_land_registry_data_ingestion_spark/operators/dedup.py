@@ -388,20 +388,22 @@ def ngram_jaccard_pairs(
     jac = |A∩B| / (|A|+|B|-|A∩B|) over shingles with document frequency
     <= ``max_shingle_df`` (see MAX_SHINGLE_DF).
 
-    Plan: ONE shuffle of the shingle table (groupBy shingle, collecting the
-    sorted member list) serves three purposes at once — the df cap is just
-    a bucket-size filter on that aggregate, per-doc set sizes re-derive
-    from the surviving buckets (exploded + re-counted, reusing the
-    exchange), and pair generation is the same distributed in-bucket
-    expansion as LSH (bucket_pairs), with each pair emitted once per shared
-    shingle and counted into |A∩B|.  The earlier shape self-joined the
-    shingle table on shingle — two more full shuffles of the widest table
-    in the pipeline (measured +1.7 s at sf0.1).  Integer set sizes ->
-    double division, deterministic across engines."""
-    sh = shingle_table(docs)
+    Plan: ONE shuffle of the shingle table (groupBy shingle over the RAW
+    exploded multiset — collect_set dedupes per-doc repeats in the
+    map-side partial, so the old standalone distinct shuffle is gone, r11)
+    serves three purposes at once — the df cap is just a bucket-size
+    filter on that aggregate, per-doc set sizes re-derive from the
+    surviving buckets (exploded + re-counted, reusing the exchange), and
+    pair generation is the same distributed in-bucket expansion as LSH
+    (bucket_pairs), with each pair emitted once per shared shingle and
+    counted into |A∩B|.  The earlier shape self-joined the shingle table
+    on shingle — two more full shuffles of the widest table in the
+    pipeline (measured +1.7 s at sf0.1).  Integer set sizes -> double
+    division, deterministic across engines."""
     grouped = (
-        sh.groupBy("shingle")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        shingle_table(docs, distinct=False)
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
         .where(F.size("ids") <= max_shingle_df)
     )
     sizes = (
@@ -1534,17 +1536,30 @@ class _JaccardPrefixParts(NamedTuple):
 def _jaccard_prefix_build(
     docs: DataFrame, threshold: float, positional_filter: bool
 ) -> "_JaccardPrefixParts":
-    sh = shingle_table(docs)
-    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # ONE shingle-keyed aggregate (collect_set dedupes per-doc repeats in
+    # the map-side partial) replaces the old distinct -> df-aggregate ->
+    # join chain: the raw exploded shingles shuffle ONCE, df is just the
+    # bucket size, and the (df, shingle, doc) rows explode back out
+    # shuffle-free ahead of the doc-keyed aggregate — 4 shuffles of the
+    # widest table in the pipeline down to 2 (r11).
+    buckets = (
+        shingle_table(docs, distinct=False)
+        .groupBy("shingle")
+        .agg(F.collect_set("doc_id").alias("bucket_ids"))
+    )
     # ONE doc-keyed aggregation carries everything downstream needs: the
     # df-sorted token structs (prefix + positions), the shingle set for
-    # exact verification (a projection of toks — sh is distinct), and the
-    # set size.  Lazily localCheckpoint'd: prefix generation, both narrow
-    # size probes, and both wide set fetches read the materialized rows
-    # instead of each replaying the shingle+df subtree (this was the
-    # second doc-wide shuffle the old plan paid).
+    # exact verification (bucket membership is set-semantic, so the
+    # re-exploded rows are per-doc distinct), and the set size.  Lazily
+    # localCheckpoint'd: prefix generation, both narrow size probes, and
+    # both wide set fetches read the materialized rows instead of each
+    # replaying the shingle subtree.
     per_doc = (
-        sh.join(df_tbl, "shingle")
+        buckets.select(
+            "shingle",
+            F.size("bucket_ids").cast("long").alias("df"),
+            F.explode("bucket_ids").alias("doc_id"),
+        )
         .groupBy("doc_id")
         .agg(
             F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("toks")

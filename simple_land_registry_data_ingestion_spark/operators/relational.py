@@ -5587,31 +5587,30 @@ def sample_negative_pairs(
         )
         .distinct()
     )
-    neg = cand.join(
+    # rejection as a LEFT join + null-test marker so n_cand and n_neg
+    # come out of ONE custkey aggregate (r11: the old anti-join shape
+    # paid a second full pass over the candidate frame plus an extra
+    # custkey join just to count survivors separately; pos is distinct
+    # on (custkey, partkey), so the left join cannot fan out and the
+    # null-marker count equals the anti-join count exactly)
+    marked = cand.join(
         pos.select(
             F.col("custkey"), F.col("partkey").alias("cand_part")
-        ),
+        ).withColumn("_hit", F.lit(1)),
         ["custkey", "cand_part"],
-        "left_anti",
+        "left",
     )
     n_pos = pos.groupBy("custkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_pos")
     )
-    n_cand = cand.groupBy("custkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_cand")
+    per_cust = marked.groupBy("custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cand"),
+        F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_neg"),
     )
-    n_neg = neg.groupBy("custkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_neg")
-    )
-    return (
-        n_pos.join(n_cand, "custkey")
-        .join(n_neg, "custkey", "left_outer")
-        .select(
-            "custkey",
-            "n_pos",
-            "n_cand",
-            F.coalesce(F.col("n_neg"), F.lit(0)).cast("long").alias("n_neg"),
-        )
+    return n_pos.join(per_cust, "custkey").select(
+        "custkey", "n_pos", "n_cand", "n_neg"
     )
 
 
