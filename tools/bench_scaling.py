@@ -171,6 +171,11 @@ QUERIES = {
     "events_benford_audit": relational.events_benford_audit,
     "part_skyline_pareto": relational.part_skyline_pareto,
     "orders_market_basket_lift": relational.orders_market_basket_lift,
+    # r11: the other three basket-bounded co-purchase graph queries —
+    # same order-key pre-partitioned frame as market-basket lift
+    "basket_part_pairs": mining.basket_part_pairs,
+    "graph_degree_powerlaw": mining.graph_degree_powerlaw,
+    "graph_assortativity": mining.graph_assortativity,
     "text_js_divergence": text_fns.text_js_divergence,
     "text_minhash_jaccard_estimate": dedup.text_minhash_jaccard_estimate,
     "join_interval_overlap_weighted": relational.join_interval_overlap_weighted,
