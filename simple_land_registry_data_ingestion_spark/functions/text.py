@@ -1414,11 +1414,14 @@ def text_bpe_word_merges(
     (overlapping chains ``a a a`` merge their first pair only — the BPE
     convention).  The argmax tie-breaks (count desc, pair asc).
 
-    Plan at scale, per iteration: ONE doc-keyed shuffle builds
-    positional postings, the adjacency equi-join on (doc, pos+1) is
-    within-key, the pair count map-side combines, and the 1-row argmax
-    broadcasts back into a scan-stage rewrite; the corpus frame is
-    ``localCheckpoint``-materialized per round (the CC/PageRank
+    Plan at scale, per iteration: adjacent-pair counting is a pure
+    SCAN-STAGE ``zip_with`` of the token array against its own tail
+    (r11 — the earlier shape posexploded positional postings and
+    self-joined them on (doc, pos+1), two full shuffles of the token
+    table per round for pairs the array already holds in order), so
+    the only shuffle is the map-side-combined pair count; the 1-row
+    argmax broadcasts back into a scan-stage rewrite; the corpus frame
+    is ``localCheckpoint``-materialized per round (the CC/PageRank
     iteration discipline).  Real BPE runs thousands of merges — the
     loop shape is the same, only ``iters`` grows.
 
@@ -1434,21 +1437,16 @@ def text_bpe_word_merges(
     ).localCheckpoint(eager=True)
     merge_rows = []
     for i in range(iters):
-        toks = docs.select(
-            "doc_id",
-            F.posexplode(F.split(F.trim(F.col("work")), "  ")).alias(
-                "pos", "tok"
-            ),
-        )
-        a = toks.select("doc_id", F.col("pos").alias("pa"), F.col("tok").alias("x"))
-        b = toks.select(
-            F.col("doc_id").alias("db"),
-            F.col("pos").alias("pb"),
-            F.col("tok").alias("y"),
+        arr = F.split(F.trim(F.col("work")), "  ")
+        n_adj = F.greatest(F.size(arr) - 1, F.lit(0))
+        adj = F.zip_with(
+            F.slice(arr, 1, n_adj),
+            F.slice(arr, 2, n_adj),
+            lambda x, y: F.struct(x.alias("x"), y.alias("y")),
         )
         pairs = (
-            a.join(b, (F.col("doc_id") == F.col("db")) & (F.col("pb") == F.col("pa") + 1))
-            .groupBy("x", "y")
+            docs.select(F.explode(adj).alias("p"))
+            .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
             .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         )
         best = (
