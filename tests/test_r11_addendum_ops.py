@@ -1,0 +1,96 @@
+"""Round-11 addendum pins: the post-close perf pass cut redundant
+shuffles in the basket-graph / set-similarity families and made BPE's
+adjacent-pair counting scan-stage.  These tests pin the two shapes that
+could silently regress: the co-partitioned basket self-join (no second
+order-key exchange after the pre-partition checkpoint) and the
+zip_with == positional-join pair-count equivalence BPE now relies on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simple_land_registry_data_ingestion_spark.operators import mining
+from tests.conftest import SF_SMALL
+
+
+def _formatted(df):
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_basket_self_join_is_co_partitioned(spark):
+    """item_item_cf pre-partitions the (order, part) basket by the order
+    key and checkpoints it, so the visible plan (downstream of the
+    checkpoint) must never re-exchange on the order key for the pair
+    self-join: order_id hashpartitioning would mean the pre-partition
+    stopped being honored."""
+    plan = _formatted(mining.item_item_cf(spark, SF_SMALL))
+    assert "hashpartitioning(order_id" not in plan, plan
+
+
+def test_assortativity_basket_join_is_co_partitioned(spark):
+    plan = _formatted(mining.graph_assortativity(spark, SF_SMALL))
+    assert "hashpartitioning(order_id" not in plan, plan
+
+
+def test_bpe_zip_with_pairs_match_positional_join(spark):
+    """The r11 BPE rewrite counts adjacent pairs with a scan-stage
+    zip_with of the token array against its own tail; this pins its
+    equivalence to the old positional self-join on (doc, pos+1) over
+    the edge cases that matter: single-token docs (no pairs), repeated
+    runs ('a a a' yields the pair twice at count level), and multi-doc
+    aggregation."""
+    rows = [
+        (1, "a a a"),
+        (2, "x"),
+        (3, "a b a b"),
+        (4, "q r"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).select(
+        "doc_id",
+        F.concat(
+            F.lit(" "),
+            F.replace(F.col("text"), F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        ).alias("work"),
+    )
+    arr = F.split(F.trim(F.col("work")), "  ")
+    n_adj = F.greatest(F.size(arr) - 1, F.lit(0))
+    adj = F.zip_with(
+        F.slice(arr, 1, n_adj),
+        F.slice(arr, 2, n_adj),
+        lambda x, y: F.struct(x.alias("x"), y.alias("y")),
+    )
+    via_zip = (
+        docs.select(F.explode(adj).alias("p"))
+        .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("work")), "  ")).alias("pos", "tok"),
+    )
+    a = toks.select("doc_id", F.col("pos").alias("pa"), F.col("tok").alias("x"))
+    b = toks.select(
+        F.col("doc_id").alias("db"),
+        F.col("pos").alias("pb"),
+        F.col("tok").alias("y"),
+    )
+    via_join = (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("db")) & (F.col("pb") == F.col("pa") + 1),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    assert sorted(map(tuple, via_zip.collect())) == sorted(
+        map(tuple, via_join.collect())
+    )
+    # the 'a a a' doc must contribute ('a','a') twice
+    aa = {(r.x, r.y): r.cnt for r in via_zip.collect()}
+    assert aa[("a", "a")] == 2
