@@ -2317,7 +2317,14 @@ def dedup_kcore_peel(
             remaining.withColumnRenamed("doc_id", "n"), "n", "left_semi"
         ).join(
             remaining.withColumnRenamed("doc_id", "nbr"), "nbr", "left_semi"
-        ).localCheckpoint(eager=True)
+        )
+        if r < rounds:
+            # intermediate rounds: truncate lineage — the restricted
+            # adjacency feeds the NEXT round's degree aggregate and both
+            # of its semi joins.  The FINAL round's adjacency feeds only
+            # final_cnt once, so materializing it would be a pure extra
+            # pass over the edge blocks (r11: ~0.3 s of the floor).
+            cur_adj = cur_adj.localCheckpoint(eager=True)
     final_cnt = cur_adj.groupBy("n").agg(F.count(F.lit(1)).alias("cnt"))
     survivors = remaining.join(
         final_cnt, remaining.doc_id == final_cnt.n, "left_outer"
