@@ -80,9 +80,13 @@ def get_spark(
 def apply_session_defaults(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable tuning to an externally provided session.
 
-    The driver harness hands us its own SparkSession; only conf keys that are
-    runtime-mutable are applied (static ones like shuffle partitions for an
-    already-running app are left alone where Spark forbids changes).
+    The driver harness hands us its own SparkSession; only conf keys that
+    are runtime-mutable are applied (static ones like driver memory are
+    left alone).  ``spark.sql.shuffle.partitions`` IS runtime-mutable and
+    matters most here (r11): a stock session defaults to 200 shuffle
+    partitions, ~6x more tasks than the 32-core box needs — every keyed
+    exchange in a driver-side run paid that scheduling overhead before
+    AQE coalescing clawed part of it back.
     """
     for key in (
         "spark.sql.session.timeZone",
@@ -90,9 +94,16 @@ def apply_session_defaults(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.coalescePartitions.enabled",
         "spark.sql.adaptive.skewJoin.enabled",
         "spark.sql.execution.arrow.pyspark.enabled",
+        "spark.sql.files.maxPartitionBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
     ):
         try:
             spark.conf.set(key, TUNING.get(key, "true"))
         except Exception:  # pragma: no cover - static conf on some builds
             pass
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(DEFAULT_CPUS))
+    except Exception:  # pragma: no cover
+        pass
     return spark
