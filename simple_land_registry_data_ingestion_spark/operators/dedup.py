@@ -280,10 +280,11 @@ def dedup_jaccard_lsh(
     dedup_ngram_jaccard remains the standalone exact baseline.
 
     ONE doc-keyed aggregation computes the minhash signature AND the shingle
-    set together, so the shingle explode/distinct subtree and its doc_id
-    exchange exist once in the plan and Spark reuses the exchange across all
-    three consumers (band buckets, pair side A, pair side B) — measured ~2x
-    over building signatures and sets in separate pipelines.  The
+    set together, and the aggregated frame is checkpoint-materialized so all
+    three consumers (band buckets, pair side A, pair side B) read it once —
+    column pruning specializes the aggregate per consumer, which defeats
+    plain exchange reuse (r11; measured ~2x over building signatures and
+    sets in separate pipelines, and ~10% more over relying on reuse).  The
     intersection is computed per pair with array_intersect on the two sets —
     exact integer set sizes, so jac = |A∩B| / (|A|+|B|-|A∩B|) is
     deterministic.  A candidate pair always shares >= 1 shingle (equal
@@ -311,10 +312,21 @@ def _minhash_candidate_sets(docs: DataFrame) -> DataFrame:
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
         for i in range(NUM_HASHES)
     ]
-    per_doc = sh.groupBy("doc_id").agg(
-        F.collect_set("shingle").alias("sh_set"),
-        *sig_aggs,
-    ).withColumn("n_sh", F.size(F.col("sh_set")).cast("long"))
+    per_doc = (
+        sh.groupBy("doc_id")
+        .agg(
+            F.collect_set("shingle").alias("sh_set"),
+            *sig_aggs,
+        )
+        .withColumn("n_sh", F.size(F.col("sh_set")).cast("long"))
+        # materialize ONCE (r11, the text_minhash_jaccard_estimate
+        # lesson): the frame feeds three consumers with DIFFERENT pruned
+        # columns (band buckets read h0..h5, each pair side reads
+        # sh_set/n_sh), so column pruning specializes the aggregate per
+        # consumer and defeats exchange reuse — without the checkpoint
+        # the corpus shingle explode replays per consumer
+        .localCheckpoint(eager=True)
+    )
     buckets = minhash_band_buckets(per_doc.select("doc_id", *[f"h{i}" for i in range(NUM_HASHES)]))
     grouped = buckets.groupBy("band_key").agg(
         F.array_sort(F.collect_list("doc_id")).alias("ids")
