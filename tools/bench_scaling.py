@@ -58,6 +58,10 @@ QUERIES = {
     "dedup_semdedup": dedup.dedup_semdedup,
     "dedup_exact_substring": dedup.dedup_exact_substring,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+    # r11: the two LSH-candidate exact scorers (shared checkpointed
+    # front half — see _minhash_candidate_sets)
+    "dedup_jaccard_lsh": dedup.dedup_jaccard_lsh,
+    "dedup_containment_lsh": dedup.dedup_containment_lsh,
     # similarity family (embeddings)
     "similarity_ann_ivf": similarity.similarity_ann_ivf,
     "similarity_ann_batch": similarity.similarity_ann_batch,
@@ -366,6 +370,15 @@ def time_query(fn, spark, sf_dir, passes=2) -> tuple[float, int]:
 
 
 def main() -> None:
+    # Ambient guard (r11, same as measure_floor): the sandbox VM sees host
+    # CPU steal windows; scaling rows recorded inside one are garbage.
+    import os
+    load1 = os.getloadavg()[0]
+    if load1 > 4.0 and os.environ.get("SCALING_FORCE") != "1":
+        raise SystemExit(
+            f"ambient load {load1:.1f} > 4.0 — a steal window is active; "
+            "wait for quiet or set SCALING_FORCE=1"
+        )
     # 10x data in one local JVM needs a real heap (default local heap is 1g)
     spark = get_spark(
         app_name="bench-scaling", extra_conf={"spark.driver.memory": "48g"}

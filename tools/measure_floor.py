@@ -26,7 +26,22 @@ def main() -> None:
     ap.add_argument("queries", nargs="+")
     ap.add_argument("-n", type=int, default=3)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--force", action="store_true",
+        help="measure even under ambient load (numbers will be inflated)",
+    )
     args = ap.parse_args()
+
+    # Ambient guard (r11): the sandbox VM sees host CPU steal windows
+    # (load average ~20 with zero local processes); floors taken inside
+    # one are garbage.  Refuse rather than record them.
+    import os
+    load1 = os.getloadavg()[0]
+    if load1 > 4.0 and not args.force:
+        raise SystemExit(
+            f"ambient load {load1:.1f} > 4.0 — a steal window is active; "
+            "wait for quiet or pass --force"
+        )
 
     import bench
     import __spark_entry__ as entry_mod
