@@ -558,9 +558,18 @@ _SIGS_CTE = """
 #: the local parity suite, which runs ALL 360 entries every round), so
 #: their fresh r10 rows remain valid evidence and they spend no slots.
 #:
-#: r12 queue arithmetic: oldest evidence after a green r11 is the 47
-#: r04-evidence queries; 47 rotation slots + <= 3 additions/re-certs
-#: fills 50.  Any r11 red takes the head instead.
+#: r12 queue arithmetic: any r11 red takes the head.  Then block A =
+#: re-certs for the queries whose PLANS changed in the r11 continuation
+#: pass AFTER this window was frozen (all output-identical, full local
+#: parity green, but fresh driver rows are still the only closure):
+#: dedup_jaccard_prefix, dedup_ngram_jaccard, dedup_jaccard_lsh,
+#: text_bpe_word_merges, dedup_kcore_peel, item_item_cf,
+#: graph_degree_powerlaw, graph_assortativity, basket_part_pairs,
+#: sample_negative_pairs (10; dedup_containment_lsh shares the
+#: candidate-sets rewrite but already sits in THIS window, so its fresh
+#: r11 row covers it).  Then rotation: the 47 r04-evidence queries fill
+#: the rest; ~7 overflow to r13 if the block-A re-certs take their
+#: slots — acceptable, max age still drops each round.
 _R11_WINDOW: list[str] = [
     # -- block A: plans changed this round (VERDICT r10 item 1 — the
     # -- three retired dimension-global windows; output contract is
