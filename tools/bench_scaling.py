@@ -46,10 +46,12 @@ from simple_land_registry_data_ingestion_spark.operators import asof
 from simple_land_registry_data_ingestion_spark.operators import (
     evaluation,
     mining,
+    multimodal,
     relational,
     similarity,
     sketches,
 )
+from simple_land_registry_data_ingestion_spark.functions import udfs
 
 QUERIES = {
     # dedup family (documents)
@@ -62,6 +64,25 @@ QUERIES = {
     # front half — see _minhash_candidate_sets)
     "dedup_jaccard_lsh": dedup.dedup_jaccard_lsh,
     "dedup_containment_lsh": dedup.dedup_containment_lsh,
+    # r11 close: scale rows for every remaining bench-top-40 batch query
+    # that lacked one (streams excluded — the availableNow drain shape is
+    # trigger-bound, not data-bound, and the tool's corpus swap does not
+    # rebuild the chunked-tail checkpoints)
+    "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
+    "dedup_canonical_by_quality": dedup.dedup_canonical_by_quality,
+    "dedup_cluster_assignments": dedup.dedup_cluster_assignments,
+    "dedup_decontaminate": dedup.dedup_decontaminate,
+    "dedup_pagerank_hubs": dedup.dedup_pagerank_hubs,
+    "split_leakage_free": dedup.split_leakage_free,
+    "dedup_triangle_stats": dedup.dedup_triangle_stats,
+    "events_cusum_pandas": udfs.events_cusum_pandas,
+    "multimodal_decode_features": multimodal.multimodal_decode_features,
+    "agg_approx_quantile_error": relational.agg_approx_quantile_error,
+    "similarity_ivf_kmeans": similarity.similarity_ivf_kmeans,
+    "similarity_ivfpq_adc": similarity.similarity_ivfpq_adc,
+    "text_lang_id_ngram": text_fns.text_lang_id_ngram,
+    "text_bigram_kn_perplexity": text_fns.text_bigram_kn_perplexity,
+    "text_dictionary_tagging": text_fns.text_dictionary_tagging,
     # similarity family (embeddings)
     "similarity_ann_ivf": similarity.similarity_ann_ivf,
     "similarity_ann_batch": similarity.similarity_ann_batch,
