@@ -34,6 +34,9 @@ from pyspark.sql import functions as F
 
 from simple_land_registry_data_ingestion_spark.functions.text import words_col
 from simple_land_registry_data_ingestion_spark.functions.vectors import dot, norm
+from simple_land_registry_data_ingestion_spark.operators.substrate import (
+    materialized_frame,
+)
 from simple_land_registry_data_ingestion_spark.tables import fan_out, load
 
 # ---------------------------------------------------------------------------
@@ -667,7 +670,7 @@ def dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     to themselves); is_canonical marks the per-cluster survivor a dedup
     pipeline would keep."""
     docs = load(spark, sf_dir, "documents")
-    edges = minhash_candidate_pairs(docs)
+    edges = shared_minhash_graph(spark, sf_dir)  # at-rest lens substrate (r12)
     comps = connected_components(
         docs.select("doc_id"), edges, node_col="doc_id",
         src_col="doc_a", dst_col="doc_b",
@@ -898,6 +901,39 @@ def dedup_simhash_pairs(
         )
         .where(F.col("nibble_distance") <= max_nibble_distance)
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shared at-rest candidate-graph store (round 12; machinery in substrate.py)
+# ---------------------------------------------------------------------------
+
+def shared_simhash_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified SimHash edge list at nibble distance <= 3, at rest:
+    ``(doc_a, doc_b, nibble_distance)``.  One frame serves EVERY verify
+    threshold <= 3 because banding is recall-perfect at its own threshold
+    (dedup_simhash_pairs docstring; pinned by
+    test_simhash_band_count_follows_threshold): the distance-d verified
+    set is exactly the ``nibble_distance <= d`` slice of this frame."""
+    return materialized_frame(
+        spark,
+        sf_dir,
+        "simhash_d3",
+        "documents",
+        lambda: dedup_simhash_pairs(spark, sf_dir, max_nibble_distance=3),
+    )
+
+
+def shared_minhash_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH candidate pair list ``(doc_a, doc_b)`` at rest —
+    the substrate every minhash graph lens (triangles, modularity, label
+    propagation, PageRank, cluster assignment, source overlap) consumes."""
+    return materialized_frame(
+        spark,
+        sf_dir,
+        "minhash_lsh",
+        "documents",
+        lambda: minhash_candidate_pairs(load(spark, sf_dir, "documents")),
     )
 
 
@@ -1263,7 +1299,7 @@ def dedup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered query: triangle/clustering-coefficient triage over the
     MinHash-LSH candidate graph (every document, zeros for isolated)."""
     docs = load(spark, sf_dir, "documents")
-    edges = minhash_candidate_pairs(docs)
+    edges = shared_minhash_graph(spark, sf_dir)  # at-rest lens substrate (r12)
     return triangle_stats(
         docs.select("doc_id"), edges, node_col="doc_id",
         src_col="doc_a", dst_col="doc_b",
@@ -1483,7 +1519,7 @@ def dedup_pagerank_hubs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties broken by doc_id in consumers; full table out so the oracle hash
     covers every rank, not just the head."""
     docs = load(spark, sf_dir, "documents")
-    edges = minhash_candidate_pairs(docs)
+    edges = shared_minhash_graph(spark, sf_dir)  # at-rest lens substrate (r12)
     pr = pagerank_centrality(docs.select("doc_id"), edges)
     return pr.select(F.col("node").alias("doc_id"), F.col("rank").alias("pagerank"))
 
@@ -1746,7 +1782,7 @@ def dedup_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     is corpus-sized, not broadcastable, which is fine — the PAIR side is
     the small one).  least/greatest normalizes the unordered source pair
     so the matrix is upper-triangular."""
-    pairs = minhash_candidate_pairs(load(spark, sf_dir, "documents"))
+    pairs = shared_minhash_graph(spark, sf_dir)  # at-rest lens substrate (r12)
     srcs = load(spark, sf_dir, "documents").select("doc_id", "source")
     sa = srcs.select(
         F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
@@ -2159,11 +2195,26 @@ def dedup_link_prediction(
 
     Output: (u, w, common, union_size, nbr_jaccard), top ``k``.
     """
-    edges = (
-        dedup_simhash_pairs(spark, sf_dir, max_nibble_distance=verify_distance)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    # r12: thresholds <= 3 slice the shared at-rest graph (banding-
+    # invariance makes the slice exact — shared_simhash_graph docstring);
+    # wider thresholds fall back to a live build.  The parquet scan is
+    # cheap and re-executable, so the old eager checkpoint (which existed
+    # to keep the fingerprint subtree from replaying into the adjacency
+    # AND the anti-join) is no longer needed.
+    if verify_distance <= 3:
+        edges = (
+            shared_simhash_graph(spark, sf_dir)
+            .where(F.col("nibble_distance") <= verify_distance)
+            .select("doc_a", "doc_b")
+        )
+    else:
+        edges = (
+            dedup_simhash_pairs(
+                spark, sf_dir, max_nibble_distance=verify_distance
+            )
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        )
     adj_full = edges.select(
         F.col("doc_a").alias("n"), F.col("doc_b").alias("nbr")
     ).unionAll(
@@ -2278,11 +2329,12 @@ def dedup_kcore_peel(
     0 for survivors (last_degree = degree in the final graph)."""
     if rounds < 1:
         raise ValueError(f"dedup_kcore_peel requires rounds >= 1, got {rounds}")
-    edges = (
-        dedup_simhash_pairs(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    # r12: the edge list comes from the shared at-rest graph store
+    # (materialized_graph) instead of an in-query rebuild — the rebuild
+    # was the floor's dominant term (dedup_simhash_pairs is itself a
+    # ~3.5 s query at sf0.1; VERDICT r11 item 2).  The parquet scan is
+    # re-executable, so no checkpoint is needed on the raw edges.
+    edges = shared_simhash_graph(spark, sf_dir).select("doc_a", "doc_b")
     adj = (
         edges.select(F.col("doc_a").alias("n"), F.col("doc_b").alias("nbr"))
         .unionAll(
@@ -2385,7 +2437,9 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (cluster_id, n_nodes, degree_sum, intra_edges, q_contrib)
     for every non-singleton cluster."""
     docs = load(spark, sf_dir, "documents")
-    edges = minhash_candidate_pairs(docs).localCheckpoint(eager=True)
+    # at-rest lens substrate (r12); the parquet scan replays per consumer
+    # for free, so the old eager checkpoint is gone
+    edges = shared_minhash_graph(spark, sf_dir)
     comp = connected_components(
         docs.select("doc_id"), edges, node_col="doc_id",
         src_col="doc_a", dst_col="doc_b",
@@ -2449,7 +2503,7 @@ def graph_label_propagation(
     if rounds < 1:
         raise ValueError("rounds >= 1 required")
     docs = load(spark, sf_dir, "documents")
-    cand = minhash_candidate_pairs(docs)
+    cand = shared_minhash_graph(spark, sf_dir)  # at-rest lens substrate (r12)
     und = (
         cand.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(

@@ -15,7 +15,64 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from simple_land_registry_data_ingestion_spark.operators.substrate import (
+    materialized_frame,
+)
 from simple_land_registry_data_ingestion_spark.tables import load
+
+
+# ---------------------------------------------------------------------------
+# Shared at-rest co-purchase substrate (round 12; machinery in substrate.py)
+# ---------------------------------------------------------------------------
+
+def shared_basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct ``(order_id, part_id)`` basket at rest — the root
+    frame of every part-level market-basket query.  Before r12 each of
+    the four basket queries re-scanned lineitem, re-shuffled it by the
+    order key, re-deduped, and eagerly checkpointed at CONSTRUCTION time
+    (ADVICE r11: merely building the query executed a job, and the
+    cached blocks were executor-lifetime-bound); the at-rest frame pays
+    that once per corpus."""
+
+    def _build() -> DataFrame:
+        return (
+            load(spark, sf_dir, "lineitem")
+            .select(
+                F.col("l_orderkey").alias("order_id"),
+                F.col("l_partkey").alias("part_id"),
+            )
+            .repartition(F.col("order_id"))
+            .distinct()
+        )
+
+    return materialized_frame(spark, sf_dir, "basket_items", "lineitem", _build)
+
+
+def shared_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNFILTERED co-purchase pair counts ``(part_a < part_b,
+    pair_orders)`` at rest — consumers apply their own ``min_support`` /
+    ``min_cooc`` cuts at read time (predicate pushdown into the scan), so
+    one frame serves every parameterization.  Its row set doubles as the
+    distinct co-purchase EDGE list (each unordered pair appears exactly
+    once), which is what the degree-distribution lenses consume.  Built
+    FROM the at-rest basket (cascaded substrate; fingerprint keys on
+    lineitem, the root input) with the order-key self-join that bounds
+    the pair expansion by basket size."""
+
+    def _build() -> DataFrame:
+        items = shared_basket_items(spark, sf_dir)
+        a = items.select("order_id", F.col("part_id").alias("part_a"))
+        b = items.select("order_id", F.col("part_id").alias("part_b"))
+        return (
+            a.join(b, "order_id")
+            .where(F.col("part_a") < F.col("part_b"))
+            .groupBy("part_a", "part_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("pair_orders"))
+        )
+
+    return materialized_frame(
+        spark, sf_dir, "copurchase_pairs", "lineitem", _build
+    )
 
 
 def er_blocked_match(
@@ -126,35 +183,20 @@ def basket_part_pairs(
     ``lift = P(a,b) / (P(a)·P(b))`` rounded to 6 dp (count ratios —
     engine-exact).
 
-    The basket frame is hash-partitioned by the order key once and
-    checkpointed (r11, the market-basket-lift shape): the distinct
-    dedup, the order count, and the pair self-join all become
-    partition-local / co-partitioned with zero further shuffles.
+    r12: the basket and its pair counts come from the shared at-rest
+    substrate (shared_basket_items / shared_copurchase_pairs) — the
+    min_support cut pushes into the pair-store scan, and no order-key
+    shuffle remains anywhere in the plan.
     """
-    items = (
-        load(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_orderkey").alias("order_id"),
-            F.col("l_partkey").alias("part_id"),
-        )
-        .repartition(F.col("order_id"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    items = shared_basket_items(spark, sf_dir)
     n_orders = items.select("order_id").distinct().groupBy().agg(
         F.count(F.lit(1)).alias("n_orders")
     )
     item_freq = items.groupBy("part_id").agg(
         F.count(F.lit(1)).alias("item_orders")
     )
-    a = items.select("order_id", F.col("part_id").alias("part_a"))
-    b = items.select("order_id", F.col("part_id").alias("part_b"))
-    pairs = (
-        a.join(b, "order_id")
-        .where(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("pair_orders"))
-        .where(F.col("pair_orders") >= F.lit(min_support))
+    pairs = shared_copurchase_pairs(spark, sf_dir).where(
+        F.col("pair_orders") >= F.lit(min_support)
     )
     freq_a = item_freq.select(
         F.col("part_id").alias("part_a"), F.col("item_orders").alias("orders_a")
@@ -489,33 +531,17 @@ def item_item_cf(
     Output: (part_id, neighbor_id, cooc, cosine, rk) — both directions
     of each pair, rk 1..top_k per part.
 
-    The basket frame is hash-partitioned by the order key once and
-    checkpointed (r11, the market-basket-lift shape): the distinct dedup
-    becomes partition-local (order-key partitioning satisfies the
-    (order, part) clustering) and the pair self-join co-partitions with
-    zero further shuffles."""
-    items = (
-        load(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_orderkey").alias("order_id"),
-            F.col("l_partkey").alias("part_id"),
-        )
-        .repartition(F.col("order_id"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    r12: the basket and its pair counts come from the shared at-rest
+    substrate (shared_basket_items / shared_copurchase_pairs) — the
+    min_cooc cut pushes into the pair-store scan, and no order-key
+    shuffle remains anywhere in the plan."""
+    items = shared_basket_items(spark, sf_dir)
     item_orders = items.groupBy("part_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders")
     )
-    a = items.select("order_id", F.col("part_id").alias("part_a"))
-    b = items.select("order_id", F.col("part_id").alias("part_b"))
-    pairs = (
-        a.join(b, "order_id")
-        .where(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("cooc"))
-        .where(F.col("cooc") >= F.lit(min_cooc))
-    )
+    pairs = shared_copurchase_pairs(spark, sf_dir).select(
+        "part_a", "part_b", F.col("pair_orders").alias("cooc")
+    ).where(F.col("cooc") >= F.lit(min_cooc))
     # both directions so every item sees its full neighbor list
     sym = pairs.select("part_a", "part_b", "cooc").unionAll(
         pairs.select(
@@ -571,27 +597,12 @@ def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: 1 row (n_nodes, n_edges, n_points, slope, intercept) —
     slope ~ -alpha of the power law.
 
-    The basket frame is hash-partitioned by the order key (r11, the
-    market-basket-lift shape) so the distinct is partition-local and
-    the pair self-join co-partitions shuffle-free."""
-    items = (
-        load(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_orderkey").alias("order_id"),
-            F.col("l_partkey").alias("part_id"),
-        )
-        .repartition(F.col("order_id"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    a = items.select("order_id", F.col("part_id").alias("pa"))
-    b = items.select("order_id", F.col("part_id").alias("pb"))
-    edges = (
-        a.join(b, "order_id")
-        .where(F.col("pa") < F.col("pb"))
-        .select("pa", "pb")
-        .distinct()
-        .localCheckpoint(eager=True)
+    r12: the edge list is the at-rest co-purchase pair store's row set
+    (each unordered pair exactly once — shared_copurchase_pairs), so no
+    basket rebuild, no order-key shuffle, and no construction-time
+    checkpoint remain."""
+    edges = shared_copurchase_pairs(spark, sf_dir).select(
+        F.col("part_a").alias("pa"), F.col("part_b").alias("pb")
     )
     deg = (
         edges.select(F.col("pa").alias("node"))
@@ -660,27 +671,11 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the basket-bounded edge list, one degree aggregate, a
     broadcast degree lookup onto both endpoints, one 1-row moment
-    aggregate.  The basket frame is hash-partitioned by the order key
-    (r11, the market-basket-lift shape) so the distinct is
-    partition-local and the pair self-join co-partitions shuffle-free."""
-    items = (
-        load(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_orderkey").alias("order_id"),
-            F.col("l_partkey").alias("part_id"),
-        )
-        .repartition(F.col("order_id"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    a = items.select("order_id", F.col("part_id").alias("pa"))
-    b = items.select("order_id", F.col("part_id").alias("pb"))
-    edges = (
-        a.join(b, "order_id")
-        .where(F.col("pa") < F.col("pb"))
-        .select("pa", "pb")
-        .distinct()
-        .localCheckpoint(eager=True)
+    aggregate.  r12: the edge list is the at-rest co-purchase pair
+    store's row set (shared_copurchase_pairs) — no basket rebuild, no
+    order-key shuffle, no construction-time checkpoint."""
+    edges = shared_copurchase_pairs(spark, sf_dir).select(
+        F.col("part_a").alias("pa"), F.col("part_b").alias("pb")
     )
     deg = (
         edges.select(F.col("pa").alias("node"))

@@ -8234,7 +8234,19 @@ def orders_market_basket_lift(
     (orderkey partitioning satisfies the (orderkey, brand) clustering),
     the pair self-join co-partitions with zero further shuffles, and
     the countDistinct partial runs in place.  1x 1.8 -> 1.4 s,
-    10x 3.0 -> 2.6 s, slope 3.23 -> ~1.9, rows identical."""
+    10x 3.0 -> 2.6 s, slope 3.23 -> ~1.9, rows identical.
+
+    Checkpoint trade-off (ADVICE r11, same note as dedup._truncate_lineage):
+    the eager localCheckpoint executes the basket build at CONSTRUCTION
+    time and its blocks are executor-lifetime-bound — on a real cluster a
+    lost executor kills the frame and the job must restart.  eager=True is
+    kept deliberately: a lazy checkpoint materializes under the first
+    action, where the four consumers' tasks can race the un-checkpointed
+    subtree and replay the lineitem shuffle per consumer (the exact cost
+    the checkpoint removes).  The part-level basket queries avoid the
+    whole question via the at-rest substrate (mining.shared_basket_items);
+    this brand-level basket stays in-query because it is already
+    dimension-bounded after the brand projection."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey"), "p_brand"

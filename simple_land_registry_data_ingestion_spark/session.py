@@ -87,6 +87,14 @@ def apply_session_defaults(spark: SparkSession) -> SparkSession:
     partitions, ~6x more tasks than the 32-core box needs — every keyed
     exchange in a driver-side run paid that scheduling overhead before
     AQE coalescing clawed part of it back.
+
+    r12 (ADVICE r11): the shuffle-partition override applies ONLY when
+    the session still carries Spark's stock 200 default — a harness that
+    deliberately configured its own value keeps it.  The applied value
+    follows the session's actual parallelism (``defaultParallelism``),
+    not this box's core count, so a differently-sized host is sized
+    correctly; ``SPARK_GRAFT_CPUS`` remains the explicit escape hatch
+    and wins when set.
     """
     for key in (
         "spark.sql.session.timeZone",
@@ -103,7 +111,12 @@ def apply_session_defaults(spark: SparkSession) -> SparkSession:
         except Exception:  # pragma: no cover - static conf on some builds
             pass
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(DEFAULT_CPUS))
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            if "SPARK_GRAFT_CPUS" in os.environ:
+                target = DEFAULT_CPUS
+            else:
+                target = max(spark.sparkContext.defaultParallelism, 1)
+            spark.conf.set("spark.sql.shuffle.partitions", str(target))
     except Exception:  # pragma: no cover
         pass
     return spark

@@ -22,19 +22,39 @@ def _formatted(df):
     )
 
 
-def test_basket_self_join_is_co_partitioned(spark):
-    """item_item_cf pre-partitions the (order, part) basket by the order
-    key and checkpoints it, so the visible plan (downstream of the
-    checkpoint) must never re-exchange on the order key for the pair
-    self-join: order_id hashpartitioning would mean the pre-partition
-    stopped being honored."""
-    plan = _formatted(mining.item_item_cf(spark, SF_SMALL))
-    assert "hashpartitioning(order_id" not in plan, plan
+def _assert_reads_copurchase_store(plan: str) -> None:
+    """r12 pin (supersedes the r11 co-partitioning pin, per ADVICE r11:
+    the old absence-only assertion passed vacuously under plan-shape
+    drift): the basket lenses must READ the at-rest co-purchase store —
+    a parquet scan whose path carries the store tag — and must never
+    scan lineitem (an l_orderkey column anywhere means the in-query
+    basket rebuild came back).  A narrow order_id exchange for the
+    order-count aggregate is allowed; the basket-sized rebuild is not."""
+    assert "copurchase_pairs_" in plan, plan
+    assert "l_orderkey" not in plan, plan
 
 
-def test_assortativity_basket_join_is_co_partitioned(spark):
-    plan = _formatted(mining.graph_assortativity(spark, SF_SMALL))
-    assert "hashpartitioning(order_id" not in plan, plan
+def test_item_item_cf_reads_copurchase_store(spark):
+    _assert_reads_copurchase_store(_formatted(mining.item_item_cf(spark, SF_SMALL)))
+
+
+def test_assortativity_reads_copurchase_store(spark):
+    _assert_reads_copurchase_store(
+        _formatted(mining.graph_assortativity(spark, SF_SMALL))
+    )
+
+
+def test_basket_part_pairs_reads_copurchase_store(spark):
+    plan = _formatted(mining.basket_part_pairs(spark, SF_SMALL))
+    _assert_reads_copurchase_store(plan)
+    # the support/frequency side tables read the basket store, not lineitem
+    assert "basket_items_" in plan, plan
+
+
+def test_degree_powerlaw_reads_copurchase_store(spark):
+    _assert_reads_copurchase_store(
+        _formatted(mining.graph_degree_powerlaw(spark, SF_SMALL))
+    )
 
 
 def test_bpe_zip_with_pairs_match_positional_join(spark):
