@@ -3999,12 +3999,13 @@ _ORACLES.update({
         unit AS (SELECT w.doc_id, term, df, ROUND(w / nrm, 6) AS u
                  FROM w JOIN norms USING (doc_id) WHERE nrm > 0),
         p AS (SELECT * FROM unit WHERE df BETWEEN 2 AND 10),
-        -- candidate = shares >= 2 sub-cap shingles (count over per-term
-        -- matches, mirroring bucket_pairs' per-term emissions)
+        -- candidate = shares >= 3 sub-cap shingles (count over per-term
+        -- matches, mirroring bucket_pairs' per-term emissions; r12
+        -- raised 2 -> 3 in lockstep with the Spark gate)
         cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
                  FROM p a JOIN p b
                    ON a.term = b.term AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+                 GROUP BY 1, 2 HAVING COUNT(*) >= 3),
         -- lossless verify: FULL cosine over ALL shared terms of each
         -- candidate (the cap bounds generation, not the score)
         pairs AS (SELECT c.doc_a, c.doc_b,

@@ -124,7 +124,28 @@ def main() -> None:
             queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             pass_times[name] = round(time.monotonic() - start, 3)
         passes.append(pass_times)
-    timings = {name: min(p[name] for p in passes) for name in passes[0]}
+    # r12 amendment (VERDICT r11 item 5): queries whose two passes
+    # disagree by > 1.5x got BOTH timings inside an ambient-load window
+    # often enough that even the min was inflated (the same ~10 queries
+    # swung 2-4x between byte-identical runs).  Give exactly those a
+    # third, tiebreak pass; the recorded floor is still min-of-passes,
+    # so this can only remove noise, never hide a real regression.
+    noisy = sorted(
+        n
+        for n in passes[0]
+        if max(p[n] for p in passes) > 1.5 * min(p[n] for p in passes)
+    )
+    if noisy:
+        tiebreak: dict[str, float] = {}
+        for name in noisy:
+            _clear_persisted(spark)
+            start = time.monotonic()
+            queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            tiebreak[name] = round(time.monotonic() - start, 3)
+        passes.append(tiebreak)
+    timings = {
+        name: min(p[name] for p in passes if name in p) for name in passes[0]
+    }
 
     total = round(sum(timings.values()), 3)
     ordered = sorted(timings.values())
@@ -151,8 +172,12 @@ def main() -> None:
                     "timed query (lingering localCheckpoint blocks "
                     "inflated later queries 2-3x in r7/r8 sessions); "
                     "ambient sandbox load makes single-shot timings "
-                    "swing >20%, the per-query floor is reproducible"
+                    "swing >20%, the per-query floor is reproducible. "
+                    "r12 amendment: queries whose two passes disagree "
+                    ">1.5x get a third tiebreak pass (min over all "
+                    "passes — can only remove ambient noise)"
                 ),
+                "tiebreak_queries": noisy,
                 "queries": timings,
                 # pass 1 = cold (first planning/codegen per query), pass 2 =
                 # warm; regressions in first-run planning cost show up as a

@@ -99,36 +99,45 @@ def text_winnowing_fingerprints(
     MinHash bands.  Hash = md5 string; 'minimum' is the lexicographic min,
     a total order both engines implement identically (the classic variant
     uses integer rolling hashes — any total order preserves the guarantee).
-    Documents with fewer than w+2 words have no window and emit nothing."""
+    Documents with fewer than w+2 words have no window and emit nothing.
+
+    r12 rewrite (VERDICT r11 item 6 — worst 10x slope in the registry at
+    5.76): the array-HOF form ran every md5 and every O(w) sliding-min
+    INTERPRETED (higher-order-function lambdas never enter whole-stage
+    codegen), which made selection the CPU bottleneck however parallel
+    the layout.  This form posexplodes the words and expresses the same
+    computation as three frames over ONE (doc_id, pos) sort: lead() x2
+    assembles each 3-gram, md5 runs as a top-level codegen'd projection,
+    and the per-window minimum is min() OVER (ROWS BETWEEN CURRENT AND
+    w-1 FOLLOWING) — emitted only where lead(gram, w-1) exists, i.e.
+    exactly the G-w+1 full windows of the old form.  One keyed exchange
+    replaces zero, but every expression is codegen: A/B at sf0.1
+    1.24 -> 0.88 s, at 10x 5.0 -> 0.95 s, rows identical.  (fan_out and
+    the bound-array workaround became unnecessary with the explode.)"""
     docs = load(spark, sf_dir, "documents")
     ws_arr = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    n = F.size(ws_arr)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: F.md5(
-            F.concat_ws(
-                " ", F.get(ws_arr, i - 1), F.get(ws_arr, i), F.get(ws_arr, i + 1)
-            )
-        ),
+    toks = docs.select("doc_id", F.posexplode(ws_arr).alias("pos", "word"))
+    wo = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.withColumn("w1", F.lead("word", 1).over(wo))
+        .withColumn("w2", F.lead("word", 2).over(wo))
+        .where(F.col("w2").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(F.concat_ws(" ", "word", "w1", "w2")).alias("g"),
+        )
     )
-    # BIND the gram-hash array to a column before windowing: a lambda that
-    # references an unbound transform EXPRESSION re-evaluates the whole
-    # array per window element (O(G^2) md5 calls per doc, interpreted —
-    # measured minutes vs seconds at sf0.1); bound to a column it is
-    # computed once per row.
-    from simple_land_registry_data_ingestion_spark.tables import fan_out
-
-    # fan_out: the md5/window work is CPU-bound per row and the documents
-    # file is byte-small — without it the whole selection runs on 1-2 scan
-    # partitions (measured 8.8s -> 1.3s at sf0.1 on local[32])
-    hashed = fan_out(docs.where(n >= w + 2)).select(
-        "doc_id", grams.alias("grams")
+    fps = (
+        grams.withColumn(
+            "fp", F.min("g").over(wo.rowsBetween(0, w - 1))
+        )
+        # a window is FULL exactly where its last gram exists
+        .withColumn("g_end", F.lead("g", w - 1).over(wo))
+        .where(F.col("g_end").isNotNull())
+        .select("doc_id", F.col("fp").alias("fingerprint"))
     )
-    fps = F.transform(
-        F.sequence(F.lit(1), F.size(F.col("grams")) - (w - 1)),
-        lambda i: F.array_min(F.slice(F.col("grams"), i, w)),
-    )
-    return hashed.select("doc_id", F.explode(fps).alias("fingerprint")).distinct()
+    return fps.distinct()
 
 
 def quality_score_col(text: Column | str = "text") -> Column:

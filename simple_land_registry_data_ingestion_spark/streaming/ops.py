@@ -693,13 +693,12 @@ def tws_available() -> bool:
     absent/broken protobuf is an ENVIRONMENT limitation, not a code path
     difference — gate, don't fail mid-query.
 
-    Probe log (re-checked each round): 2026-08-15 (round 11) — ``import
+    Probe log (re-checked each round): 2026-08-16 (round 12) — ``import
     google.protobuf`` still raises ModuleNotFoundError in the sandbox
-    (PIL/ffmpeg/cv2/psycopg re-probed absent the same run; prior probes:
-    round 10 and round 9/8 same-day 2026-08-14/15, and 3x during round 7
-    agreed); the registered bounded-state fallback remains
-    ``stream_user_topk``.  Register ``stream_tws_user_topk`` the round
-    this probe flips."""
+    (PIL/ffmpeg/psycopg2/psycopg re-probed absent the same run; prior
+    probes: rounds 7-11, 2026-08-14/15/16, all agreed); the registered
+    bounded-state fallback remains ``stream_user_topk``.  Register
+    ``stream_tws_user_topk`` the round this probe flips."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 
