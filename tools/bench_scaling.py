@@ -73,6 +73,7 @@ QUERIES = {
     "dedup_cluster_assignments": dedup.dedup_cluster_assignments,
     "dedup_decontaminate": dedup.dedup_decontaminate,
     "dedup_pagerank_hubs": dedup.dedup_pagerank_hubs,
+    "dedup_source_overlap_matrix": dedup.dedup_source_overlap_matrix,
     "split_leakage_free": dedup.split_leakage_free,
     "dedup_triangle_stats": dedup.dedup_triangle_stats,
     "events_cusum_pandas": udfs.events_cusum_pandas,
