@@ -559,7 +559,10 @@ _SIGS_CTE = """
 #: extra slot), leaving exactly 12 to spill.
 #:
 #: r13 queue arithmetic: any r12 red takes the head; then re-certs for
-#: any post-freeze plan changes; then the 12 r04-evidence spillovers, in
+#: the post-freeze plan changes (known at freeze+1: dedup_decontaminate —
+#: single-aggregation hit counting — and graph_hits_scores — at-rest
+#: user-part edge store — both locally parity-green, newest driver rows
+#: certify the old plans); then the 12 r04-evidence spillovers, in
 #: this order: sql_exists_subquery, sql_lateral_topn, sql_scalar_subquery,
 #: stream_user_topk, text_lang_id, text_quality_quantile_gate,
 #: text_quality_score, text_token_count, window_lag_lead,

@@ -1072,8 +1072,14 @@ def decontaminate(
       map-side hash join on every train partition, no shuffle of the corpus;
       for an eval side too big to broadcast, drop the hint and the same plan
       degrades gracefully to a shuffled hash join on the shingle key;
-    - the train side shingles once (distinct within doc) and aggregates hit
-      counts per doc — one map-side-combined groupBy on doc_id.
+    - the train side shingles once (distinct within doc), LEFT-joins the
+      broadcast eval set as a hit MARKER, and computes shingle count and
+      overlap count in ONE doc-keyed aggregation (r12: the r11 shape ran
+      two separate aggregations — totals and hits — over the same
+      shingle frame plus a final doc-keyed join to reunite them; the
+      conditional count folds all of that into a single shuffle after
+      the distinct.  A/B: 2.35 -> 1.45 s at sf0.1, 9.3 -> 5.4 s at 10x,
+      rows identical).
 
     Output: one row per CONTAMINATED train doc with its shingle count,
     overlap count, and containment = n_overlap / n_shingles (the fraction
@@ -1081,16 +1087,24 @@ def decontaminate(
     fewer than ``n`` words have no shingles and are trivially clean.
     """
     tr_sh = shingle_table(train, n=n)  # distinct: overlap COUNTS rows
-    ev_sh = shingle_table(eval_docs, n=n).select("shingle").distinct()
-    totals = tr_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    hits = (
-        tr_sh.join(F.broadcast(ev_sh), "shingle")
+    ev_sh = (
+        shingle_table(eval_docs, n=n)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    agg = (
+        tr_sh.join(F.broadcast(ev_sh), "shingle", "left")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_overlap"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            # count() skips nulls, so this counts exactly the marked rows
+            F.count("__hit").alias("n_overlap"),
+        )
         .where(F.col("n_overlap") >= min_overlap)
     )
     containment = F.col("n_overlap").cast("double") / F.col("n_shingles")
-    return hits.join(totals, "doc_id").select(
+    return agg.select(
         "doc_id",
         "n_shingles",
         "n_overlap",

@@ -75,6 +75,27 @@ def shared_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shared_user_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct (customer, part) purchase edge list at rest — the
+    bipartite graph HITS scores; built once per corpus from
+    lineitem x orders (fingerprint keys on lineitem, the root input)."""
+
+    def _build() -> DataFrame:
+        orders = load(spark, sf_dir, "orders")
+        lineitem = load(spark, sf_dir, "lineitem")
+        return (
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .select(
+                F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p")
+            )
+            .distinct()
+        )
+
+    return materialized_frame(
+        spark, sf_dir, "user_part_edges", "lineitem", _build
+    )
+
+
 def er_blocked_match(
     spark: SparkSession,
     sf_dir: str,
@@ -797,16 +818,11 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges still co-locate both joins, keeping one shuffle per side
     total.  Output: top-10 authorities and top-10 hubs by the total
     order (score desc, id asc), unioned with a kind tag."""
-    orders = load(spark, sf_dir, "orders")
-    lineitem = load(spark, sf_dir, "lineitem")
-    edges = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # r12: the distinct edge list comes from the at-rest store (no
+    # lineitem x orders rebuild at construction); the two pre-partitioned
+    # copies stay in-query — their KNOWN partitioning is what keeps every
+    # round's aggregation partition-local, and parquet cannot carry it.
+    edges = shared_user_part_edges(spark, sf_dir)
     edges_p = edges.repartition(F.col("p")).localCheckpoint(eager=True)
     edges_u = edges.repartition(F.col("u")).localCheckpoint(eager=True)
     auth = None
