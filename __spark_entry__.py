@@ -559,10 +559,17 @@ _SIGS_CTE = """
 #: extra slot), leaving exactly 12 to spill.
 #:
 #: r13 queue arithmetic: any r12 red takes the head; then re-certs for
-#: the post-freeze plan changes (known at freeze+1: dedup_decontaminate —
-#: single-aggregation hit counting — and graph_hits_scores — at-rest
-#: user-part edge store — both locally parity-green, newest driver rows
-#: certify the old plans); then the 12 r04-evidence spillovers, in
+#: the post-freeze plan changes, all locally parity-green but with
+#: newest driver rows certifying superseded plans: dedup_decontaminate
+#: (single-aggregation hit counting), graph_hits_scores (at-rest
+#: user-part edge store), and the seven non-window consumers of the
+#: codegen shingle_table / exploded-aggregate minhash_signatures
+#: rewrite — dedup_minhash_lsh, dedup_containment_lsh,
+#: dedup_incremental_minhash, dedup_minhash_error, dedup_lsh_scurve,
+#: text_ngram_novelty, text_minhash_jaccard_estimate (window members
+#: tfidf/jaccard_lsh/ngram_jaccard/jaccard_prefix/decontaminate take the
+#: same rewrite but their r12 rows certify the final plans).  Then the
+#: 12 r04-evidence spillovers, in
 #: this order: sql_exists_subquery, sql_lateral_topn, sql_scalar_subquery,
 #: stream_user_topk, text_lang_id, text_quality_quantile_gate,
 #: text_quality_score, text_token_count, window_lag_lead,

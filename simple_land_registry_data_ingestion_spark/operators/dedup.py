@@ -79,18 +79,6 @@ def cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shingles (shared by MinHash and Jaccard)
 # ---------------------------------------------------------------------------
 
-def _word_shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array column (empty when < n words)."""
-    ws = F.split(F.lower(F.trim(text)), r"\s+")
-    size = F.size(ws)
-    idx = F.sequence(F.lit(1), size - (n - 1))  # 1-based start positions
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.get(ws, i - 1 + k) for k in range(n)]),
-    )
-    return F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
-
-
 def shingle_table(docs: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
     """(doc_id, shingle), optionally per-doc distinct.
 
@@ -100,11 +88,37 @@ def shingle_table(docs: DataFrame, n: int = 3, distinct: bool = True) -> DataFra
     and collect_set dedupes on its own.  Only consumers that COUNT rows
     (exact Jaccard intersections) need the distinct.
 
-    fan_out first: shingling is CPU-bound (split + n-gram assembly per
-    row), so parallelism must not be capped by the input's byte-based
-    splits (see tables.fan_out)."""
-    sh = fan_out(docs).select(
-        "doc_id", F.explode(_word_shingles(F.col("text"), n)).alias("shingle")
+    r12 rewrite (the winnowing lesson applied to the engine's hottest
+    emission path): the array-HOF form assembled every n-gram inside an
+    interpreted ``transform`` lambda — higher-order functions never
+    enter whole-stage codegen, so shingle assembly was the CPU floor of
+    all 13 consumers.  This form posexplodes the words and assembles
+    each n-gram with ``lead()`` over one (doc_id, pos) sort — every
+    expression codegen'd; a row survives exactly when its last word
+    exists, i.e. the same size-n windows the array form emitted.  The
+    one keyed exchange this introduces is doc-sized-narrow AND its
+    doc_id partitioning is REUSED by every doc-keyed consumer
+    aggregation downstream (tf, signature, set builds run
+    partition-local).  A/B on the tf-aggregate shape: 1.22 -> 0.89 s at
+    sf0.1, 4.5 -> 1.1 s at 10x, rows identical.
+
+    fan_out first: the word explode is still CPU-bound per row, so
+    parallelism must not be capped by the input's byte-based splits
+    (see tables.fan_out)."""
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = fan_out(docs).select(
+        "doc_id", F.posexplode(ws).alias("pos", "w0")
+    )
+    wo = Window.partitionBy("doc_id").orderBy("pos")
+    cols = [F.col("w0")] + [F.lead("w0", k).over(wo) for k in range(1, n)]
+    sh = (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", *cols).alias("shingle"),
+            F.lead("w0", n - 1).over(wo).alias("__last"),
+        )
+        .where(F.col("__last").isNotNull())
+        .drop("__last")
     )
     return sh.distinct() if distinct else sh
 
@@ -124,34 +138,28 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFra
     Non-distinct shingles: min over the multiset equals min over the set,
     so no shingle dedup is needed.
 
-    Plan (r9): a zero-shuffle SCAN-STAGE projection, same rework as the
-    SimHash fingerprint — the doc's shingle array stays in an array
-    column and each signature component is
-    array_min(transform(sh, md5(i: || s))); the old shape exploded the
-    shingle table and paid a doc-keyed groupBy shuffle of the WIDEST
-    table in the pipeline for 6 min-aggregates whose answer is a pure
-    per-row function.  md5 work is identical (one per (i, shingle)
-    either way); docs with no shingle (under 3 words) are filtered, as
-    the exploded form excluded them implicitly — and the filter tests
-    the WORD count before shingling, not size(sh) after: a filter on
-    the aliased array makes predicate pushdown substitute the whole
-    shingle expression into the condition and un-fuses the projection
-    (measured 9.7 s vs 0.9 s warm at sf0.1 — the filter-placement twin
-    of the CollapseProject trap)."""
-    arr = fan_out(docs).where(
-        F.size(F.split(F.lower(F.trim("text")), r"\s+")) >= 3
-    ).select(
-        "doc_id", _word_shingles(F.col("text"), 3).alias("sh")
-    )
-
-    def _mk(i: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
-
-    cols = [
-        F.array_min(F.transform("sh", _mk(i))).alias(f"h{i}")
+    Plan (r12, reversing the r9 array form with the measurement that
+    r9's shape lacked): the r9 "zero-shuffle scan-stage projection" ran
+    every md5 inside an interpreted ``transform`` lambda — 6 interpreted
+    md5 calls per shingle, outside whole-stage codegen, which made
+    signature generation the CPU floor of the whole minhash family.
+    This form explodes the shingles (codegen lead()-assembly,
+    shingle_table) and computes the 6 components as ordinary
+    min-aggregates — md5 as a TOP-LEVEL codegen projection, map-side
+    partial min, and a doc-count-sized exchange (fan_out leaves each
+    doc's shingles in ONE partition, so the partial collapses to one
+    row per doc per component before the wire; r9's "shuffle of the
+    widest table" objection assumed no combine).  Docs with < 3 words
+    emit no shingle rows and drop out of the groupBy exactly as the
+    array form's word-count filter dropped them.  A/B on the full
+    candidate build: cold 7.9 -> 2.6 s / warm equal at sf0.1,
+    5.7 -> 2.0 s at 10x, candidate rows identical."""
+    sh = shingle_table(docs, n=3, distinct=False)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return arr.select("doc_id", *cols)
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_band_buckets(sig: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:

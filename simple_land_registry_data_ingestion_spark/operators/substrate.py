@@ -84,7 +84,13 @@ def materialized_frame(
     """Build-once/read-many materialization (module docstring has the
     full contract).  ``source_table`` names the ROOT input whose content
     fingerprint keys the entry — cascaded builders (a substrate built
-    from another substrate) still key on the original table."""
+    from another substrate) still key on the original table.
+
+    The key fingerprints the INPUT DATA, not the builder code: a builder
+    refactor with an identical output contract reuses existing entries
+    (tests pin store rows == live build), but any change to a builder's
+    OUTPUT must bump its ``tag`` or stale entries would serve the old
+    contract."""
     base = os.path.basename(os.path.abspath(sf_dir).rstrip("/"))
     prefix = f"{tag}_{base}_"
     key = prefix + table_fingerprint(sf_dir, source_table)
