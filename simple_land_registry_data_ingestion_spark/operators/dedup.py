@@ -1620,10 +1620,16 @@ def _jaccard_prefix_build(
     # ONE doc-keyed aggregation carries everything downstream needs: the
     # df-sorted token structs (prefix + positions), the shingle set for
     # exact verification (bucket membership is set-semantic, so the
-    # re-exploded rows are per-doc distinct), and the set size.  Lazily
-    # localCheckpoint'd: prefix generation, both narrow size probes, and
-    # both wide set fetches read the materialized rows instead of each
-    # replaying the shingle subtree.
+    # re-exploded rows are per-doc distinct), and the set size.
+    # EAGERLY localCheckpoint'd (r12): five consumers read this frame
+    # (prefix generation, both narrow size probes, both wide set
+    # fetches), and with a LAZY checkpoint their first concurrent job
+    # raced the un-checkpointed subtree and replayed the full
+    # shingle-emission + two-aggregation chain per consumer — harmless
+    # when the emission was a cheap scan-side HOF, a 2.5x cold-pass
+    # regression once the codegen emission added its window stage.
+    # A/B: lazy 2.5 s / eager 2.05 s warm at sf0.1; lazy 6.4 / eager
+    # ~4.8 s at 10x (old interpreted form: 9.8 s).
     per_doc = (
         buckets.select(
             "shingle",
@@ -1638,7 +1644,7 @@ def _jaccard_prefix_build(
             "sh_set", F.transform("toks", lambda s: s["shingle"])
         )
         .withColumn("n_sh", F.size("toks").cast("long"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     sz = F.size("toks")
     plen = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
