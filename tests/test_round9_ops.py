@@ -467,26 +467,29 @@ def test_functional_dependency_detects_violation(spark, tmp_path):
     assert li_fd.n_violating == 1
 
 
-def test_fingerprint_and_signatures_are_shuffle_free(spark):
-    """The r9 scan-stage rewrites must STAY scan-stage: neither the
-    SimHash fingerprint nor the MinHash signature plan may contain an
-    Exchange — the whole point of the array-aggregate form is that the
-    corpus-x-tokens shuffle is gone."""
+def test_fingerprint_and_signature_plan_shapes(spark):
+    """The SimHash fingerprint must STAY scan-stage (the r9 contract:
+    fan_out's RoundRobin spread is the one allowed exchange).  The
+    MinHash signature contract changed in r12 — the array-HOF form ran
+    every md5 interpreted, so signatures now flow through the codegen
+    shingle emission + min-aggregates — but the plan must still carry
+    exactly ONE doc-keyed hash exchange, shared by the emission window
+    and the signature aggregate (a second one would mean the groupBy
+    stopped reusing the window's partitioning)."""
     from simple_land_registry_data_ingestion_spark.plans.inspect import (
         formatted_plan,
     )
     from simple_land_registry_data_ingestion_spark.tables import load
     from tests.conftest import SF_ORACLE
 
-    # fan_out's RoundRobin repartition (CPU-parallelism spread) is the
-    # ONE allowed exchange; any hashpartitioning exchange means a groupBy
-    # shuffle crept back in
     fp_plan = formatted_plan(dedup.dedup_simhash(spark, SF_ORACLE))
     assert "hashpartitioning" not in fp_plan, fp_plan
     assert "rangepartitioning" not in fp_plan, fp_plan
     docs = load(spark, SF_ORACLE, "documents")
     sig_plan = formatted_plan(dedup.minhash_signatures(docs))
-    assert "hashpartitioning" not in sig_plan, sig_plan
+    # formatted mode prints the node header and its Arguments separately,
+    # so count the partitioning expression itself
+    assert sig_plan.count("hashpartitioning(doc_id") == 1, sig_plan
     assert "rangepartitioning" not in sig_plan, sig_plan
 
 
