@@ -123,6 +123,35 @@ def shingle_table(docs: DataFrame, n: int = 3, distinct: bool = True) -> DataFra
     return sh.distinct() if distinct else sh
 
 
+def shingle_table_nowindow(docs: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) with NO doc-keyed exchange: n-grams assembled by
+    zipping ``n`` shifted slices of the word array (one slice per row, a
+    2-concat interpreted lambda per element), then exploded.
+
+    Trade-off vs ``shingle_table`` (the default emission): shingle_table's
+    ``lead()`` assembly is fully codegen'd but introduces a doc_id
+    exchange + sort that pays for itself ONLY when a downstream doc-keyed
+    aggregation reuses the partitioning (minhash signatures, tf builds).
+    A consumer whose first aggregation is SHINGLE-keyed gets nothing back
+    for that exchange — for those, this form is faster despite the
+    interpreted concat (jaccard_prefix interleaved A/B at sf0.1:
+    median 4.69 -> 3.75 s, identical rows; emission alone 0.78 -> 0.33 s).
+    Docs with < n words produce empty slices and emit nothing — the same
+    rows shingle_table keeps."""
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    d = fan_out(docs).select("doc_id", ws.alias("ws"))
+    k = F.greatest(F.size(F.col("ws")) - F.lit(n - 1), F.lit(0))
+    arr = F.slice("ws", F.lit(1), k)
+    for i in range(1, n):
+        arr = F.zip_with(
+            arr,
+            F.slice("ws", F.lit(1 + i), k),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    sh = d.select("doc_id", F.explode(arr).alias("shingle"))
+    return sh.distinct() if distinct else sh
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -1687,24 +1716,24 @@ def _jaccard_prefix_build(
     # bucket size, and the (df, shingle, doc) rows explode back out
     # shuffle-free ahead of the doc-keyed aggregate — 4 shuffles of the
     # widest table in the pipeline down to 2 (r11).
+    # Emission is the NO-WINDOW zip form: this pipeline's first aggregation
+    # is shingle-keyed, so shingle_table's doc_id exchange + sort buys
+    # nothing back here (r13 interleaved A/B: median 4.69 -> 3.75 s).
     buckets = (
-        shingle_table(docs, distinct=False)
+        shingle_table_nowindow(docs, distinct=False)
         .groupBy("shingle")
         .agg(F.collect_set("doc_id").alias("bucket_ids"))
     )
     # ONE doc-keyed aggregation carries everything downstream needs: the
-    # df-sorted token structs (prefix + positions), the shingle set for
-    # exact verification (bucket membership is set-semantic, so the
-    # re-exploded rows are per-doc distinct), and the set size.
-    # EAGERLY localCheckpoint'd (r12): five consumers read this frame
-    # (prefix generation, both narrow size probes, both wide set
-    # fetches), and with a LAZY checkpoint their first concurrent job
-    # raced the un-checkpointed subtree and replayed the full
-    # shingle-emission + two-aggregation chain per consumer — harmless
-    # when the emission was a cheap scan-side HOF, a 2.5x cold-pass
-    # regression once the codegen emission added its window stage.
-    # A/B: lazy 2.5 s / eager 2.05 s warm at sf0.1; lazy 6.4 / eager
-    # ~4.8 s at 10x (old interpreted form: 9.8 s).
+    # df-sorted token structs (prefix + positions + verification sets) and
+    # the set size.  EAGERLY localCheckpoint'd (r12): three consumers read
+    # this frame (prefix generation, both wide set fetches), and with a
+    # LAZY checkpoint their first concurrent job raced the un-checkpointed
+    # subtree and replayed the full shingle-emission + two-aggregation
+    # chain per consumer (2.5x cold regression).  r13 narrows the
+    # checkpointed frame: ``sh_set`` is a pure projection of ``toks``
+    # (transform at READ time, 5k tiny arrays — microseconds), so storing
+    # it doubled every checkpoint block's string payload for nothing.
     per_doc = (
         buckets.select(
             "shingle",
@@ -1715,9 +1744,6 @@ def _jaccard_prefix_build(
         .agg(
             F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("toks")
         )
-        .withColumn(
-            "sh_set", F.transform("toks", lambda s: s["shingle"])
-        )
         .withColumn("n_sh", F.size("toks").cast("long"))
         .localCheckpoint(eager=True)
     )
@@ -1725,20 +1751,30 @@ def _jaccard_prefix_build(
     plen = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
     # posexplode keeps each prefix token's 1-based POSITION in the doc's
     # full df-sorted token list — the input to the positional filter below.
+    # n_sh rides along INTO the bucket structs (r13): the candidate
+    # aggregation then already holds both sizes, so the LENGTH filter
+    # needs no join back to per_doc — two narrow probe joins removed.
     prefix = per_doc.select(
         "doc_id",
+        "n_sh",
         F.posexplode(
             F.transform(F.slice("toks", F.lit(1), plen), lambda s: s["shingle"])
         ).alias("pos0", "shingle"),
     )
-    # Buckets carry (doc_id, pos) structs; doc_id is the leading struct
+    # Buckets carry (doc_id, pos, n) structs; doc_id is the leading struct
     # field so array_sort keeps the i<j pair orientation identical to the
     # id-only path (one row per doc per bucket: shingles are distinct
     # within a doc).
     raw_pairs = bucket_pairs(
         prefix.groupBy("shingle").agg(
             F.array_sort(
-                F.collect_list(F.struct("doc_id", (F.col("pos0") + 1).alias("pos")))
+                F.collect_list(
+                    F.struct(
+                        "doc_id",
+                        (F.col("pos0") + 1).alias("pos"),
+                        F.col("n_sh").alias("n"),
+                    )
+                )
             ).alias("ids")
         ),
         distribute_threshold=256,
@@ -1748,34 +1784,25 @@ def _jaccard_prefix_build(
     # common token w0, and w0 — being earliest — lies in BOTH prefixes, so
     # the pair is also generated in w0's bucket and the component-wise MIN
     # positions across buckets are exactly w0's positions (i0, j0).  Hence
-    # overlap(A,B) <= 1 + min(|A| - i0, |B| - j0), a bound the pruned join
-    # can apply without ever touching the wide shingle sets.
+    # overlap(A,B) <= 1 + min(|A| - i0, |B| - j0), a bound applied below
+    # without ever touching the wide shingle sets.  min(n) = n: the size
+    # is constant per doc, min is just the aggregate that carries it.
     candidates = raw_pairs.groupBy(
         F.col("doc_a.doc_id").alias("doc_a"),
         F.col("doc_b.doc_id").alias("doc_b"),
     ).agg(
         F.min(F.col("doc_a.pos")).alias("pos_a"),
         F.min(F.col("doc_b.pos")).alias("pos_b"),
-    )
-    sa = per_doc.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("sh_set").alias("set_a"),
-        F.col("n_sh").alias("n_a"),
-    )
-    sb = per_doc.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("sh_set").alias("set_b"),
-        F.col("n_sh").alias("n_b"),
+        F.min(F.col("doc_a.n")).alias("n_a"),
+        F.min(F.col("doc_b.n")).alias("n_b"),
     )
     # LENGTH filter (the second standard PPJoin prune, equally lossless):
     # J(A,B) >= t forces t*|A| <= |B| <= |A|/t, so size-incompatible
-    # candidates are dropped on a join of NARROW (id, size) columns and
-    # the wide shingle-set arrays only shuffle for survivors.  On THIS
-    # corpus doc lengths are homogeneous so the prune is nearly free but
-    # nearly empty (measured ~0 at sf0.1); on heterogeneous-length
-    # corpora — where web data actually lives — it is the bigger lever.
-    na = sa.select("doc_a", "n_a")
-    nb = sb.select("doc_b", "n_b")
+    # candidates are dropped on the NARROW candidate frame and the wide
+    # shingle-set arrays only shuffle for survivors.  On THIS corpus doc
+    # lengths are homogeneous so the prune is nearly free but nearly
+    # empty (measured ~0 at sf0.1); on heterogeneous-length corpora —
+    # where web data actually lives — it is the bigger lever.
     # Required overlap for J >= t: o >= t/(1+t) * (|A|+|B|).  The 1e-9
     # slack keeps float ceil from over-pruning an exactly-integral bound —
     # under-pruning by one candidate is harmless (verification is exact),
@@ -1797,11 +1824,14 @@ def _jaccard_prefix_build(
     )
     if positional_filter:
         pruned = pruned & (pos_ubound >= alpha)
-    compatible = (
-        candidates.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .where(pruned)
-        .select("doc_a", "doc_b")
+    compatible = candidates.where(pruned).select("doc_a", "doc_b", "n_a", "n_b")
+    sa = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.transform("toks", lambda s: s["shingle"]).alias("set_a"),
+    )
+    sb = per_doc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.transform("toks", lambda s: s["shingle"]).alias("set_b"),
     )
     inter = F.size(F.array_intersect("set_a", "set_b"))
     jac = inter / (F.col("n_a") + F.col("n_b") - inter)
@@ -1812,7 +1842,9 @@ def _jaccard_prefix_build(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return _JaccardPrefixParts(verified=verified, candidates=compatible)
+    return _JaccardPrefixParts(
+        verified=verified, candidates=compatible.select("doc_a", "doc_b")
+    )
 
 
 def dedup_jaccard_prefix(
