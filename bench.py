@@ -175,9 +175,18 @@ def main() -> None:
                     "swing >20%, the per-query floor is reproducible. "
                     "r12 amendment: queries whose two passes disagree "
                     ">1.5x get a third tiebreak pass (min over all "
-                    "passes — can only remove ambient noise)"
+                    "passes). r13 note (ADVICE r12): extra draws "
+                    "statistically bias selected queries' min DOWNWARD "
+                    "relative to 2-draw queries, so the tiebreak is not "
+                    "noise-neutral; per-query draw counts are recorded "
+                    "(pass_counts) so round-over-round comparisons can "
+                    "be made like-for-like"
                 ),
                 "tiebreak_queries": noisy,
+                "pass_counts": {
+                    name: sum(1 for p in passes if name in p)
+                    for name in passes[0]
+                },
                 "queries": timings,
                 # pass 1 = cold (first planning/codegen per query), pass 2 =
                 # warm; regressions in first-run planning cost show up as a

@@ -75,24 +75,19 @@ def shared_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shared_user_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The distinct (customer, part) purchase edge list at rest — the
-    bipartite graph HITS scores; built once per corpus from
-    lineitem x orders (fingerprint keys on lineitem, the root input)."""
-
-    def _build() -> DataFrame:
-        orders = load(spark, sf_dir, "orders")
-        lineitem = load(spark, sf_dir, "lineitem")
-        return (
-            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-            .select(
-                F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p")
-            )
-            .distinct()
-        )
-
-    return materialized_frame(
-        spark, sf_dir, "user_part_edges", "lineitem", _build
+def user_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct (customer, part) purchase edge list from
+    lineitem x orders — built LIVE (r13): graph_hits_scores is its only
+    consumer, so an at-rest store entry would just move the build cost
+    off the scoreboard without sharing it with anyone (the r12 verdict's
+    cost-shifting objection); a frame earns a store entry only when
+    several lenses read it."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p"))
+        .distinct()
     )
 
 
@@ -204,20 +199,44 @@ def basket_part_pairs(
     ``lift = P(a,b) / (P(a)·P(b))`` rounded to 6 dp (count ratios —
     engine-exact).
 
-    r12: the basket and its pair counts come from the shared at-rest
-    substrate (shared_basket_items / shared_copurchase_pairs) — the
-    min_support cut pushes into the pair-store scan, and no order-key
-    shuffle remains anywhere in the plan.
+    r13 (reversing the r12 store read — the verdict's accounting
+    objection): this query is the basket family's LIVE PRODUCER.  It
+    builds the distinct basket and the pair counts from the lineitem
+    scan in-query — the exact dataflow the store builders run — so the
+    corpus-pass cost the four lens queries avoid by reading the at-rest
+    store stays benched and certified on this row (the
+    dedup_simhash_pairs discipline; plan-pinned by
+    tests/test_round13_ops.py).  The basket is hash-partitioned by the
+    order key once and checkpointed: the distinct collapses
+    partition-local, the pair self-join co-partitions with zero further
+    shuffles, and the three narrow aggregates (order count, item
+    frequency, pair counts) read the checkpoint instead of replaying
+    the lineitem shuffle each.
     """
-    items = shared_basket_items(spark, sf_dir)
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_partkey").alias("part_id"),
+        )
+        .repartition(F.col("order_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_orders = items.select("order_id").distinct().groupBy().agg(
         F.count(F.lit(1)).alias("n_orders")
     )
     item_freq = items.groupBy("part_id").agg(
         F.count(F.lit(1)).alias("item_orders")
     )
-    pairs = shared_copurchase_pairs(spark, sf_dir).where(
-        F.col("pair_orders") >= F.lit(min_support)
+    ia = items.select("order_id", F.col("part_id").alias("part_a"))
+    ib = items.select("order_id", F.col("part_id").alias("part_b"))
+    pairs = (
+        ia.join(ib, "order_id")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_orders"))
+        .where(F.col("pair_orders") >= F.lit(min_support))
     )
     freq_a = item_freq.select(
         F.col("part_id").alias("part_a"), F.col("item_orders").alias("orders_a")
@@ -818,11 +837,16 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges still co-locate both joins, keeping one shuffle per side
     total.  Output: top-10 authorities and top-10 hubs by the total
     order (score desc, id asc), unioned with a kind tag."""
-    # r12: the distinct edge list comes from the at-rest store (no
-    # lineitem x orders rebuild at construction); the two pre-partitioned
-    # copies stay in-query — their KNOWN partitioning is what keeps every
-    # round's aggregation partition-local, and parquet cannot carry it.
-    edges = shared_user_part_edges(spark, sf_dir)
+    # r13: the distinct edge list builds LIVE (user_part_edges — HITS is
+    # the frame's only consumer, so an at-rest entry would shift the
+    # build cost off the scoreboard without sharing it).  The build is
+    # checkpointed BEFORE the two per-side repartitions: without it each
+    # side's eager materialization would replay the lineitem x orders
+    # join + distinct (two consumers + a shuffle in the subtree — the
+    # checkpoint-reuse rule).  The two pre-partitioned copies stay
+    # in-query — their KNOWN partitioning is what keeps every round's
+    # aggregation partition-local, and parquet cannot carry it.
+    edges = user_part_edges(spark, sf_dir).localCheckpoint(eager=True)
     edges_p = edges.repartition(F.col("p")).localCheckpoint(eager=True)
     edges_u = edges.repartition(F.col("u")).localCheckpoint(eager=True)
     auth = None

@@ -26,10 +26,15 @@ Layout/consistency contract:
   - readers get a plain parquet scan: re-executable (no lineage hazard),
     column-pruned and predicate-pushed like any table.
 
-The frame PRODUCER queries (e.g. dedup_simhash_pairs, dedup_minhash_lsh,
-basket_part_pairs' pair COUNTS themselves) remain live build paths —
-only downstream consumers read the store, so the build cost stays
-benched and certified.
+Every stored frame keeps a LIVE, benched producer query so the build
+cost stays certified on the scoreboard (r13 accounting fix): the
+simhash/minhash graphs' producers are dedup_simhash_pairs /
+dedup_minhash_lsh, and the basket/co-purchase frames' producer is
+basket_part_pairs, which builds the distinct basket AND its pair counts
+from the lineitem scan in-query (plan-pinned by
+tests/test_round13_ops.py).  Only downstream lens queries read the
+store.  A frame with a single consumer earns no store entry at all —
+its one consumer just builds live (graph_hits_scores' user-part edges).
 """
 
 from __future__ import annotations
@@ -38,7 +43,7 @@ import hashlib
 import os
 import shutil
 import tempfile
-from typing import Callable
+from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -58,15 +63,21 @@ def store_root() -> str:
 
 
 def table_fingerprint(sf_dir: str, table: str) -> str:
-    """Content key for a source table: abspath plus (name, mtime_ns, size)
-    of every file under ``<table>.parquet`` — regenerated testdata
-    invalidates the store automatically, identical data reuses it."""
+    """Content key for a source table: abspath plus (relative path,
+    mtime_ns, size) of EVERY file under ``<table>.parquet``, walked
+    recursively — regenerated testdata invalidates the store
+    automatically, identical data reuses it.  The walk (ADVICE r12)
+    covers partitioned/nested parquet layouts where an in-place rewrite
+    of a leaf file would not touch the top-level directory listing."""
     path = os.path.join(sf_dir, f"{table}.parquet")
     parts = [os.path.abspath(path)]
     if os.path.isdir(path):
-        for name in sorted(os.listdir(path)):
-            st = os.stat(os.path.join(path, name))
-            parts.append(f"{name}:{st.st_mtime_ns}:{st.st_size}")
+        for dirpath, dirnames, filenames in os.walk(path):
+            dirnames.sort()
+            rel = os.path.relpath(dirpath, path)
+            for name in sorted(filenames):
+                st = os.stat(os.path.join(dirpath, name))
+                parts.append(f"{rel}/{name}:{st.st_mtime_ns}:{st.st_size}")
     elif os.path.exists(path):
         st = os.stat(path)
         parts.append(f"{st.st_mtime_ns}:{st.st_size}")
@@ -77,23 +88,37 @@ def materialized_frame(
     spark: SparkSession,
     sf_dir: str,
     tag: str,
-    source_table: str,
+    source_table: str | Sequence[str],
     builder: Callable[[], DataFrame],
     n_files: int = 8,
+    version: int = 1,
 ) -> DataFrame:
     """Build-once/read-many materialization (module docstring has the
-    full contract).  ``source_table`` names the ROOT input whose content
-    fingerprint keys the entry — cascaded builders (a substrate built
-    from another substrate) still key on the original table.
+    full contract).  ``source_table`` names the ROOT input table(s) whose
+    combined content fingerprint keys the entry — a multi-input builder
+    MUST list every table it reads (ADVICE r12: keying a lineitem-join-
+    orders build on lineitem alone serves stale edges when only orders
+    regenerates); cascaded builders (a substrate built from another
+    substrate) still key on the original tables.
 
-    The key fingerprints the INPUT DATA, not the builder code: a builder
-    refactor with an identical output contract reuses existing entries
-    (tests pin store rows == live build), but any change to a builder's
-    OUTPUT must bump its ``tag`` or stale entries would serve the old
-    contract."""
+    ``version`` is the builder's OUTPUT-CONTRACT version, folded into the
+    key (ADVICE r12): the data fingerprint cannot see code changes, so a
+    builder whose output rows/schema change must bump its version (or
+    tag) and thereby self-invalidate every stale entry; a pure refactor
+    with identical output keeps version and reuses existing entries
+    (tests pin store rows == live build)."""
     base = os.path.basename(os.path.abspath(sf_dir).rstrip("/"))
+    tables = (
+        [source_table] if isinstance(source_table, str) else list(source_table)
+    )
+    fp = hashlib.md5(
+        "|".join(
+            [f"v{version}"]
+            + [f"{t}={table_fingerprint(sf_dir, t)}" for t in tables]
+        ).encode()
+    ).hexdigest()[:16]
     prefix = f"{tag}_{base}_"
-    key = prefix + table_fingerprint(sf_dir, source_table)
+    key = prefix + fp
     root = store_root()
     dest = os.path.join(root, key)
     if not os.path.isdir(dest):

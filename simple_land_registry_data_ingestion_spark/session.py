@@ -111,6 +111,13 @@ def apply_session_defaults(spark: SparkSession) -> SparkSession:
         except Exception:  # pragma: no cover - static conf on some builds
             pass
     try:
+        # KNOWN AMBIGUITY (ADVICE r12): "== 200" cannot distinguish the
+        # stock default from a harness that deliberately configured
+        # exactly 200 — SQLConf reports no explicitly-set flag for a
+        # session conf, so a deliberate 200 is resized like the default.
+        # Accepted: 200 partitions on an arbitrary host is the one value
+        # that is overwhelmingly more likely to mean "unconfigured" than
+        # a choice, and SPARK_GRAFT_CPUS remains the explicit override.
         if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
             if "SPARK_GRAFT_CPUS" in os.environ:
                 target = DEFAULT_CPUS

@@ -87,7 +87,12 @@ def test_materialized_frame_invalidates_on_source_change(
     entries = [
         d for d in os.listdir(str(tmp_path / "store")) if d.startswith("t2_")
     ]
-    assert len(entries) == 1 and entries[0].endswith(fp2)
+    # r13 key = md5 over (version, per-table fingerprints); recompute it
+    # the same way rather than pinning the raw table fingerprint
+    import hashlib
+
+    expected = hashlib.md5(f"v1|documents={fp2}".encode()).hexdigest()[:16]
+    assert len(entries) == 1 and entries[0].endswith(expected)
 
 
 def test_store_entries_are_tagged_per_corpus(spark):
