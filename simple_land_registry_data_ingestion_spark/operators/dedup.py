@@ -1476,40 +1476,61 @@ def dedup_semdedup(
             6,
         ).alias("c_cos"),
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("c_cos").desc(), F.col("centroid_id")
-    )
+    # argmax as a max_by HASH AGGREGATE, not a sort window (r13): the
+    # ordering struct (c_cos desc, centroid_id asc via negation) is the
+    # same total order the row_number window applied, but the aggregate
+    # map-side-combines each vector's K centroid rows down to one before
+    # any exchange — no sort, and the wire moves n rows, not n*K.
     # materialized once: the assignment subtree (scan + broadcast score +
-    # window) feeds BOTH sides of the in-cluster self-join below — without
-    # truncation it would execute twice (same discipline as the simhash
-    # fingerprint subtree, dedup_simhash_pairs)
+    # aggregate) feeds both the output and the in-cluster scoring below —
+    # without truncation it would execute twice (same discipline as the
+    # simhash fingerprint subtree, dedup_simhash_pairs)
+    best = F.max_by(
+        F.struct("embedding", "nrm", "centroid_id"),
+        F.struct(F.col("c_cos"), (-F.col("centroid_id")).alias("neg_cid")),
+    ).alias("best")
     asg = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "nrm", "centroid_id")
+        scored.groupBy("vec_id")
+        .agg(best)
+        .select(
+            "vec_id",
+            F.col("best.embedding").alias("embedding"),
+            F.col("best.nrm").alias("nrm"),
+            F.col("best.centroid_id").alias("centroid_id"),
+        )
         .localCheckpoint(eager=True)
     )
-    a = asg.select(
-        F.col("centroid_id").alias("cid"),
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    b = asg.select(
-        F.col("centroid_id").alias("cid"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    dominated = (
-        a.join(b, ["cid"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .where(
-            F.round(
-                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
-            )
-            >= threshold
+    # In-cluster pair scoring as per-cluster GEMM (r13, the
+    # dedup_embedding_cosine lesson): the self-join form evaluated an
+    # interpreted ``aggregate`` fold per PAIR — n^2/k * dim interpreter
+    # steps.  Each cluster is one applyInPandas task computing its own
+    # sub-Gram matrix with a float64 numpy matmul and pre-filtering at
+    # (threshold - 1e-9); the EXACT contract — HALF_UP round to 6 dp then
+    # >= threshold — is applied Spark-side on the surviving pairs, so
+    # rounding semantics match the oracle and the slack only admits
+    # boundary pairs for the exact filter to re-judge.  Cluster size is
+    # the partition-local bound exactly as in the join form.
+    import pandas as pd  # local import: keep module import light
+
+    pre_cut = threshold - 1e-9
+
+    def _cluster_pairs(grp: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        m = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
+        nr = np.sqrt(np.einsum("ij,ij->i", m, m))
+        gram = (m @ m.T) / np.outer(nr, nr)
+        ids = grp["vec_id"].to_numpy()
+        mask = (ids[:, None] < ids[None, :]) & (gram >= pre_cut)
+        rows, cols = np.nonzero(mask)
+        return pd.DataFrame(
+            {"vec_b": ids[cols], "cosine": gram[rows, cols]}
         )
+
+    dominated = (
+        asg.groupBy("centroid_id")
+        .applyInPandas(_cluster_pairs, schema="vec_b long, cosine double")
+        .where(F.round("cosine", 6) >= threshold)
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()
         .withColumn("_dropped", F.lit(True))

@@ -368,13 +368,27 @@ def kmeans_refine_centroids(
                 6,
             ).alias("c_cos"),
         )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("c_cos").desc(), F.col("centroid_id")
-        )
+        # argmax as a max_by hash aggregate (r13): the ordering struct
+        # (c_cos desc, centroid_id asc via negation) is the same total
+        # order the previous row_number window applied, but the
+        # aggregate map-side-combines each vector's K centroid rows to
+        # one before the exchange — no sort stage, n rows on the wire
+        # instead of n*K.
         assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "embedding", "centroid_id")
+            scored.groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.struct("embedding", "centroid_id"),
+                    F.struct(
+                        F.col("c_cos"), (-F.col("centroid_id")).alias("neg")
+                    ),
+                ).alias("best")
+            )
+            .select(
+                "vec_id",
+                F.col("best.embedding").alias("embedding"),
+                F.col("best.centroid_id").alias("centroid_id"),
+            )
         )
         by_dim = assigned.select(
             "centroid_id", F.posexplode("embedding").alias("pos", "v")
