@@ -44,11 +44,15 @@ def test_assortativity_reads_copurchase_store(spark):
     )
 
 
-def test_basket_part_pairs_reads_copurchase_store(spark):
+def test_basket_part_pairs_does_not_read_the_store(spark):
+    """REVERSED in r13 (the r12 verdict's accounting objection): the
+    basket family's producer query must PAY the live basket build, so
+    no store path may appear anywhere in its plan.  The positive pins
+    (lineitem scanned, pair aggregation in-plan) live in
+    tests/test_round13_ops.py."""
     plan = _formatted(mining.basket_part_pairs(spark, SF_SMALL))
-    _assert_reads_copurchase_store(plan)
-    # the support/frequency side tables read the basket store, not lineitem
-    assert "basket_items_" in plan, plan
+    assert "copurchase_pairs_" not in plan, plan
+    assert "basket_items_" not in plan, plan
 
 
 def test_degree_powerlaw_reads_copurchase_store(spark):
