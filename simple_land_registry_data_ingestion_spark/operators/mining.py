@@ -75,19 +75,28 @@ def shared_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def user_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def user_part_edges(spark: SparkSession, sf_dir: str, part_col: str = "p") -> DataFrame:
     """The distinct (customer, part) purchase edge list from
     lineitem x orders — built LIVE (r13): graph_hits_scores is its only
     consumer, so an at-rest store entry would just move the build cost
     off the scoreboard without sharing it with anyone (the r12 verdict's
     cost-shifting objection); a frame earns a store entry only when
-    several lenses read it."""
+    several lenses read it.
+
+    The dedup rides the consumer's OWN partitioning: rows repartition by
+    ``part_col`` FIRST and ``dropDuplicates`` then collapses
+    partition-local (hash partitioning on p satisfies the (u, p)
+    clustering requirement), so the frame arrives both distinct AND
+    p-partitioned in ONE shuffle — a separate ``distinct`` exchange
+    before the consumer's repartition would shuffle the edge list
+    twice."""
     orders = load(spark, sf_dir, "orders")
     lineitem = load(spark, sf_dir, "lineitem")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p"))
-        .distinct()
+        .repartition(F.col(part_col))
+        .dropDuplicates(["u", "p"])
     )
 
 
@@ -839,16 +848,18 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (score desc, id asc), unioned with a kind tag."""
     # r13: the distinct edge list builds LIVE (user_part_edges — HITS is
     # the frame's only consumer, so an at-rest entry would shift the
-    # build cost off the scoreboard without sharing it).  The build is
-    # checkpointed BEFORE the two per-side repartitions: without it each
-    # side's eager materialization would replay the lineitem x orders
-    # join + distinct (two consumers + a shuffle in the subtree — the
-    # checkpoint-reuse rule).  The two pre-partitioned copies stay
-    # in-query — their KNOWN partitioning is what keeps every round's
-    # aggregation partition-local, and parquet cannot carry it.
-    edges = user_part_edges(spark, sf_dir).localCheckpoint(eager=True)
-    edges_p = edges.repartition(F.col("p")).localCheckpoint(eager=True)
-    edges_u = edges.repartition(F.col("u")).localCheckpoint(eager=True)
+    # build cost off the scoreboard without sharing it).  The p-side
+    # copy IS the build: user_part_edges repartitions by p before its
+    # partition-local dedup, so edges_p needs no further exchange; the
+    # u-side copy re-keys the already-checkpointed (tiny, distinct)
+    # edge list.  Two edge shuffles + two checkpoints total — the two
+    # pre-partitioned copies stay in-query because their KNOWN
+    # partitioning is what keeps every round's aggregation
+    # partition-local, and parquet cannot carry it.
+    edges_p = user_part_edges(spark, sf_dir, part_col="p").localCheckpoint(
+        eager=True
+    )
+    edges_u = edges_p.repartition(F.col("u")).localCheckpoint(eager=True)
     auth = None
     hub = None
     for r in range(3):
