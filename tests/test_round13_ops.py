@@ -160,3 +160,71 @@ def test_fingerprint_walks_nested_layouts(tmp_path):
         fh.write("v2-longer")  # different size => different stat
     fp2 = substrate.table_fingerprint(sf, "t")
     assert fp1 != fp2
+
+
+# ---------------------------------------------------------------------------
+# r13 rewrite equivalences
+# ---------------------------------------------------------------------------
+
+def test_blocked_gemm_matches_bruteforce_pairs(spark):
+    """The blocked-GEMM cosine join must emit each qualifying pair
+    EXACTLY once with the id-ordered orientation — the off-diagonal
+    block-pair mask is the trap (an `ia < ib` mask there silently drops
+    every pair whose smaller id lands on the right side, which the
+    sf0.01 oracle diff caught mid-round).  Pin it at unit scale against
+    a literal brute-force over vectors engineered to cross block
+    boundaries in both directions."""
+    import itertools
+    import math
+
+    rows = [(i, [float((i * 7 + d * 3) % 5 - 2) for d in range(4)]) for i in range(37)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "embeddings.parquet"))
+        got = sorted(
+            map(tuple, dedup.dedup_embedding_cosine(spark, td, threshold=0.2).collect())
+        )
+    vecs = {i: v for i, v in rows}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    want = sorted(
+        (a, b, round(cos(vecs[a], vecs[b]), 6))
+        for a, b in itertools.combinations(range(37), 2)
+        if round(cos(vecs[a], vecs[b]), 6) >= 0.2
+    )
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+    for (_, _, g), (_, _, w) in zip(got, want):
+        assert abs(g - w) < 1e-6
+
+
+def test_shingle_emissions_are_equivalent(spark):
+    """shingle_table (lead/window form) and shingle_table_nowindow
+    (zip-slices form) must emit the same multiset of (doc_id, shingle)
+    rows — including the edge cases: docs shorter than n words emit
+    nothing, repeated whitespace collapses, repeated n-grams keep their
+    multiplicity when distinct=False."""
+    rows = [
+        (1, "a b c d"),
+        (2, "x"),
+        (3, "p  q   r"),
+        (4, "a b a b a b"),
+        (5, "t u"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(map(tuple, dedup.shingle_table(docs, distinct=False).collect()))
+    b = sorted(
+        map(tuple, dedup.shingle_table_nowindow(docs, distinct=False).collect())
+    )
+    assert a == b and len(a) == 2 + 1 + 4  # doc1:2, doc3:1, doc4:4
+    ad = sorted(map(tuple, dedup.shingle_table(docs).collect()))
+    bd = sorted(map(tuple, dedup.shingle_table_nowindow(docs).collect()))
+    assert ad == bd
