@@ -382,13 +382,26 @@ def clear_persisted(spark) -> None:
 
 
 def time_query(fn, spark, sf_dir, passes=2) -> tuple[float, int]:
-    best, rows = float("inf"), -1
+    """Best-of-N with a MID-RUN storm retry (r13): the start-of-run load
+    guard cannot see a host steal window opening between passes — twice
+    this round a window landed exactly on a 10x pass and recorded a
+    5-15x slope for an unchanged plan.  Our own Spark run keeps load1
+    near the core count of whatever stage is active, so absolute load is
+    not a steal signal mid-run; instead, if the two passes disagree
+    > 2.5x (byte-identical work), assume one was storm-hit and take ONE
+    extra pass — min over all passes can only remove ambient noise."""
+    times, rows = [], -1
     for _ in range(passes):
         clear_persisted(spark)
         t0 = time.monotonic()
         rows = fn(spark, sf_dir).count()
-        best = min(best, time.monotonic() - t0)
-    return round(best, 3), rows
+        times.append(time.monotonic() - t0)
+    if len(times) >= 2 and max(times) > 2.5 * min(times):
+        clear_persisted(spark)
+        t0 = time.monotonic()
+        rows = fn(spark, sf_dir).count()
+        times.append(time.monotonic() - t0)
+    return round(min(times), 3), rows
 
 
 def main() -> None:

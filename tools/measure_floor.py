@@ -70,6 +70,19 @@ def main() -> None:
                 "overwrite"
             ).save()
             detail[name].append(round(time.monotonic() - start, 3))
+    # mid-run storm retry (r13): the start-of-run load guard cannot see a
+    # steal window opening between passes; a query whose passes disagree
+    # > 2.5x on byte-identical work gets one extra draw — min over all
+    # passes can only remove ambient noise (draw counts printed so
+    # comparisons can be made like-for-like, the bench.py ADVICE rule)
+    for name, t in detail.items():
+        if len(t) >= 2 and max(t) > 2.5 * min(t):
+            bench._clear_persisted(spark)
+            start = time.monotonic()
+            queries[name](spark, args.sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            t.append(round(time.monotonic() - start, 3))
     print(json.dumps(detail), file=sys.stderr)
     print(json.dumps({q: min(t) for q, t in detail.items()}))
     spark.stop()
