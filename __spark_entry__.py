@@ -4174,14 +4174,19 @@ _ORACLES.update({
         dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
         n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_corpus
               FROM documents),
-        w AS (SELECT doc_id, term, df, tf * ROUND(ln(n_corpus / df), 6) AS w
+        -- r14 contract: integer fixed-point weights (w_int in 1e-6
+        -- units), exact DECIMAL(38,0) reductions, ONE double division
+        -- per surviving pair — the 1e-12 units of the dot cancel the
+        -- two 1e-6-unit norms
+        w AS (SELECT doc_id, term, df,
+                     tf * CAST(ROUND(ln(n_corpus / df) * 1000000) AS BIGINT)
+                         AS w_int
               FROM tf JOIN dfc USING (term), n),
         norms AS (SELECT doc_id,
-                         sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+                         sqrt(CAST(SUM(CAST(w_int * w_int AS DECIMAL(38,0)))
+                              AS DOUBLE)) AS nrm
                   FROM w GROUP BY 1),
-        unit AS (SELECT w.doc_id, term, df, ROUND(w / nrm, 6) AS u
-                 FROM w JOIN norms USING (doc_id) WHERE nrm > 0),
-        p AS (SELECT * FROM unit WHERE df BETWEEN 2 AND 10),
+        p AS (SELECT doc_id, term FROM w WHERE df BETWEEN 2 AND 10),
         -- candidate = shares >= 3 sub-cap shingles (count over per-term
         -- matches, mirroring bucket_pairs' per-term emissions; r12
         -- raised 2 -> 3 in lockstep with the Spark gate)
@@ -4189,16 +4194,20 @@ _ORACLES.update({
                  FROM p a JOIN p b
                    ON a.term = b.term AND a.doc_id < b.doc_id
                  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
-        -- lossless verify: FULL cosine over ALL shared terms of each
+        -- lossless verify: FULL dot over ALL shared terms of each
         -- candidate (the cap bounds generation, not the score)
-        pairs AS (SELECT c.doc_a, c.doc_b,
-                         CAST(ROUND(a.u * b.u, 9) AS DECIMAL(18,9)) AS v
-                  FROM cand c
-                  JOIN unit a ON a.doc_id = c.doc_a
-                  JOIN unit b ON b.doc_id = c.doc_b AND b.term = a.term)
-        SELECT doc_a, doc_b, ROUND(CAST(SUM(v) AS DOUBLE), 6) AS cosine
-        FROM pairs GROUP BY 1, 2
-        HAVING ROUND(CAST(SUM(v) AS DOUBLE), 6) >= 0.30
+        dots AS (SELECT c.doc_a, c.doc_b,
+                        SUM(CAST(a.w_int * b.w_int AS DECIMAL(38,0))) AS dot
+                 FROM cand c
+                 JOIN w a ON a.doc_id = c.doc_a
+                 JOIN w b ON b.doc_id = c.doc_b AND b.term = a.term
+                 GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               ROUND(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine
+        FROM dots
+        JOIN norms na ON doc_a = na.doc_id
+        JOIN norms nb ON doc_b = nb.doc_id
+        WHERE ROUND(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) >= 0.30
     """,
     # vowel-group syllable proxy; ordered integer folds; identical
     # left-associated double expression for both scores

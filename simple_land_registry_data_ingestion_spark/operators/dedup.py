@@ -1057,7 +1057,7 @@ def dedup_embedding_cosine(
     with a knob: pick n_blocks ~ cluster cores / replication tolerance.
     Pair orientation: a pair lands in exactly one (min_blk, max_blk)
     group and the in-task ``id_a < id_b`` mask emits it once.  The UDF
-    pre-filters at (threshold - 1e-9); the EXACT contract — HALF_UP
+    pre-filters at (threshold - 1e-6); the EXACT contract — HALF_UP
     ``F.round(cos, 6)`` then ``>= threshold`` — is applied Spark-side, so
     rounding semantics are identical to the oracle's and the slack only
     admits boundary pairs for the exact filter to re-judge.
@@ -1070,7 +1070,12 @@ def dedup_embedding_cosine(
     visible in the physical plan (tests/test_plans.py pins it); it
     evaluates per-row on the n-row vector frame BEFORE the block fan-out,
     so an oversized input fails in the scan stage, not after the shuffle.
-    Above the cap, use dedup_embedding_lsh."""
+    Above the cap, use dedup_embedding_lsh.
+
+    The UDF pre-filter slack is 1e-6 (r14, ADVICE r13): HALF_UP rounding
+    at 6 dp admits raw cosines down to threshold - 5e-7, so the slack
+    must cover that whole band — the previous 1e-9 could drop a boundary
+    pair the oracle admits."""
     import pandas as pd  # local import: keep module import light
 
     guard_msg = (
@@ -1108,7 +1113,13 @@ def dedup_embedding_cosine(
 
     left = _guarded_side("blk_a")
     right = _guarded_side("blk_b")
-    pre_cut = threshold - 1e-9
+    # Slack must cover the WHOLE band HALF_UP rounding can admit (r13
+    # ADVICE): round(cos, 6) >= t accepts raw cosines down to t - 5e-7,
+    # so a 1e-9 pre-cut silently dropped boundary pairs in
+    # [t - 5e-7, t - 1e-9) before the exact Spark-side filter could judge
+    # them.  1e-6 strictly contains the rounding band; the exact filter
+    # below still discards every false admit.
+    pre_cut = threshold - 1e-6
 
     def _gemm(l: "pd.DataFrame", r: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
@@ -1433,7 +1444,8 @@ def dedup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_semdedup(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.32
+    spark: SparkSession, sf_dir: str, threshold: float = 0.32,
+    row_block: int = 2048,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by
     cluster-then-prune — k-means clusters bound the quadratic, then only
@@ -1505,26 +1517,41 @@ def dedup_semdedup(
     # interpreted ``aggregate`` fold per PAIR — n^2/k * dim interpreter
     # steps.  Each cluster is one applyInPandas task computing its own
     # sub-Gram matrix with a float64 numpy matmul and pre-filtering at
-    # (threshold - 1e-9); the EXACT contract — HALF_UP round to 6 dp then
-    # >= threshold — is applied Spark-side on the surviving pairs, so
-    # rounding semantics match the oracle and the slack only admits
-    # boundary pairs for the exact filter to re-judge.  Cluster size is
-    # the partition-local bound exactly as in the join form.
+    # (threshold - 1e-6) — the slack covers the whole band HALF_UP 6-dp
+    # rounding can admit (raw cosines down to t - 5e-7; ADVICE r13: the
+    # old 1e-9 slack could drop boundary pairs the oracle admits); the
+    # EXACT contract — HALF_UP round to 6 dp then >= threshold — is
+    # applied Spark-side on the surviving pairs, so rounding semantics
+    # match the oracle and the slack only admits boundary pairs for the
+    # exact filter to re-judge.  Cluster size is the partition-local
+    # bound exactly as in the join form — and the gram is computed in
+    # ROW BLOCKS of 2048 (ADVICE r13): a degenerate cluster of c vectors
+    # would otherwise hold an O(c^2) float64 matrix in one Python worker;
+    # blocking caps resident memory at O(2048 * c) while each block row's
+    # dot products stay the exact same float64 values (the division
+    # happens after the matmul either way).
     import pandas as pd  # local import: keep module import light
 
-    pre_cut = threshold - 1e-9
+    pre_cut = threshold - 1e-6
 
     def _cluster_pairs(grp: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np
 
         m = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
         nr = np.sqrt(np.einsum("ij,ij->i", m, m))
-        gram = (m @ m.T) / np.outer(nr, nr)
         ids = grp["vec_id"].to_numpy()
-        mask = (ids[:, None] < ids[None, :]) & (gram >= pre_cut)
-        rows, cols = np.nonzero(mask)
-        return pd.DataFrame(
-            {"vec_b": ids[cols], "cosine": gram[rows, cols]}
+        out = []
+        for s in range(0, m.shape[0], row_block):
+            e = min(s + row_block, m.shape[0])
+            gram = (m[s:e] @ m.T) / np.outer(nr[s:e], nr)
+            mask = (ids[s:e, None] < ids[None, :]) & (gram >= pre_cut)
+            rows, cols = np.nonzero(mask)
+            out.append(
+                pd.DataFrame({"vec_b": ids[cols], "cosine": gram[rows, cols]})
+            )
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {"vec_b": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")}
         )
 
     dominated = (
@@ -2181,13 +2208,28 @@ def dedup_tfidf_cosine(
     filtering is built on.  Hot surviving lists spread through
     bucket_pairs(distribute_threshold).
 
-    Cross-engine float discipline (the whole design problem here):
-    idf is 6-dp quantized (ln may differ by an ulp across libms); per-doc
-    norm sums w^2 as DECIMAL(38,12) (exact, order-free) before one
-    correctly-rounded sqrt; unit coordinates are 6-dp quantized; pair
-    contributions are 9-dp DECIMAL(18,9) so the per-pair sum is again
-    exact and order-free.  Every non-deterministic float reduction is
-    replaced by a decimal one — the same trick as the k-means oracles.
+    Cross-engine float discipline (the whole design problem here), r14
+    form — INTEGER FIXED-POINT with DEFERRED normalization: idf is
+    quantized to a 1e-6-unit BIGINT (ln may differ by an ulp across
+    libms; the integer quantum is the same guard the old 6-dp round
+    gave), so every weight w_int = tf * idf6 is an exact integer, the
+    per-doc norm is sqrt of an exact DECIMAL(38,0) sum of squares, and a
+    pair's dot product is an exact DECIMAL(38,0) sum of long products
+    over its shared terms.  Normalization happens ONCE per surviving
+    pair — cosine = double(dot) / (nrm_a * nrm_b), the 1e-12 units of
+    dot cancelling the two 1e-6-unit norms — instead of once per
+    (doc, term) coordinate.  Every float reduction is exact integer
+    arithmetic until the final per-pair division, the same trick as the
+    k-means oracles but with three fewer rounding sites: the r13 shape's
+    per-coordinate DOUBLE divide + 6-dp round and per-contribution 9-dp
+    DECIMAL(18,9) round are gone, and with them the full-frame doc_id
+    WINDOW the per-coordinate normalization forced (the norm is now a
+    map-side-combined groupBy whose exchange carries |docs| rows, not
+    the corpus).  Magnitude bound: w_int <= tf * ln(n)*1e6 keeps the
+    long product wa*wb exact below tf ~ 3e2 at ln(n) ~ 12; a 100 TB
+    deployment with pathological tf would cast one factor to
+    DECIMAL(19,0) before the multiply (ANSI mode makes an overflow loud,
+    not silent).
 
     Output: (doc_a, doc_b, cosine) for pairs with 6-dp cosine >= t.
     ``docs`` overrides the corpus (tests plant duplicates)."""
@@ -2196,27 +2238,20 @@ def dedup_tfidf_cosine(
     n_docs = docs.agg(
         F.count_distinct("doc_id").cast("double").alias("n_corpus")
     )
-    # df and the per-doc norm as KEYED WINDOWS over the (doc, term) tf
-    # frame (r11): the r10 shape aggregated each into a side table and
-    # joined it back — two extra stages and two lazy-checkpoint fork
-    # points per statistic; count(*) OVER (PARTITION BY term) and the
-    # decimal norm sum OVER (PARTITION BY doc_id) pay exactly the same
-    # keyed shuffles the groupBy+join paid, with no join, no broadcast,
-    # and no checkpoint barriers.  A/B at sf0.1: floor 3.9 -> 3.0 s,
-    # cold pass 13 -> 4 s, rows identical.  (Same skew exposure as the
-    # join form — a hot term is a hot partition either way.)
-    #
-    # r12 shuffle cut (3 -> 2 full-frame exchanges): the explode is
-    # repartitioned by TERM before the tf aggregate — hash partitioning
-    # on a subset of the grouping keys satisfies the (doc, term)
-    # clustering, so the aggregate runs partition-local AND the df
-    # window reuses the same term partitioning with no exchange; the
-    # only remaining full-frame exchange is the norm window's doc_id
-    # repartition.  (The traded-away map-side partial aggregation is
-    # ~free here: shingles barely repeat within a doc, so pre- and
-    # post-aggregate row counts are within 4% — measured 2.60M vs
-    # 2.70M at 10x.)  A/B: unit-frame build 2.2 -> 1.8 s at sf0.1,
-    # 7.2 -> 5.8 s at 10x, rows identical.
+    # df as a KEYED WINDOW over the (doc, term) tf frame (r11, kept):
+    # count(*) OVER (PARTITION BY term) pays the keyed shuffle the
+    # groupBy+join form paid, with no join and no checkpoint barrier —
+    # and the r12 shuffle cut stands: the explode is repartitioned by
+    # TERM before the tf aggregate (hash partitioning on a subset of the
+    # grouping keys satisfies the (doc, term) clustering), so the tf
+    # aggregate runs partition-local AND the df window reuses the same
+    # term partitioning with no exchange.  (The traded-away map-side
+    # partial aggregation is ~free here: shingles barely repeat within a
+    # doc — pre-/post-aggregate row counts within 4%, measured 2.60M vs
+    # 2.70M at 10x.)  r14 removes the OTHER keyed window: the per-doc
+    # norm no longer runs OVER (PARTITION BY doc_id) on the full frame
+    # (see ``norms`` below), so this repartition is now the query's ONLY
+    # full-frame exchange.
     tf = (
         shingle_table(docs, distinct=False)
         .select("doc_id", F.col("shingle").alias("term"))
@@ -2225,33 +2260,43 @@ def dedup_tfidf_cosine(
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
     w_term = Window.partitionBy("term")
-    w_doc = Window.partitionBy("doc_id")
+    # w_int = tf * idf6: exact 1e-6-unit integer weight (docstring).
+    # LAZILY checkpointed for its four consumers (norms, postings, both
+    # verify sides) — the frame is narrower than the r13 unit frame
+    # (one long instead of a 6-dp double + per-row norm).  eager=True
+    # was A/B'd (r14) and lost ~1.5 s at sf0.1: this query's consumers
+    # run stage-by-stage, never concurrently from a cold start, so the
+    # r12 lazy-race hazard doesn't bite and the eager form only adds an
+    # up-front materialization barrier before any downstream stage can
+    # overlap.  The >= 3-consumers -> eager rule is therefore scoped: it
+    # applies when consumers launch CONCURRENT jobs (jaccard_prefix's
+    # per_doc), not when a single action drives them sequentially.
     w = (
         tf.withColumn("df", F.count(F.lit(1)).over(w_term).cast("long"))
         .crossJoin(F.broadcast(n_docs))
-        .withColumn("idf", F.round(F.log(F.col("n_corpus") / F.col("df")), 6))
-        .withColumn("w", F.col("tf") * F.col("idf"))
-    )
-    unit = (
-        w.withColumn(
-            "nrm",
-            F.sqrt(
-                F.sum((F.col("w") * F.col("w")).cast("decimal(38,12)"))
-                .over(w_doc)
-                .cast("double")
-            ),
-        )
-        .where(F.col("nrm") > 0)
         .select(
             "doc_id",
             "term",
             "df",
-            F.round(F.col("w") / F.col("nrm"), 6).alias("u"),
+            (
+                F.col("tf")
+                * F.round(F.log(F.col("n_corpus") / F.col("df")) * F.lit(1e6))
+                .cast("long")
+            ).alias("w_int"),
         )
-        # feeds the posting lists AND both verify sides below
         .localCheckpoint(eager=False)
     )
-    postings = unit.where((F.col("df") >= 2) & (F.col("df") <= df_cap))
+    # per-doc norm in 1e-6 units: map-side-combined aggregate — the
+    # exchange moves |docs| partial rows, replacing the r13 full-frame
+    # doc_id window (its repartition + sort were this query's second
+    # full-frame exchange)
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum((F.col("w_int") * F.col("w_int")).cast("decimal(38,0)"))
+            .cast("double")
+        ).alias("nrm")
+    )
+    postings = w.where((F.col("df") >= 2) & (F.col("df") <= df_cap))
     grouped = postings.groupBy("term").agg(
         F.array_sort(F.collect_list("doc_id")).alias("ids")
     )
@@ -2274,40 +2319,51 @@ def dedup_tfidf_cosine(
         .where(F.col("n_shared") >= min_shared)
         .select("doc_a", "doc_b")
     )
-    # Verify as a SHARED-TERM equi join + exact decimal sum (r11 —
-    # VERDICT r10 item 3): expand each candidate by doc_a's unit entries
-    # (|cand| x terms-per-doc rows — with min_shared pruning the
-    # candidate set is ~17k at sf0.1, so this is ~800k narrow rows, NOT
-    # the 20M the pre-min_shared shape shuffled), inner-join doc_b's
-    # postings on (doc_b, term) so exactly the SHARED terms survive, and
-    # sum the 9-dp DECIMAL(18,9) contributions per pair — exact and
-    # order-free, the same number the oracle's join+SUM computes.  This
-    # replaces the r9 map-lookup fold, which ran as an INTERPRETED
-    # higher-order function outside whole-stage codegen and was the
-    # query's single most expensive stage (1.85 s of the 4.6 s floor)
-    # and its worst 10x scaler (the fold cost scales with candidates x
-    # vocabulary); the join verify is pure codegen end to end.  A/B at
-    # sf0.1: floor 5.8 -> 5.3 s in-session, cold pass 18 -> 5.8 s, rows
-    # identical; no fan_out needed since no interpreted stage remains.
-    ua = unit.select(F.col("doc_id").alias("doc_a"), "term", F.col("u").alias("ua"))
-    ub = unit.select(F.col("doc_id").alias("doc_b"), "term", F.col("u").alias("ub"))
+    # Verify as a SHARED-TERM equi join + exact integer sum (the r11
+    # join-verify shape, kept: expand each candidate by doc_a's weight
+    # rows, inner-join doc_b's on (doc_b, term) so exactly the SHARED
+    # terms survive, sum per pair — pure codegen end to end, replacing
+    # the r9 interpreted map-lookup fold).  The verify sides read the
+    # checkpointed w frame whole: a candidate-doc broadcast semi-join
+    # prune was A/B'd here (r14) and REFUTED at both scales — 1x 3.18 ->
+    # 3.71 s, 10x 5.29 -> 6.88 s — because the prune serializes the
+    # candidate subtree ahead of the verify scans and pays two broadcast
+    # builds, while the exchanges it saves move narrow (doc, term, long)
+    # rows a local shuffle handles at memory speed.  On a 1000-executor
+    # corpus where the weight frame is 100 TB and candidates are sparse,
+    # the economics invert — that deployment would re-add the semi prune
+    # (or a bloom filter on doc_id) in front of these two selects.
+    wa = w.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("w_int").alias("wa")
+    )
+    wb = w.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("w_int").alias("wb")
+    )
     contrib = (
-        cand.join(ua, "doc_a")
-        .join(ub, ["doc_b", "term"])
+        cand.join(wa, "doc_a")
+        .join(wb, ["doc_b", "term"])
         .select(
             "doc_a",
             "doc_b",
-            F.round(F.col("ua") * F.col("ub"), 9).cast("decimal(18,9)").alias("c"),
+            # long * long is exact at this corpus's magnitudes
+            # (docstring); the DECIMAL(38,0) sum is exact and order-free
+            (F.col("wa") * F.col("wb")).cast("decimal(38,0)").alias("c"),
         )
     )
+    dots = contrib.groupBy("doc_a", "doc_b").agg(F.sum("c").alias("dot"))
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("nrm_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nrm_b"))
+    # norm joins ride on the tiny pair frame; AQE broadcasts the |docs|-
+    # row norm table locally, and at corpus scale where norms outgrow the
+    # broadcast threshold the same plan degrades to a keyed join on the
+    # small pair side
+    cosine = F.round(
+        F.col("dot").cast("double") / (F.col("nrm_a") * F.col("nrm_b")), 6
+    )
     return (
-        contrib.groupBy("doc_a", "doc_b")
-        .agg(F.sum("c").cast("decimal(28,9)").alias("dot"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(F.col("dot").cast("double"), 6).alias("cosine"),
-        )
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cosine.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 

@@ -5544,12 +5544,30 @@ def sample_negative_pairs(
     recipe samples hard negatives for embedding training at corpus
     scale.
 
-    Plan at scale: positives = one distinct over the order join (keyed
-    shuffle); candidate generation is SCAN-STAGE arithmetic (hash mod
-    |catalog| — no sampling state, no RNG service); the rejection
-    anti-join shuffles on the same (customer, part) key the positives
-    already have; the part-count scalar rides a 1-row broadcast.  No
-    step touches |customers| x |catalog|.
+    Plan at scale (r14 rewrite): candidate generation is SCAN-STAGE
+    arithmetic (hash mod |catalog| — no sampling state, no RNG service)
+    applied to the RAW interaction rows, not to a pre-deduped positives
+    frame: the generated value depends only on (custkey, j, partkey), so
+    duplicate interactions emit duplicate candidates that the single
+    (custkey, part) aggregate collapses anyway.  Positives and candidates
+    flow as ONE tagged stream from a single generate (j = -1 emits the
+    positive, j in [0, k) the candidates — the interaction join scans
+    once, not once per stream), and the whole rejection logic is
+    TWO stacked aggregations on ONE custkey hash partitioning:
+    groupBy(custkey, part) folds duplicates and marks each cell
+    has_pos / has_cand, and groupBy(custkey) counts n_pos, n_cand, and
+    n_neg = cells with has_cand and not has_pos — the anti-join is a
+    boolean on the grouped cell, not a join.  Hash partitioning by
+    custkey satisfies the (custkey, part) clustering, so the second
+    aggregate and the final projection run exchange-free: the query is
+    ONE order-join shuffle plus ONE custkey repartition of the tagged
+    union, replacing the r11 shape's distinct + eager checkpoint +
+    candidate distinct + rejection join + two aggregate exchanges + final
+    join (driver floor 3.31 s; the checkpoint alone rewrote the positives
+    frame to cache every run).  The traded-away map-side partial
+    aggregation is cheap here: an interaction repeats per (customer,
+    part) only a handful of times.  The part-count scalar rides a 1-row
+    broadcast.  No step touches |customers| x |catalog|.
 
     Output per customer: n_pos, n_cand (distinct generated), n_neg
     (survivors) — the collision rate n_cand - n_neg certifies the
@@ -5559,58 +5577,50 @@ def sample_negative_pairs(
     n_parts = load(spark, sf_dir, "part").agg(
         (F.max("p_partkey") + 1).cast("long").alias("np")
     )
-    pos = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("custkey"),
-            F.col("l_partkey").alias("partkey"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+    raw = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("l_partkey").alias("partkey"),
     )
-    cand = (
-        pos.crossJoin(F.broadcast(n_parts))
+    # one generate per interaction row covers BOTH streams: j = -1 is the
+    # positive itself, j in [0, k) the hash candidates — the join output
+    # scans once instead of once per stream
+    tagged = (
+        raw.crossJoin(F.broadcast(n_parts))
         .select(
             "custkey",
-            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+            F.explode(F.sequence(F.lit(-1), F.lit(k - 1))).alias("j"),
             "partkey",
             "np",
         )
         .select(
             "custkey",
-            (
-                ((F.col("custkey") % 1000003) * 2654435761
-                 + F.col("j") * 40503
-                 + F.col("partkey") * 97911
-                 + 7) % F.col("np")
-            ).cast("long").alias("cand_part"),
+            F.when(
+                F.col("j") < 0, F.col("partkey")
+            ).otherwise(
+                (
+                    ((F.col("custkey") % 1000003) * 2654435761
+                     + F.col("j") * 40503
+                     + F.col("partkey") * 97911
+                     + 7) % F.col("np")
+                )
+            ).cast("long").alias("part"),
+            (F.col("j") < 0).alias("is_pos"),
         )
-        .distinct()
     )
-    # rejection as a LEFT join + null-test marker so n_cand and n_neg
-    # come out of ONE custkey aggregate (r11: the old anti-join shape
-    # paid a second full pass over the candidate frame plus an extra
-    # custkey join just to count survivors separately; pos is distinct
-    # on (custkey, partkey), so the left join cannot fan out and the
-    # null-marker count equals the anti-join count exactly)
-    marked = cand.join(
-        pos.select(
-            F.col("custkey"), F.col("partkey").alias("cand_part")
-        ).withColumn("_hit", F.lit(1)),
-        ["custkey", "cand_part"],
-        "left",
+    cells = (
+        tagged.repartition(F.col("custkey"))
+        .groupBy("custkey", "part")
+        .agg(
+            F.max("is_pos").alias("has_pos"),
+            F.max(~F.col("is_pos")).alias("has_cand"),
+        )
     )
-    n_pos = pos.groupBy("custkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pos")
-    )
-    per_cust = marked.groupBy("custkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_cand"),
-        F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+    return cells.groupBy("custkey").agg(
+        F.sum(F.col("has_pos").cast("int")).cast("long").alias("n_pos"),
+        F.sum(F.col("has_cand").cast("int")).cast("long").alias("n_cand"),
+        F.sum((F.col("has_cand") & ~F.col("has_pos")).cast("int"))
         .cast("long")
         .alias("n_neg"),
-    )
-    return n_pos.join(per_cust, "custkey").select(
-        "custkey", "n_pos", "n_cand", "n_neg"
     )
 
 

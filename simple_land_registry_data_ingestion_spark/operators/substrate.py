@@ -43,6 +43,7 @@ import hashlib
 import os
 import shutil
 import tempfile
+import time
 from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -126,9 +127,28 @@ def materialized_frame(
         tmp = tempfile.mkdtemp(prefix=f".{key}.", dir=root)
         try:
             builder().coalesce(n_files).write.mode("overwrite").parquet(tmp)
-            # prune superseded fingerprints of the same (tag, corpus)
+            # Prune superseded siblings of the same (tag, corpus): the
+            # prefix sweep catches every older fingerprint AND every
+            # legacy key format (ADVICE r13 — pre-r13 raw-fingerprint
+            # keys share the same ``tag_base_`` prefix, so the first
+            # post-format-change build garbage-collects them), plus
+            # crashed writers' orphaned ``.tag_base_...`` temp dirs.
+            own_tmp = os.path.basename(tmp)
+            now = time.time()
             for name in os.listdir(root):
-                if name.startswith(prefix) and name != key:
+                stale = name.startswith(prefix) and name != key
+                dead_tmp = False
+                if name.startswith(f".{prefix}") and name != own_tmp:
+                    # age-gate: a YOUNG dot-dir may be a live concurrent
+                    # writer mid-build — deleting it would break the
+                    # lose-the-race-safely contract; an hour-old one is a
+                    # crashed writer's orphan.
+                    try:
+                        age = now - os.stat(os.path.join(root, name)).st_mtime
+                        dead_tmp = age > 3600
+                    except OSError:
+                        pass
+                if stale or dead_tmp:
                     shutil.rmtree(
                         os.path.join(root, name), ignore_errors=True
                     )
