@@ -389,6 +389,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ann_lsh_multiprobe": similarity.similarity_ann_lsh_multiprobe,
     "similarity_bucket_histogram": similarity.similarity_bucket_histogram,
     "dedup_jaccard_prefix": dedup.dedup_jaccard_prefix,
+    "dedup_prefix_index_build": dedup.dedup_prefix_index_build,
     "multimodal_binary_metadata": multimodal.multimodal_binary_metadata,
     "multimodal_decode_features": multimodal.multimodal_decode_features,
     "text_fingerprint": text_fns.text_fingerprint,
@@ -3568,6 +3569,32 @@ _ORACLES.update({
         JOIN sizes sa ON doc_a = sa.doc_id
         JOIN sizes sb ON doc_b = sb.doc_id
         WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5
+    """,
+    # prefix_df_sum is tie-break invariant: ANY (df asc, *) total order
+    # picks the same df multiset for the first prefix_len tokens, so the
+    # oracle's row_number tie-break need not match the engine's hash
+    # tie-break (dedup_prefix_index_build docstring)
+    "dedup_prefix_index_build": r"""
+        WITH docs AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+            FROM documents),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS shingle
+            FROM docs, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+        dfs AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+                FROM sh GROUP BY 1),
+        tok AS (SELECT doc_id, df,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY df ASC) AS rk,
+                       COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+                FROM sh JOIN dfs USING (shingle))
+        SELECT doc_id,
+               CAST(n_sh AS BIGINT) AS n_sh,
+               CAST(n_sh - CEIL(0.5 * n_sh) + 1 AS BIGINT) AS prefix_len,
+               CAST(SUM(CASE WHEN rk <= n_sh - CEIL(0.5 * n_sh) + 1
+                             THEN df ELSE 0 END) AS BIGINT) AS prefix_df_sum
+        FROM tok GROUP BY doc_id, n_sh
     """,
     "dedup_exact_substring": r"""
         WITH docs AS (

@@ -1755,46 +1755,72 @@ class _JaccardPrefixParts(NamedTuple):
     candidates: DataFrame
 
 
-def _jaccard_prefix_build(
-    docs: DataFrame, threshold: float, positional_filter: bool
-) -> "_JaccardPrefixParts":
-    # ONE shingle-keyed aggregate (collect_set dedupes per-doc repeats in
-    # the map-side partial) replaces the old distinct -> df-aggregate ->
-    # join chain: the raw exploded shingles shuffle ONCE, df is just the
-    # bucket size, and the (df, shingle, doc) rows explode back out
-    # shuffle-free ahead of the doc-keyed aggregate — 4 shuffles of the
-    # widest table in the pipeline down to 2 (r11).
-    # Emission is the NO-WINDOW zip form: this pipeline's first aggregation
-    # is shingle-keyed, so shingle_table's doc_id exchange + sort buys
-    # nothing back here (r13 interleaved A/B: median 4.69 -> 3.75 s).
+def build_prefix_index(docs: DataFrame) -> DataFrame:
+    """The rarity-ordered token index the PPJoin family runs on: one row
+    per doc with its df-sorted token structs and set size — the frame a
+    production near-dup service materializes ONCE per corpus snapshot
+    and serves every prefix-join threshold from (the prefix length is a
+    read-time slice, so the index is threshold-independent).
+
+    Tokens are xxHash64 HASHES of the word 3-gram shingles, not the
+    strings (r14): the index's payload is arrays of ~25-char strings
+    otherwise, and the hash cuts the doc-keyed shuffle, the at-rest
+    parquet, and every downstream array_intersect to 8 bytes/token.
+    Exactness modulo 64-bit collisions — the same accepted risk class as
+    every hash-partitioned exact-dedup pipeline (a collision needs two
+    distinct shingles of the SAME corpus to share a hash; at ~1e6
+    distinct shingles the probability is ~1e-7) — and the total order
+    (df asc, hash asc) stays a global total order, which is all the
+    prefix-filter completeness proof needs.
+
+    Build shape: ONE shingle-keyed aggregate (collect_set dedupes
+    per-doc repeats in the map-side partial) replaces the old distinct
+    -> df-aggregate -> join chain: the raw exploded shingles shuffle
+    ONCE, df is just the bucket size, and the (df, h, doc) rows explode
+    back out shuffle-free ahead of the doc-keyed aggregate (r11).
+    Emission is the NO-WINDOW zip form: this pipeline's first
+    aggregation is shingle-keyed, so shingle_table's doc_id exchange +
+    sort buys nothing back here (r13 interleaved A/B: median 4.69 ->
+    3.75 s)."""
     buckets = (
         shingle_table_nowindow(docs, distinct=False)
-        .groupBy("shingle")
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
+        .groupBy("h")
         .agg(F.collect_set("doc_id").alias("bucket_ids"))
     )
-    # ONE doc-keyed aggregation carries everything downstream needs: the
-    # df-sorted token structs (prefix + positions + verification sets) and
-    # the set size.  EAGERLY localCheckpoint'd (r12): three consumers read
-    # this frame (prefix generation, both wide set fetches), and with a
-    # LAZY checkpoint their first concurrent job raced the un-checkpointed
-    # subtree and replayed the full shingle-emission + two-aggregation
-    # chain per consumer (2.5x cold regression).  r13 narrows the
-    # checkpointed frame: ``sh_set`` is a pure projection of ``toks``
-    # (transform at READ time, 5k tiny arrays — microseconds), so storing
-    # it doubled every checkpoint block's string payload for nothing.
-    per_doc = (
+    return (
         buckets.select(
-            "shingle",
+            "h",
             F.size("bucket_ids").cast("long").alias("df"),
             F.explode("bucket_ids").alias("doc_id"),
         )
         .groupBy("doc_id")
         .agg(
-            F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("toks")
+            F.array_sort(F.collect_list(F.struct("df", "h"))).alias("toks")
         )
         .withColumn("n_sh", F.size("toks").cast("long"))
-        .localCheckpoint(eager=True)
     )
+
+
+def _jaccard_prefix_build(
+    docs: DataFrame, threshold: float, positional_filter: bool
+) -> "_JaccardPrefixParts":
+    # LIVE path (tests and ad-hoc corpora): build the index in-query.
+    # EAGERLY localCheckpoint'd (r12): three consumers read this frame
+    # (prefix generation, both wide set fetches), and with a LAZY
+    # checkpoint their first concurrent job raced the un-checkpointed
+    # subtree and replayed the full shingle-emission + two-aggregation
+    # chain per consumer (2.5x cold regression).
+    per_doc = build_prefix_index(docs).localCheckpoint(eager=True)
+    return _prefix_join_from_index(per_doc, threshold, positional_filter)
+
+
+def _prefix_join_from_index(
+    per_doc: DataFrame, threshold: float, positional_filter: bool
+) -> "_JaccardPrefixParts":
+    """PPJoin candidate generation + exact verify over a prefix index
+    frame (doc_id, toks array<struct<df,h>>, n_sh) — shared by the live
+    build above and the at-rest store read in dedup_jaccard_prefix."""
     sz = F.size("toks")
     plen = (sz - F.ceil(F.lit(threshold) * sz) + 1).cast("int")
     # posexplode keeps each prefix token's 1-based POSITION in the doc's
@@ -1806,15 +1832,15 @@ def _jaccard_prefix_build(
         "doc_id",
         "n_sh",
         F.posexplode(
-            F.transform(F.slice("toks", F.lit(1), plen), lambda s: s["shingle"])
-        ).alias("pos0", "shingle"),
+            F.transform(F.slice("toks", F.lit(1), plen), lambda s: s["h"])
+        ).alias("pos0", "h"),
     )
     # Buckets carry (doc_id, pos, n) structs; doc_id is the leading struct
     # field so array_sort keeps the i<j pair orientation identical to the
     # id-only path (one row per doc per bucket: shingles are distinct
     # within a doc).
     raw_pairs = bucket_pairs(
-        prefix.groupBy("shingle").agg(
+        prefix.groupBy("h").agg(
             F.array_sort(
                 F.collect_list(
                     F.struct(
@@ -1875,11 +1901,11 @@ def _jaccard_prefix_build(
     compatible = candidates.where(pruned).select("doc_a", "doc_b", "n_a", "n_b")
     sa = per_doc.select(
         F.col("doc_id").alias("doc_a"),
-        F.transform("toks", lambda s: s["shingle"]).alias("set_a"),
+        F.transform("toks", lambda s: s["h"]).alias("set_a"),
     )
     sb = per_doc.select(
         F.col("doc_id").alias("doc_b"),
-        F.transform("toks", lambda s: s["shingle"]).alias("set_b"),
+        F.transform("toks", lambda s: s["h"]).alias("set_b"),
     )
     inter = F.size(F.array_intersect("set_a", "set_b"))
     jac = inter / (F.col("n_a") + F.col("n_b") - inter)
@@ -1895,13 +1921,73 @@ def _jaccard_prefix_build(
     )
 
 
+def shared_prefix_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rarity-ordered prefix-filter token index at rest —
+    ``(doc_id, toks array<struct<df,h>>, n_sh)``, threshold-independent
+    (the prefix length is a read-time slice), serving every PPJoin
+    threshold from one corpus pass.  Live producer (r13 accounting
+    rule): ``dedup_prefix_index_build`` pays the benched build."""
+    return materialized_frame(
+        spark,
+        sf_dir,
+        "prefix_index",
+        "documents",
+        lambda: build_prefix_index(load(spark, sf_dir, "documents")),
+    )
+
+
 def dedup_jaccard_prefix(
     spark: SparkSession, sf_dir: str, threshold: float = 0.5
 ) -> DataFrame:
     """Registered query: lossless prefix-filtered exact Jaccard join at
     t=0.5; the oracle is the UNPRUNED brute-force join, so a green row
-    certifies the completeness guarantee end-to-end."""
-    return jaccard_prefix_pairs(load(spark, sf_dir, "documents"), threshold)
+    certifies the completeness guarantee end-to-end.
+
+    r14: reads the token index from the at-rest substrate store (like
+    every other lens over a shared expensive frame) instead of
+    rebuilding it per query — the rebuild was this query's whole 10x
+    residual (the index build is emission + two corpus shuffles + an
+    eager checkpoint write, all corpus-linear; the join itself is
+    candidate-bounded).  The build cost stays on the scoreboard through
+    the ``dedup_prefix_index_build`` producer row, registered the same
+    round per the r13 substrate accounting rule."""
+    return _prefix_join_from_index(
+        shared_prefix_index(spark, sf_dir), threshold, True
+    ).verified
+
+
+def dedup_prefix_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE producer for the prefix-filter token index: builds the
+    rarity-ordered index from the raw corpus in-query (NO store read —
+    the r13 accounting rule: every stored substrate keeps a benched
+    producer so the corpus-pass cost stays certified) and emits per-doc
+    index stats the oracle can recompute in SQL:
+
+      - n_sh: distinct-shingle count;
+      - prefix_len: |d| - ceil(t*|d|) + 1 at t=0.5, the stored index's
+        documented default slice;
+      - prefix_df_sum: sum of df over the prefix tokens — TIE-BREAK
+        INVARIANT (any (df asc, *) total order picks the same df
+        multiset for the first prefix_len tokens, so the sum certifies
+        the rarity ordering without exposing the engine-specific hash
+        tie-break the index itself sorts by).
+
+    The interpreted fold over the prefix slice runs on |docs| rows of
+    ~100-element arrays — not a corpus-row-path HOF."""
+    t = 0.5
+    per_doc = build_prefix_index(load(spark, sf_dir, "documents"))
+    sz = F.size("toks")
+    plen = (sz - F.ceil(F.lit(t) * sz) + 1).cast("int")
+    return per_doc.select(
+        "doc_id",
+        "n_sh",
+        plen.cast("long").alias("prefix_len"),
+        F.aggregate(
+            F.slice("toks", F.lit(1), plen),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + s["df"],
+        ).alias("prefix_df_sum"),
+    )
 
 
 def dedup_exact_substring(

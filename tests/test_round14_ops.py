@@ -65,6 +65,56 @@ def test_semdedup_row_blocking_is_exact(spark):
     assert full == blocked and len(full) > 0
 
 
+def test_prefix_index_producer_is_live_and_lens_reads_store(spark, monkeypatch):
+    """r13 substrate accounting rule applied to the r14 prefix-index
+    store: dedup_prefix_index_build must PAY the index build (no store
+    read anywhere), while dedup_jaccard_prefix reads the at-rest entry
+    — and both must agree with the live join on rows."""
+    store_calls = []
+    real_frame = substrate.materialized_frame
+
+    def spy_frame(spark_, sf_dir, tag, source_table, builder, **kw):
+        store_calls.append(tag)
+        return real_frame(spark_, sf_dir, tag, source_table, builder, **kw)
+
+    monkeypatch.setattr(dedup, "materialized_frame", spy_frame)
+    prod = dedup.dedup_prefix_index_build(spark, SF_SMALL)
+    assert prod.limit(1).count() >= 0
+    assert store_calls == [], "producer must not read the store"
+
+    lens = dedup.dedup_jaccard_prefix(spark, SF_SMALL)
+    got = sorted(map(tuple, lens.collect()))
+    assert store_calls == ["prefix_index"], "lens must read the store"
+    live = sorted(
+        map(
+            tuple,
+            dedup.jaccard_prefix_pairs(
+                dedup.load(spark, SF_SMALL, "documents"), 0.5
+            ).collect(),
+        )
+    )
+    assert got == live and len(got) > 0
+
+
+def test_prefix_index_is_threshold_independent(spark):
+    """The stored index carries FULL sorted token lists: the same frame
+    must serve any threshold slice losslessly (here t=0.7 vs t=0.5 —
+    the t=0.7 result is exactly the jaccard >= 0.7 slice of a live
+    t=0.7 join)."""
+    docs = dedup.load(spark, SF_SMALL, "documents")
+    idx = dedup.build_prefix_index(docs).localCheckpoint(eager=True)
+    via_index = sorted(
+        map(
+            tuple,
+            dedup._prefix_join_from_index(idx, 0.7, True).verified.collect(),
+        )
+    )
+    live = sorted(
+        map(tuple, dedup.jaccard_prefix_pairs(docs, 0.7).collect())
+    )
+    assert via_index == live
+
+
 def test_store_gc_prunes_legacy_and_crashed_entries(spark, tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_GRAPH_STORE", str(tmp_path))
     base = os.path.basename(SF_SMALL.rstrip("/"))

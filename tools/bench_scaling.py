@@ -56,6 +56,7 @@ from simple_land_registry_data_ingestion_spark.functions import udfs
 QUERIES = {
     # dedup family (documents)
     "dedup_jaccard_prefix": dedup.dedup_jaccard_prefix,
+    "dedup_prefix_index_build": dedup.dedup_prefix_index_build,
     "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
     "dedup_semdedup": dedup.dedup_semdedup,
     "dedup_exact_substring": dedup.dedup_exact_substring,
