@@ -540,96 +540,92 @@ _SIGS_CTE = """
 
 
 #: The driver's correctness gate evaluates the FIRST 50 entries of the
-#: dict queries() returns.  _R13_WINDOW IS the round-13 window, in
+#: dict queries() returns.  _R14_WINDOW IS the round-14 window, in
 #: priority order; queries() moves these names to the front, everything
 #: else follows in _QUERIES order.
 #:
-#: r13 window: r12 came back 50/50 green (nothing red, nothing
-#: never-certified).  Block A1 is the re-cert queue the r12 verdict
-#: mandated verbatim (9 queries whose plans changed after the r12
-#: freeze: the decontamination fold, the HITS store move — superseded
-#: again this round by the live-edge build — and the 7 non-window
-#: consumers of the codegen shingle/minhash rewrite).  Block A2 is
-#: every further plan change landed THIS round, all BEFORE this freeze
-#: (the r12 verdict's process fix): dedup_embedding_cosine (blocked
-#: GEMM), dedup_jaccard_prefix (no-window emission + narrow candidate
-#: carry), basket_part_pairs (live producer again), dedup_semdedup
-#: (per-cluster GEMM + max_by argmax), similarity_ivf_kmeans (max_by
-#: argmax inside the Lloyd loop).  Block B is the 12 r04-evidence
-#: spillovers named by the r12 plan; block C fills the remaining 24
-#: slots from the 44-query r05-evidence cohort (alphabetical), leaving
-#: exactly 20 r05 queries to spill.
+#: r14 window: r13 came back 50/50 green (nothing red, nothing
+#: never-certified).  Block A is every plan/contract change landed THIS
+#: round, all BEFORE the freeze, queued at the head per the r13 verdict:
+#: dedup_embedding_cosine + dedup_semdedup (GEMM pre-cut slack widened
+#: 1e-9 -> 1e-6 per ADVICE r13 — a boundary-pair CONTRACT fix — plus the
+#: row-blocked in-cluster gram), dedup_tfidf_cosine (integer fixed-point
+#: weights + deferred normalization, oracle rewritten in lockstep),
+#: sample_negative_pairs (single-generate union + two stacked aggregates
+#: on one custkey partitioning), dedup_jaccard_prefix (at-rest prefix
+#: index lens, xxhash64 tokens), and the NEW dedup_prefix_index_build
+#: producer row (the substrate accounting rule's live build).  Block B
+#: is the 20 r05-evidence spillovers named by the r13 plan, verbatim.
+#: Block C fills the remaining 24 slots from the 45-query r06-evidence
+#: cohort (alphabetical), leaving exactly 21 r06 queries to spill.
 #:
-#: r14 queue arithmetic: any r13 red takes the head; then the 20
-#: remaining r05-evidence queries (the alphabetical continuation:
-#: orders_open_backlog, profile_benford_deviation,
-#: profile_dp_noisy_counts, profile_k_anonymity,
-#: profile_table_checksum, q10_returned_items,
-#: q5_local_supplier_volume, sample_mix_diversity,
-#: sample_shard_routing, scalar_try_funcs, scan_file_metadata,
-#: set_ops_all, similarity_ann_ivf, similarity_ann_lsh,
-#: similarity_ann_lsh_multiprobe, similarity_bucket_histogram,
-#: similarity_topk_bruteforce, supplier_otif_scorecard,
-#: text_collocations_pmi, text_feature_hashing); then the r06-evidence
-#: cohort (45 queries) fills whatever remains.  NO plan rewrites after
-#: the r13 freeze: a post-freeze rewrite waits a round.
-_R13_WINDOW: list[str] = [
-    # -- block A1: the 9 re-certs queued by the r12 verdict (post-freeze
-    # -- plan changes; graph_hits_scores changed AGAIN this round — its
-    # -- single slot certifies the final live-edge plan) --
-    "dedup_decontaminate",
-    "graph_hits_scores",
-    "dedup_minhash_lsh",
-    "dedup_containment_lsh",
-    "dedup_incremental_minhash",
-    "dedup_minhash_error",
-    "dedup_lsh_scurve",
-    "text_ngram_novelty",
-    "text_minhash_jaccard_estimate",
-    # -- block A2: plans changed in r13 proper, all pre-freeze --
+#: r15 queue arithmetic: any r14 red takes the head; then the 21
+#: remaining r06-evidence queries (the alphabetical continuation:
+#: scalar_variant_funcs, sessionize_events, similarity_range_search,
+#: stream_dedup_within_watermark, stream_ohlc_candles,
+#: stream_session_window, stream_sliding_window,
+#: stream_stateful_user_stats, stream_stream_interval_join,
+#: stream_tumbling_append_watermark, stream_tumbling_window,
+#: text_bigram_kn_perplexity, text_chunk_dedup_fraction,
+#: text_fingerprint, text_jsd_source_drift, text_stats_pandas_udf,
+#: text_tfidf_topk, text_vocab_topk, udtf_chunk_documents,
+#: unpivot_measures, window_rank_family); then the r07-evidence cohort
+#: (44 queries) fills whatever remains.  NO plan rewrites after the r14
+#: freeze: a post-freeze rewrite waits a round.
+_R14_WINDOW: list[str] = [
+    # -- block A: r14 plan/contract changes, all pre-freeze --
     "dedup_embedding_cosine",
-    "dedup_jaccard_prefix",
-    "basket_part_pairs",
     "dedup_semdedup",
-    "similarity_ivf_kmeans",
-    # -- block B: the 12 r04-evidence spillovers (r12 plan, verbatim) --
-    "sql_exists_subquery",
-    "sql_lateral_topn",
-    "sql_scalar_subquery",
-    "stream_user_topk",
-    "text_lang_id",
-    "text_quality_quantile_gate",
-    "text_quality_score",
-    "text_token_count",
-    "window_lag_lead",
-    "window_range_frame",
-    "window_running_sum",
-    "window_topk_per_group",
-    # -- block C: r05-evidence rotation (alphabetical fill, 24 of 44) --
-    "agg_bitwise",
-    "agg_histogram_2d",
-    "cdc_latest_per_key",
-    "compliance_erasure_simulation",
-    "customers_target_encoding",
-    "dedup_embedding_lsh",
-    "dedup_exact_documents",
-    "dedup_simhash",
-    "er_sorted_neighborhood",
-    "events_activity_islands",
-    "events_attribution_last_touch",
-    "events_chi_square",
-    "events_cumulative_distinct_users",
-    "events_linear_trend",
-    "events_mean_shift_detect",
-    "events_mutual_information",
-    "events_path_trigrams",
-    "events_recency_features",
-    "events_regr_builtin",
-    "events_seasonality",
-    "events_user_entropy",
-    "events_winsorized_stats",
-    "join_null_safe",
-    "orders_cohort_revenue",
+    "dedup_tfidf_cosine",
+    "sample_negative_pairs",
+    "dedup_jaccard_prefix",
+    "dedup_prefix_index_build",
+    # -- block B: the 20 r05-evidence spillovers (r13 plan, verbatim) --
+    "orders_open_backlog",
+    "profile_benford_deviation",
+    "profile_dp_noisy_counts",
+    "profile_k_anonymity",
+    "profile_table_checksum",
+    "q10_returned_items",
+    "q5_local_supplier_volume",
+    "sample_mix_diversity",
+    "sample_shard_routing",
+    "scalar_try_funcs",
+    "scan_file_metadata",
+    "set_ops_all",
+    "similarity_ann_ivf",
+    "similarity_ann_lsh",
+    "similarity_ann_lsh_multiprobe",
+    "similarity_bucket_histogram",
+    "similarity_topk_bruteforce",
+    "supplier_otif_scorecard",
+    "text_collocations_pmi",
+    "text_feature_hashing",
+    # -- block C: r06-evidence rotation (alphabetical fill, 24 of 45) --
+    "agg_approx_distinct",
+    "agg_collect_sorted",
+    "agg_count_min_sketch",
+    "agg_distinct_counts",
+    "agg_partial_merge",
+    "agg_percentiles",
+    "case_when_bucketing",
+    "cdc_scd2_build",
+    "cdc_snapshot_diff",
+    "distinct_rows",
+    "events_adoption_wilson",
+    "events_ohlc_candles",
+    "filter_project",
+    "grouped_zscore_pandas",
+    "ingest_max_date",
+    "ingest_run_summary",
+    "multimodal_binary_metadata",
+    "multimodal_decode_features",
+    "profile_columns",
+    "q1_pricing_summary",
+    "q6_revenue_filter",
+    "sample_hash_deterministic",
+    "sample_importance_reweight",
+    "sample_stratified_fixed",
 ]
 
 #: r12 window (EXECUTED — all 50 green in CORRECTNESS_r12.json; kept for
@@ -882,7 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round's window (_R12_WINDOW) is moved to the front; the rest keep
     their registry order.
     """
-    window = [n for n in _R13_WINDOW if n in _QUERIES]
+    window = [n for n in _R14_WINDOW if n in _QUERIES]
     rest = [n for n in _QUERIES if n not in set(window)]
     return {name: _wrap(_QUERIES[name]) for name in window + rest}
 
@@ -5792,7 +5788,7 @@ def oracle_sql() -> dict[str, str]:
     Ordered identically to queries() (window prefix first) so a harness
     that takes its 50-entry prefix from EITHER dict certifies the same
     set."""
-    window = [n for n in _R13_WINDOW if n in _ORACLES]
+    window = [n for n in _R14_WINDOW if n in _ORACLES]
     rest = [n for n in _ORACLES if n not in set(window)]
     return {name: _ORACLES[name] for name in window + rest}
 

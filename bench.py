@@ -180,7 +180,23 @@ def main() -> None:
                     "relative to 2-draw queries, so the tiebreak is not "
                     "noise-neutral; per-query draw counts are recorded "
                     "(pass_counts) so round-over-round comparisons can "
-                    "be made like-for-like"
+                    "be made like-for-like. r14 comparison rule (VERDICT "
+                    "r13 item 7): round-over-round comparisons use "
+                    "two_draw_total — every query's min over its FIRST "
+                    "TWO passes only — so the compared statistic has an "
+                    "identical draw count every round regardless of "
+                    "which queries happened to trip the tiebreak; the "
+                    "headline value stays min-of-all-passes (pinned r9 "
+                    "floor semantics, reproducibility unchanged)"
+                ),
+                # like-for-like round-over-round statistic: min over the
+                # first two passes, uniform draw count for every query
+                "two_draw_total": round(
+                    sum(
+                        min(p[name] for p in passes[:2])
+                        for name in passes[0]
+                    ),
+                    3,
                 ),
                 "tiebreak_queries": noisy,
                 "pass_counts": {
