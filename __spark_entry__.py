@@ -559,7 +559,23 @@ _SIGS_CTE = """
 #: Block C fills the remaining 24 slots from the 45-query r06-evidence
 #: cohort (alphabetical), leaving exactly 21 r06 queries to spill.
 #:
-#: r15 queue arithmetic: any r14 red takes the head; then the 21
+#: r15 queue arithmetic: any r14 red takes the head; then any r15
+#: pre-freeze plan change (dedup_tfidf_cosine is the named candidate —
+#: r14 close read 3.07/3.25 s vs the <=2.5 target.  Post-freeze /tmp
+#: A/B evidence, 2026-08-17, 3 interleaved passes at sf0.1, identical
+#: 249 rows every variant: the verify stage is NOT the residual — a
+#: candidate-expanded-broadcast verify was a wash alone and SLOWER
+#: stacked (the broadcast builds serialize the candidate subtree), and
+#: a warm stage split put verify at ~0.5 s vs ~2 s for the w build +
+#: ~1.2 s candidates.  The measured fix is the w build itself:
+#: shingle_table_nowindow emission (tfidf's first agg is TERM-keyed
+#: after the repartition — the r13 emission rule applied, worth ~16%)
+#: plus xxhash64(term) longs instead of shingle strings through the
+#: exchange/window/joins (the jaccard_prefix r14 trick; term identity
+#: is equality-only here, same ~1e-7 collision class) — together
+#: 3.89-4.46 -> 3.12-3.31 s warm, projecting ~2.5 on the bench floor.
+#: The oracle is untouched — it scores cosine from raw terms, and term
+#: identity is all the hash replaces.); then the 21
 #: remaining r06-evidence queries (the alphabetical continuation:
 #: scalar_variant_funcs, sessionize_events, similarity_range_search,
 #: stream_dedup_within_watermark, stream_ohlc_candles,
