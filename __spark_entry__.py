@@ -575,7 +575,18 @@ _SIGS_CTE = """
 #: is equality-only here, same ~1e-7 collision class) — together
 #: 3.89-4.46 -> 3.12-3.31 s warm, projecting ~2.5 on the bench floor.
 #: The oracle is untouched — it scores cosine from raw terms, and term
-#: identity is all the hash replaces.); then the 21
+#: identity is all the hash replaces.  Slope pre-checked: min-of-3
+#: 1.93 s at sf0.01 -> 2.58 s at sf0.1, 10x slope 1.34.  SECOND r15
+#: candidate, same evidence session: dedup_semdedup's floor is the
+#: 2-iteration Lloyd refinement (2.3 s of its 3.65 — warm stage split),
+#: which similarity_ivf_kmeans recomputes identically; moving the
+#: refined (centroid_id, c_vec, c_norm) table to the substrate store
+#: with similarity_ivf_kmeans as the LIVE producer (the basket_part_
+#: pairs pattern — it keeps paying the build on the scoreboard) and
+#: semdedup as a lens measured 3.33-3.83 -> 1.46-1.67 s with identical
+#: 2000-row output, 3 interleaved passes.  Both changes need the same-
+#: round re-cert queue slot they already hold by being plan changes.);
+#: then the 21
 #: remaining r06-evidence queries (the alphabetical continuation:
 #: scalar_variant_funcs, sessionize_events, similarity_range_search,
 #: stream_dedup_within_watermark, stream_ohlc_candles,
