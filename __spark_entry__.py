@@ -585,8 +585,9 @@ _SIGS_CTE = """
 #: pairs pattern — it keeps paying the build on the scoreboard) and
 #: semdedup as a lens measured 3.33-3.83 -> 1.46-1.67 s with identical
 #: 2000-row output, 3 interleaved passes.  Both changes need the same-
-#: round re-cert queue slot they already hold by being plan changes.);
-#: then the 21
+#: round re-cert queue slot they already hold by being plan changes.
+#: The tfidf variant also VALUE-matches the registered oracle at
+#: sf0.01 (25/25, checked 2026-08-17).); then the 21
 #: remaining r06-evidence queries (the alphabetical continuation:
 #: scalar_variant_funcs, sessionize_events, similarity_range_search,
 #: stream_dedup_within_watermark, stream_ohlc_candles,
