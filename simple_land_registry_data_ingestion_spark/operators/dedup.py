@@ -451,10 +451,20 @@ def ngram_jaccard_pairs(
     counted into |A∩B|.  The earlier shape self-joined the shingle table
     on shingle — two more full shuffles of the widest table in the
     pipeline (measured +1.7 s at sf0.1).  Integer set sizes -> double
-    division, deterministic across engines."""
+    division, deterministic across engines.
+
+    r15 (the tfidf w-build cuts applied here — this query's FIRST
+    aggregation is SHINGLE-keyed, so the r13 emission rule says
+    shingle_table's doc_id exchange bought nothing): emission via
+    shingle_table_nowindow, and the shingle crosses the groupBy exchange
+    as an xxhash64 LONG — shingle identity is equality-only here (the
+    bucket key is discarded after grouping), the same ~1e-7/corpus
+    collision class as the prefix index; a collision would merge two
+    buckets (inflating n_inter/n_sh), so if this row ever reds, check
+    for a hash collision before debugging the join."""
     grouped = (
-        shingle_table(docs, distinct=False)
-        .groupBy("shingle")
+        shingle_table_nowindow(docs, distinct=False)
+        .groupBy(F.xxhash64("shingle").alias("shingle"))
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
         .where(F.size("ids") <= max_shingle_df)
     )
@@ -2338,9 +2348,23 @@ def dedup_tfidf_cosine(
     # norm no longer runs OVER (PARTITION BY doc_id) on the full frame
     # (see ``norms`` below), so this repartition is now the query's ONLY
     # full-frame exchange.
+    #
+    # r15 (the two measured w-build cuts, A/B'd pre-freeze in r14 and
+    # queued): (1) emission via shingle_table_nowindow — this query's
+    # first aggregation is TERM-keyed after the repartition, so
+    # shingle_table's doc_id exchange + sort bought nothing back (the
+    # r13 emission rule, same as jaccard_prefix); (2) terms cross the
+    # exchange/window/joins as xxhash64 LONGS, not 25-byte shingle
+    # strings — term identity is equality-only here (the idf only needs
+    # df per term), the same ~1e-7/corpus collision class the r14
+    # prefix index documented.  The oracle is untouched: it scores
+    # cosine from raw terms, and term identity is all the hash
+    # replaces.  A 64-bit collision would merge two terms' posting
+    # lists (inflating df and a pair's shared-term count); if this
+    # row ever reds, check for a collision before debugging the join.
     tf = (
-        shingle_table(docs, distinct=False)
-        .select("doc_id", F.col("shingle").alias("term"))
+        shingle_table_nowindow(docs, distinct=False)
+        .select("doc_id", F.xxhash64("shingle").alias("term"))
         .repartition(F.col("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
@@ -2376,12 +2400,17 @@ def dedup_tfidf_cosine(
     # exchange moves |docs| partial rows, replacing the r13 full-frame
     # doc_id window (its repartition + sort were this query's second
     # full-frame exchange)
+    # nrm > 0 guard (ADVICE r14): on a degenerate corpus where a doc's
+    # every term has df == n_corpus, all w_int are 0, nrm is 0, and a
+    # surviving pair would emit NaN (0/0) — which Spark's NaN ordering
+    # would pass through the >= threshold filter.  Free on real corpora
+    # (no zero norms at any tested sf), restores the r13 contract.
     norms = w.groupBy("doc_id").agg(
         F.sqrt(
             F.sum((F.col("w_int") * F.col("w_int")).cast("decimal(38,0)"))
             .cast("double")
         ).alias("nrm")
-    )
+    ).where(F.col("nrm") > 0)
     postings = w.where((F.col("df") >= 2) & (F.col("df") <= df_cap))
     grouped = postings.groupBy("term").agg(
         F.array_sort(F.collect_list("doc_id")).alias("ids")
