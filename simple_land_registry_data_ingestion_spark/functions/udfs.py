@@ -245,46 +245,82 @@ def arrow_md5_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CUSUM_SCHEMA = "user_id long, max_cusum double, n_over long"
 
 
-def _cusum_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
-    """Sequential one-sided CUSUM fold over one user's ordered events.
+def _cusum_partition(batches) -> "pd.DataFrame":
+    """Sequential one-sided CUSUM fold over a PARTITION of events sorted
+    by (user_id, ts, event_id) — the iterator/mapInPandas form of the
+    per-group fold (guide §4: per-group machinery, not the fold, was the
+    cost; see events_cusum_pandas).
 
     Plain-Python loop on purpose: the recursion S_i = max(0, S_{i-1} +
     x_i - k) is what no window frame can express (each value depends on
     the clamped previous value).  Arithmetic order matches the oracle's
-    recursive CTE exactly: (s + v) - k, then clamp."""
-    pdf = pdf.sort_values(["ts", "event_id"])
+    recursive CTE exactly: (s + v) - k, then clamp.  The fold carries
+    its (user, S, max, n_over) state across Arrow batch boundaries, so
+    a user split over two batches folds identically to the grouped-map
+    form (rows arrive already sorted; Spark's sort replaces the old
+    per-group pandas sort_values with the same (ts, event_id) order)."""
+    cur_u = None
     s = 0.0
     mx = 0.0
     n_over = 0
-    for v in pdf["value"]:
-        s = s + float(v) - 50.0
-        if s < 0.0:
-            s = 0.0
-        if s > mx:
-            mx = s
-        if s > 100.0:
-            n_over += 1
-    return pd.DataFrame(
+    out_u: list[int] = []
+    out_m: list[float] = []
+    out_n: list[int] = []
+    for pdf in batches:
+        for u, v in zip(pdf["user_id"].to_numpy(), pdf["value"].to_numpy()):
+            if u != cur_u:
+                if cur_u is not None:
+                    out_u.append(int(cur_u))
+                    out_m.append(round(mx, 6))
+                    out_n.append(n_over)
+                cur_u = u
+                s = 0.0
+                mx = 0.0
+                n_over = 0
+            s = s + float(v) - 50.0
+            if s < 0.0:
+                s = 0.0
+            if s > mx:
+                mx = s
+            if s > 100.0:
+                n_over += 1
+    if cur_u is not None:
+        out_u.append(int(cur_u))
+        out_m.append(round(mx, 6))
+        out_n.append(n_over)
+    yield pd.DataFrame(
         {
-            "user_id": [int(pdf["user_id"].iloc[0])],
-            "max_cusum": [round(mx, 6)],
-            "n_over": [n_over],
+            "user_id": pd.Series(out_u, dtype="int64"),
+            "max_cusum": pd.Series(out_m, dtype="float64"),
+            "n_over": pd.Series(out_n, dtype="int64"),
         }
     )
 
 
 def events_cusum_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user one-sided CUSUM drift statistic (Page 1954) via
-    ``applyInPandas`` — the operator the window-function family DOCUMENTS
-    as inexpressible (events_mean_shift_detect chose two-sample frames
-    precisely because CUSUM's clamped recursion has no frame form); this
-    closes the loop by running the true sequential statistic in the
-    grouped-map Python path, where per-entity imperative state is the
-    legitimate use of Python in the row path.
+    """Per-user one-sided CUSUM drift statistic (Page 1954) — the true
+    sequential statistic the window-function family DOCUMENTS as
+    inexpressible (events_mean_shift_detect chose two-sample frames
+    precisely because CUSUM's clamped recursion has no frame form);
+    per-entity imperative state is the legitimate use of Python in the
+    row path.
+
+    r15 execution form (guide §4.5): ``mapInPandas`` over partitions
+    shuffle-sorted by (user_id, ts, event_id), one carry-state fold per
+    partition, instead of ``groupBy().applyInPandas`` — the grouped-map
+    path built one pandas frame (plus a result frame and a sort_values)
+    PER USER, and at ~67 rows/user that per-group machinery was 6x the
+    fold itself (interleaved A/B at sf0.1: 3.31/4.23 -> 0.53/0.71 s
+    min/med, output bit-identical; the grouped-map execution path stays
+    certified by grouped_zscore_pandas and the holt/kalman/ewma/
+    page-hinkley family, all few-group queries where grouped-map is the
+    right shape).  The fold order and arithmetic are UNCHANGED: Spark's
+    sort provides the same (ts, event_id) order per user the per-group
+    sort_values did.
 
     k = 50 (the stream's long-run mean) so S accumulates only sustained
     positive drift; alarms counted at h = 100.  One shuffle on user_id,
-    Arrow batch per user, O(state)=1 per group.
+    O(state)=1 per user.
 
     The DuckDB twin replays the IDENTICAL recursion as a recursive CTE
     over row-numbered events — fold order (ts, event_id) and arithmetic
@@ -295,7 +331,11 @@ def events_cusum_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "value"
     )
-    return ev.groupBy("user_id").applyInPandas(_cusum_group, _CUSUM_SCHEMA)
+    return (
+        ev.repartition(F.col("user_id"))
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(_cusum_partition, _CUSUM_SCHEMA)
+    )
 
 
 # ---------------------------------------------------------------------------
