@@ -1471,6 +1471,12 @@ def text_bpe_word_merges(
                 F.col("cnt").alias("n_occurrences"),
             )
         )
+        if i + 1 == iters:
+            # r15: the last iteration's rewrite feeds nothing — the merge
+            # row is taken from ``best`` BEFORE the rewrite — so skipping
+            # it drops one full corpus rewrite + eager materialization
+            # per run with byte-identical output.
+            break
         docs = (
             docs.crossJoin(F.broadcast(best))
             .select(
