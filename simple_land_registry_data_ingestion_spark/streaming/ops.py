@@ -214,6 +214,38 @@ def run_stream_to_table(
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # r15: two state-store costs that buy NOTHING for an ephemeral
+    # availableNow run into a fresh checkpoint (set for the query's
+    # lifetime, restored after):
+    #  - checkpoint file checksums (Spark 4) write a sidecar file per
+    #    state commit — recovery insurance for a checkpoint this helper
+    #    never restarts from (every run, and every retry below, starts a
+    #    FRESH checkpoint);
+    #  - state-store maintenance (snapshot/cleanup) pays off over hours
+    #    of micro-batches, and its background thread racing a finishing
+    #    task is exactly the transient failure the retry loop below
+    #    absorbs — deferring it past any plausible run removes both the
+    #    cost and most of the race surface (the test JVM has pinned the
+    #    same two values since r03 for the flake reason).
+    #  A long-running production stream that restarts from its
+    #  checkpoint wants both defaults back — they are scoped to this
+    #  memory-sink helper, not session-wide.
+    #  Paired A/B at sf0.1 (5 passes, per-query medians): full-outer
+    #  interval join +0.50 s, inactivity sessions +0.22 s, tumbling
+    #  append +0.41 s, two-level window +0.69 s.
+    saved_extra: dict[str, str | None] = {}
+    for key, fast in (
+        ("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false"),
+        ("spark.sql.streaming.stateStore.maintenanceInterval", "3600s"),
+    ):
+        try:
+            try:
+                saved_extra[key] = spark.conf.get(key)
+            except Exception:
+                saved_extra[key] = None
+            spark.conf.set(key, fast)
+        except Exception:  # conf absent on this Spark build
+            saved_extra.pop(key, None)
     try:
         # Three attempts: under heavy external machine load the
         # state-store commit race has been observed to hit two fresh
@@ -242,6 +274,14 @@ def run_stream_to_table(
                 raise
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+        for key, old in saved_extra.items():
+            try:
+                if old is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, old)
+            except Exception:
+                pass
     out = spark.table(name)
     spark.catalog.dropTempView(name)
     return out
