@@ -66,6 +66,35 @@ def _events_ts_unit(path: str) -> str | None:
         return None
 
 
+def _footer_schema(path: str):
+    """Spark schema from ONE driver-side pyarrow footer read (~1 ms),
+    standing in for Spark's schema-inference job (~110 ms measured per
+    ``spark.read.parquet`` call — a real driver-side job per table per
+    query; across a many-query session that inference is one of the
+    largest fixed costs, and a production deployment would get the
+    schema from its metastore for free).  No caching anywhere: the
+    footer is re-read on every call, so regenerated testdata is picked
+    up exactly like the inference path.  Returns None (caller falls
+    back to inference) for directories, missing pyarrow, or any
+    conversion surprise; tests/test_round15_ops.py pins converted ==
+    inferred for every testdata table at two SFs."""
+    if not os.path.isfile(path):
+        return None
+    try:
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+    except ImportError:
+        return None
+    try:
+        arrow = pq.ParquetFile(path).schema_arrow
+        try:
+            return from_arrow_schema(arrow, prefer_timestamp_ntz=True)
+        except TypeError:  # older from_arrow_schema signature
+            return from_arrow_schema(arrow)
+    except Exception:
+        return None
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table.  Parquet scan: column pruning and predicate
     pushdown apply automatically to whatever the caller selects/filters."""
@@ -76,9 +105,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             return raw.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
             )
-        df = spark.read.parquet(path)
+        schema = _footer_schema(path)
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        df = reader.parquet(path)
         return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
-    return spark.read.parquet(path)
+    schema = _footer_schema(path)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.parquet(path)
 
 
 def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:

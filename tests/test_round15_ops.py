@@ -55,6 +55,27 @@ def test_cusum_mapinpandas_matches_grouped_fold(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_ORACLE])
+def test_footer_schema_equals_spark_inference(spark, sf_dir):
+    """The r15 load() fast path (pyarrow footer read -> Spark schema,
+    replacing the per-call schema-inference job) must produce EXACTLY the
+    schema Spark would infer — nullability, column order, timestamp unit
+    and all — for every testdata table."""
+    import os
+
+    from simple_land_registry_data_ingestion_spark import tables
+
+    for name in tables.TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        converted = tables._footer_schema(path)
+        assert converted is not None, f"{name}: fast path unavailable"
+        inferred = spark.read.parquet(path).schema
+        assert converted == inferred, (
+            f"{name}: converted {converted.simpleString()} != "
+            f"inferred {inferred.simpleString()}"
+        )
+
+
 def test_cusum_carry_state_across_batch_boundary(spark):
     """A user whose rows span several Arrow batches folds identically:
     force tiny batches so every user crosses a batch boundary."""
