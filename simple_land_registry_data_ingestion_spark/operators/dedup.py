@@ -1537,9 +1537,12 @@ def dedup_semdedup(
     # bound exactly as in the join form — and the gram is computed in
     # ROW BLOCKS of 2048 (ADVICE r13): a degenerate cluster of c vectors
     # would otherwise hold an O(c^2) float64 matrix in one Python worker;
-    # blocking caps resident memory at O(2048 * c) while each block row's
-    # dot products stay the exact same float64 values (the division
-    # happens after the matmul either way).
+    # blocking caps resident memory at O(2048 * c).  Results are
+    # identical up to BLAS reproducibility (ADVICE r14: dgemm may block/
+    # thread differently per matrix shape, so a dot product can drift an
+    # ulp between block sizes); any such drift is absorbed by the 1e-6
+    # pre-cut slack plus the Spark-side exact 6-dp filter below — an
+    # ulp at the pre-cut boundary cannot survive the exact re-judge.
     import pandas as pd  # local import: keep module import light
 
     pre_cut = threshold - 1e-6

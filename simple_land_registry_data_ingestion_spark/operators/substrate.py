@@ -142,10 +142,23 @@ def materialized_frame(
                     # age-gate: a YOUNG dot-dir may be a live concurrent
                     # writer mid-build — deleting it would break the
                     # lose-the-race-safely contract; an hour-old one is a
-                    # crashed writer's orphan.
+                    # crashed writer's orphan.  ADVICE r14: parquet task
+                    # files land in subdirectories, so the TOP-LEVEL
+                    # mtime of a long-running live build can go stale —
+                    # age by the NEWEST mtime in the tree, not the root's.
                     try:
-                        age = now - os.stat(os.path.join(root, name)).st_mtime
-                        dead_tmp = age > 3600
+                        newest = os.stat(os.path.join(root, name)).st_mtime
+                        for dp, _dns, fns in os.walk(
+                            os.path.join(root, name)
+                        ):
+                            for f in fns:
+                                try:
+                                    m = os.stat(os.path.join(dp, f)).st_mtime
+                                    if m > newest:
+                                        newest = m
+                                except OSError:
+                                    pass
+                        dead_tmp = (now - newest) > 3600
                     except OSError:
                         pass
                 if stale or dead_tmp:
