@@ -540,9 +540,101 @@ _SIGS_CTE = """
 
 
 #: The driver's correctness gate evaluates the FIRST 50 entries of the
-#: dict queries() returns.  _R14_WINDOW IS the round-14 window, in
+#: dict queries() returns.  _R15_WINDOW IS the round-15 window, in
 #: priority order; queries() moves these names to the front, everything
 #: else follows in _QUERIES order.
+#:
+#: r15 window (OPTIMIZATION round; composition follows the r14 queue
+#: arithmetic verbatim): r14 came back 50/50 green (nothing red,
+#: nothing never-certified).  Block A is every r15 plan/execution
+#: change, landed pre-freeze: dedup_tfidf_cosine (the queued nowindow
+#: emission + xxhash64 term longs + nrm>0 guard), dedup_ngram_jaccard
+#: (same two cuts — its first aggregation is shingle-keyed),
+#: events_cusum_pandas (grouped-map -> sorted-partition mapInPandas
+#: carry-state fold, bit-identical), text_bpe_word_merges (dead
+#: last-iteration rewrite skipped).  The r15 engine-wide changes —
+#: footer-read schemas replacing per-query inference, and the
+#: ephemeral-stream conf scoping in run_stream_to_table — alter no
+#: query's plan shape; every query was value-verified against its
+#: oracle at sf0.01 this round (OPTIMIZATION_r15.md).  The queued
+#: dedup_semdedup centroid-store move was NOT landed: it conflicts
+#: with the optimization-round rule banning cross-run persisted
+#: intermediates (see OPTIMIZATION_r15.md §semdedup; in-plan variants
+#: were A/B'd and refuted instead).  Block B is the 21 r06-evidence
+#: spillovers, verbatim from the r14 queue.  Block C fills the
+#: remaining 25 slots from the 44-query r07-evidence cohort
+#: (alphabetical; events_cusum_pandas already sits in block A and
+#: spends no extra slot), leaving exactly 18 r07 queries to spill:
+#: q19_disjunctive_revenue, q22_global_sales_opportunity,
+#: q4_order_priority, q7_nation_volume, sample_temperature_mix,
+#: scalar_collation, scalar_url_funcs, similarity_sq8_error,
+#: sql_group_order_by_all, sql_pipe_syntax,
+#: stream_full_outer_interval_join, stream_two_level_window,
+#: stream_upsert_latest, text_bm25_topk, text_rake_keywords,
+#: text_readability, users_kaplan_meier, users_longest_streak.
+#:
+#: r16 queue arithmetic: any r15 red takes the head; then any r16
+#: pre-freeze plan change; then the 18 r07 spillovers above; then the
+#: 37-query r08-evidence cohort fills whatever remains.  NO plan
+#: rewrites after the r15 freeze: a post-freeze rewrite waits a round.
+_R15_WINDOW: list[str] = [
+    # -- block A: r15 plan/execution changes, all pre-freeze --
+    "dedup_tfidf_cosine",
+    "dedup_ngram_jaccard",
+    "events_cusum_pandas",
+    "text_bpe_word_merges",
+    # -- block B: the 21 r06-evidence spillovers (r14 queue, verbatim) --
+    "scalar_variant_funcs",
+    "sessionize_events",
+    "similarity_range_search",
+    "stream_dedup_within_watermark",
+    "stream_ohlc_candles",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_stateful_user_stats",
+    "stream_stream_interval_join",
+    "stream_tumbling_append_watermark",
+    "stream_tumbling_window",
+    "text_bigram_kn_perplexity",
+    "text_chunk_dedup_fraction",
+    "text_fingerprint",
+    "text_jsd_source_drift",
+    "text_stats_pandas_udf",
+    "text_tfidf_topk",
+    "text_vocab_topk",
+    "udtf_chunk_documents",
+    "unpivot_measures",
+    "window_rank_family",
+    # -- block C: r07-evidence rotation (alphabetical fill, 25 of 44;
+    #    events_cusum_pandas already in block A) --
+    "agg_bitmap_distinct",
+    "agg_bloom_filter_fpr",
+    "agg_listagg_countif",
+    "agg_transpose_summary",
+    "cdc_incremental_aggregate",
+    "er_edit_distance",
+    "events_ab_cuped",
+    "events_audience_overlap_hll",
+    "events_bot_regularity",
+    "events_forecast_snaive",
+    "events_holt_pandas",
+    "events_rolling_median",
+    "events_session_window_batch",
+    "events_theilsen_trend",
+    "events_time_to_convert",
+    "inventory_fifo_matching",
+    "join_asof_tolerance",
+    "join_range_binned",
+    "orders_mix_shift_decomposition",
+    "orders_penny_allocation",
+    "orders_same_day_repeat",
+    "orders_totals_reconciliation",
+    "part_prefix_autocomplete",
+    "profile_merkle_ranges",
+    "q14_promo_revenue",
+]
+
+#: ---- historical r14 window (audit trail; no longer applied) ----
 #:
 #: r14 window: r13 came back 50/50 green (nothing red, nothing
 #: never-certified).  Block A is every plan/contract change landed THIS
@@ -906,7 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round's window (_R12_WINDOW) is moved to the front; the rest keep
     their registry order.
     """
-    window = [n for n in _R14_WINDOW if n in _QUERIES]
+    window = [n for n in _R15_WINDOW if n in _QUERIES]
     rest = [n for n in _QUERIES if n not in set(window)]
     return {name: _wrap(_QUERIES[name]) for name in window + rest}
 
@@ -5816,7 +5908,7 @@ def oracle_sql() -> dict[str, str]:
     Ordered identically to queries() (window prefix first) so a harness
     that takes its 50-entry prefix from EITHER dict certifies the same
     set."""
-    window = [n for n in _R14_WINDOW if n in _ORACLES]
+    window = [n for n in _R15_WINDOW if n in _ORACLES]
     rest = [n for n in _ORACLES if n not in set(window)]
     return {name: _ORACLES[name] for name in window + rest}
 
