@@ -173,4 +173,21 @@ def materialized_frame(
         except BaseException:
             shutil.rmtree(tmp, ignore_errors=True)
             raise
-    return spark.read.parquet(dest)
+    # r15: hand the reader the schema from one leaf-footer read instead
+    # of paying the ~110 ms per-call schema-inference job (same move as
+    # tables.load; every lens query over a stored frame paid it).  Store
+    # dirs are FLAT single-writer parquet (coalesce(n).write), so any
+    # leaf carries the full schema; fall back to inference if none reads.
+    from simple_land_registry_data_ingestion_spark.tables import _footer_schema
+
+    schema = None
+    try:
+        for leaf in sorted(os.listdir(dest)):
+            if leaf.endswith(".parquet"):
+                schema = _footer_schema(os.path.join(dest, leaf))
+                if schema is not None:
+                    break
+    except OSError:
+        schema = None
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.parquet(dest)

@@ -733,10 +733,10 @@ def tws_available() -> bool:
     absent/broken protobuf is an ENVIRONMENT limitation, not a code path
     difference — gate, don't fail mid-query.
 
-    Probe log (re-checked each round): 2026-08-16 (round 14) — ``import
+    Probe log (re-checked each round): 2026-08-18 (round 15) — ``import
     google.protobuf`` still raises ModuleNotFoundError in the sandbox
     (PIL / ffmpeg module+binary / psycopg2 / psycopg re-probed absent
-    and localhost:5432 refused the same run; prior probes: rounds 7-13,
+    and localhost:5432 refused the same run; prior probes: rounds 7-14,
     2026-08-14/15/16, all agreed); the registered bounded-state
     fallback remains ``stream_user_topk``.  Register
     ``stream_tws_user_topk`` the round this probe flips."""
