@@ -995,8 +995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md section 2.
 
     Ordering contract: the driver certifies a 50-entry PREFIX, so the
-    round's window (_R12_WINDOW) is moved to the front; the rest keep
-    their registry order.
+    current round's window (the _R*_WINDOW list referenced below) is
+    moved to the front; the rest keep their registry order.
     """
     window = [n for n in _R15_WINDOW if n in _QUERIES]
     rest = [n for n in _QUERIES if n not in set(window)]

@@ -2,10 +2,21 @@
 """Benchmark harness: run every queries() entry at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-The FINAL stdout line is one SHORT JSON record
-{"metric", "value", "unit", "sf", "n_queries"} (well under 1 KB, so a
-tail-buffered consumer never truncates it mid-line); the full per-query
-timing map is written to BENCH_DETAIL.json next to this script.
+The FINAL stdout line is one JSON record {"metric", "value", "unit",
+"sf", "n_queries", ..., "queries": {name: sec}}.  r16 (VERDICT r15 item
+5, measurement-contract fix): the per-query timing map, two_draw_total
+and detail_path are folded INTO the line (compact separators, ~11 KB)
+— the driver's round-over-round per-query comparison reads only this
+line, and without "queries" it was empty every round (PERF_r15.json
+n_common: 0).  The full multi-pass detail is still written to
+BENCH_DETAIL.json next to this script.
+
+r16 cold-store mode (VERDICT r15 item 4): SPARK_GRAFT_COLD_STORE=1
+removes the at-rest substrate store (spark-warehouse/_shared_graphs)
+once BEFORE pass 1, so the first lens query of pass 1 pays each frame's
+build; comparing a cold-store total against a default (warm-store) total
+quantifies exactly how much the inherited cross-run store is worth to
+the bench.  Default behavior (unset) is byte-identical to r15.
 
 Execution is forced through the noop sink (df.write.format("noop")) so the
 timing covers scan -> compute -> (would-be) write without driver-side
@@ -109,6 +120,16 @@ def main() -> None:
 
     queries = entry_mod.queries()
 
+    cold_store = os.environ.get("SPARK_GRAFT_COLD_STORE", "") not in ("", "0")
+    if cold_store:
+        import shutil
+
+        from simple_land_registry_data_ingestion_spark.operators.substrate import (
+            store_root,
+        )
+
+        shutil.rmtree(store_root(), ignore_errors=True)
+
     # Warmup: JVM, codegen, parquet footer caches.
     queries["q1_pricing_summary"](spark, SF_DIR).write.format("noop").mode(
         "overwrite"
@@ -150,6 +171,12 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     ordered = sorted(timings.values())
     median = round(ordered[len(ordered) // 2], 3) if ordered else 0.0
+    two_draw_total = round(
+        sum(min(p[name] for p in passes[:2]) for name in passes[0]), 3
+    )
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
     summary = {
         "metric": "total_query_wall_clock",
         "value": total,
@@ -157,10 +184,17 @@ def main() -> None:
         "sf": _sf_label(SF_DIR),
         "n_queries": len(timings),
         "median_query_sec": median,
+        # r16 additions (VERDICT r15 item 5) — everything below is
+        # ADDITIVE; no key above was removed or renamed:
+        # like-for-like round-over-round statistic (uniform draw count)
+        "two_draw_total": two_draw_total,
+        "detail_path": detail_path,
+        # per-query floors so the driver's per_query/scaling comparisons
+        # are no longer empty
+        "queries": timings,
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    if cold_store:
+        summary["cold_store"] = True
     with open(detail_path, "w") as fh:
         json.dump(
             {
@@ -189,15 +223,6 @@ def main() -> None:
                     "headline value stays min-of-all-passes (pinned r9 "
                     "floor semantics, reproducibility unchanged)"
                 ),
-                # like-for-like round-over-round statistic: min over the
-                # first two passes, uniform draw count for every query
-                "two_draw_total": round(
-                    sum(
-                        min(p[name] for p in passes[:2])
-                        for name in passes[0]
-                    ),
-                    3,
-                ),
                 "tiebreak_queries": noisy,
                 "pass_counts": {
                     name: sum(1 for p in passes if name in p)
@@ -216,8 +241,9 @@ def main() -> None:
             sort_keys=True,
         )
     spark.stop()
-    # Short line LAST so tail-truncating log buffers keep it intact.
-    print(json.dumps(summary))
+    # One line, printed LAST, compact separators (~11 KB with the
+    # per-query map — r16 contract fix, see module docstring).
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -458,10 +458,14 @@ def ngram_jaccard_pairs(
     shingle_table's doc_id exchange bought nothing): emission via
     shingle_table_nowindow, and the shingle crosses the groupBy exchange
     as an xxhash64 LONG — shingle identity is equality-only here (the
-    bucket key is discarded after grouping), the same ~1e-7/corpus
-    collision class as the prefix index; a collision would merge two
+    bucket key is discarded after grouping); a collision would merge two
     buckets (inflating n_inter/n_sh), so if this row ever reds, check
-    for a hash collision before debugging the join."""
+    for a hash collision before debugging the join.  The ~1e-7/corpus
+    collision odds are BENCH-SCALE (~1e6 distinct shingles); by the
+    64-bit birthday bound a collision is near-certain past ~5e9 distinct
+    shingles, so an at-scale deployment of this exact-Jaccard operator
+    must widen the bucket key to 128 bits (e.g. both md5 halves) —
+    ADVICE r15."""
     grouped = (
         shingle_table_nowindow(docs, distinct=False)
         .groupBy(F.xxhash64("shingle").alias("shingle"))
@@ -733,6 +737,49 @@ def dedup_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash
 # ---------------------------------------------------------------------------
 
+def _simhash_votes_pandas(iterator):
+    """Per-partition SimHash vote fold (r16 — guide §4.2: hand whole
+    batches to vectorized native code instead of interpreted JVM
+    expression folds).  Input rows are ``(doc_id, hs)`` where ``hs`` is
+    the doc's DISTINCT token array — tokenization (split/lower/trim/
+    array_distinct) stays in Spark so its semantics are byte-identical
+    to the r10–r15 expression form; Python only md5-hashes the tokens it
+    is handed and counts bit votes in numpy.  Exactness: md5 over UTF-8
+    bytes matches F.md5; votes are exact int64 counts; bit j of the
+    fingerprint is set iff 2*votes_j > n_tok — the identical sign rule.
+    Null token array -> null fingerprint; empty array -> all-zero
+    nibbles (both match the expression fold's outputs, pinned by
+    tests/test_round16_ops.py against the reference implementation)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    hexd = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+    weights = np.array([8, 4, 2, 1], dtype=np.uint8)
+    for pdf in iterator:
+        out = []
+        for toks in pdf["hs"]:
+            if toks is None:
+                out.append(None)
+                continue
+            n = len(toks)
+            if n == 0:
+                out.append("0" * 16)
+                continue
+            dig = b"".join(
+                hashlib.md5(t.encode("utf-8")).digest()[:8] for t in toks
+            )
+            bits = np.unpackbits(
+                np.frombuffer(dig, dtype=np.uint8).reshape(n, 8), axis=1
+            )
+            votes = bits.sum(axis=0, dtype=np.int64)
+            fp_bits = (2 * votes > n).astype(np.uint8)
+            nib = fp_bits.reshape(16, 4) @ weights
+            out.append(hexd[nib].tobytes().decode("ascii"))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprint per document, as 16 hex chars.
 
@@ -742,114 +789,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     this query materializes the fingerprints themselves (the verifiable,
     deterministic core).
 
-    Plan (r9, tightened r10): a pure SCAN-STAGE projection with ZERO
-    shuffles — the per-doc distinct token set lives in an array column
-    (array_distinct(split)) and the whole fingerprint is whole-stage-
-    codegen expressions.  r10 collapses the r9 shape's 64 separate
-    aggregate() folds (one per position x bit, each walking the token
-    array doing substring+isin) into ONE fold: each token's md5
-    pre-converts to two 32-bit longs, and the fold accumulates, per
-    nibble position, a two-long struct whose 32-bit fields carry the
-    four bit-vote counts (nibble bits extracted arithmetically — the
-    exact-double-division trick, since shiftright inside HOF lambdas
-    trips a py4j bug; the field extraction outside the lambda uses
-    exact long shiftright/mod).  Bit-identical fingerprints at a
-    fraction of the per-token expression work, inherited by every
-    simhash consumer.  At 100 TB this stays shuffle-free; rows are
-    bounded by document length and the 32-bit vote fields by 2^31
-    distinct tokens per doc — a pathological multi-GB single doc would
-    want the exploded form back anyway."""
+    Plan (r16; previously r9 -> r10 -> r11 expression folds): still a pure
+    SCAN-STAGE map with ZERO shuffles, but the per-token vote fold now
+    runs as numpy inside ``mapInPandas`` (guide §4.2) instead of an
+    interpreted HOF ``aggregate`` — the fold is ~150 interpreted
+    expression-node evaluations per token in the JVM vs a handful of
+    vectorized numpy ops per doc in Python.  Tokenization
+    (split/lower/trim/array_distinct) stays in Spark, so only the
+    md5+vote arithmetic crossed the boundary and the outputs are
+    bit-identical (pinned against the retained expression-fold reference
+    in tests/test_round16_ops.py at 2 SFs, and value-checked vs the
+    DuckDB oracle at 3 SFs).  Measured interleaved at sf0.1: 0.81 -> 0.47
+    s (the codegen explode+packed-sum variant was ALSO measured and LOST
+    at 1.49 s — wide many-buffer aggregates again, the r15 k-means
+    refutation).  At 100 TB this stays shuffle-free and partition-
+    parallel; per-batch memory is bounded by Arrow's maxRecordsPerBatch
+    and the 2^63 vote bound by int64 counts."""
     docs = load(spark, sf_dir, "documents")
     toks = F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))
-    hashed = fan_out(docs).select(
-        "doc_id",
-        F.transform(
-            toks,
-            lambda t: F.struct(
-                F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
-                .cast("long")
-                .alias("hi"),
-                F.conv(F.substring(F.md5(t), 9, 8), 16, 10)
-                .cast("long")
-                .alias("lo"),
-            ),
-        ).alias("hs"),
-    )
-
-    # ONE aggregate over the token array with a 16-element array
-    # accumulator (one packed struct per nibble position) — 16 separate
-    # folds compiled into a ~16x larger codegen unit and charged ~2 s of
-    # driver-side analysis/janino time per run at ANY data size; the
-    # single-fold form collapses that constant while doing identical
-    # arithmetic.  Packing: per position, a = c0 + (c1 << 32),
-    # b = c2 + (c3 << 32) — exact long arithmetic to 2^31 tokens/doc.
-    positions = F.array(*[F.lit(p) for p in range(1, 17)])
-    two32 = F.lit(1 << 32).cast("long")
-
-    def _merge(acc, t):
-        def upd(a, p):
-            # nibble at 1-indexed hex position p via exact double division
-            # (operands < 2^32, divisors powers of 16: the quotient is
-            # >= 2^-28 from any integer unless exact, so the truncating
-            # cast is safe; shiftright inside HOF lambdas trips py4j)
-            nib = F.when(
-                p <= 8,
-                (t["hi"] / F.pow(F.lit(16.0), (8 - p).cast("double")))
-                .cast("long") % 16,
-            ).otherwise(
-                (t["lo"] / F.pow(F.lit(16.0), (16 - p).cast("double")))
-                .cast("long") % 16
-            )
-            b0 = nib % 2
-            b1 = (nib / F.lit(2.0)).cast("long") % 2
-            b2 = (nib / F.lit(4.0)).cast("long") % 2
-            b3 = (nib / F.lit(8.0)).cast("long") % 2
-            return F.struct(
-                (a["a"] + b0 + b1 * two32).alias("a"),
-                (a["b"] + b2 + b3 * two32).alias("b"),
-            )
-
-        return F.zip_with(acc, positions, upd)
-
-    zero16 = F.array_repeat(
-        F.struct(
-            F.lit(0).cast("long").alias("a"), F.lit(0).cast("long").alias("b")
-        ),
-        16,
-    )
-    counted = hashed.select(
-        "doc_id",
-        F.size("hs").alias("n_tok"),
-        F.aggregate("hs", zero16, _merge).alias("pks"),
-    )
-    hex_chars = "0123456789abcdef"
-
-    # Hex assembly as ONE fold over the 16 packed structs (r11): the r10
-    # form unrolled 16 element_at + count-extraction + sign blocks into
-    # ~400 static expression nodes, which charged ~0.8 s of FIXED
-    # driver-side analysis per run at ANY data size (measured flat
-    # sf0.001 vs sf0.01); the single ~30-node lambda assembles the same
-    # chars (vote sum 2*c - n positive <=> bit set; count extraction by
-    # exact double division since shiftright inside HOF lambdas trips
-    # py4j) for 16 interpreted steps per ROW — trivial executor work.
-    # Bit-identical fingerprints: sf0.001 1.25 -> 0.45 s, sf0.1
-    # 1.71 -> 1.01 s, inherited by every simhash consumer.
-    def _hex(acc, pk):
-        c0 = pk["a"] % two32
-        c1 = (pk["a"] / F.lit(4294967296.0)).cast("long")
-        c2 = pk["b"] % two32
-        c3 = (pk["b"] / F.lit(4294967296.0)).cast("long")
-        nib = (
-            F.when(2 * c0 > F.col("n_tok"), 1).otherwise(0)
-            + F.when(2 * c1 > F.col("n_tok"), 2).otherwise(0)
-            + F.when(2 * c2 > F.col("n_tok"), 4).otherwise(0)
-            + F.when(2 * c3 > F.col("n_tok"), 8).otherwise(0)
-        )
-        return F.concat(acc, F.substring(F.lit(hex_chars), nib + 1, 1))
-
-    return counted.select(
-        "doc_id",
-        F.aggregate("pks", F.lit("").cast("string"), _hex).alias("simhash"),
+    base = fan_out(docs).select("doc_id", toks.alias("hs"))
+    return base.mapInPandas(
+        _simhash_votes_pandas, "doc_id long, simhash string"
     )
 
 
@@ -876,17 +836,27 @@ def dedup_simhash_pairs(
     collide heavily in bands (shared stopwords bias the bits), which is
     exactly why the cheap verify stage exists.
 
-    Plan shape (one aggregation, zero joins): the 64-aggregate fingerprint
-    subtree is ``localCheckpoint(eager=True)``-materialized once (it used to
-    feed three consumers and partially recompute; same pattern as
-    connected_components).  Each doc's fingerprint is packed into two 32-bit
-    longs (a full 64-bit signed cast would overflow under ANSI when the top
-    bit is set), the band buckets collect ``(doc_id, hi, lo)`` structs, and
-    the verify runs INLINE on the emitted pairs — xor per half + nibble-OR
-    fold + bit_count, O(1) bit ops per candidate — so no fingerprint join
-    is needed and the pair ``distinct`` shuffles only verified survivors
-    (~10x fewer rows than pre-verify candidates on band-colliding
-    corpora)."""
+    Plan shape (one aggregation, zero joins, r16 emission rewrite): the
+    fingerprint subtree is ``localCheckpoint(eager=True)``-materialized
+    once (it used to feed three consumers and partially recompute; same
+    pattern as connected_components).  Each doc's fingerprint is packed
+    into two 32-bit longs (a full 64-bit signed cast would overflow
+    under ANSI when the top bit is set), band buckets are keyed by
+    ``(band_index, band_value_as_long)`` — exact, not hashed: every band
+    is <= 15 hex chars, so ``conv`` fits a signed long and the band
+    exchange carries two scalars instead of a string (guide §2.3) — and
+    the verify runs INSIDE the pair-emission lambda: the candidate set
+    is FILTERED to in-threshold pairs before any pair struct or row
+    exists (measured 2.4M candidate structs -> 247k at sf0.1; guide
+    §1.2 "don't compute things you throw away").  The same lambda keeps
+    a pair only in its FIRST colliding band (earlier-band equality via
+    constant bit masks on the xor), which makes the emitted pair set
+    globally unique by construction — the old output-wide ``distinct``
+    exchange is gone.  r16 interleaved A/B at sf0.1 (pair set identical
+    at 3 SFs): 2.28/2.42 -> 2.12/2.34 s for the emission alone, 1.76 s
+    combined with the r16 fingerprint rewrite.  The lambda predicates
+    are SQL-text expressions (``F.expr``) because shiftright inside
+    Python-built HOF lambdas trips a py4j bug (r10 note)."""
     fp = dedup_simhash(spark, sf_dir).localCheckpoint(eager=True)
     if max_nibble_distance > 15:
         # 16 one-nibble bands can ALL differ for a pair at distance 16 —
@@ -901,30 +871,104 @@ def dedup_simhash_pairs(
         16 // n_bands + (1 if i < 16 % n_bands else 0) for i in range(n_bands)
     ]
     starts = [sum(sizes[:i]) for i in range(n_bands)]
+    # Long band keys: conv of <= 15 hex chars fits a signed long.  The
+    # only band wider than 15 nibbles is the degenerate single-band case
+    # (max_nibble_distance = 0), which buckets on the band's first 15
+    # nibbles instead — a PREFIX bucket is coarser, so pigeonhole recall
+    # is untouched (equal full band => equal prefix) and the exact
+    # inline verify keeps the output identical; the first-band masks
+    # below cover exactly the BUCKETED nibbles so the emit-once rule
+    # stays consistent with the bucketing.
+    used = [min(s, 15) for s in sizes]
+    band_vals = F.array(
+        *[
+            F.conv(F.substring("simhash", starts[b] + 1, used[b]), 16, 10)
+            .cast("long")
+            for b in range(n_bands)
+        ]
+    )
     bands = fp.select(
         F.struct(
             "doc_id",
             F.conv(F.substring("simhash", 1, 8), 16, 10).cast("long").alias("hi"),
             F.conv(F.substring("simhash", 9, 8), 16, 10).cast("long").alias("lo"),
         ).alias("m"),
-        F.explode(
-            F.array(
-                *[
-                    F.concat(
-                        F.lit(f"{b}:"),
-                        F.substring("simhash", starts[b] + 1, sizes[b]),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band_key"),
+        F.posexplode(band_vals).alias("b", "v"),
     )
     # array_sort on structs orders by the leading field (doc_id), keeping
     # the i<j pair expansion deterministic exactly as with plain id arrays.
-    grouped = bands.groupBy("band_key").agg(
+    grouped = bands.groupBy("b", "v").agg(
         F.array_sort(F.collect_list("m")).alias("ids")
     )
-    cand = bucket_pairs(grouped, out_a="a", out_b="b", distribute_threshold=256)
+    # Per-band (hi, lo) bit masks over the BUCKETED nibbles: nibble p
+    # (0-indexed) sits at shift 4*(7-p) in hi for p < 8, else 4*(15-p)
+    # in lo.
+    mh, ml = [], []
+    for b in range(n_bands):
+        h = lo_m = 0
+        for p in range(starts[b], starts[b] + used[b]):
+            if p < 8:
+                h |= 0xF << (4 * (7 - p))
+            else:
+                lo_m |= 0xF << (4 * (15 - p))
+        mh.append(h)
+        ml.append(lo_m)
+
+    def _dist_sql(x: str, y: str) -> str:
+        # Non-zero nibble count of the 64-bit xor, per 32-bit half: OR
+        # each nibble's bits onto its lowest bit, mask (0x11111111),
+        # popcount.
+        def nc(e: str) -> str:
+            return (
+                f"bit_count((({e}) | shiftright(({e}), 1) | "
+                f"shiftright(({e}), 2) | shiftright(({e}), 3)) & 286331153)"
+            )
+
+        return nc(f"{x}.hi ^ {y}.hi") + " + " + nc(f"{x}.lo ^ {y}.lo")
+
+    earlier_equal = " OR ".join(
+        f"(b > {j} AND ((x.hi ^ y.hi) & {mh[j]}) = 0 "
+        f"AND ((x.lo ^ y.lo) & {ml[j]}) = 0)"
+        for j in range(n_bands - 1)
+    )
+    keep = (
+        f"({_dist_sql('x', 'y')}) <= {max_nibble_distance}"
+        + (f" AND NOT ({earlier_equal})" if earlier_equal else "")
+    )
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        f"transform(filter(slice(ids, i + 2, size(ids)), y -> {keep}), "
+        "y -> struct(x AS a, y AS b))))"
+    )
+    # Same hot-bucket discipline as bucket_pairs(distribute_threshold=256),
+    # inlined because the verify/first-band predicates need the band
+    # index and both members' fingerprint halves in scope.
+    threshold = 256
+    small = grouped.where(F.size("ids") <= threshold).select(
+        F.explode(F.expr(pair_expr)).alias("p")
+    )
+    shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    big = (
+        grouped.where(F.size("ids") > threshold)
+        .select(
+            "b",
+            F.posexplode("ids").alias("_i", "x"),
+            F.col("ids").alias("_ids"),
+        )
+        .select(
+            "b", "x", F.expr("slice(_ids, _i + 2, size(_ids))").alias("_tail")
+        )
+        .repartition(shuffle_n)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(filter(_tail, y -> {keep}), "
+                    "y -> struct(x AS a, y AS b))"
+                )
+            ).alias("p")
+        )
+    )
+    pairs = small.unionByName(big)
 
     def _nibble_count(x):
         # Count non-zero nibbles of a 32-bit value: OR each nibble's 4 bits
@@ -937,17 +981,13 @@ def dedup_simhash_pairs(
         return F.bit_count(folded.bitwiseAND(F.lit(0x11111111)))
 
     distance = (
-        _nibble_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
-        + _nibble_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
+        _nibble_count(F.col("p.a.hi").bitwiseXOR(F.col("p.b.hi")))
+        + _nibble_count(F.col("p.a.lo").bitwiseXOR(F.col("p.b.lo")))
     ).cast("long")
-    return (
-        cand.select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            distance.alias("nibble_distance"),
-        )
-        .where(F.col("nibble_distance") <= max_nibble_distance)
-        .distinct()
+    return pairs.select(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        distance.alias("nibble_distance"),
     )
 
 
@@ -2365,6 +2405,10 @@ def dedup_tfidf_cosine(
     # replaces.  A 64-bit collision would merge two terms' posting
     # lists (inflating df and a pair's shared-term count); if this
     # row ever reds, check for a collision before debugging the join.
+    # The ~1e-7 odds are BENCH-SCALE (~1e6 distinct terms); past ~5e9
+    # distinct terms the 64-bit birthday bound makes a merge
+    # near-certain, so an at-scale deployment must widen term identity
+    # to 128 bits (e.g. both md5 halves) — ADVICE r15.
     tf = (
         shingle_table_nowindow(docs, distinct=False)
         .select("doc_id", F.xxhash64("shingle").alias("term"))

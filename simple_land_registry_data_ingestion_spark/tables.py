@@ -66,6 +66,31 @@ def _events_ts_unit(path: str) -> str | None:
         return None
 
 
+def _as_nullable(dt):
+    """Recursively mark every field/element nullable — what Spark's file
+    sources do to any data schema (a file set may gain nulls from merged
+    or later files), so inference ALWAYS returns all-nullable.  The
+    footer fast path must match it exactly: builder outputs with
+    non-nullable columns are written as parquet ``required`` fields, and
+    without this the converted schema would differ from inference in
+    nullability alone (ADVICE r15, caught by
+    tests/test_round16_ops.py::test_store_footer_schema_equals_spark_inference)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _as_nullable(f.dataType), True, f.metadata)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_as_nullable(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(_as_nullable(dt.keyType), _as_nullable(dt.valueType), True)
+    return dt
+
+
 def _footer_schema(path: str):
     """Spark schema from ONE driver-side pyarrow footer read (~1 ms),
     standing in for Spark's schema-inference job (~110 ms measured per
@@ -87,10 +112,11 @@ def _footer_schema(path: str):
         return None
     try:
         arrow = pq.ParquetFile(path).schema_arrow
-        try:
-            return from_arrow_schema(arrow, prefer_timestamp_ntz=True)
-        except TypeError:  # older from_arrow_schema signature
-            return from_arrow_schema(arrow)
+        # ADVICE r15: no prefer_timestamp_ntz fallback to the older
+        # one-arg from_arrow_schema — it would return ltz timestamps for
+        # ntz-written parquet and the caller's cast would SHIFT values by
+        # the session timezone.  Inference (None) is the safe fallback.
+        return _as_nullable(from_arrow_schema(arrow, prefer_timestamp_ntz=True))
     except Exception:
         return None
 
