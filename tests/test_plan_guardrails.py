@@ -70,6 +70,7 @@ _EXECUTES_ON_CALL = {
 #: r10 item 1 retired — and must either adopt a two-phase mechanism or
 #: argue its way onto this list with a bounded-frame justification.
 _BOUNDED_GLOBAL_WINDOWS = {
+    "agg_approx_quantile_error": "bucket: two-phase offsets (floor(price/64), price-domain bounded ~1.7k)",
     "customers_gini_concentration": "bucket: two-phase prefix offsets",
     "customers_woe_binning": "bucket: two-phase rank offsets (floor(acctbal) ~11k)",
     "eval_auc_rank": "bucket: two-phase rank offsets",

@@ -196,6 +196,29 @@ def test_simhash_pairs_emission_matches_reference_and_unique(spark, distance):
     assert set(got) == want and len(want) > 0
 
 
+@pytest.mark.parametrize("sf_dir", [SF_SMALL, SF_ORACLE])
+def test_quantile_distributed_selection_matches_percentile(spark, sf_dir):
+    """The r16 distributed selection must reproduce Spark's `percentile`
+    aggregate EXACTLY (same values before the 4-dp output rounding) —
+    the bucket offsets, rank pick and interpolation replicate
+    Percentile.getPercentile's arithmetic."""
+    from simple_land_registry_data_ingestion_spark.operators import relational
+    from simple_land_registry_data_ingestion_spark.tables import load
+
+    got = {
+        r.quantile: r.exact_value
+        for r in relational.agg_approx_quantile_error(spark, sf_dir).collect()
+    }
+    li = load(spark, sf_dir, "lineitem")
+    (ref_arr,) = li.groupBy().agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.9))"
+        ).alias("p")
+    ).collect()
+    want = dict(zip([0.25, 0.5, 0.75, 0.9], [round(x, 4) for x in ref_arr.p]))
+    assert got == want and len(got) == 4
+
+
 def test_store_footer_schema_equals_spark_inference(spark, tmp_path, monkeypatch):
     """ADVICE r15: the substrate store's footer-schema fast path must
     equal Spark inference for arbitrary builder-output schemas (decimals,
