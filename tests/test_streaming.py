@@ -648,6 +648,9 @@ def test_run_stream_retries_once_on_state_store_race(spark, monkeypatch):
                 def trigger(self, **k):
                     return self
 
+                def option(self, *a):
+                    return self
+
                 def start(self):
                     raise RuntimeError(
                         "Error committing version 2 to "
