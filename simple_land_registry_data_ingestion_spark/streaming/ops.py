@@ -254,17 +254,14 @@ def run_stream_to_table(
         # seconds for not failing a correct query.
         for attempt in range(3):
             name = f"stream_result_{next(_QUERY_COUNTER)}"
-            ckpt = _ephemeral_checkpoint_dir(spark)
             try:
-                writer = (
+                query = (
                     df.writeStream.format("memory")
                     .queryName(name)
                     .outputMode(output_mode)
                     .trigger(availableNow=True)
+                    .start()
                 )
-                if ckpt is not None:
-                    writer = writer.option("checkpointLocation", ckpt)
-                query = writer.start()
                 query.awaitTermination()
                 break
             except Exception as exc:  # StreamingQueryException or Py4J wrap
@@ -275,11 +272,6 @@ def run_stream_to_table(
                 if attempt < 2 and _is_state_store_race(exc):
                     continue
                 raise
-            finally:
-                if ckpt is not None:
-                    import shutil
-
-                    shutil.rmtree(ckpt, ignore_errors=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
         for key, old in saved_extra.items():
@@ -295,39 +287,15 @@ def run_stream_to_table(
     return out
 
 
-#: r16 experiment flag for the RAM-backed ephemeral checkpoint (see
-#: _ephemeral_checkpoint_dir); module-level so an interleaved A/B can
-#: flip it without editing call sites.
-_SHM_CHECKPOINTS = True
-
-
-def _ephemeral_checkpoint_dir(spark: SparkSession) -> str | None:
-    """A RAM-backed (tmpfs) checkpoint dir for ONE availableNow run into a
-    memory sink, or None to let Spark use its default temp checkpoint.
-
-    This helper's checkpoints are write-only insurance for a query that
-    never restarts (fresh checkpoint every run AND every retry), so their
-    durability requirement is nil — but the state store still fsyncs a
-    delta file per store per commit into them.  Putting the throwaway
-    checkpoint on tmpfs removes that disk round-trip.  Scoped HARD:
-    local-mode masters only (on a cluster the executors must reach the
-    checkpoint path, and a real stream's checkpoint belongs on shared
-    durable storage), and the dir is removed in the caller's finally.
-    Core-count independent — a local[8] run benefits identically."""
-    if not _SHM_CHECKPOINTS:
-        return None
-    try:
-        if not spark.sparkContext.master.startswith("local"):
-            return None
-        if not os.path.isdir("/dev/shm"):
-            return None
-        import tempfile
-
-        return tempfile.mkdtemp(prefix="slr-stream-ckpt-", dir="/dev/shm")
-    except Exception:
-        return None
-
-
+#: r16 refutation (kept on the record): a RAM-backed (/dev/shm) ephemeral
+#: checkpoint for this helper was implemented and looked like a
+#: -0.15..-0.35 s/query win in a fixed-order interleaved A/B — but under
+#: ABBA order alternation (reversing which variant runs first on
+#: alternate passes) the effect vanished on every query where it was the
+#: only variable (inactivity/tumbling-append/session-window medians
+#: within noise, two slightly NEGATIVE).  The fixed-order "win" was JIT/
+#: codegen warmth favoring whichever variant ran second; the local temp
+#: checkpoint's writes are page-cache-absorbed anyway.  Reverted.
 def _is_state_store_race(exc: Exception) -> bool:
     """True when a streaming-query failure is a state-store commit/load
     race rather than a plan or data error.  Matched on the rendered cause
@@ -461,8 +429,10 @@ def stream_stream_interval_join(
     )
     # r16: 4 state partitions, not the helper's 8 — an interval join opens
     # FOUR state store instances per partition and per-key state here is
-    # tiny (1500 users), so per-store commit constants dominate.  Paired
-    # interleaved A/B at sf0.1 (5 passes): 2.37/3.28 -> 1.99/2.77 min/med.
+    # tiny (1500 users), so per-store commit constants dominate.  ABBA
+    # interleaved A/B at sf0.1 (6 passes, order alternated): medians
+    # improve on all three interval joins (this one 2.30 -> 2.27; the
+    # outer joins -0.08..-0.25), mins non-negative 6/6 rows.
     out = run_stream_to_table(joined, "append", state_partitions=4)
     return out.groupBy(F.col("p_user").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_attributed_pairs"),
@@ -521,8 +491,8 @@ def stream_stream_left_outer_interval_join(
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
         "leftOuter",
     )
-    # r16: 4 state partitions (see stream_stream_interval_join) — A/B
-    # 2.48/2.75 -> 2.37/2.65 min/med.
+    # r16: 4 state partitions (see stream_stream_interval_join) — ABBA
+    # A/B 2.22/2.66 -> 2.15/2.41 min/med.
     out = run_stream_to_table(joined, "append", state_partitions=4)
     return out.groupBy(F.col("p_user").alias("user_id")).agg(
         F.count_distinct("p_event").alias("n_purchases_emitted"),
@@ -1167,8 +1137,8 @@ def stream_full_outer_interval_join(
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
         "fullOuter",
     )
-    # r16: 4 state partitions (see stream_stream_interval_join) — A/B
-    # 2.97/3.26 -> 2.32/2.88 min/med.
+    # r16: 4 state partitions (see stream_stream_interval_join) — ABBA
+    # A/B 2.39/2.45 -> 2.19/2.38 min/med.
     out = run_stream_to_table(joined, "append", state_partitions=4)
     return out.groupBy(
         F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id")
