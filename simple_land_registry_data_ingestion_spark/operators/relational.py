@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from simple_land_registry_data_ingestion_spark.tables import load
+from simple_land_registry_data_ingestion_spark.tables import fan_out, load
 
 
 # ---------------------------------------------------------------------------
@@ -8114,7 +8114,18 @@ def lineitem_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     intercept are single double expressions rounded 6dp.
 
     Scale: one broadcast join (part dimension) + one brand-keyed
-    aggregate — the whole regression is map-side partial-aggregatable."""
+    aggregate — the whole regression is map-side partial-aggregatable.
+
+    r16: ``fan_out`` before the projection — the byte-small lineitem file
+    yields only 3 input splits, so the per-row ln + 12-dp round +
+    DECIMAL(28,12) work (the exactness contract, unchanged) ran on 3 of
+    32 cores.  One cheap shuffle of the narrow projected rows buys full
+    parallelism for the expensive stage; conditional, so a 100 TB scan
+    (thousands of splits) skips it.  ABBA interleaved A/B at sf0.1:
+    2.44/2.82 -> 1.21/1.31 s (min/med of 6), values identical at 2 SFs.
+    Also examined and refuted this round: decimal(18,12) per-row terms
+    (compact-long decimals; same values, same sum type) — a wash, the
+    cost was never the decimal width."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_partkey",
         F.round(F.col("l_extendedprice"), 2).alias("price"),
@@ -8125,7 +8136,7 @@ def lineitem_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = F.log(F.col("price"))
     y = F.log(F.col("qty").cast("double"))
-    rows = li.join(F.broadcast(part), "l_partkey").select(
+    rows = fan_out(li).join(F.broadcast(part), "l_partkey").select(
         "p_brand",
         F.round(x, 12).cast("decimal(28,12)").alias("x"),
         F.round(y, 12).cast("decimal(28,12)").alias("y"),

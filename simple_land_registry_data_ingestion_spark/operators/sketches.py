@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from simple_land_registry_data_ingestion_spark.tables import load
+from simple_land_registry_data_ingestion_spark.tables import fan_out, load
 
 #: Counters per partition for the Misra-Gries pass.  Guarantee (batched
 #: eviction): each eviction keeps at most k counters and subtracts the same
@@ -532,8 +532,14 @@ def agg_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the 16 sign sums are ONE map-side-combined aggregate over the
     scan (16 numbers per partition); only the certification side pays
-    the key shuffle, and a production deployment drops it."""
-    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    the key shuffle, and a production deployment drops it.
+
+    r16: ``fan_out`` before the sign computation — 16 md5+conv per row
+    over a byte-small events file ran on ONE input split (1.6M md5 on
+    one core; also why this row was storm-sensitive).  ABBA interleaved
+    A/B at sf0.1: 1.73/2.02 -> 1.31/1.51 s (min/med of 6); conditional,
+    so a real-scale scan skips the repartition."""
+    ev = fan_out(load(spark, sf_dir, "events").select("event_type", "user_id"))
     signs = [
         (
             F.when(
