@@ -540,10 +540,11 @@ _SIGS_CTE = """
 
 
 #: The driver's correctness gate evaluates the FIRST 50 entries of the
-#: dict queries() returns.  _R15_WINDOW IS the round-15 window, in
-#: priority order; queries() moves these names to the front, everything
-#: else follows in _QUERIES order.
+#: dict queries() returns.  _R16_WINDOW (below) IS the current round's
+#: window, in priority order; queries() moves these names to the front,
+#: everything else follows in _QUERIES order.
 #:
+#: ---- historical r15 window rationale (audit trail) ----
 #: r15 window (OPTIMIZATION round; composition follows the r14 queue
 #: arithmetic verbatim): r14 came back 50/50 green (nothing red,
 #: nothing never-certified).  Block A is every r15 plan/execution
@@ -577,6 +578,87 @@ _SIGS_CTE = """
 #: pre-freeze plan change; then the 18 r07 spillovers above; then the
 #: 37-query r08-evidence cohort fills whatever remains.  NO plan
 #: rewrites after the r15 freeze: a post-freeze rewrite waits a round.
+#: r16 window (OPTIMIZATION round 2; composition follows the r15 queue
+#: arithmetic verbatim): r15 came back 50/50 green (nothing red,
+#: nothing never-certified).  Block A is every r16 plan/execution
+#: change, landed pre-freeze: dedup_simhash (vote fold -> numpy
+#: mapInPandas, bit-identical), dedup_simhash_pairs (long band keys +
+#: verify/first-band inside the emission, no distinct),
+#: agg_approx_quantile_error (exact percentile -> two-phase distributed
+#: selection), lineitem_price_elasticity + agg_ams_f2_sketch (fan_out
+#: before the heavy scan-stage projection), and the two interval joins
+#: whose state_partitions changed 8 -> 4 (stream_full_outer_interval_join
+#: got the same change and sits in block B).  Block B is the 18
+#: r07-evidence spillovers, verbatim from the r15 queue.  Block C fills
+#: the remaining 25 slots from the 37-query r08-evidence cohort
+#: (alphabetical), leaving exactly 12 r08 queries to spill:
+#: q18_large_volume_customer, q21_suppliers_kept_waiting,
+#: q8_market_share, sample_kcenter_coreset, sample_neyman_allocation,
+#: search_phrase_positional, search_rank_fusion,
+#: similarity_matryoshka_error, similarity_mips_transform,
+#: stream_state_inspect, text_dictionary_tagging, text_pii_scan.
+#:
+#: r17 queue arithmetic: any r16 red takes the head; then any r17
+#: pre-freeze plan change; then the 12 r08 spillovers above; then the
+#: 33-query r09-evidence cohort fills whatever remains.  NO plan
+#: rewrites after the r16 freeze: a post-freeze rewrite waits a round.
+_R16_WINDOW: list[str] = [
+    # -- block A: r16 plan/execution changes, all pre-freeze --
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "agg_approx_quantile_error",
+    "lineitem_price_elasticity",
+    "agg_ams_f2_sketch",
+    "stream_stream_interval_join",
+    "stream_left_outer_interval_join",
+    # -- block B: the 18 r07-evidence spillovers (r15 queue, verbatim) --
+    "q19_disjunctive_revenue",
+    "q22_global_sales_opportunity",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "sample_temperature_mix",
+    "scalar_collation",
+    "scalar_url_funcs",
+    "similarity_sq8_error",
+    "sql_group_order_by_all",
+    "sql_pipe_syntax",
+    "stream_full_outer_interval_join",
+    "stream_two_level_window",
+    "stream_upsert_latest",
+    "text_bm25_topk",
+    "text_rake_keywords",
+    "text_readability",
+    "users_kaplan_meier",
+    "users_longest_streak",
+    # -- block C: r08-evidence rotation (alphabetical fill, 25 of 37) --
+    "agg_join_size_sketch",
+    "agg_weighted_median",
+    "audit_referential_integrity",
+    "eval_brier_decomposition",
+    "eval_calibration_bins",
+    "eval_cohens_kappa",
+    "eval_conformal_interval",
+    "eval_ips_offpolicy",
+    "eval_map_at_k",
+    "eval_mrr_hit_rate",
+    "eval_ndcg_at_k",
+    "eval_pinball_loss",
+    "eval_rank_correlation",
+    "events_ab_srm_check",
+    "events_bootstrap_ci",
+    "events_changepoint_binseg",
+    "events_diff_in_diff",
+    "events_holt_winters_pandas",
+    "events_hourly_acf",
+    "events_kalman_level",
+    "events_ks_test",
+    "join_spatial_grid",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+]
+
+#: ---- historical r15 window (audit trail; no longer applied) ----
 _R15_WINDOW: list[str] = [
     # -- block A: r15 plan/execution changes, all pre-freeze --
     "dedup_tfidf_cosine",
@@ -998,7 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     current round's window (the _R*_WINDOW list referenced below) is
     moved to the front; the rest keep their registry order.
     """
-    window = [n for n in _R15_WINDOW if n in _QUERIES]
+    window = [n for n in _R16_WINDOW if n in _QUERIES]
     rest = [n for n in _QUERIES if n not in set(window)]
     return {name: _wrap(_QUERIES[name]) for name in window + rest}
 
@@ -5908,7 +5990,7 @@ def oracle_sql() -> dict[str, str]:
     Ordered identically to queries() (window prefix first) so a harness
     that takes its 50-entry prefix from EITHER dict certifies the same
     set."""
-    window = [n for n in _R15_WINDOW if n in _ORACLES]
+    window = [n for n in _R16_WINDOW if n in _ORACLES]
     rest = [n for n in _ORACLES if n not in set(window)]
     return {name: _ORACLES[name] for name in window + rest}
 
